@@ -1,0 +1,64 @@
+package pystreamsspark.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the value columns of the
+  * most recent right row with `rightTime <= leftTime` for the same keys.
+  *
+  * Spark has no native as-of join, so this rewrites it as union + one
+  * window pass — the scalable formulation:
+  *
+  *   1. tag both sides, align schemas, `unionByName`;
+  *   2. one shuffle on the `by` keys, sort by (time, side) within each
+  *      partition;
+  *   3. running `last(<right value>, ignoreNulls)` carries the latest
+  *      right value forward onto each left row;
+  *   4. keep left rows.
+  *
+  * Cost = exactly one ShuffleExchange + one in-partition sort over
+  * |L|+|R| rows — the same asymptotics as a sort-merge join, no
+  * broadcast/collect, no per-key skew beyond what the key itself has.
+  * (A per-key range interpolation join would be the next step at 100 TB
+  * if a single key's timeline outgrows a partition; not needed here.)
+  *
+  * Right rows at the same timestamp as a left row DO match (<=): the sort
+  * places side=0 (right) before side=1 (left) on ties.
+  */
+object AsofJoin {
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val lAligned = valueCols.foldLeft(l)((df, c) =>
+      df.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    val r0 = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+    val rAligned = leftCols.foldLeft(
+      valueCols.foldLeft(r0)((df, c) => df.withColumn(s"__v_$c", col(c))))(
+      (df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+      .select((by ++ Seq("__t", "__side") ++ valueCols.map(c => s"__v_$c") ++
+        leftCols.filterNot(by.contains)).distinct.map(col): _*)
+    val lSel = lAligned.select((by ++ Seq("__t", "__side") ++
+      valueCols.map(c => s"__v_$c") ++ leftCols.filterNot(by.contains)).distinct.map(col): _*)
+
+    val unioned = lSel.unionByName(rAligned)
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    carried
+      .filter(col("__side") === 1)
+      .select((leftCols ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
+  }
+}

@@ -1,0 +1,127 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import Det._
+
+/** Aggregation surface beyond plain groupBy (SURVEY.md §2.5). */
+object AggQueries {
+
+  /** rollup with grouping() labels instead of NULLs so the compared output
+    * has no null-ordering ambiguity between engines. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        // grouping() must be evaluated inside the Aggregate node
+        when(grouping($"l_returnflag") === 1, lit("ALL")).otherwise($"l_returnflag").as("returnflag"),
+        when(grouping($"l_linestatus") === 1, lit("ALL")).otherwise($"l_linestatus").as("linestatus"),
+        count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select($"returnflag", $"linestatus", $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val qRollupSql: String =
+    s"""SELECT
+       |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+       |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+       |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** cube over two independent dimensions, same grouping() labeling. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        when(grouping($"o_orderstatus") === 1, lit("ALL")).otherwise($"o_orderstatus").as("status"),
+        when(grouping($"o_orderpriority") === 1, lit("ALL")).otherwise($"o_orderpriority").as("priority"),
+        count(lit(1)).as("n"))
+      .select($"status", $"priority", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  val qCubeSql: String =
+    """SELECT
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact percentiles (interpolated) of integer-valued quantities — both
+    * engines interpolate identically on exact values. */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** collect_set per group, sorted and serialized to a string so the
+    * compared value is order- and codec-unambiguous. */
+  def qCollectList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qCollectListSql: String =
+    """SELECT o_orderstatus,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** HLL++ approximate distinct — sketches differ across engines, so this
+    * key is smoke-checked only (no oracle entry); correctness is covered
+    * by the bounds test in the ScalaTest suite. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+           count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup"          -> (qRollup _),
+    "q_cube"            -> (qCube _),
+    "q_percentile"      -> (qPercentile _),
+    "q_collect_list"    -> (qCollectList _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q_rollup"       -> qRollupSql,
+    "q_cube"         -> qCubeSql,
+    "q_percentile"   -> qPercentileSql,
+    "q_collect_list" -> qCollectListSql)
+}

@@ -1,0 +1,214 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import pystreamsspark.operators.AsofJoin
+import Det._
+
+/** Join surface (SURVEY.md §2.4). All equi-joins are declarative so
+  * Catalyst/AQE pick broadcast vs shuffled strategies; dimension sides are
+  * hinted with `broadcast()` where we know they stay small at any scale
+  * factor (customer segments, literal band tables).
+  */
+object JoinQueries {
+
+  /** TPC-H Q3 shape: filtered dim (customer seg) broadcast into orders,
+    * then into lineitem; group on orderkey; global top-10 by revenue →
+    * TakeOrderedAndProject (no full sort at scale). */
+  def q3JoinTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1995-06-30").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(spark, sfDir).filter($"o_orderdate" < cutoff)
+    val li   = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > cutoff)
+    li.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1995-06-30 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** Large⋈large equi-join (orders⋈lineitem, no dim filter) — the
+    * shuffle-heavy case AQE plans as sort-merge/shuffled-hash; aggregated
+    * down so the result is small but the join itself is full-size. */
+  def qJoinLarge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           dsum($"l_extendedprice").as("sum_price"),
+           countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qJoinLargeSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${sqlSum("l_extendedprice")} AS sum_price,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left outer join keeping order-less customers (n_orders = 0). */
+  def qJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+           coalesce(dsum($"o_totalprice"), lit(0.0)).as("sum_price"))
+      .orderBy($"c_custkey")
+  }
+
+  val qJoinOuterSql: String =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${sqlSum("o_totalprice")}, 0.0) AS sum_price
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti join: parts that never appear in any lineitem. (Customers
+    * all have orders at sf>=0.01, which would make the check vacuous.) */
+  def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name", $"p_brand")
+      .orderBy($"p_partkey")
+  }
+
+  val qJoinAntiSql: String =
+    """SELECT p_partkey, p_name, p_brand
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Left semi join: customers having at least one open ('O') order. */
+  def qJoinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val openOrders = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "O")
+    Tables.customer(spark, sfDir)
+      .join(openOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val qJoinSemiSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Non-equi (range) join: bucket events into literal value bands via
+    * BETWEEN-style bounds — BroadcastNestedLoopJoin with a 5-row build
+    * side, which is exactly the right physical plan at any scale. */
+  def qJoinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = spark.createDataFrame(Seq(
+      ("b0_0_100", 0.0, 100.0),
+      ("b1_100_200", 100.0, 200.0),
+      ("b2_200_300", 200.0, 300.0),
+      ("b3_300_400", 300.0, 400.0),
+      ("b4_400_plus", 400.0, 1e9))).toDF("band", "lo", "hi")
+    Tables.events(spark, sfDir)
+      .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"band")
+  }
+
+  val qJoinRangeSql: String =
+    s"""SELECT band, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM events
+       |JOIN (VALUES ('b0_0_100', 0.0, 100.0), ('b1_100_200', 100.0, 200.0),
+       |             ('b2_200_300', 200.0, 300.0), ('b3_300_400', 300.0, 400.0),
+       |             ('b4_400_plus', 400.0, 1e9)) AS bands(band, lo, hi)
+       |  ON value >= lo AND value < hi
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+
+  /** As-of join (union + window rewrite, see [[AsofJoin]]): each event gets
+    * the timestamp/value of the same user's most recent 'purchase' at or
+    * before it. */
+  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val joined = AsofJoin.asofJoin(
+      left = ev.select($"event_id", $"user_id", $"ts"),
+      right = purchases,
+      by = Seq("user_id"),
+      leftTime = "ts",
+      rightTime = "ts",
+      valueCols = Seq("value"))
+    joined
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  // Oracle uses the equivalent running-last window formulation (DuckDB also
+  // has native ASOF JOIN; the window form avoids tie-semantics ambiguity).
+  val qJoinAsofSql: String =
+    """SELECT event_id, user_id, ts, asof_value FROM (
+      |  SELECT event_id, user_id, ts,
+      |    last(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts ASC, (CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** Cross join (small×small): region × order-status grid with counts —
+    * exercises CartesianProduct/BroadcastNestedLoop deliberately. */
+  def qJoinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val statuses = Tables.orders(spark, sfDir).select($"o_orderstatus").distinct()
+    Tables.region(spark, sfDir)
+      .crossJoin(statuses)
+      .select($"r_name", $"o_orderstatus")
+      .orderBy($"r_name", $"o_orderstatus")
+  }
+
+  val qJoinCrossSql: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q_join_large" -> (qJoinLarge _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_join_anti"  -> (qJoinAnti _),
+    "q_join_semi"  -> (qJoinSemi _),
+    "q_join_range" -> (qJoinRange _),
+    "q_join_asof"  -> (qJoinAsof _),
+    "q_join_cross" -> (qJoinCross _))
+
+  val oracle: Map[String, String] = Map(
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q_join_large" -> qJoinLargeSql,
+    "q_join_outer" -> qJoinOuterSql,
+    "q_join_anti"  -> qJoinAntiSql,
+    "q_join_semi"  -> qJoinSemiSql,
+    "q_join_range" -> qJoinRangeSql,
+    "q_join_asof"  -> qJoinAsofSql,
+    "q_join_cross" -> qJoinCrossSql)
+}

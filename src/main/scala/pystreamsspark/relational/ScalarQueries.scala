@@ -1,0 +1,200 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import Det._
+
+/** Scalar expression surface (SURVEY.md §2.3): string / date / math /
+  * conditional / JSON / array functions. All stay in WholeStageCodegen —
+  * no UDFs anywhere. Only cross-engine-exact functions appear in compared
+  * columns (e.g. no libm-dependent exp/ln: JVM and C runtimes differ in
+  * ulps; sqrt is IEEE-exact so it's fine).
+  */
+object ScalarQueries {
+
+  def qStringFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lower"),
+        upper($"p_name").as("name_upper"),
+        length($"p_name").as("name_len"),
+        substring($"p_type", 1, 4).as("type_prefix"),
+        trim(lit(" x ")).as("trimmed"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+        $"p_name".like("%r%").as("has_r"),
+        replace($"p_name", lit(" "), lit("_")).as("name_snake"))
+      .orderBy($"p_partkey")
+  }
+
+  val qStringFnsSql: String =
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  upper(p_name) AS name_upper,
+      |  length(p_name) AS name_len,
+      |  substring(p_type, 1, 4) AS type_prefix,
+      |  trim(' x ') AS trimmed,
+      |  p_brand || '-' || p_type AS brand_type,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  p_name LIKE '%r%' AS has_r,
+      |  replace(p_name, ' ', '_') AS name_snake
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  def qDateFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("age_days"),
+        // o_orderdate reads as TIMESTAMP_NTZ; cast to TIMESTAMP (session
+        // tz = UTC, so the instant is unchanged) for unix_micros.
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qDateFnsSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr,
+      |  month(o_orderdate) AS mo,
+      |  day(o_orderdate) AS dom,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
+      |  epoch_us(o_orderdate) // 1000000 AS epoch_s
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  def qMathFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, sfDir)
+      .select(
+        $"s_suppkey",
+        abs($"s_acctbal").as("abs_bal"),
+        round($"s_acctbal", 1).as("round_bal"),
+        floor($"s_acctbal").as("floor_bal"),
+        ceil($"s_acctbal").as("ceil_bal"),
+        sqrt(abs($"s_acctbal")).as("sqrt_bal"),
+        ($"s_acctbal" * $"s_acctbal").as("sq_bal"),
+        pmod($"s_suppkey", lit(7)).as("mod7"),
+        signum($"s_acctbal").as("sign_bal"),
+        greatest($"s_acctbal", lit(0.0)).as("pos_part"),
+        least($"s_acctbal", lit(0.0)).as("neg_part"))
+      .orderBy($"s_suppkey")
+  }
+
+  val qMathFnsSql: String =
+    """SELECT s_suppkey,
+      |  abs(s_acctbal) AS abs_bal,
+      |  round(s_acctbal, 1) AS round_bal,
+      |  floor(s_acctbal) AS floor_bal,
+      |  ceil(s_acctbal) AS ceil_bal,
+      |  sqrt(abs(s_acctbal)) AS sqrt_bal,
+      |  s_acctbal * s_acctbal AS sq_bal,
+      |  s_suppkey % 7 AS mod7,
+      |  CASE WHEN s_acctbal > 0 THEN 1.0 WHEN s_acctbal < 0 THEN -1.0 ELSE 0.0 END AS sign_bal,
+      |  greatest(s_acctbal, 0.0) AS pos_part,
+      |  least(s_acctbal, 0.0) AS neg_part
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
+  def qCaseWhen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" >= 300000, "high")
+          .when($"o_totalprice" >= 100000, "mid")
+          .otherwise("low").as("price_band"),
+        coalesce(nullif($"o_orderstatus", lit("P")), lit("NOT_PENDING")).as("status_np"),
+        when($"o_orderpriority".startsWith("1"), 1).otherwise(0).as("is_urgent"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qCaseWhenSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice >= 300000 THEN 'high'
+      |       WHEN o_totalprice >= 100000 THEN 'mid'
+      |       ELSE 'low' END AS price_band,
+      |  COALESCE(NULLIF(o_orderstatus, 'P'), 'NOT_PENDING') AS status_np,
+      |  CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS is_urgent
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Semi-structured column: parse the JSON `props` payload and aggregate
+    * the extracted field — get_json_object stays codegen'd. */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+      |  COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Array functions over the embedding column (no arithmetic that could
+    * reorder float reductions — element access and extrema only). */
+  def qArrayFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("first_elem"),
+        element_at($"embedding", 64).as("last_elem"),
+        array_max($"embedding").as("max_elem"),
+        array_min($"embedding").as("min_elem"),
+        array_contains($"embedding", 0.0f).as("has_zero"))
+      .orderBy($"vec_id")
+  }
+
+  val qArrayFnsSql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  embedding[1] AS first_elem,
+      |  embedding[64] AS last_elem,
+      |  list_max(embedding) AS max_elem,
+      |  list_min(embedding) AS min_elem,
+      |  list_contains(embedding, 0.0) AS has_zero
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_fns"   -> (qStringFns _),
+    "q_date_fns"     -> (qDateFns _),
+    "q_math_fns"     -> (qMathFns _),
+    "q_case_when"    -> (qCaseWhen _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_array_fns"    -> (qArrayFns _))
+
+  val oracle: Map[String, String] = Map(
+    "q_string_fns"   -> qStringFnsSql,
+    "q_date_fns"     -> qDateFnsSql,
+    "q_math_fns"     -> qMathFnsSql,
+    "q_case_when"    -> qCaseWhenSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_array_fns"    -> qArrayFnsSql)
+}
