@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AggQueries.queries ++ JoinQueries.queries ++
-      ScalarQueries.queries ++ WindowQueries.queries
+      ScalarQueries.queries ++ WindowQueries.queries ++ TimeQueries.queries ++
+      LlmQueries.queries ++ SetQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
-      ScalarQueries.oracle ++ WindowQueries.oracle
+      ScalarQueries.oracle ++ WindowQueries.oracle ++ TimeQueries.oracle ++
+      LlmQueries.oracle ++ SetQueries.oracle
 }

@@ -1,0 +1,129 @@
+package pystreamsspark.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+  *
+  * All sketches are built from codegen'd higher-order functions over the
+  * token/shingle arrays (`transform`/`array_min`/`aggregate` +
+  * `xxhash64`) — no UDAF, no serialization wall, and each document's
+  * signature is computed map-side in one pass. The only shuffles are the
+  * ones the algorithm inherently needs: one `groupBy` on the dedup key
+  * (exact), or one self-join on the LSH band key (near-dup). That is the
+  * 100 TB shape: signatures stream through executors; candidate
+  * generation touches only documents sharing a band bucket, never the
+  * full cross product.
+  */
+object Dedup {
+
+  /** Normalized-text key for exact dedup. At scale, group on
+    * (xxhash64(norm), norm): the 8-byte hash leads the shuffle key so
+    * comparisons short-circuit; the full text stays in the key to make
+    * the result collision-proof. */
+  def normText(text: Column): Column = lower(trim(text))
+
+  /** Exact dedup: one row per distinct normalized text, keeping the
+    * smallest id (deterministic winner). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(normText(col(textCol))).as("text_hash"),
+        normText(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles (contiguous k-grams), distinct. Documents shorter
+    * than k tokens contribute their whole text as one shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    array_distinct(grams)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min hash over the shingle set. Pure map-side computation. */
+  def minHashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleCol, sh => xxhash64(sh, s))))
+
+  /** LSH band keys: signature split into `bands` bands of
+    * numHashes/bands rows each; each band hashed to one bucket key.
+    * Two docs collide in a band iff that band of their signatures is
+    * identical. */
+  def lshBandKeys(sigCol: Column, numHashes: Int = 32, bands: Int = 8): Column = {
+    val rows = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", transform(
+        slice(sigCol, b * rows + 1, lit(rows)), v => v.cast("string")))))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: candidates from band-bucket
+    * collisions, verified with exact Jaccard over the shingle sets.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale path: the band explode multiplies rows by `bands` (cheap,
+    * map-side); the self-join shuffles on the 8-byte bucket key, so only
+    * same-bucket docs ever meet. Verification joins back the two shingle
+    * sets by id — at 100 TB you'd verify with a second MinHash estimate
+    * instead of exact sets to avoid carrying the shingle arrays. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val banded = sh.select(col("id"), col("sh"),
+        posexplode(lshBandKeys(col("sig"), numHashes, bands)))
+      .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within a blocking key —
+    * the verifiable (oracle-checkable) small-scale variant: token-set
+    * Jaccard for every same-block pair. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = docs.select(
+      (col(idCol).as("id") +: array_distinct(TextOps.tokens(col(textCol))).as("toks")
+        +: blockCols.map(col)): _*)
+    val a = base.select(
+      (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
+    val b = base.select(
+      (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
+        size(array_union(col("toks_a"), col("toks_b"))).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset: bit j is the sign of the
+    * sum of (+1/-1) votes from each token hash's bit j. Expressed as one
+    * SQL expression tree (bit ops need column-typed shift amounts, which
+    * only the SQL parser accepts inside lambdas). */
+  def simHash(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), j ->
+       |    CASE WHEN aggregate(
+       |      transform(filter(split($textCol, ' '), t -> t != ''), t -> xxhash64(t)),
+       |      0L,
+       |      (acc, h) -> acc + IF(((shiftrightunsigned(h, j)) & 1L) = 1L, 1L, -1L)
+       |    ) >= 0 THEN shiftleft(1L, j) ELSE 0L END),
+       |  0L, (acc, b) -> acc | b)""".stripMargin)
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

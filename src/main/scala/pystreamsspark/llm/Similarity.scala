@@ -1,0 +1,87 @@
+package pystreamsspark.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Vector math is done with codegen'd higher-order functions, widening
+  * each element to double and folding left-to-right — sequential IEEE
+  * double accumulation, so results are bit-deterministic and match an
+  * ordered SUM in any engine.
+  *
+  * Brute-force top-k is the correctness baseline (broadcast the probe,
+  * one pass, TakeOrderedAndProject — no shuffle of the big side). The
+  * scale path is [[lshBuckets]]: sign-random-projection buckets computed
+  * map-side from deterministic per-(plane,dim) hash weights; candidate
+  * generation joins only within a bucket.
+  */
+object Similarity {
+
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(dbl(a), dbl(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (sqrt of sequential sum of squares). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (norm(a) * norm(b)) — fixed op order. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one probe vector (given as a 1-row
+    * DataFrame with column `probe`). Broadcast + TakeOrderedAndProject:
+    * the big side is scanned once, never shuffled. */
+  def knn(emb: DataFrame, idCol: String, vecCol: String,
+          probe: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(probe))
+      .select(col(idCol), cosine(col(vecCol), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Sign-random-projection LSH bucket id over `planes` hyperplanes.
+    * Plane p's weight for dimension d is a deterministic ±1 derived from
+    * xxhash64(p, d) — no stored model, any executor recomputes it. Bucket
+    * = the `planes`-bit sign pattern of the projections. */
+  def lshBuckets(vec: Column, planes: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val proj = aggregate(
+          zip_with(dbl(vec), sequence(lit(0), size(vec) - 1),
+            (x, d) => x * when(xxhash64(p, d) % 2 === 0, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc * 2 + b)
+
+  /** Bucketed approximate near-duplicate pairs: candidates share an LSH
+    * bucket, then exact cosine verifies against `threshold`. At 100 TB
+    * the self-join shuffles on the small bucket key only. */
+  def annPairs(emb: DataFrame, idCol: String, vecCol: String,
+               planes: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBuckets(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact near-duplicate pairs within a blocking column (e.g. a label or
+    * coarse-quantizer cell — the IVF pattern): all same-block pairs with
+    * cosine >= threshold. Oracle-checkable. */
+  def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val base = emb.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
+    val a = base.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

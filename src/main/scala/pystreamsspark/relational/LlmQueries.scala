@@ -1,0 +1,326 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import pystreamsspark.llm.{Dedup, Similarity, TextOps}
+import Det._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.8) as oracle-checked
+  * queries. The sketch-based ops (MinHash-LSH, SimHash, ANN) hash with
+  * xxhash64, which DuckDB lacks — those keys are registered without an
+  * oracle entry (driver rows-only check) and are covered by ScalaTest
+  * properties instead.
+  */
+object LlmQueries {
+
+  /** Exact dedup by normalized text; keeps the smallest doc_id. The
+    * library op ([[Dedup.exact]]) leads the shuffle key with xxhash64 of
+    * the text — here the compared output is just (keep_id, n_copies). */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exact(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY lower(trim(text))
+      |ORDER BY keep_id""".stripMargin
+
+  /** Global top-20 tokens by frequency (explode → partial agg → final →
+    * TakeOrderedAndProject: only (token, count) partials shuffle). */
+  def qTokensTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(20)
+  }
+
+  val qTokensTopkSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 20""".stripMargin
+
+  /** TF-IDF with the exact-rational idf (n_docs/df) so every compared
+    * column is bit-deterministic: tfidf = tf * (n_docs/df), fixed op
+    * order on both sides. (The classic ln() idf is available via
+    * [[TextOps.tfidf]] logIdf=true — kept out of the oracle because
+    * float log is libm-dependent.) */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.tfidf(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", $"token", $"tf", $"df", $"n_docs", $"tfidf")
+      .orderBy($"doc_id", $"token")
+  }
+
+  val qTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, df, n_docs,
+      |  tf * (CAST(n_docs AS DOUBLE) / df) AS tfidf
+      |FROM tf JOIN df USING (token) CROSS JOIN n
+      |ORDER BY doc_id, token""".stripMargin
+
+  /** Corpus stats per (lang, source): doc counts and exact integer char
+    * sums — the first profiling pass of any training-data pipeline. */
+  def qLangStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val qLangStatsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS sum_chars, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  /** Per-document quality features: exact integer counts + single IEEE
+    * divisions (deterministic across engines). */
+  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feats = TextOps.qualityFeatures($"text")
+    Tables.documents(spark, sfDir)
+      .select(($"doc_id" +: feats.map { case (n, c) => c.as(n) }): _*)
+      .orderBy($"doc_id")
+  }
+
+  val qQualityScoreSql: String = {
+    val stop = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_uniq_tokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+       |  len(list_filter(toks, x -> x IN ($stop))) AS n_stopwords,
+       |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic vs the labeled lang column: confusion counts.
+    * (Deterministic rule skeleton — see [[TextOps.langIdHeuristic]].) */
+  def qLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", TextOps.langIdHeuristic($"text").as("pred"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  val qLangidSql: String =
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), f AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS the_density,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_len,
+      |    len(toks) AS n_tok
+      |  FROM t)
+      |SELECT lang,
+      |  CASE WHEN n_tok = 0 THEN 'und'
+      |       WHEN the_density >= 0.08 THEN 'en'
+      |       WHEN mean_len >= 5.0 THEN 'de'
+      |       WHEN mean_len < 4.2 THEN 'zh'
+      |       ELSE 'other' END AS pred,
+      |  COUNT(*) AS n
+      |FROM f
+      |GROUP BY 1, 2
+      |ORDER BY lang, pred""".stripMargin
+
+  /** Order-sensitive rolling fingerprint (position-weighted polynomial
+    * mod 1e9+7) — pure integer math, distributable as a plain SUM. */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val qFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, i, toks[i] AS tok
+      |  FROM t, UNNEST(generate_series(1, len(toks))) AS u(i))
+      |SELECT doc_id,
+      |  CAST(SUM(i * (ascii(substr(tok, 1, 1)) * 131 + length(tok))) % 1000000007 AS BIGINT)
+      |    AS fingerprint
+      |FROM e
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-10 vs the vec_id=0 probe. Sequential double
+    * folds on both sides (see Similarity scaladoc) keep the scores
+    * bit-identical to DuckDB's ordered SUM. */
+  def qKnnCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
+    Similarity.knn(emb, "vec_id", "embedding", probe, 10)
+  }
+
+  val qKnnCosineSql: String =
+    """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT vec_id,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) t(i)) AS dot,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) t(i)) AS na,
+      |    (SELECT SUM(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) t(i)) AS nb
+      |  FROM embeddings e CROSS JOIN p)
+      |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+      |FROM s
+      |ORDER BY cosine DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** Exact same-label near-dup pairs, global top-20 by cosine (the IVF
+    * verify step with label as the coarse cell). */
+  def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.blockedPairs(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", "label",
+        threshold = -1.0)
+      .orderBy($"cosine".desc, $"id_a".asc, $"id_b".asc)
+      .limit(20)
+      .select($"block", $"id_a", $"id_b", $"cosine")
+  }
+
+  val qEmbedNeardupSql: String =
+    """WITH s AS (
+      |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) t(i)) AS dot,
+      |    (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) t(i)) AS na,
+      |    (SELECT SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) t(i)) AS nb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT block, id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+      |FROM s
+      |ORDER BY cosine DESC, id_a ASC, id_b ASC
+      |LIMIT 20""".stripMargin
+
+  /** Blocked exact n-gram Jaccard pairs (lang, source blocking), top-50 —
+    * the oracle-checkable near-dup variant. */
+  def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("lang", "source"), threshold = -1.0)
+      .orderBy($"jaccard".desc, $"id_a".asc, $"id_b".asc)
+      .limit(50)
+      .select($"id_a", $"id_b", $"n_inter", $"n_union", $"jaccard")
+  }
+
+  val qJaccardPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.toks, b.toks)) AS n_inter,
+      |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |FROM t a JOIN t b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, id_a ASC, id_b ASC
+      |LIMIT 50""".stripMargin
+
+  // ---- sketch-based ops: no DuckDB oracle (xxhash64), rows-only check ----
+
+  /** MinHash-LSH near-dup detection, demonstrated on docs + engineered
+    * near-duplicates (each doc unioned with a copy missing its last
+    * token, id + 10_000_000): LSH must surface those planted pairs. */
+  def qMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val mutated = docs.select(
+      ($"doc_id" + 10000000L).as("doc_id"),
+      // drop the last token: deterministic near-duplicate
+      expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
+        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
+    Dedup.minHashLsh(docs.unionByName(mutated), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy($"id_a".asc, $"id_b".asc)
+  }
+
+  /** SimHash sketch per document (+ pairs within hamming<=6 would be the
+    * join step; the sketch itself is the verifiable artifact here). */
+  def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.simHash("text").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** LSH-bucketed ANN pairs on embeddings + planted exact duplicates
+    * (vec_id + 10_000_000): every planted pair shares all buckets and
+    * must be found with cosine 1.0. */
+  def qSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val planted = emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+    Similarity.annPairs(emb.unionByName(planted), "vec_id", "embedding",
+        planes = 8, threshold = 0.9)
+      .orderBy($"id_a".asc, $"id_b".asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"   -> (qDedupExact _),
+    "q_tokens_topk"   -> (qTokensTopk _),
+    "q_tfidf"         -> (qTfidf _),
+    "q_lang_stats"    -> (qLangStats _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_langid"        -> (qLangid _),
+    "q_fingerprint"   -> (qFingerprint _),
+    "q_knn_cosine"    -> (qKnnCosine _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_simhash"       -> (qSimhash _),
+    "q_sim_join"      -> (qSimJoin _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact"   -> qDedupExactSql,
+    "q_tokens_topk"   -> qTokensTopkSql,
+    "q_tfidf"         -> qTfidfSql,
+    "q_lang_stats"    -> qLangStatsSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_langid"        -> qLangidSql,
+    "q_fingerprint"   -> qFingerprintSql,
+    "q_knn_cosine"    -> qKnnCosineSql,
+    "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_jaccard_pairs" -> qJaccardPairsSql)
+}

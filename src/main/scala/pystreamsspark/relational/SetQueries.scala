@@ -1,0 +1,101 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+
+/** Set operators (SURVEY.md §2.6): union / union all / intersect / except. */
+object SetQueries {
+
+  /** UNION ALL of two tagged slices + per-tag counts after a distinct
+    * union — exercises both bag and set semantics in one result. */
+  def qUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hi = Tables.orders(spark, sfDir).filter($"o_totalprice" > 400000.0)
+      .select($"o_custkey".as("custkey"))
+    val urgent = Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("custkey"))
+    hi.union(urgent)                    // UNION ALL
+      .groupBy($"custkey").agg(count(lit(1)).as("n_all"))
+      .join(hi.union(urgent).distinct().withColumn("in_set", lit(1)), Seq("custkey"))
+      .select($"custkey", $"n_all", $"in_set")
+      .orderBy($"custkey")
+  }
+
+  val qUnionSql: String =
+    """WITH u AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT custkey, COUNT(*) AS n_all, 1 AS in_set
+      |FROM u
+      |GROUP BY custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** INTERSECT and EXCEPT between nations-with-customers and
+    * nations-with-suppliers, tagged and stacked. */
+  def qIntersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custNations = Tables.customer(spark, sfDir).select($"c_nationkey".as("nationkey"))
+    val suppNations = Tables.supplier(spark, sfDir).select($"s_nationkey".as("nationkey"))
+    val both = custNations.intersect(suppNations).withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly)
+      .select($"tag", $"nationkey")
+      .orderBy($"tag", $"nationkey")
+  }
+
+  val qIntersectExceptSql: String =
+    """SELECT 'both' AS tag, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey FROM supplier)
+      |ORDER BY tag, nationkey""".stripMargin
+
+  /** Multimodal column plumbing: documents carried as opaque binary
+    * payloads with a deterministic metadata "decode" (the real decoder is
+    * stubbed — see pystreamsspark.llm.Multimodal — but the schema,
+    * partitioning and batch shape are real). */
+  def qMultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary").as("payload"),
+        ascii(substring($"text", 1, 1)).as("first_byte"))
+      .select(
+        $"doc_id",
+        length($"payload").as("n_bytes"),
+        (lit(640) + pmod(length($"payload"), lit(1280))).as("width"),
+        (lit(360) + pmod($"first_byte", lit(720))).as("height"),
+        (pmod(length($"payload"), lit(100)) + 1).as("n_frames"),
+        when(pmod(length($"payload"), lit(3)) === 0, "jpeg")
+          .when(pmod(length($"payload"), lit(3)) === 1, "png")
+          .otherwise("webp").as("format"))
+      .orderBy($"doc_id")
+  }
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  640 + octet_length(CAST(text AS BLOB)) % 1280 AS width,
+      |  360 + ascii(substr(text, 1, 1)) % 720 AS height,
+      |  octet_length(CAST(text AS BLOB)) % 100 + 1 AS n_frames,
+      |  CASE octet_length(CAST(text AS BLOB)) % 3
+      |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union"            -> (qUnion _),
+    "q_intersect_except" -> (qIntersectExcept _),
+    "q_multimodal_meta"  -> (qMultimodalMeta _))
+
+  val oracle: Map[String, String] = Map(
+    "q_union"            -> qUnionSql,
+    "q_intersect_except" -> qIntersectExceptSql,
+    "q_multimodal_meta"  -> qMultimodalMetaSql)
+}

@@ -1,0 +1,103 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import Det._
+
+/** Event-time windowing (SURVEY.md §2.7), batch-equivalent forms.
+  *
+  * Spark's `window()` / `session_window()` produce epoch-aligned (UTC)
+  * window structs; each query is oracle-checked against the equivalent
+  * bucketing SQL in DuckDB. The identical expressions run unchanged under
+  * Structured Streaming (`readStream` + `withWatermark`) — see
+  * `pystreamsspark.streaming.StreamingSmoke` for that wiring; the batch
+  * forms here are the verifiable contract.
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregations on
+  * (window_start, keys) — partial aggregation map-side, one shuffle,
+  * no skew beyond the key's own. Session windows shuffle once on user_id.
+  */
+object TimeQueries {
+
+  /** Tumbling 1-hour windows per event_type. */
+  def qTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val qTumblingSql: String =
+    s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY w_start, event_type""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 15 minutes — each event lands in
+    * exactly 4 windows. Spark expands via the window() generator before
+    * the aggregation shuffle. */
+  def qSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"n", $"sum_value")
+      .orderBy($"w_start")
+  }
+
+  // Epoch-aligned 15-min slide: the k-th (k=0..3) containing window starts
+  // at floor_15min(ts) - k*15min. 900000000 µs = 15 min.
+  val qSlidingSql: String =
+    s"""SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS w_start,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(k)
+       |GROUP BY 1
+       |ORDER BY w_start""".stripMargin
+
+  /** Session windows (30-min gap) via the native session_window generator;
+    * the oracle is the gaps-and-islands formulation (new session when the
+    * gap is >= 30 min — session_window's [start, last+gap) semantics). */
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"n", $"sum_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  val qSessionWindowSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts) AS s_start,
+       |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, s_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling"       -> (qTumbling _),
+    "q_sliding"        -> (qSliding _),
+    "q_session_window" -> (qSessionWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "q_tumbling"       -> qTumblingSql,
+    "q_sliding"        -> qSlidingSql,
+    "q_session_window" -> qSessionWindowSql)
+}
