@@ -1,0 +1,114 @@
+package pystreamsspark.streams
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The reference library's fluent stream surface (SURVEY.md §2.1, §3.3) —
+  * `map / filter / flatMap / groupByKey / reduce / sum / distinct /
+  * sorted / take / any / all / foreach` — as a thin façade over
+  * `Dataset[T]`.
+  *
+  * Design: every intermediate op appends to the Catalyst logical plan
+  * (the analogue of the reference's fused per-chunk closure — Spark's
+  * WholeStageCodegen does the fusion), and every terminal op triggers
+  * one distributed job. Nothing materializes on the driver except
+  * terminal results, so the same pipeline runs unchanged on a 1000-
+  * executor cluster. Typed lambdas do cost encoder round-trips; for
+  * relational-shaped work prefer the DataFrame queries in
+  * `pystreamsspark.relational` (those stay in codegen end-to-end).
+  */
+final class Stream[T](val ds: Dataset[T]) {
+
+  // ---- intermediate (lazy) ----
+
+  def map[U: Encoder](f: T => U): Stream[U] = new Stream(ds.map(f))
+
+  def filter(p: T => Boolean): Stream[T] = new Stream(ds.filter(p))
+
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Stream[U] =
+    new Stream(ds.flatMap(f))
+
+  def distinct: Stream[T] = new Stream(ds.distinct())
+
+  /** Total order over the element's encoded columns (natural order for
+    * primitives, lexicographic field order for case classes) —
+    * range-partitioned SortExec, no driver materialization. */
+  def sorted: Stream[T] = new Stream(ds.sort(ds.columns.map(col).toIndexedSeq: _*))
+
+  def sortedDesc: Stream[T] =
+    new Stream(ds.sort(ds.columns.map(c => col(c).desc).toIndexedSeq: _*))
+
+  /** Hash-redistribute into `n` partitions — the reference's shuffle. */
+  def shuffle(n: Int): Stream[T] = new Stream(ds.repartition(n))
+
+  def groupByKey[K: Encoder](f: T => K): KeyedStream[K, T] =
+    new KeyedStream(ds.groupByKey(f))
+
+  def union(other: Stream[T]): Stream[T] = new Stream(ds.union(other.ds))
+
+  // ---- terminal (eager) ----
+
+  def reduce(f: (T, T) => T): T = ds.reduce(f)
+
+  def fold(zero: T)(f: (T, T) => T)(implicit enc: Encoder[T]): T =
+    ds.mapPartitions(it => Iterator.single(it.foldLeft(zero)(f)))
+      .collect().foldLeft(zero)(f)
+
+  def count(): Long = ds.count()
+
+  def sum(implicit num: Numeric[T]): T =
+    ds.reduce((a, b) => num.plus(a, b))
+
+  def min(implicit ord: Ordering[T]): T = ds.reduce(ord.min _)
+
+  def max(implicit ord: Ordering[T]): T = ds.reduce(ord.max _)
+
+  def mean(implicit num: Numeric[T]): Double = {
+    // single pass: per-partition (sum, count) partials, tiny final combine
+    val (s, n) = ds.mapPartitions { it =>
+      var acc = 0.0; var c = 0L
+      it.foreach { x => acc += num.toDouble(x); c += 1 }
+      Iterator.single((acc, c))
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+      .collect().foldLeft((0.0, 0L)) { case ((s1, n1), (s2, n2)) => (s1 + s2, n1 + n2) }
+    s / n
+  }
+
+  def any(p: T => Boolean): Boolean = !ds.filter(p).isEmpty
+
+  def all(p: T => Boolean): Boolean = ds.filter(x => !p(x)).isEmpty
+
+  def take(n: Int): Seq[T] = ds.take(n).toIndexedSeq
+
+  def foreach(f: T => Unit): Unit = ds.foreach(f)
+
+  def collect(): Seq[T] = ds.collect().toIndexedSeq
+}
+
+/** Keyed stream: the reference's chunk-by-key surface over
+  * `KeyValueGroupedDataset` — one hash shuffle on the key, then per-key
+  * processing local to each partition. */
+final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDataset[K, T]) {
+
+  def reduceByKey(f: (T, T) => T): Stream[(K, T)] =
+    new Stream(kv.reduceGroups(f))
+
+  def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): Stream[U] =
+    new Stream(kv.mapGroups(f))
+
+  def countByKey()(implicit enc: Encoder[(K, Long)]): Stream[(K, Long)] =
+    new Stream(kv.mapGroups((k, it) => (k, it.size.toLong)))
+}
+
+object Stream {
+  /** Partition an in-memory collection — `Stream(data)` in the reference. */
+  def apply[T: Encoder](spark: SparkSession, data: Seq[T]): Stream[T] =
+    new Stream(spark.createDataset(data))
+
+  def apply[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
+
+  def range(spark: SparkSession, n: Long): Stream[java.lang.Long] =
+    new Stream(spark.range(n))
+}

@@ -1,0 +1,165 @@
+package pystreamsspark.llm
+
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+
+/** Unit + property tests for the LLM-pipeline operators. */
+class LlmOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per normalized text") {
+    val df = docsDf(Seq(
+      (1L, "a b c"), (2L, "A B C  "), (3L, "x y"), (4L, "a b c")))
+    // norm("A B C  ") = "a b c" — ids 1,2,4 collapse
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("keep_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("shingles: contiguous k-grams, distinct") {
+    val df = docsDf(Seq((1L, "a b c d")))
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d"))
+  }
+
+  test("minhash jaccard estimate within tolerance of exact") {
+    val a = "the quick brown fox jumps over the lazy dog today again"
+    val b = "the quick brown fox jumps over the lazy cat today again"
+    val df = docsDf(Seq((1L, a), (2L, b)))
+    val sigs = df.select(
+        Dedup.minHashSignature(Dedup.shingles(col("text"), 2), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / 128
+    // exact jaccard of 2-shingle sets
+    def sh(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val exact = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("minhash-LSH finds identical and near-identical docs") {
+    val base = (1L to 20L).map(i => (i, s"token$i " * 10 + (1 to 12).map(j => s"w${(i * 7 + j) % 40}").mkString(" ")))
+    val dups = Seq((101L, base(0)._2), (102L, base(1)._2 + " extra"))
+    val out = Dedup.minHashLsh(docsDf(base ++ dups), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 101L)))
+    assert(out.contains((2L, 102L)))
+  }
+
+  test("minhash signature invariant under input partitioning") {
+    val rows = (1L to 10L).map(i => (i, s"alpha beta gamma delta w$i"))
+    val one = docsDf(rows).repartition(1)
+    val many = docsDf(rows).repartition(7)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          Dedup.minHashSignature(Dedup.shingles(col("text"), 2), 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(one) === sigs(many))
+  }
+
+  test("simhash: identical texts equal, near texts close in hamming") {
+    val df = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different words entirely unrelated content here now")))
+    val m = df.select(col("doc_id"), Dedup.simHash("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) < 16)
+    assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) >
+      java.lang.Long.bitCount(m(1L) ^ m(3L)))
+  }
+
+  test("cosine: exact on hand vectors; knn ranks by similarity") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.6f, 0.8f, 0f)),
+      (3L, Array(0f, 0f, 1f)),
+      (4L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
+    val out = Similarity.knn(emb, "vec_id", "embedding", probe, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(math.abs(out(2)._2 - 0.6) < 1e-6)
+    assert(math.abs(out(3)._2 - 0.0) < 1e-12)
+    assert(math.abs(out(4)._2 + 1.0) < 1e-12)
+  }
+
+  test("lsh buckets: identical vectors share bucket; ann finds planted dup") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat)))
+    val planted = vecs.take(5).map { case (id, v) => (id + 1000L, v) }
+    val emb = (vecs ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.annPairs(emb, "vec_id", "embedding", planes = 6, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 1000L))))
+  }
+
+  test("fingerprint is order-sensitive and content-deterministic") {
+    val df = docsDf(Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")))
+    val m = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(3L))
+    assert(m(1L) !== m(2L))
+  }
+
+  test("quality features on a known doc") {
+    val df = docsDf(Seq((1L, "the cat the cat runs")))
+    val feats = TextOps.qualityFeatures(col("text"))
+    val r = df.select(feats.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 5)
+    assert(r.getAs[Int]("n_uniq_tokens") === 3)
+    assert(r.getAs[Int]("n_stopwords") === 2)
+    assert(r.getAs[Long]("sum_token_len") === 3 + 3 + 3 + 3 + 4)
+  }
+
+  test("subword tokens split letter/digit runs") {
+    val df = docsDf(Seq((1L, "Hello42 world")))
+    val toks = df.select(TextOps.subwordTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks === Seq("hello", "42", "world"))
+  }
+
+  test("multimodal: stub decode plumbing (schema, explode shape)") {
+    val s = spark
+    import s.implicits._
+    val df = docsDf(Seq((1L, "abcdef"), (2L, "xy")))
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val meta = Multimodal.withMeta(df, "doc_id", "payload")
+    assert(meta.columns.toSeq === Seq("doc_id", "width", "height", "n_frames", "format"))
+    val m = meta.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(m(1L) === 7)  // len 6 -> nFrames 6%100+1
+    assert(m(2L) === 3)
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", everyN = 2)
+    assert(frames.filter(_.id == 1L).count() === 4) // frames 0,2,4,6
+    assert(frames.collect().forall(_.feature.length == 8))
+  }
+
+  test("asof join: carries most recent earlier value") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 150L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (20L, 300L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = pystreamsspark.operators.AsofJoin.asofJoin(
+        left, right, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(1.0))  // ts=100 matches right ts=100 (<=)
+    assert(out(2L) === Some(2.0))  // ts=205 -> right ts=200
+    assert(out(3L) === None)       // ts=150 < first right ts=300 for user 20
+  }
+}
