@@ -41,7 +41,10 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min hash over the shingle set. Pure map-side computation. */
+    * the min hash over the shingle set. Pure map-side computation.
+    * Each shingle string is hashed ONCE; the seeded family re-hashes the
+    * resulting 8-byte value (xxhash64 over a long is ~the string hash
+    * cost divided by the string length). */
   def minHashSignature(shingleCol: Column, numHashes: Int = 32): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),

@@ -60,13 +60,18 @@ object Similarity {
     * the self-join shuffles on the small bucket key only. */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
                planes: Int = 8, threshold: Double = 0.8): DataFrame = {
+    // norm computed once per vector, not once per pair
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
       lshBuckets(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -75,13 +80,17 @@ object Similarity {
     * cosine >= threshold. Oracle-checkable. */
   def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    val base = emb.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
-    val a = base.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = base.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    // norm computed once per vector, not once per pair
+    val base = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = base.select(col("block"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = base.select(col("block"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cosine"))
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,83 @@
+package pystreamsspark.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row (mirrors the events table schema after ts conversion). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Running per-user state for the arbitrary-state example. */
+case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+/** Structured-Streaming forms of the event-time operators (SURVEY.md
+  * §2.7). Each transform takes a DataFrame that can be EITHER a batch
+  * frame or a `readStream` frame — the logical plan is identical; only
+  * the sink differs. The batch forms are oracle-checked in
+  * `relational.TimeQueries`; the streaming wiring (watermarks, state
+  * store, output modes) is smoke-tested with MemoryStream in
+  * `StreamingSmokeSpec`.
+  *
+  * Scale: streaming aggregations shuffle by (window, key) exactly like
+  * their batch twins; state lives in the executor-local state store
+  * (RocksDB on a real cluster), watermarks bound its size, and
+  * `dropDuplicatesWithinWatermark` keeps the dedup state window-bounded
+  * instead of unbounded.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a 1-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/15-min windows with watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows (30-min gap) per user with watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+
+  /** Stateful exact dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary keyed state: running per-user (count, sum) emitted on
+    * every update — flatMapGroupsWithState with processing-time timeout
+    * disabled (the state never expires in the smoke test; production
+    * would set an event-time timeout against the watermark). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(userId, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
