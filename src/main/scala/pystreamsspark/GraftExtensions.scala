@@ -1,0 +1,18 @@
+package pystreamsspark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import pystreamsspark.functions.VectorExpressions
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * expressions as SQL functions for any session built with
+  * `spark.sql.extensions=pystreamsspark.GraftExtensions` — the (c)-tier
+  * extension mechanism of SURVEY.md §2.9, wired through the public
+  * injectFunction API (no Catalyst fork).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}

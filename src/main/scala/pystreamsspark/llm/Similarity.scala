@@ -30,13 +30,27 @@ object Similarity {
   /** Cosine similarity: dot / (norm(a) * norm(b)) — fixed op order. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native single-pass cosine (codegen'd VecCosine expression) —
+    * bit-identical to [[cosine]] (same IEEE op sequence, property-tested)
+    * but one fused loop instead of three interpreted HOF passes. Needs
+    * the function registered on the session ([[Similarity.native]] or
+    * GraftExtensions). */
+  def cosineNative(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  /** Register the native vector functions on the frame's session and
+    * return the frame (convenience for pipelines). */
+  private def native(df: DataFrame): DataFrame = {
+    pystreamsspark.functions.VectorExpressions.register(df.sparkSession)
+    df
+  }
+
   /** Brute-force cosine top-k against one probe vector (given as a 1-row
     * DataFrame with column `probe`). Broadcast + TakeOrderedAndProject:
     * the big side is scanned once, never shuffled. */
   def knn(emb: DataFrame, idCol: String, vecCol: String,
           probe: DataFrame, k: Int): DataFrame =
-    emb.crossJoin(broadcast(probe))
-      .select(col(idCol), cosine(col(vecCol), col("probe")).as("cosine"))
+    native(emb).crossJoin(broadcast(probe))
+      .select(col(idCol), cosineNative(col(vecCol), col("probe")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
@@ -61,8 +75,8 @@ object Similarity {
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
                planes: Int = 8, threshold: Double = 0.8): DataFrame = {
     // norm computed once per vector, not once per pair
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
+    val bucketed = native(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(call_function("vec_dot", col(vecCol), col(vecCol))).as("nrm"),
       lshBuckets(col(vecCol), planes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
@@ -71,7 +85,8 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        (call_function("vec_dot", col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -81,8 +96,8 @@ object Similarity {
   def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
     // norm computed once per vector, not once per pair
-    val base = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val base = native(emb).select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("v"), sqrt(call_function("vec_dot", col(vecCol), col(vecCol))).as("nrm"))
     val a = base.select(col("block"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = base.select(col("block"), col("id").as("id_b"),
@@ -90,7 +105,8 @@ object Similarity {
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        (call_function("vec_dot", col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
