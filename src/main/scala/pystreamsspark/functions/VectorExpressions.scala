@@ -122,7 +122,9 @@ object VectorExpressions {
       (es: Seq[Expression]) => VecDot(es(0), es(1))),
     ("vec_cosine",
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
-      (es: Seq[Expression]) => VecCosine(es(0), es(1))))
+      (es: Seq[Expression]) => VecCosine(es(0), es(1))),
+    MinHashSig.registryEntry,
+    ShingleHash.registryEntry)
 
   /** Idempotent session-level registration (the extensions class does the
     * same at session build time; this covers sessions built without it). */

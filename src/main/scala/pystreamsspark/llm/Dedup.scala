@@ -40,12 +40,16 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min hash over the shingle set. Pure map-side computation.
-    * Each shingle string is hashed ONCE; the seeded family re-hashes the
-    * resulting 8-byte value (xxhash64 over a long is ~the string hash
-    * cost divided by the string length). */
+  /** MinHash signature via the native fused expression (hashes each
+    * shingle once, mixes all seeds in one codegen loop). Requires
+    * pystreamsspark.functions.VectorExpressions.register on the session
+    * (minHashLsh does this). */
   def minHashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    call_function("minhash_sig", shingleCol, lit(numHashes))
+
+  /** HOF formulation of the signature (session-free, interpreted) — kept
+    * for property tests and as the portable reference implementation. */
+  def minHashSignatureHof(shingleCol: Column, numHashes: Int = 32): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(shingleCol, sh => xxhash64(sh, s))))
@@ -74,7 +78,13 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    pystreamsspark.functions.VectorExpressions.register(docs.sparkSession)
+    // hashed shingles (native one-pass expression): the signature and the
+    // Jaccard verify both work on the 8-byte gram hashes — the shingle
+    // STRINGS are never materialized
+    val sh = docs.select(col(idCol).as("id"),
+        array_distinct(call_function("shingle_hash",
+          TextOps.tokens(col(textCol)), lit(k))).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
     val banded = sh.select(col("id"), col("sh"),
         posexplode(lshBandKeys(col("sig"), numHashes, bands)))

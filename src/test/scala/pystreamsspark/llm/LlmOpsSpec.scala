@@ -29,6 +29,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash jaccard estimate within tolerance of exact") {
+    pystreamsspark.functions.VectorExpressions.register(spark)
     val a = "the quick brown fox jumps over the lazy dog today again"
     val b = "the quick brown fox jumps over the lazy cat today again"
     val df = docsDf(Seq((1L, a), (2L, b)))
@@ -53,6 +54,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash signature invariant under input partitioning") {
+    pystreamsspark.functions.VectorExpressions.register(spark)
     val rows = (1L to 10L).map(i => (i, s"alpha beta gamma delta w$i"))
     val one = docsDf(rows).repartition(1)
     val many = docsDf(rows).repartition(7)
@@ -61,6 +63,13 @@ class LlmOpsSpec extends SparkSpec {
           Dedup.minHashSignature(Dedup.shingles(col("text"), 2), 16).as("sig"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(one) === sigs(many))
+    // native and HOF reference families are both valid minhash families;
+    // both must be partition-invariant (checked above for native)
+    def sigsHof(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          Dedup.minHashSignatureHof(Dedup.shingles(col("text"), 2), 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigsHof(one) === sigsHof(many))
   }
 
   test("simhash: identical texts equal, near texts close in hamming") {
