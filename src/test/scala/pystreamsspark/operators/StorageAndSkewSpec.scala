@@ -1,0 +1,127 @@
+package pystreamsspark.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+import pystreamsspark.llm.MinHashUnion
+
+/** Sources/sinks (SURVEY.md §2.2), bucketing, skew salting, UDAF. */
+class StorageAndSkewSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "spec-io-").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("CSV source round-trip with schema") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c,d", 0.0))
+      .toDF("id", "name", "x")
+    val dir = tmpDir() + "/csv"
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("id LONG, name STRING, x DOUBLE").csv(dir)
+    assert(back.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("JSON source round-trip") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f), "x"), (2L, Seq(3.0f), null))
+      .toDF("id", "vec", "tag")
+    val dir = tmpDir() + "/json"
+    df.write.json(dir)
+    val back = spark.read.schema("id LONG, vec ARRAY<FLOAT>, tag STRING").json(dir)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "E" else "O", i * 1.0))
+      .toDF("id", "par", "x")
+    val dir = tmpDir() + "/part"
+    df.write.partitionBy("par").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"par" === "E")
+    assert(back.count() === 50)
+    val planStr = back.queryExecution.executedPlan.toString
+    // partition filter applied at scan, not as a post-scan Filter
+    assert(planStr.contains("PartitionFilters: [isnotnull(par"), planStr)
+  }
+
+  test("bucketed tables co-locate an equi-join without a shuffle") {
+    val s = spark
+    import s.implicits._
+    // unique names per JVM run: a stale managed-table dir from an earlier
+    // test run would otherwise collide (in-memory catalog forgets tables,
+    // the filesystem doesn't)
+    val suffix = System.nanoTime()
+    val (t1, t2) = (s"b1_$suffix", s"b2_$suffix")
+    val left = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    val right = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    left.write.bucketBy(4, "k").sortBy("k").saveAsTable(t1)
+    right.write.bucketBy(4, "k").sortBy("k").saveAsTable(t2)
+    try {
+      val joined = s.table(t1).join(s.table(t2), "k").withColumn("y", $"x" * 2)
+      assert(joined.count() === 1000)
+      // force a merge join so the decision under test is about shuffles
+      val plan = s.sql(
+        s"SELECT /*+ MERGE($t1, $t2) */ * FROM $t1 JOIN $t2 USING (k)")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation (skewed key)") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows on one key — the skew shape salting is for
+    val rows = (1 to 10000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"k${i % 7}"
+      (k, i.toLong)
+    }
+    val df = rows.toDF("key", "v")
+    val direct = df.groupBy("key")
+      .agg(sum($"v").as("sum_v"), count($"v").as("cnt_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val salted = Salted.aggStats(df, Seq("key"), "v", buckets = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(salted === direct)
+  }
+
+  test("MinHashUnion UDAF: group signature = elementwise min; union property") {
+    val s = spark
+    import s.implicits._
+    pystreamsspark.functions.VectorExpressions.register(s)
+    val docs = Seq(
+      (1L, "g1", "a b c d e f"), (2L, "g1", "c d e f g h"),
+      (3L, "g2", "x y z w q r")).toDF("id", "grp", "text")
+    val sigs = docs.select($"id", $"grp",
+      call_function("minhash_sig",
+        array_distinct(call_function("shingle_hash",
+          filter(split($"text", " "), t => t =!= ""), lit(2))),
+        lit(16)).as("sig"))
+    val mhu = MinHashUnion(16)
+    val grouped = sigs.groupBy($"grp").agg(mhu($"sig").as("gsig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val bySig = sigs.collect().map(r => (r.getLong(0), r.getSeq[Long](2)))
+    // group g1 signature must be the element-wise min of docs 1 and 2
+    val expected = bySig(0)._2.zip(bySig(1)._2).map { case (a, b) => math.min(a, b) }
+    assert(grouped("g1") === expected)
+    assert(grouped("g2") === bySig(2)._2)
+    // disjoint corpora -> estimated jaccard near 0; identical -> 1
+    assert(MinHashUnion.estJaccard(grouped("g1"), grouped("g1")) === 1.0)
+    assert(MinHashUnion.estJaccard(grouped("g1"), grouped("g2")) < 0.2)
+  }
+}
