@@ -1,0 +1,94 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import Det._
+
+/** Pure-SQL entry path: the engine's tables registered as temp views and
+  * queried with `spark.sql` — the same ANSI text runs verbatim in DuckDB
+  * (dialect-shared subset), so these oracles are literally the Spark
+  * query strings. Covers the multi-table join pipeline (TPC-H Q5 shape)
+  * and GROUPING SETS.
+  */
+object SqlQueries {
+
+  private def views(spark: SparkSession, sfDir: String): Unit =
+    Tables.tableNames.foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** Adapted TPC-H Q5: revenue per nation for one region + one year —
+    * 6-table join, dimension chains broadcast, one agg shuffle. The SQL
+    * text IS the oracle (decimal-exact revenue both sides). */
+  val sqlQ5: String =
+    s"""SELECT n_name, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey
+       |  AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  def qSqlQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlQ5)
+  }
+
+  /** Explicit GROUPING SETS — finer than rollup/cube; same shared text. */
+  val sqlGroupingSets: String =
+    s"""SELECT
+       |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+       |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+       |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY rf, ls""".stripMargin
+
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlGroupingSets)
+  }
+
+  /** Pivot: per-user event counts spread across fixed event_type columns
+    * (explicit value list keeps the output schema static — required for
+    * a deterministic contract, and at scale avoids a values-discovery
+    * pass). Oracle = CASE-based manual pivot. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q5"        -> (qSqlQ5 _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot"         -> (qPivot _))
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_q5"        -> sqlQ5,
+    "q_grouping_sets" -> sqlGroupingSets,
+    "q_pivot"         -> qPivotSql)
+}
