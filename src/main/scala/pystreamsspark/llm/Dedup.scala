@@ -107,8 +107,15 @@ object Dedup {
     * Jaccard for every same-block pair. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
+    pystreamsspark.functions.VectorExpressions.register(docs.sparkSession)
+    // token sets as 8-byte hashes (shingle_hash with k=1): set sizes and
+    // intersections are identical to the string sets (xxh64 is injective
+    // on any realistic vocabulary), and the pairwise array_intersect
+    // runs over longs instead of strings
     val base = docs.select(
-      (col(idCol).as("id") +: array_distinct(TextOps.tokens(col(textCol))).as("toks")
+      (col(idCol).as("id") +:
+        array_distinct(call_function("shingle_hash",
+          TextOps.tokens(col(textCol)), lit(1))).as("toks")
         +: blockCols.map(col)): _*)
     val a = base.select(
       (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
