@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AggQueries.queries ++ JoinQueries.queries ++
       ScalarQueries.queries ++ WindowQueries.queries ++ TimeQueries.queries ++
-      LlmQueries.queries ++ SetQueries.queries ++ SqlQueries.queries
+      LlmQueries.queries ++ SetQueries.queries ++ SqlQueries.queries ++
+      ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
       ScalarQueries.oracle ++ WindowQueries.oracle ++ TimeQueries.oracle ++
-      LlmQueries.oracle ++ SetQueries.oracle ++ SqlQueries.oracle
+      LlmQueries.oracle ++ SetQueries.oracle ++ SqlQueries.oracle ++
+      ExtraQueries.oracle
 }

@@ -1,0 +1,141 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import Det._
+
+/** Coverage extras: map-typed columns, bag-semantics set ops,
+  * min_by/max_by, and exact manual variance/stddev.
+  */
+object ExtraQueries {
+
+  /** Map functions: build a map column, then key/value/size/extract ops.
+    * The oracle computes the provably-equal values directly (DuckDB's MAP
+    * extraction dialect differs; the CONTRACT is on output equality). */
+  def qMapFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .withColumn("m", map(
+        lit("priority"), $"o_orderpriority",
+        lit("status"), $"o_orderstatus"))
+      .select(
+        $"o_orderkey",
+        element_at($"m", "status").as("status_val"),
+        element_at($"m", "priority").as("priority_val"),
+        size($"m").as("m_size"),
+        concat_ws(",", sort_array(map_keys($"m"))).as("keys_sorted"),
+        concat_ws(",", sort_array(map_values($"m"))).as("values_sorted"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qMapFnsSql: String =
+    """SELECT o_orderkey,
+      |  o_orderstatus AS status_val,
+      |  o_orderpriority AS priority_val,
+      |  2 AS m_size,
+      |  'priority,status' AS keys_sorted,
+      |  CASE WHEN o_orderpriority <= o_orderstatus
+      |       THEN o_orderpriority || ',' || o_orderstatus
+      |       ELSE o_orderstatus || ',' || o_orderpriority END AS values_sorted
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** EXCEPT ALL / INTERSECT ALL — bag semantics with multiplicities. */
+  def qExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.filter($"l_quantity" >= 25.0).select($"l_orderkey")
+    val b = li.filter($"l_returnflag" === "R").select($"l_orderkey")
+    val ex = a.exceptAll(b).groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("except_all"))
+    val in = a.intersectAll(b).groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("intersect_all"))
+    ex.unionByName(in)
+      .select($"tag", $"l_orderkey", $"n")
+      .orderBy($"tag", $"l_orderkey")
+  }
+
+  val qExceptAllSql: String =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25.0),
+      |b AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'except_all' AS tag, l_orderkey, COUNT(*) AS n
+      |FROM (SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b)
+      |GROUP BY l_orderkey
+      |UNION ALL
+      |SELECT 'intersect_all' AS tag, l_orderkey, COUNT(*) AS n
+      |FROM (SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b)
+      |GROUP BY l_orderkey
+      |ORDER BY tag, l_orderkey""".stripMargin
+
+  /** min_by/max_by keyed on the UNIQUE o_orderkey so winners are
+    * deterministic (arg-extremum over a column with duplicates would be
+    * engine-dependent). */
+  def qMinmaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        max_by($"o_totalprice", $"o_orderkey").as("price_of_max_key"),
+        min_by($"o_totalprice", $"o_orderkey").as("price_of_min_key"),
+        max($"o_orderkey").as("max_key"),
+        min($"o_orderkey").as("min_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qMinmaxBySql: String =
+    """SELECT o_orderstatus,
+      |  max_by(o_totalprice, o_orderkey) AS price_of_max_key,
+      |  min_by(o_totalprice, o_orderkey) AS price_of_min_key,
+      |  MAX(o_orderkey) AS max_key,
+      |  MIN(o_orderkey) AS min_key
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Variance / stddev via the explicit decimal-exact formula
+    * (sumsq - sum²/n)/(n-1): built-in stddev uses engine-specific
+    * accumulation (Welford vs naive) that never hash-matches across
+    * engines; exact decimal sums + one fixed IEEE expression do. */
+  def qStatsManual(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, sfDir)
+      .groupBy($"s_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"s_acctbal").as("sum_bal"),
+        dsum($"s_acctbal" * $"s_acctbal").as("sumsq_bal"))
+      .filter($"n" > 1)
+      .select(
+        $"s_nationkey", $"n", $"sum_bal",
+        (($"sumsq_bal" - $"sum_bal" * $"sum_bal" / $"n") / ($"n" - 1)).as("var_bal"),
+        sqrt(($"sumsq_bal" - $"sum_bal" * $"sum_bal" / $"n") / ($"n" - 1)).as("std_bal"))
+      .orderBy($"s_nationkey")
+  }
+
+  val qStatsManualSql: String =
+    s"""WITH t AS (
+       |  SELECT s_nationkey, COUNT(*) AS n,
+       |    ${sqlSum("s_acctbal")} AS sum_bal,
+       |    ${sqlSum("s_acctbal * s_acctbal")} AS sumsq_bal
+       |  FROM supplier
+       |  GROUP BY s_nationkey)
+       |SELECT s_nationkey, n, sum_bal,
+       |  (sumsq_bal - sum_bal * sum_bal / n) / (n - 1) AS var_bal,
+       |  sqrt((sumsq_bal - sum_bal * sum_bal / n) / (n - 1)) AS std_bal
+       |FROM t
+       |WHERE n > 1
+       |ORDER BY s_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_fns"      -> (qMapFns _),
+    "q_except_all"   -> (qExceptAll _),
+    "q_minmax_by"    -> (qMinmaxBy _),
+    "q_stats_manual" -> (qStatsManual _))
+
+  val oracle: Map[String, String] = Map(
+    "q_map_fns"      -> qMapFnsSql,
+    "q_except_all"   -> qExceptAllSql,
+    "q_minmax_by"    -> qMinmaxBySql,
+    "q_stats_manual" -> qStatsManualSql)
+}
