@@ -90,6 +90,46 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF cell assignment: each vector goes to its nearest centroid
+    * (cosine, deterministic tie-break on centroid id). `centroids` is a
+    * small (cid, cvec) frame — broadcast, so assignment is one scan of
+    * the big side with no shuffle. A production index would k-means the
+    * centroids; any deterministic centroid set works for the structure. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__sim").desc, col("cid").asc)
+    native(emb)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineNative(col("__v"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__v").as(vecCol), col("cid").as("cell"))
+  }
+
+  /** IVF top-k search: rank cells by centroid similarity to the probe,
+    * scan only the `nprobe` best cells. At 100 TB the assignment is
+    * computed once and stored partitioned BY cell, so a query touches
+    * nprobe partitions instead of the whole corpus. */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, probe: DataFrame,
+             k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+    val probeCells = native(centroids).crossJoin(broadcast(probe))
+      .select(col("cid").as("cell"), cosineNative(col("cvec"), col("probe")).as("csim"))
+      .orderBy(col("csim").desc, col("cell").asc)
+      .limit(nprobe)
+      .select(col("cell"))
+    assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), cosineNative(col(vecCol), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact near-duplicate pairs within a blocking column (e.g. a label or
     * coarse-quantizer cell — the IVF pattern): all same-block pairs with
     * cosine >= threshold. Oracle-checkable. */
