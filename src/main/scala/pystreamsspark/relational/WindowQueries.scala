@@ -152,17 +152,46 @@ object WindowQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** RANGE frame keyed on event time: per event, stats over the same
+    * user's trailing 1-hour window (value-based frame, not row-count) —
+    * ordered on epoch µs so the range arithmetic is integer-exact and
+    * identical in both engines. */
+  def qRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id", $"user_id", $"ts",
+        count(lit(1)).over(w).as("n_last_hour"),
+        (sum($"value".cast("decimal(38,6)")).over(w)).cast("double").as("sum_last_hour"),
+        max($"value").over(w).as("max_last_hour"))
+      .orderBy($"event_id")
+  }
+
+  val qRangeWindowSql: String =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_last_hour,
+      |  MAX(value) OVER w AS max_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_window"     -> (qWindow _),
-    "q_rank_funcs" -> (qRankFuncs _),
-    "q_lag_lead"   -> (qLagLead _),
-    "q_moving_avg" -> (qMovingAvg _),
-    "q_session"    -> (qSession _))
+    "q_window"       -> (qWindow _),
+    "q_rank_funcs"   -> (qRankFuncs _),
+    "q_lag_lead"     -> (qLagLead _),
+    "q_moving_avg"   -> (qMovingAvg _),
+    "q_range_window" -> (qRangeWindow _),
+    "q_session"      -> (qSession _))
 
   val oracle: Map[String, String] = Map(
-    "q_window"     -> qWindowSql,
-    "q_rank_funcs" -> qRankFuncsSql,
-    "q_lag_lead"   -> qLagLeadSql,
-    "q_moving_avg" -> qMovingAvgSql,
-    "q_session"    -> qSessionSql)
+    "q_window"       -> qWindowSql,
+    "q_rank_funcs"   -> qRankFuncsSql,
+    "q_lag_lead"     -> qLagLeadSql,
+    "q_moving_avg"   -> qMovingAvgSql,
+    "q_range_window" -> qRangeWindowSql,
+    "q_session"      -> qSessionSql)
 }
