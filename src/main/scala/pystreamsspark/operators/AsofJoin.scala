@@ -51,9 +51,13 @@ object AsofJoin {
       valueCols.map(c => s"__v_$c") ++ leftCols.filterNot(by.contains)).distinct.map(col): _*)
 
     val unioned = lSel.unionByName(rAligned)
+    // __tie: deterministic total order among right rows that share the
+    // same (keys, time) — without it, `last()` over such ties would pick
+    // a partition-order-dependent winner
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc,
+        xxhash64(valueCols.map(c => col(s"__v_$c")): _*).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned)((df, c) =>
       df.withColumn(s"$prefix$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))

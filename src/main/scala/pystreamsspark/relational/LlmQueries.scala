@@ -188,16 +188,18 @@ object LlmQueries {
     Similarity.knn(emb, "vec_id", "embedding", probe, 10)
   }
 
+  // list_dot_product over DOUBLE[] casts: per-row sequential double
+  // accumulation — same IEEE sequence as Spark's fused loop. (A
+  // subquery-SUM formulation is decorrelated by DuckDB into a PARALLEL
+  // aggregate whose combine order is nondeterministic across runs —
+  // observed as 1-ulp wobble at sf0.1.)
   val qKnnCosineSql: String =
-    """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+    """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
       |s AS (
       |  SELECT vec_id,
-      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))
-      |     FROM generate_series(1, 64) t(i)) AS dot,
-      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
-      |     FROM generate_series(1, 64) t(i)) AS na,
-      |    (SELECT SUM(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))
-      |     FROM generate_series(1, 64) t(i)) AS nb
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pe) AS dot,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS na,
+      |    list_dot_product(p.pe, p.pe) AS nb
       |  FROM embeddings e CROSS JOIN p)
       |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
       |FROM s
@@ -216,15 +218,13 @@ object LlmQueries {
       .select($"block", $"id_a", $"id_b", $"cosine")
   }
 
+  // same per-row list_dot_product discipline as qKnnCosineSql
   val qEmbedNeardupSql: String =
     """WITH s AS (
       |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-      |    (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-      |     FROM generate_series(1, 64) t(i)) AS dot,
-      |    (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
-      |     FROM generate_series(1, 64) t(i)) AS na,
-      |    (SELECT SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-      |     FROM generate_series(1, 64) t(i)) AS nb
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS dot,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS na,
+      |    list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS nb
       |  FROM embeddings a JOIN embeddings b
       |    ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT block, id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
