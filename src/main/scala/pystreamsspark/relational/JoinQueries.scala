@@ -176,6 +176,33 @@ object JoinQueries {
       |  FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Full outer join: per-nation customer counts ⟗ supplier counts —
+    * nations missing on either side survive with NULL-coalesced zeros
+    * (at small SF some nations have no suppliers, exercising the null
+    * side for real). */
+  def qJoinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cn = Tables.customer(spark, sfDir)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(spark, sfDir)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, $"c_nationkey" === $"s_nationkey", "full")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  val qJoinFullSql: String =
+    """SELECT COALESCE(c.k, s.k) AS nationkey,
+      |  COALESCE(c.n_cust, 0) AS n_cust,
+      |  COALESCE(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      |  ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin
+
   /** Cross join (small×small): region × order-status grid with counts —
     * exercises CartesianProduct/BroadcastNestedLoop deliberately. */
   def qJoinCross(spark: SparkSession, sfDir: String): DataFrame = {
@@ -200,6 +227,7 @@ object JoinQueries {
     "q_join_semi"  -> (qJoinSemi _),
     "q_join_range" -> (qJoinRange _),
     "q_join_asof"  -> (qJoinAsof _),
+    "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _))
 
   val oracle: Map[String, String] = Map(
@@ -210,5 +238,6 @@ object JoinQueries {
     "q_join_semi"  -> qJoinSemiSql,
     "q_join_range" -> qJoinRangeSql,
     "q_join_asof"  -> qJoinAsofSql,
+    "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql)
 }

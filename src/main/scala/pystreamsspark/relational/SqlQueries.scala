@@ -57,6 +57,28 @@ object SqlQueries {
     spark.sql(sqlGroupingSets)
   }
 
+  /** Subquery forms — scalar subquery (decimal-exact global average so
+    * the threshold is bit-identical in both engines), uncorrelated IN,
+    * and correlated EXISTS — Catalyst decorrelates all three; shared
+    * dialect text is its own oracle. */
+  val sqlSubqueries: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      |    FROM orders)
+      |  AND o_custkey IN (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.05)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def qSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlSubqueries)
+  }
+
   /** Pivot: per-user event counts spread across fixed event_type columns
     * (explicit value list keeps the output schema static — required for
     * a deterministic contract, and at scale avoids a values-discovery
@@ -85,10 +107,12 @@ object SqlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_q5"        -> (qSqlQ5 _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_subqueries"    -> (qSubqueries _),
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_q5"        -> sqlQ5,
     "q_grouping_sets" -> sqlGroupingSets,
+    "q_subqueries"    -> sqlSubqueries,
     "q_pivot"         -> qPivotSql)
 }
