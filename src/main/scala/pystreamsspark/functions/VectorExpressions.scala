@@ -124,7 +124,8 @@ object VectorExpressions {
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (es: Seq[Expression]) => VecCosine(es(0), es(1))),
     MinHashSig.registryEntry,
-    ShingleHash.registryEntry)
+    ShingleHash.registryEntry,
+    LshBucket.registryEntry)
 
   /** Idempotent session-level registration (the extensions class does the
     * same at session build time; this covers sessions built without it). */

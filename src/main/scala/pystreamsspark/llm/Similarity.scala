@@ -54,20 +54,13 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
-  /** Sign-random-projection LSH bucket id over `planes` hyperplanes.
-    * Plane p's weight for dimension d is a deterministic ±1 derived from
-    * xxhash64(p, d) — no stored model, any executor recomputes it. Bucket
-    * = the `planes`-bit sign pattern of the projections. */
+  /** Sign-random-projection LSH bucket id over `planes` hyperplanes —
+    * native fused loop (see functions.LshBucket). Plane weights are
+    * deterministic ±1s derived from XXH64(d, p): no stored model, any
+    * executor recomputes them. Bucket = the `planes`-bit sign pattern.
+    * Requires the session registration ([[annPairs]] does it). */
   def lshBuckets(vec: Column, planes: Int = 8): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val proj = aggregate(
-          zip_with(dbl(vec), sequence(lit(0), size(vec) - 1),
-            (x, d) => x * when(xxhash64(p, d) % 2 === 0, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, b) => acc * 2 + b)
+    call_function("lsh_bucket", vec, lit(planes))
 
   /** Bucketed approximate near-duplicate pairs: candidates share an LSH
     * bucket, then exact cosine verifies against `threshold`. At 100 TB

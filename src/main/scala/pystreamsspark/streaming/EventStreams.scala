@@ -59,6 +59,25 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the preceding 10 minutes. Watermarks on BOTH
+    * sides + the time-range condition bound the join state store (Spark
+    * drops buffered rows older than watermark - range). */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Arbitrary keyed state: running per-user (count, sum) emitted on
     * every update — flatMapGroupsWithState with processing-time timeout
     * disabled (the state never expires in the smoke test; production

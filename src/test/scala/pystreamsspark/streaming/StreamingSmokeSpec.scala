@@ -82,6 +82,28 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases x preceding clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(10, 0, 1, "click", 0.0), ev(11, 8, 1, "click", 0.0),
+        ev(12, 30, 1, "click", 0.0), ev(13, 5, 2, "click", 0.0))
+      purchases.addData(ev(1, 9, 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT purchase_id, click_id FROM ssjoin_out ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // purchase at minute 9 joins clicks at 0 and 8 (within 10 min,
+      // same user); not the click at 30 (future) or user 2's click
+      assert(rows.toSeq === Seq((1L, 10L), (1L, 11L)))
+    } finally q.stop()
+  }
+
   test("arbitrary state: running per-user totals") {
     val s = spark
     import s.implicits._
