@@ -130,6 +130,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair list — turns the
+    * LSH pair output into duplicate CLUSTERS, labeling every doc with
+    * the smallest id in its component (the canonical representative a
+    * dedup pass would keep).
+    *
+    * Iterative min-label propagation: each round, every node adopts the
+    * minimum label among itself and its neighbors; converges in
+    * O(diameter) rounds. Each round is one shuffle join — the standard
+    * large-graph formulation (no driver-side graph, scales with the edge
+    * list). Rounds run until a fixpoint (checked with one count per
+    * round) or maxIter.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions; materialized once —
+    // every propagation round re-reads it, and without the checkpoint
+    // each round would recompute the whole upstream pair pipeline
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val vertices = edges.select(col("src").as("id")).distinct()
+    var labels = vertices.withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node's candidate label: min over its own and its neighbors'
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over the token multiset: bit j is the sign of the
     * sum of (+1/-1) votes from each token hash's bit j. Expressed as one
     * SQL expression tree (bit ops need column-typed shift amounts, which

@@ -276,6 +276,23 @@ object LlmQueries {
       .orderBy($"id_a".asc, $"id_b".asc)
   }
 
+  /** Full dedup pipeline: MinHash-LSH pairs → connected components →
+    * cluster labels. Every planted mutant must land in its original's
+    * cluster; output = one row per clustered doc (id, canonical label). */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val mutated = docs.select(
+      ($"doc_id" + 10000000L).as("doc_id"),
+      expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
+        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
+    val pairs = Dedup.minHashLsh(docs.unionByName(mutated), "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select($"id", $"label")
+      .orderBy($"id")
+  }
+
   /** SimHash sketch per document (+ pairs within hamming<=6 would be the
     * join step; the sketch itself is the verifiable artifact here). */
   def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -309,6 +326,7 @@ object LlmQueries {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash"       -> (qSimhash _),
     "q_sim_join"      -> (qSimJoin _))
 

@@ -161,6 +161,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(resized.values.forall { case (w, h) => w <= 500 && h <= 500 })
   }
 
+  test("connected components: chains collapse to min-label clusters") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} (a chain), {10,11}, isolated pairs via edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L && cc(4L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(cc(20L) === 20L && cc(21L) === 20L)
+    // end-to-end: minhash pairs -> clusters keep the original doc id
+    val docs = docsDf((1L to 6L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta w$i x$i y$i z$i")))
+    val mutated = docs.select(($"doc_id" + 100L).as("doc_id"),
+      concat($"text", lit(" extra")).as("text"))
+    val lshPairs = Dedup.minHashLsh(docs.unionByName(mutated), "doc_id", "text",
+      k = 2, numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(lshPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach { i =>
+      assert(clusters.get(i + 100L).forall(_ <= i),
+        s"mutant ${i + 100} should label to an original, got ${clusters.get(i + 100L)}")
+    }
+  }
+
   test("asof join: carries most recent earlier value") {
     val s = spark
     import s.implicits._
