@@ -30,6 +30,33 @@ object LlmQueries {
       |GROUP BY lower(trim(text))
       |ORDER BY keep_id""".stripMargin
 
+  /** Incremental dedup: documents arriving as a "new" batch (odd ids)
+    * are kept only if their normalized text hash is unseen in the
+    * existing corpus (even ids) — the anti-join delta-ingestion shape
+    * (at 100 TB the existing side is a pre-built hash index, and the
+    * anti join is a broadcast or bloom-filter pre-pass). */
+  def qDedupDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+      .select(Dedup.normText($"text").as("norm"))
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", Dedup.normText($"text").as("norm"))
+    incoming.join(existing, Seq("norm"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val qDedupDeltaSql: String =
+    """SELECT doc_id
+      |FROM documents n
+      |WHERE doc_id % 2 = 1
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM documents e
+      |    WHERE e.doc_id % 2 = 0
+      |      AND lower(trim(e.text)) = lower(trim(n.text)))
+      |ORDER BY doc_id""".stripMargin
+
   /** Global top-20 tokens by frequency (explode → partial agg → final →
     * TakeOrderedAndProject: only (token, count) partials shuffle). */
   def qTokensTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -316,6 +343,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_delta"   -> (qDedupDelta _),
     "q_tokens_topk"   -> (qTokensTopk _),
     "q_tfidf"         -> (qTfidf _),
     "q_lang_stats"    -> (qLangStats _),
@@ -332,6 +360,7 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact"   -> qDedupExactSql,
+    "q_dedup_delta"   -> qDedupDeltaSql,
     "q_tokens_topk"   -> qTokensTopkSql,
     "q_tfidf"         -> qTfidfSql,
     "q_lang_stats"    -> qLangStatsSql,
