@@ -93,15 +93,17 @@ object TextOps {
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             logIdf: Boolean = false): DataFrame = {
     val tokenized = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("token"))
+      explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
     val tf = tokenized.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    // corpus size as a broadcast 1-row aggregate, not a driver action —
+    // the whole pipeline stays one plan (no extra job per execution)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val withN = tf.join(df, "token").crossJoin(broadcast(nDf))
     val idf =
-      if (logIdf) log(lit(n.toDouble) / col("df"))
-      else lit(n.toDouble) / col("df")
-    tf.join(df, "token")
-      .withColumn("n_docs", lit(n))
-      .withColumn("tfidf", col("tf") * idf)
+      if (logIdf) log(col("n_docs").cast("double") / col("df"))
+      else col("n_docs").cast("double") / col("df")
+    withN.withColumn("tfidf", col("tf") * idf)
   }
 }

@@ -61,8 +61,12 @@ object LlmQueries {
     * TakeOrderedAndProject: only (token, count) partials shuffle). */
   def qTokensTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // explode the raw split and filter AFTER: the post-explode filter is
+    // codegen'd, while filtering inside the array (HOF lambda) is
+    // interpreted per element
     Tables.documents(spark, sfDir)
-      .select(explode(TextOps.tokens($"text")).as("token"))
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
       .groupBy($"token")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"token".asc)
