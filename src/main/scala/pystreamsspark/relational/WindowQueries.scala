@@ -152,6 +152,31 @@ object WindowQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** The same top-3-per-customer answer as [[qWindow]], computed by the
+    * bounded-buffer UDAF ([[pystreamsspark.operators.TopKAgg]]) instead
+    * of a window sort: partial top-k on the map side, only
+    * n_groups × k rows shuffle. Oracle = the window formulation. */
+  def qTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val topk = pystreamsspark.operators.TopKAgg.topK(3)
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_custkey", posexplode($"top"))
+      .select($"o_custkey", ($"pos" + 1).as("rn"),
+        $"col._2".as("o_orderkey"), $"col._1".as("o_totalprice"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val qTopkAggSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   /** RANGE frame keyed on event time: per event, stats over the same
     * user's trailing 1-hour window (value-based frame, not row-count) —
     * ordered on epoch µs so the range arithmetic is integer-exact and
@@ -181,6 +206,7 @@ object WindowQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window"       -> (qWindow _),
+    "q_topk_agg"     -> (qTopkAgg _),
     "q_rank_funcs"   -> (qRankFuncs _),
     "q_lag_lead"     -> (qLagLead _),
     "q_moving_avg"   -> (qMovingAvg _),
@@ -189,6 +215,7 @@ object WindowQueries {
 
   val oracle: Map[String, String] = Map(
     "q_window"       -> qWindowSql,
+    "q_topk_agg"     -> qTopkAggSql,
     "q_rank_funcs"   -> qRankFuncsSql,
     "q_lag_lead"     -> qLagLeadSql,
     "q_moving_avg"   -> qMovingAvgSql,
