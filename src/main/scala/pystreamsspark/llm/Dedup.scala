@@ -137,37 +137,56 @@ object Dedup {
     *
     * Iterative min-label propagation: each round, every node adopts the
     * minimum label among itself and its neighbors; converges in
-    * O(diameter) rounds. Each round is one shuffle join — the standard
-    * large-graph formulation (no driver-side graph, scales with the edge
-    * list). Rounds run until a fixpoint (checked with one count per
-    * round) or maxIter.
+    * O(diameter) rounds — the standard large-graph formulation (no
+    * driver-side graph, scales with the edge list).
+    *
+    * Per-round cost is kept to the one shuffle the algorithm needs (the
+    * groupBy on id):
+    *   - the edge list is hash-partitioned on `src` ONCE, so the
+    *     per-round edges⋈labels join reuses that partitioning instead of
+    *     re-shuffling the (much larger) edge side every round;
+    *   - labels only ever DECREASE under min-propagation, so the
+    *     fixpoint test is `sum(label)` unchanged between rounds — one
+    *     cheap scalar aggregate per round instead of a join + count.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions; materialized once —
-    // every propagation round re-reads it, and without the checkpoint
-    // each round would recompute the whole upstream pair pipeline
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // undirected edge list, both directions; materialized once (every
+    // propagation round re-reads it, and without the checkpoint each
+    // round would recompute the whole upstream pair pipeline) and
+    // pre-partitioned on the per-round join key
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .repartition(nPart, col("src"))
       .localCheckpoint()
-    val vertices = edges.select(col("src").as("id")).distinct()
-    var labels = vertices.withColumn("label", col("id"))
+    // first round folded into initialization: label = min(id, neighbors).
+    // persist (lazy) + the sum aggregate = ONE job that both materializes
+    // the round and tests the fixpoint; an eager checkpoint would cost a
+    // second job per round
+    var labels = edges
+      .select(col("src").as("id"), col("dst").as("label"))
+      .union(edges.select(col("src").as("id"), col("src").as("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
+      .persist()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
-      // each node's candidate label: min over its own and its neighbors'
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
+      var next = labels.select(col("id"), col("label"))
         .union(neighborLabels)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint() // truncate the growing iterative lineage
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      converged = changed == 0
+        .persist()
+      // every few rounds, truncate the (linearly growing) iterative
+      // lineage so Catalyst re-analysis stays O(1) per round
+      if (iter % 5 == 0) next = next.localCheckpoint()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextSum == prevSum // labels are monotone non-increasing
+      prevSum = nextSum
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
