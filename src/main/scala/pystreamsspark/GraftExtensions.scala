@@ -2,7 +2,7 @@ package pystreamsspark
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import pystreamsspark.functions.VectorExpressions
+import pystreamsspark.functions.{BloomFunctions, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions for any session built with
@@ -12,7 +12,8 @@ import pystreamsspark.functions.VectorExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    VectorExpressions.functions.foreach { case (name, info, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    (VectorExpressions.functions ++ BloomFunctions.entries).foreach {
+      case (name, info, builder) =>
+        ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
 }

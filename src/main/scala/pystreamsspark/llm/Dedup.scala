@@ -193,6 +193,36 @@ object Dedup {
     labels
   }
 
+  /** Incremental (delta) exact dedup with a Bloom pre-filter: rows of
+    * `incoming` whose key is NOT in `existing`.
+    *
+    * The plain formulation is one anti-join — which shuffles ALL of
+    * `incoming` and ALL of `existing` on the key. Here instead:
+    *  1. build one Bloom filter over `existing`'s keys (partial
+    *     aggregation: each executor builds a local filter, merge is
+    *     bitwise OR; result is a few MB of bytes on the driver);
+    *  2. `incoming` rows whose key misses the filter are DEFINITELY new
+    *     (no false negatives) — emitted map-side, never shuffled;
+    *  3. only possible-duplicate rows (true dups + the fp fraction)
+    *     reach the exact anti-join that removes false positives.
+    * At 100 TB with a mostly-new incoming batch this turns the join's
+    * shuffle from |incoming| rows into |dups| + fpp·|incoming| rows.
+    */
+  def deltaWithBloom(existing: DataFrame, incoming: DataFrame,
+                     keyCol: String, expectedItems: Long = 4000000L): DataFrame = {
+    pystreamsspark.functions.BloomFunctions.register(existing.sparkSession)
+    val bytes = existing
+      .select(call_function("bloom_agg", xxhash64(col(keyCol)),
+        lit(expectedItems)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain =
+      call_function("bloom_contains", lit(bytes), xxhash64(col(keyCol)))
+    val definitelyNew = incoming.filter(!mightContain)
+    val candidates = incoming.filter(mightContain)
+      .join(existing.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(candidates)
+  }
+
   /** 64-bit SimHash over the token multiset: bit j is the sign of the
     * sum of (+1/-1) votes from each token hash's bit j. Expressed as one
     * SQL expression tree (bit ops need column-typed shift amounts, which

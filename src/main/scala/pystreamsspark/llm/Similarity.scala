@@ -54,6 +54,25 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Batched brute-force top-k: one top-k list PER probe vector. Probes
+    * (a small query set, column `pid`/`probe`) are broadcast against the
+    * corpus — the big side is scanned once with no shuffle on it; the
+    * only shuffle is the per-probe window over |probes|·|corpus| scored
+    * rows, partitioned on `pid`. At 100 TB you'd pre-filter candidates
+    * with [[lshBuckets]] or [[ivfKnn]] cells before this exact re-rank —
+    * this is the exact re-rank stage of that funnel. */
+  def knnBatch(emb: DataFrame, idCol: String, vecCol: String,
+               probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    native(emb).crossJoin(broadcast(probes))
+      .select(col("pid"), col(idCol),
+        cosineNative(col(vecCol), col("probe")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Sign-random-projection LSH bucket id over `planes` hyperplanes —
     * native fused loop (see functions.LshBucket). Plane weights are
     * deterministic ±1s derived from XXH64(d, p): no stored model, any

@@ -18,15 +18,29 @@ import org.apache.spark.sql.types.DecimalType
 object Det {
   private val D = DecimalType(38, 6)
 
+  /** Correctly-rounded decimal→double: via a string round-trip.
+    * Java's `BigDecimal.doubleValue()` (Spark's decimal→double cast)
+    * divides two separately-rounded doubles when the unscaled value
+    * exceeds 2^53 — a double-rounding that lands 1 ulp off DuckDB's
+    * conversion for near-tie values (observed on a 17-digit sum of
+    * squares). `Double.parseDouble` and DuckDB's string→double are both
+    * correctly rounded, so identical decimal values become bit-identical
+    * doubles. The extra cast runs once per GROUP, after aggregation —
+    * free at any scale. */
+  def d2d(c: Column): Column = c.cast("string").cast("double")
+
   /** Order-independent sum of a double expression, as double. */
-  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  def dsum(c: Column): Column = d2d(sum(c.cast(D)))
 
   /** Order-independent mean of a double expression, as double. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** SQL (DuckDB) equivalent of [[dsum]] for oracle queries. */
+  /** SQL equivalent of [[dsum]] for oracle queries. `STRING` (not
+    * VARCHAR) because some queries share one SQL text between engines:
+    * DuckDB treats STRING as a VARCHAR alias, and Spark's parser only
+    * accepts VARCHAR with a length. */
   def sqlSum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
   /** SQL (DuckDB) equivalent of [[davg]] for oracle queries. */
   def sqlAvg(e: String): String =

@@ -1,0 +1,351 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import pystreamsspark.llm.{Similarity, TextOps}
+import Det._
+
+/** Training-data-pipeline operators beyond the core relational surface:
+  * deterministic sampling / train-test splits, time-series gap-fill,
+  * ordered string aggregation, PII scrubbing, repeated-n-gram quality
+  * scoring, decimal-exact correlation/regression, histogram binning,
+  * per-key mode, and batched kNN re-rank.
+  *
+  * Determinism notes (the oracle compare is bit-exact):
+  *   - sampling/splitting keys on `md5(business key)` — identical hex in
+  *     Spark and DuckDB, stable across partitionings, engines, and runs
+  *     (unlike `rand()` or engine hash functions);
+  *   - float reductions go through [[Det]] decimal sums; per-group final
+  *     formulas are written with the SAME IEEE op sequence on both sides.
+  */
+object PipelineQueries {
+
+  /** Deterministic ~10% sample: keep rows whose md5(key) starts below
+    * hex "1a" (26/256). The predicate is a pure function of the business
+    * key, so the sample is reproducible on any cluster size, survives
+    * repartitioning, and pushes down to a scan filter — the property a
+    * training-data pipeline needs for resumable sampled runs (a `rand()`
+    * sample is none of these). */
+  def qSampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .withColumn("h", md5(concat($"l_orderkey".cast("string"), lit("-"),
+        $"l_linenumber".cast("string")).cast("binary")))
+      .filter(substring($"h", 1, 2) < "1a")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qSampleHashSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+       |  ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+       |  CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic 75/12.5/12.5 train/val/test split on md5(c_custkey):
+    * first hex char in 0-b → train, c-d → val, e-f → test. Same
+    * reproducibility argument as [[qSampleHash]] — the split assignment
+    * is a pure function of the key, so it never leaks rows across splits
+    * between runs or cluster layouts. */
+  def qTrainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .withColumn("hc", substring(md5($"c_custkey".cast("string").cast("binary")), 1, 1))
+      .withColumn("split",
+        when($"hc" < "c", "train").when($"hc" < "e", "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"split")
+  }
+
+  val qTrainTestSplitSql: String =
+    s"""SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |            WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+
+  /** Time-series densify: every (event_type × hour) slot in the data's
+    * span, zero-filled where no events landed. The hour spine is
+    * `sequence()` over the global min/max (one tiny agg, broadcast), so
+    * the only per-row work is the groupBy — the dense left side never
+    * shuffles the fact table twice. */
+  def qGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min($"ts")).as("lo"),
+      date_trunc("hour", max($"ts")).as("hi"))
+    val hours = bounds.select(
+      explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+    val types = ev.select($"event_type").distinct()
+    val counts = ev.groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_raw"))
+    types.crossJoin(broadcast(hours))
+      .join(counts, Seq("event_type", "hour"), "left")
+      .select($"event_type", $"hour", coalesce($"n_raw", lit(0L)).as("n"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val qGapfillSql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |c AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_raw
+      |      FROM events GROUP BY 1, 2)
+      |SELECT t.event_type, h.hour, COALESCE(c.n_raw, 0) AS n
+      |FROM t CROSS JOIN h
+      |LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour
+      |ORDER BY t.event_type, h.hour""".stripMargin
+
+  /** Ordered string aggregation per group (LISTAGG/string_agg): names
+    * sorted inside each nation so the concatenation is deterministic.
+    * Spark side = sort_array(collect_list(...)) + concat_ws — the
+    * canonical order-insensitive-shuffle formulation (collect_list order
+    * is partition-dependent; the explicit sort makes it canonical). */
+  def qStringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .filter($"c_custkey" % 97 === 0)
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_list($"c_name"))).as("names"))
+      .orderBy($"nationkey")
+  }
+
+  val qStringAggSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names
+      |FROM customer
+      |WHERE c_custkey % 97 = 0
+      |GROUP BY 1
+      |ORDER BY nationkey""".stripMargin
+
+  /** PII-style scrubbing: replace digit runs, count the redactions.
+    * regexp_replace/extract_all are codegen'd per-row ops — the scrub
+    * runs map-side at scan speed with no shuffle at all. */
+  def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).as("n_redacted"),
+        length(regexp_replace($"text", "[0-9]+", "#")).as("len_scrubbed"),
+        substring(regexp_replace($"text", "[0-9]+", "#"), 1, 40).as("head"))
+      .orderBy($"doc_id")
+  }
+
+  val qPiiScrubSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_redacted,
+      |  length(regexp_replace(text, '[0-9]+', '#', 'g')) AS len_scrubbed,
+      |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40) AS head
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Repeated-n-gram fraction — the Gopher/C4-style quality signal
+    * "what share of this document's 3-grams are duplicates". Pure
+    * per-row HOF arithmetic (no shuffle); the fraction is one scalar
+    * double division, identical op on both engines. */
+  def qNgramRepeat(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.tokens($"text")
+    val grams = transform(sequence(lit(1), size(toks) - 2),
+      i => concat(element_at(toks, i), lit(" "),
+        element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select($"doc_id",
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"),
+        ((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams).cast("double")).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val qNgramRepeatSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      |  FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id, len(grams) AS n_grams,
+      |  len(list_distinct(grams)) AS n_distinct,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+      |    CAST(len(grams) AS DOUBLE) AS dup_frac
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
+  /** Pearson correlation + least-squares slope/intercept per group,
+    * decimal-exact: all six sufficient statistics are order-independent
+    * decimal sums ([[Det]]), and the closing formulas are scalar
+    * per-group expressions with a fixed IEEE op sequence — bit-identical
+    * across engines and partition counts, which builtin `corr`/`regr_*`
+    * (double accumulators) are not. This is also the 100 TB shape: one
+    * partial+final aggregate pass, formulas on the driver-sized result. */
+  def qCorrManual(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // decimal-FIRST products: casting a double PRODUCT to decimal lands on
+    // 1e-6 rounding ties where engines' double→decimal conversions differ
+    // (observed: 1-ulp syy wobble); the 2-decimal base values are never
+    // near a tie, and decimal×decimal is exact in both engines
+    val dq = $"l_quantity".cast(DecimalType(12, 2))
+    val dp = $"l_extendedprice".cast(DecimalType(18, 2))
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum($"l_quantity").as("sx"), dsum($"l_extendedprice").as("sy"),
+        d2d(sum(dq * dq)).as("sxx"),
+        d2d(sum(dp * dp)).as("syy"),
+        d2d(sum(dq * dp)).as("sxy"))
+    agg.select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("slope"),
+        (($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n").as("intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qCorrManualSql: String = {
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val dq = "CAST(l_quantity AS DECIMAL(12,2))"
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    val sx = sqlSum("l_quantity"); val sy = sqlSum("l_extendedprice")
+    val sxx = s"CAST(CAST(SUM($dq * $dq) AS STRING) AS DOUBLE)"
+    val syy = s"CAST(CAST(SUM($dp * $dp) AS STRING) AS DOUBLE)"
+    val sxy = s"CAST(CAST(SUM($dq * $dp) AS STRING) AS DOUBLE)"
+    s"""WITH a AS (
+       |  SELECT l_returnflag, $n AS n, $sx AS sx, $sy AS sy,
+       |         $sxx AS sxx, $syy AS syy, $sxy AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price,
+       |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+       |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
+       |FROM a
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Fixed-width histogram of order totals: bin = floor(x / width).
+    * floor of a double division is one deterministic IEEE op — no
+    * engine-specific width_bucket semantics to reconcile. One partial+
+    * final aggregate; ~30 bins regardless of scale. */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy(floor($"o_totalprice" / 25000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .withColumn("bin_lo", $"bin" * 25000.0)
+      .orderBy($"bin")
+  }
+
+  val qHistogramSql: String =
+    s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+       |  COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
+  /** Per-user modal event type (most frequent, ties to the
+    * lexicographically first type): groupBy-count + one row_number
+    * window — the deterministic formulation of MODE() that both engines
+    * agree on. */
+  def qMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"n".desc, $"event_type".asc)
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_type"), $"n")
+      .orderBy($"user_id")
+  }
+
+  val qModeSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type ASC) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_type, n
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Batched exact kNN: top-5 neighbors for EACH of three probe vectors
+    * in one pass (the exact re-rank stage of an ANN funnel — see
+    * [[Similarity.knnBatch]] scaladoc for the 100 TB candidate-pruning
+    * story). Cosines via the fused native expression; the oracle mirrors
+    * the IEEE sequence with per-row list_dot_product. */
+  def qKnnBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    Similarity.knnBatch(emb, "vec_id", "embedding", probes, 5)
+      .select($"pid", $"vec_id", $"cosine", $"rn".cast("long").as("rn"))
+      .orderBy($"pid", $"rn")
+  }
+
+  val qKnnBatchSql: String =
+    """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+      |           FROM embeddings WHERE vec_id < 3),
+      |s AS (
+      |  SELECT p.pid, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pe) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                             CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(p.pe, p.pe))) AS cosine
+      |  FROM embeddings e CROSS JOIN p),
+      |r AS (
+      |  SELECT pid, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY pid
+      |                       ORDER BY cosine DESC, vec_id ASC) AS rn
+      |  FROM s)
+      |SELECT pid, vec_id, cosine, rn
+      |FROM r WHERE rn <= 5
+      |ORDER BY pid, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash"      -> (qSampleHash _),
+    "q_train_test_split" -> (qTrainTestSplit _),
+    "q_gapfill"          -> (qGapfill _),
+    "q_string_agg"       -> (qStringAgg _),
+    "q_pii_scrub"        -> (qPiiScrub _),
+    "q_ngram_repeat"     -> (qNgramRepeat _),
+    "q_corr_manual"      -> (qCorrManual _),
+    "q_histogram"        -> (qHistogram _),
+    "q_mode"             -> (qMode _),
+    "q_knn_batch"        -> (qKnnBatch _))
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash"      -> qSampleHashSql,
+    "q_train_test_split" -> qTrainTestSplitSql,
+    "q_gapfill"          -> qGapfillSql,
+    "q_string_agg"       -> qStringAggSql,
+    "q_pii_scrub"        -> qPiiScrubSql,
+    "q_ngram_repeat"     -> qNgramRepeatSql,
+    "q_corr_manual"      -> qCorrManualSql,
+    "q_histogram"        -> qHistogramSql,
+    "q_mode"             -> qModeSql,
+    "q_knn_batch"        -> qKnnBatchSql)
+}

@@ -124,4 +124,15 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(MinHashUnion.estJaccard(grouped("g1"), grouped("g1")) === 1.0)
     assert(MinHashUnion.estJaccard(grouped("g1"), grouped("g2")) < 0.2)
   }
+
+  test("ORC source round-trip incl. array column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f), "x"), (2L, Seq(3.0f), "y"))
+      .toDF("id", "vec", "tag")
+    val dir = tmpDir() + "/orc"
+    df.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
 }

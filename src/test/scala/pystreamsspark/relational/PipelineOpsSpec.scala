@@ -1,0 +1,102 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+
+/** Property checks for the training-pipeline operators that the oracle
+  * can't express directly: sampling-rate bounds, split disjointness +
+  * stability under repartitioning, gap-fill density, n-gram fraction
+  * bounds, batched-kNN shape.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("hash sample rate is near 26/256 and stable under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val total = pystreamsspark.io.Tables.lineitem(spark, sf).count()
+    val sampled = PipelineQueries.qSampleHash(spark, sf)
+      .agg(sum($"n_sampled")).head.getLong(0)
+    val rate = sampled.toDouble / total
+    assert(rate > 0.07 && rate < 0.14, s"rate $rate far from 26/256")
+    // determinism: the same predicate over a different partitioning
+    // selects the exact same rows
+    val li = pystreamsspark.io.Tables.lineitem(spark, sf).repartition(13)
+    val again = li
+      .withColumn("h", md5(concat($"l_orderkey".cast("string"), lit("-"),
+        $"l_linenumber".cast("string")).cast("binary")))
+      .filter(substring($"h", 1, 2) < "1a").count()
+    assert(again == sampled)
+  }
+
+  test("train/val/test split is exhaustive and disjoint") {
+    val s = spark
+    import s.implicits._
+    val splits = PipelineQueries.qTrainTestSplit(spark, sf)
+      .select($"split", $"n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = pystreamsspark.io.Tables.customer(spark, sf).count()
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == total) // every row in exactly one split
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
+  test("gap-fill emits every hour x type slot exactly once, zero-filled") {
+    val s = spark
+    import s.implicits._
+    val g = PipelineQueries.qGapfill(spark, sf).cache()
+    val types = g.select($"event_type").distinct().count()
+    val hours = g.select($"hour").distinct().count()
+    assert(g.count() == types * hours) // dense grid, no dup slots
+    assert(g.filter($"n" === 0).count() > 0) // actually filled gaps
+    // total preserved
+    val totalEvents = pystreamsspark.io.Tables.events(spark, sf).count()
+    assert(g.agg(sum($"n")).head.getLong(0) == totalEvents)
+    g.unpersist()
+  }
+
+  test("repeated-ngram fraction is in [0,1] and 0 for all-distinct docs") {
+    val s = spark
+    import s.implicits._
+    val r = PipelineQueries.qNgramRepeat(spark, sf).cache()
+    assert(r.filter($"dup_frac" < 0.0 || $"dup_frac" > 1.0).count() == 0)
+    assert(r.filter($"n_distinct" === $"n_grams" && $"dup_frac" =!= 0.0).count() == 0)
+    // a synthetic doc of one repeated trigram: "a a a a a" -> 3 grams, 1 distinct
+    val one = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val toks = pystreamsspark.llm.TextOps.tokens($"text")
+    val grams = transform(sequence(lit(1), size(toks) - 2),
+      i => concat(element_at(toks, i), lit(" "),
+        element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    val row = one.select(size(grams).as("n"), size(array_distinct(grams)).as("d"))
+      .head
+    assert(row.getInt(0) == 3 && row.getInt(1) == 1)
+    r.unpersist()
+  }
+
+  test("knnBatch returns exactly k rows per probe, self ranked first") {
+    val s = spark
+    import s.implicits._
+    val out = PipelineQueries.qKnnBatch(spark, sf).cache()
+    val perProbe = out.groupBy($"pid").agg(count(lit(1)).as("c"))
+      .select($"c").distinct().collect().map(_.getLong(0)).toSeq
+    assert(perProbe == Seq(5L))
+    // each probe's nearest neighbor is itself at cosine 1.0
+    val self = out.filter($"rn" === 1)
+    assert(self.filter($"pid" === $"vec_id").count() == 3)
+    out.unpersist()
+  }
+
+  test("mode tie-break picks the lexicographically first type") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Seq((1L, "b"), (1L, "a"), (1L, "b"), (1L, "a"), (2L, "z"))
+      .toDF("user_id", "event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"n".desc, $"event_type".asc)
+    val m = ev.groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a", 2L -> "z")) // 2-2 tie -> "a"
+  }
+}
