@@ -74,7 +74,15 @@ object Dedup {
     * map-side); the self-join shuffles on the 8-byte bucket key, so only
     * same-bucket docs ever meet. Verification joins back the two shingle
     * sets by id — at 100 TB you'd verify with a second MinHash estimate
-    * instead of exact sets to avoid carrying the shingle arrays. */
+    * instead of exact sets to avoid carrying the shingle arrays.
+    *
+    * MEASURED NEGATIVE RESULTS (do not "fix" without re-measuring):
+    * computing Jaccard once per shared band and deduping after is FASTER
+    * here than (a) a join-back restructure that avoids carrying shingle
+    * arrays (8× slower at sf0.1) and (b) the emit-only-from-first-shared-
+    * band trick via an inline exists/zip_with over carried band keys
+    * (2.7× slower — the interpreted HOF per collision row costs more than
+    * the redundant codegen-adjacent intersections it saves). */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {

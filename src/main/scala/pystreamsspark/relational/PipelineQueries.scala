@@ -325,7 +325,33 @@ object PipelineQueries {
       |FROM r WHERE rn <= 5
       |ORDER BY pid, rn""".stripMargin
 
+  /** Wide→long melt (`Dataset.unpivot` → Spark `Expand` node: each input
+    * row fans out to one row per value column, map-side, no shuffle).
+    * The oracle is the portable UNION ALL formulation. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 50 === 0)
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"          -> (qUnpivot _),
     "q_sample_hash"      -> (qSampleHash _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_gapfill"          -> (qGapfill _),
@@ -338,6 +364,7 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot"          -> qUnpivotSql,
     "q_sample_hash"      -> qSampleHashSql,
     "q_train_test_split" -> qTrainTestSplitSql,
     "q_gapfill"          -> qGapfillSql,
