@@ -78,6 +78,16 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** Stream-static enrichment join: each streaming event joined to a
+    * static dimension table. The static side is planned per micro-batch
+    * (broadcast when small — the common dimension-enrichment shape);
+    * no watermark or join state is needed because the static side never
+    * changes mid-query. At 100 TB/day of events this is THE pattern for
+    * attaching user/geo/experiment metadata on ingest. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Arbitrary keyed state: running per-user (count, sum) emitted on
     * every update — flatMapGroupsWithState with processing-time timeout
     * disabled (the state never expires in the smoke test; production
