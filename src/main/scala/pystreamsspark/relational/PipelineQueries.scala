@@ -350,8 +350,104 @@ object PipelineQueries {
       |FROM lineitem WHERE l_orderkey % 50 = 0
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  /** Per-group downsampling cap — balance an over-represented group by
+    * keeping at most N docs per language, chosen by hash rank (NOT
+    * rand(): the kept set is a pure function of the keys, reproducible
+    * across runs/cluster layouts — the deterministic analogue of
+    * reservoir sampling). One window + one aggregate. */
+  def qStratifiedCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = md5($"doc_id".cast("string").cast("binary"))
+    val w = Window.partitionBy($"lang").orderBy(h.asc, $"doc_id".asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"rn" <= 50, 1)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  val qStratifiedCapSql: String =
+    """WITH r AS (
+      |  SELECT lang, ROW_NUMBER() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN rn <= 50 THEN 1 END) AS n_kept
+      |FROM r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Sequence packing: shuffle the corpus deterministically (hash
+    * order), then segment the running token total into fixed 4096-token
+    * training chunks. All-integer window arithmetic — exact in both
+    * engines. At scale the hash order also IS the shuffle: ordering by
+    * md5 distributes any source/time clustering uniformly, so chunk
+    * contents are i.i.d.-ish without a separate shuffle pass. */
+  def qSeqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = md5($"doc_id".cast("string").cast("binary"))
+    val w = Window.orderBy($"h".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", h.as("h"),
+        size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("chunk", floor(($"cum" - $"n_tok") / 4096.0).cast("long"))
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"chunk")
+  }
+
+  val qSeqPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    SUM(n_tok) OVER (ORDER BY h ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS chunk,
+      |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY chunk""".stripMargin
+
+  /** Training-mixture resampling: downweight the dominant language to
+    * 25% by hash threshold, keep the rest whole — the deterministic
+    * data-mixing pass (each doc's fate is a pure function of its id, so
+    * the mixture is reproducible and the filter runs at scan time,
+    * map-side, no shuffle until the audit aggregate). */
+  def qCorpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h2 = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .withColumn("keep", when($"lang" === "en", h2 < "40").otherwise(lit(true)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"keep", 1)).as("n_mixed"))
+      .orderBy($"lang")
+  }
+
+  val qCorpusMixSql: String =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN (lang <> 'en')
+      |    OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      |    THEN 1 END) AS n_mixed
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot"          -> (qUnpivot _),
+    "q_stratified_cap"   -> (qStratifiedCap _),
+    "q_seq_pack"         -> (qSeqPack _),
+    "q_corpus_mix"       -> (qCorpusMix _),
     "q_sample_hash"      -> (qSampleHash _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_gapfill"          -> (qGapfill _),
@@ -365,6 +461,9 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_unpivot"          -> qUnpivotSql,
+    "q_stratified_cap"   -> qStratifiedCapSql,
+    "q_seq_pack"         -> qSeqPackSql,
+    "q_corpus_mix"       -> qCorpusMixSql,
     "q_sample_hash"      -> qSampleHashSql,
     "q_train_test_split" -> qTrainTestSplitSql,
     "q_gapfill"          -> qGapfillSql,

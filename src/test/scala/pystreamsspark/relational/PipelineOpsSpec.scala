@@ -86,6 +86,30 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("distributed two-pass seq-pack == global-window formulation") {
+    val s = spark
+    import s.implicits._
+    val docs = pystreamsspark.io.Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(pystreamsspark.llm.TextOps.tokens($"text")).cast("long").as("n_tok"))
+    // global-window reference
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"h".asc, $"doc_id".asc)
+      .rowsBetween(Long.MinValue, 0)
+    val ref = docs
+      .withColumn("h", md5($"doc_id".cast("string").cast("binary")))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("chunk", floor(($"cum" - $"n_tok") / 4096.0).cast("long"))
+      .select($"doc_id", $"cum", $"chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // distributed two-pass, deliberately many partitions
+    val got = pystreamsspark.operators.SeqPack
+      .packChunks(docs, "doc_id", "n_tok", 4096L, nPartitions = 7)
+      .select($"id", $"cum", $"chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+  }
+
   test("mode tie-break picks the lexicographically first type") {
     val s = spark
     import s.implicits._
