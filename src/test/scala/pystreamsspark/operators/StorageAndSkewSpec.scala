@@ -125,6 +125,25 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(MinHashUnion.estJaccard(grouped("g1"), grouped("g2")) < 0.2)
   }
 
+  test("observe(): in-flight data-quality metrics without a second pass") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.Observation
+    // production shape: count rows / nulls / bad values WHILE writing,
+    // instead of re-scanning the output afterwards
+    val obs = Observation("quality")
+    val docs = pystreamsspark.io.Tables.documents(spark, "/root/testdata/sf0.01")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when($"text".isNull || length($"text") === 0, 1)).as("n_empty"),
+        count(when($"n_chars" < 0, 1)).as("n_bad_len"))
+    val n = docs.count() // one action drives both the job and the metrics
+    val m = obs.get
+    assert(m("n_rows") == n)
+    assert(m("n_empty") == 0L)
+    assert(m("n_bad_len") == 0L)
+  }
+
   test("ORC source round-trip incl. array column") {
     val s = spark
     import s.implicits._
