@@ -144,6 +144,41 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(m("n_bad_len") == 0L)
   }
 
+  test("corrupt JSON records: PERMISSIVE captures, FAILFAST throws") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/badjson"
+    Seq("""{"id": 1, "x": 1.5}""", """{"id": 2, "x": }""", """{"id": 3, "x": 3.0}""")
+      .toDF("value").coalesce(1).write.text(dir)
+    // PERMISSIVE (default): bad row lands in _corrupt_record, good rows survive
+    val permissive = spark.read
+      .schema("id LONG, x DOUBLE, _corrupt_record STRING")
+      .json(dir).cache()
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() == 1)
+    assert(permissive.filter($"id".isNotNull).count() == 2)
+    permissive.unpersist()
+    // FAILFAST: the pipeline stops on the first malformed row
+    val ex = intercept[Exception] {
+      spark.read.option("mode", "FAILFAST")
+        .schema("id LONG, x DOUBLE").json(dir).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      ex.getCause != null)
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/evolve"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(dir + "/batch=1")
+    Seq((2L, 0.5)).toDF("id", "score").write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[String]("name") == "a" && rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getAs[Double]("score") == 0.5 && rows(1).isNullAt(rows(1).fieldIndex("name")))
+  }
+
   test("ORC source round-trip incl. array column") {
     val s = spark
     import s.implicits._
