@@ -104,15 +104,44 @@ object SqlQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Recursive CTE (Spark 4 + DuckDB both support WITH RECURSIVE; same
+    * text): a synthetic 10-ary tree over the REAL customer keys
+    * (parent = key div 10), walked from the single-digit roots to
+    * compute every key's depth and root ancestor. Each level is one
+    * semi-join iteration — Spark executes the recursion as a loop of
+    * distributed joins (UnionLoop), ~5 levels deep here, which is
+    * exactly how a 100 TB hierarchy (org charts, reply chains,
+    * category trees) resolves: O(depth) joins, never a driver loop. */
+  val sqlRecursive: String =
+    """WITH RECURSIVE anc(key, root, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, a.root, a.depth + 1
+      |  FROM customer c JOIN anc a
+      |    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = a.key
+      |  WHERE c.c_custkey >= 10)
+      |SELECT depth, COUNT(*) AS n, MIN(key) AS min_key, MAX(key) AS max_key,
+      |  COUNT(DISTINCT root) AS n_roots
+      |FROM anc
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
+  def qRecursive(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlRecursive)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_q5"        -> (qSqlQ5 _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_subqueries"    -> (qSubqueries _),
+    "q_recursive_cte" -> (qRecursive _),
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_q5"        -> sqlQ5,
     "q_grouping_sets" -> sqlGroupingSets,
     "q_subqueries"    -> sqlSubqueries,
+    "q_recursive_cte" -> sqlRecursive,
     "q_pivot"         -> qPivotSql)
 }
