@@ -131,7 +131,25 @@ object SqlQueries {
     spark.sql(sqlRecursive)
   }
 
+  /** Correlated LATERAL subquery (same text both engines): top-2
+    * customers per nation — the per-row dependent-subquery form; Spark
+    * decorrelates it into the windowed top-k plan, so it scales like
+    * `q_window`, not like a nested loop. */
+  val sqlLateral: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
+  def qLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlLateral)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_topn"  -> (qLateral _),
     "q_sql_q5"        -> (qSqlQ5 _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_subqueries"    -> (qSubqueries _),
@@ -139,6 +157,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_lateral_topn"  -> sqlLateral,
     "q_sql_q5"        -> sqlQ5,
     "q_grouping_sets" -> sqlGroupingSets,
     "q_subqueries"    -> sqlSubqueries,
