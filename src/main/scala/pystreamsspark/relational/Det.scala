@@ -18,15 +18,20 @@ import org.apache.spark.sql.types.DecimalType
 object Det {
   private val D = DecimalType(38, 6)
 
-  /** Correctly-rounded decimal→double: via a string round-trip.
-    * Java's `BigDecimal.doubleValue()` (Spark's decimal→double cast)
-    * divides two separately-rounded doubles when the unscaled value
-    * exceeds 2^53 — a double-rounding that lands 1 ulp off DuckDB's
-    * conversion for near-tie values (observed on a 17-digit sum of
-    * squares). `Double.parseDouble` and DuckDB's string→double are both
-    * correctly rounded, so identical decimal values become bit-identical
-    * doubles. The extra cast runs once per GROUP, after aggregation —
-    * free at any scale. */
+  /** Correctly-rounded decimal→double via a string round-trip, paired
+    * with the STRING route in [[sqlSum]].
+    *
+    * When the unscaled value exceeds 2^53, a conversion that divides two
+    * separately-rounded doubles ((double)unscaled / (double)10^scale)
+    * double-rounds up to 1 ulp off. Measured on a 17-digit sum of
+    * squares (q_corr_manual's syy, 7096786968835.8685): DUCKDB's direct
+    * decimal→double cast takes that path and lands 1 ulp high, while
+    * Spark's cast (BigDecimal.doubleValue → Double.parseDouble fallback)
+    * is correctly rounded — pinned by DetSpec. Routing BOTH sides
+    * through a string→double parse (correctly rounded in both engines)
+    * makes the pair bit-identical by construction instead of by luck.
+    * The extra cast runs once per GROUP, after aggregation — free at any
+    * scale. */
   def d2d(c: Column): Column = c.cast("string").cast("double")
 
   /** Order-independent sum of a double expression, as double. */

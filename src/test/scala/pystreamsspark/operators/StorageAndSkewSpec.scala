@@ -144,6 +144,39 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(m("n_bad_len") == 0L)
   }
 
+  test("dynamic partition overwrite replaces only the re-run partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/dynpart"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("id", "day").write.partitionBy("day").parquet(dir)
+    // idempotent daily re-run: rewrite ONLY day=2024-01-01
+    Seq((10L, "2024-01-01")).toDF("id", "day")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select($"id", $"day".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // day-02 intact, day-01 replaced (static overwrite would drop day-02)
+    assert(back == Set((10L, "2024-01-01"), (3L, "2024-01-02")))
+  }
+
+  test("small-file compaction: repartition-write shrinks file count, keeps rows") {
+    val s = spark
+    import s.implicits._
+    val src = tmpDir() + "/fragmented"
+    val dst = tmpDir() + "/compacted"
+    spark.range(0, 1000).repartition(64).write.parquet(src) // 64 tiny files
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(src) == 64)
+    spark.read.parquet(src).repartition(2).write.parquet(dst)
+    assert(parts(dst) == 2)
+    assert(spark.read.parquet(dst).count() == 1000)
+    assert(spark.read.parquet(dst).agg(sum($"id")).head.getLong(0) == 499500L)
+  }
+
   test("corrupt JSON records: PERMISSIVE captures, FAILFAST throws") {
     val s = spark
     import s.implicits._

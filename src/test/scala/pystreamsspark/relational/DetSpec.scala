@@ -29,6 +29,34 @@ class DetSpec extends SparkSpec {
     assert(r4 === r32)
   }
 
+  test("decimal->double stays correctly rounded on >2^53 unscaled values") {
+    val s = spark
+    import s.implicits._
+    // 17-significant-digit decimals whose unscaled value exceeds 2^53 —
+    // the range where a naive (double)unscaled / (double)10^scale
+    // conversion double-rounds 1 ulp off. Spark's cast AND Det.d2d must
+    // both equal the correctly-rounded parse. (The engine that DOES
+    // misround here is DuckDB's direct decimal->double cast — verified
+    // on q_corr_manual's syy sum, 7096786968835.8685 -> 1 ulp high —
+    // which is why every float ORACLE casts its decimal aggregates
+    // through STRING; see Det.sqlSum and the verify skill.)
+    val cases = Seq("7096786968835.8685", "6470832125744.2331",
+      "8030755418172.1740", "4838227780133.8157", "8967546369622.3508")
+    cases.foreach { str =>
+      val dec = new java.math.BigDecimal(str)
+      val row = Seq(1).toDF("x")
+        .select(
+          lit(dec).cast("double").as("plain"),
+          Det.d2d(lit(dec)).as("viaString"))
+        .head
+      val correct = java.lang.Double.parseDouble(str)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(correct), s"plain cast wrong for $str")
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(correct), s"d2d wrong for $str")
+    }
+  }
+
   test("dsum equals exact BigDecimal reference") {
     val s = spark
     import s.implicits._
