@@ -1,0 +1,91 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import pystreamsspark.SparkSpec
+
+/** Automated plan-shape regression guards — the SCALE.md claims as
+  * assertions, not prose. Each test pins the physical property that
+  * makes the operator scale; if a refactor ever reintroduces a stray
+  * shuffle, loses a pushed filter, or drops a broadcast, these fail
+  * before any benchmark notices.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE if adaptive) physical plan string. */
+  private def plan(df: DataFrame): String = {
+    df.collect() // drive execution so AQE finalizes the plan
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    finalPlan(df.queryExecution.executedPlan).toString
+  }
+
+  private def countOf(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("q_filter: compound predicate pushed to the parquet scan") {
+    val p = plan(graft.SparkEntry.queries("q_filter")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual") || p.contains("LessThan"), p)
+  }
+
+  test("q1_agg: partial+final hash aggregate around exactly one data shuffle") {
+    val p = plan(graft.SparkEntry.queries("q1_agg")(spark, sf))
+    assert(countOf(p, "HashAggregate") == 2, p)
+    // one exchange for the agg + one for the final orderBy sort, no more
+    assert(countOf(p, "Exchange") <= 2, p)
+  }
+
+  test("q3_join_topk: dimension joins broadcast; top-k is TakeOrdered, not a full sort") {
+    val p = plan(graft.SparkEntry.queries("q3_join_topk")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_lateral_topn: correlated LATERAL decorrelates to WindowGroupLimit") {
+    val p = plan(graft.SparkEntry.queries("q_lateral_topn")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sample_hash: md5 filter evaluated scan-side before the aggregate shuffle") {
+    val df = graft.SparkEntry.queries("q_sample_hash")(spark, sf)
+    val p = plan(df)
+    // the sampling predicate must sit under the partial aggregate:
+    // Filter -> partial HashAggregate -> Exchange (never Exchange first)
+    val iFilter = p.indexOf("Filter")
+    val iExchange = p.indexOf("Exchange")
+    assert(iFilter >= 0 && iExchange >= 0, p)
+    // plan strings print top-down: the Exchange must appear BEFORE (above)
+    // the Filter, i.e. the filter runs below/before the shuffle
+    assert(iExchange < iFilter, p)
+  }
+
+  test("q_knn_cosine: probe broadcast, corpus never shuffled") {
+    val p = plan(graft.SparkEntry.queries("q_knn_cosine")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_window: single exchange for the partitionBy, rank limit pushed down") {
+    val p = plan(graft.SparkEntry.queries("q_window")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p) // row_number<=k prunes in-shuffle
+  }
+
+  test("native vec expressions stay inside WholeStageCodegen") {
+    val s = spark
+    import s.implicits._
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val df = pystreamsspark.io.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "vec_cosine(embedding, embedding) AS c")
+    val p = plan(df)
+    // toString marks WholeStageCodegen stages with the "*(n)" prefix
+    assert(p.contains("*("), p)
+    assert(p.contains("vec_cosine"), p)
+  }
+}
