@@ -443,7 +443,34 @@ object PipelineQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Error-tolerant scalar surface for dirty data under ANSI mode:
+    * Spark 4 runs ANSI-on (1/0 and bad casts THROW), so robust
+    * pipelines use the `try_*` family — NULL instead of a failed 100 TB
+    * job. DuckDB's `/` already yields NULL on zero and TRY_CAST
+    * matches, so the semantics line up exactly. */
+  def qTryFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 20 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("try_divide(l_extendedprice, CAST(l_linenumber - 3 AS DOUBLE))")
+          .as("ratio"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+        expr("try_cast(CAST(l_linenumber AS STRING) AS INT)").as("good_cast"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val qTryFnsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice / CAST(l_linenumber - 3 AS DOUBLE) AS ratio,
+      |  TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+      |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS good_cast
+      |FROM lineitem
+      |WHERE l_orderkey % 20 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_try_fns"          -> (qTryFns _),
     "q_unpivot"          -> (qUnpivot _),
     "q_stratified_cap"   -> (qStratifiedCap _),
     "q_seq_pack"         -> (qSeqPack _),
@@ -460,6 +487,7 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_try_fns"          -> qTryFnsSql,
     "q_unpivot"          -> qUnpivotSql,
     "q_stratified_cap"   -> qStratifiedCapSql,
     "q_seq_pack"         -> qSeqPackSql,
