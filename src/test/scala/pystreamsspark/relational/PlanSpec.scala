@@ -1,6 +1,7 @@
 package pystreamsspark.relational
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import pystreamsspark.SparkSpec
@@ -75,6 +76,48 @@ class PlanSpec extends SparkSpec {
   test("q_window: single exchange for the partitionBy, rank limit pushed down") {
     val p = plan(graft.SparkEntry.queries("q_window")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p) // row_number<=k prunes in-shuffle
+  }
+
+  test("AQE coalesces post-shuffle partitions on small data") {
+    val s = spark
+    import s.implicits._
+    val df = spark.range(0, 10000).select(($"id" % 100).as("k"), $"id")
+      .groupBy($"k").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") || p.contains("coalesced"), p)
+  }
+
+  test("AQE splits a skewed sort-merge join partition") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // allow the split even though the downstream agg re-shuffles
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // key 0 holds ~100x the rows of every other key; carry the wide
+      // payload through the join so the skewed partition has real bytes
+      val skewed = spark.range(0, 200000)
+        .select(when($"id" < 150000, 0L).otherwise($"id" % 50).as("k"),
+          concat(lit("payload-payload-payload-"), $"id").as("v"))
+      val dim = spark.range(0, 50).select($"id".as("k"),
+        concat(lit("d"), $"id").as("d"))
+      val j = skewed.join(dim, "k").groupBy($"k")
+        .agg(count(lit(1)).as("n"), max($"v").as("vmax"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("native vec expressions stay inside WholeStageCodegen") {
