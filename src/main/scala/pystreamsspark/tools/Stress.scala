@@ -1,0 +1,71 @@
+package pystreamsspark.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom probe: runs the heavyweight operator families over the
+  * sf0.1 tables self-unioned ×N (ids offset per replica so keys stay
+  * distinct) — an sf(0.1·N)-equivalent row count without synthesizing
+  * new data distributions. Prints per-op seconds; used to spot
+  * super-linear blowups that the sf0.1 bench can't see.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain pystreamsspark.tools.Stress <sfDir> [N]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def amplified(df: DataFrame, idCols: Seq[String], step: Long): DataFrame =
+      (0 until mult).map { r =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * step)))
+      }.reduce(_ unionByName _)
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"STRESS $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    val li = amplified(pystreamsspark.io.Tables.lineitem(spark, sfDir),
+      Seq("l_orderkey"), 100000000L)
+    time(s"q1_agg x$mult") {
+      li.filter($"l_shipdate" <= "1998-09-02")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity"), sum($"l_extendedprice"), count(lit(1)))
+        .count()
+    }
+    time(s"join_large x$mult") {
+      val o = amplified(pystreamsspark.io.Tables.orders(spark, sfDir),
+        Seq("o_orderkey"), 100000000L)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1))).count()
+    }
+    val docs = amplified(pystreamsspark.io.Tables.documents(spark, sfDir),
+      Seq("doc_id"), 10000000L)
+    time(s"minhash_lsh x$mult") {
+      pystreamsspark.llm.Dedup.minHashLsh(docs, "doc_id", "text").count()
+    }
+    time(s"token_topk x$mult") {
+      docs.select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+        .groupBy($"t").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc).limit(20).count()
+    }
+    val emb = amplified(pystreamsspark.io.Tables.embeddings(spark, sfDir),
+      Seq("vec_id"), 10000000L)
+    time(s"ann_pairs x$mult") {
+      pystreamsspark.llm.Similarity.annPairs(emb, "vec_id", "embedding",
+        planes = 10, threshold = 0.95).count()
+    }
+    spark.stop()
+  }
+}
