@@ -88,6 +88,42 @@ object EventStreams {
                     key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Inactivity-finalized sessions with EVENT-TIME state expiry: per
+    * user, accumulate (count, sum); when the watermark passes the
+    * user's last event + 30 minutes, the state times out, the finished
+    * session is EMITTED ONCE and the state is removed. This is the
+    * pattern that keeps arbitrary keyed state bounded on an endless
+    * stream — without the timeout, per-key state on 100 TB/day of
+    * events grows forever. */
+  def finalizedSessions(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove() // bounded state: expired keys leave the store
+            Iterator.single(done)
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            var n = prev.n_events
+            var s = prev.sum_value
+            var maxTs = Long.MinValue
+            batch.foreach { e =>
+              n += 1; s += e.value; maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update(UserRunning(userId, n, s))
+            // expire 30 min of event time after this user's latest event
+            state.setTimeoutTimestamp(maxTs + 30 * 60 * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Arbitrary keyed state: running per-user (count, sum) emitted on
     * every update — flatMapGroupsWithState with processing-time timeout
     * disabled (the state never expires in the smoke test; production

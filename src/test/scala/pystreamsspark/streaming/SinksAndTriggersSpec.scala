@@ -37,6 +37,34 @@ class SinksAndTriggersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout finalizes sessions and removes state") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.finalizedSessions(in.toDS())
+      .writeStream.format("memory").queryName("finalized_out")
+      .outputMode("append").start()
+    try {
+      // user 1 active at minute 0-5; user 2 at minute 6
+      in.addData(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0),
+        ev(3, 6, 2, "view", 5.0))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM finalized_out").count() == 0) // nothing expired yet
+      // jump event time to minute 120: watermark (110) passes user 1's
+      // last event (5) + 30min AND user 2's (6) + 30min -> both finalize
+      in.addData(ev(4, 120, 3, "click", 0.0))
+      q.processAllAvailable()
+      // one more batch so the timed-out state is flushed deterministically
+      in.addData(ev(5, 125, 3, "click", 0.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, n_events, sum_value FROM finalized_out ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: batchId-keyed writes are exactly-once replayable") {
     val s = spark
     import s.implicits._
