@@ -469,7 +469,40 @@ object PipelineQueries {
       |WHERE l_orderkey % 20 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Fuzzy (edit-distance) matching — the blocked similarity-join shape
+    * for entity resolution: block on a cheap equality key (nation) so
+    * the quadratic comparison only runs inside blocks, then keep pairs
+    * within Levenshtein ≤ 2. Same funnel as the LSH dedup: block →
+    * candidate pairs → exact verify; at 100 TB the block key comes from
+    * a cheap canopy (prefix, phonetic code, LSH bucket). */
+  def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, sfDir)
+      .filter($"c_custkey" % 29 === 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val a = base.select($"c_custkey".as("id_a"), $"c_name".as("name_a"),
+      $"c_nationkey".as("nk"))
+    val b = base.select($"c_custkey".as("id_b"), $"c_name".as("name_b"),
+      $"c_nationkey".as("nk"))
+    a.join(b, Seq("nk"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2)
+      .select($"id_a", $"id_b", $"dist")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qFuzzyJoinSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE a.c_custkey % 29 = 0 AND b.c_custkey % 29 = 0
+      |  AND levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join"       -> (qFuzzyJoin _),
     "q_try_fns"          -> (qTryFns _),
     "q_unpivot"          -> (qUnpivot _),
     "q_stratified_cap"   -> (qStratifiedCap _),
@@ -487,6 +520,7 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_join"       -> qFuzzyJoinSql,
     "q_try_fns"          -> qTryFnsSql,
     "q_unpivot"          -> qUnpivotSql,
     "q_stratified_cap"   -> qStratifiedCapSql,
