@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.queries ++ AggQueries.queries ++ JoinQueries.queries ++
       ScalarQueries.queries ++ WindowQueries.queries ++ TimeQueries.queries ++
       LlmQueries.queries ++ SetQueries.queries ++ SqlQueries.queries ++
-      ExtraQueries.queries ++ PipelineQueries.queries
+      ExtraQueries.queries ++ PipelineQueries.queries ++ StorageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
       ScalarQueries.oracle ++ WindowQueries.oracle ++ TimeQueries.oracle ++
       LlmQueries.oracle ++ SetQueries.oracle ++ SqlQueries.oracle ++
-      ExtraQueries.oracle ++ PipelineQueries.oracle
+      ExtraQueries.oracle ++ PipelineQueries.oracle ++ StorageQueries.oracle
 }

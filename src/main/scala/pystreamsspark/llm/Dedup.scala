@@ -31,13 +31,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word k-shingles (contiguous k-grams), distinct. Documents shorter
-    * than k tokens contribute their whole text as one shingle. */
+    * than k tokens contribute their whole text as one shingle; zero-token
+    * (empty/whitespace-only) text yields an EMPTY array — same semantics
+    * as the native ShingleHash expression. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-    array_distinct(grams)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
   }
 
   /** MinHash signature via the native fused expression (hashes each
@@ -201,6 +204,78 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public algorithm): pointer-doubling-style label jumps
+    * converge in O(log²) rounds instead of [[connectedComponents]]'
+    * O(diameter) — the variant to reach for on deep/chainy graphs.
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m(u) = min(N(u) ∪ u)  — one groupBy(min) + one join;
+    *  - small-star: every node u links its not-larger neighbors and
+    *    itself to the min of that closed set — same two shuffles.
+    * Fixpoint = canonical edge set unchanged (checked with one scalar
+    * aggregate: count + order-insensitive xxhash sum, no driver-side
+    * edge list). At convergence the edges form a star forest
+    * (child → component-min root), which IS the label assignment.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    ccStarWithRounds(pairs, maxIter)._1
+
+  private[pystreamsspark] def ccStarWithRounds(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-insensitive and overflow-free (a SUM of xxhash64
+      // values overflows Long under ANSI mode)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      nbrs.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val down = nbrs.filter(col("v") <= col("u"))
+      val m = down.groupBy("u").agg(min(col("v")).as("m"))
+      down.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      rounds += 1
+    }
+    // star forest: u -> root v; roots label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+      .groupBy("id").agg(min(col("label")).as("label"))
+    (labels, rounds)
+  }
+
   /** Incremental (delta) exact dedup with a Bloom pre-filter: rows of
     * `incoming` whose key is NOT in `existing`.
     *
@@ -223,6 +298,10 @@ object Dedup {
       .select(call_function("bloom_agg", xxhash64(col(keyCol)),
         lit(expectedItems)).as("bf"))
       .head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate yields NULL over zero rows; bloom_contains(NULL, h)
+    // is then NULL, which would drop EVERY incoming row from both branches.
+    // An empty `existing` means everything is new.
+    if (bytes == null) return incoming
     val mightContain =
       call_function("bloom_contains", lit(bytes), xxhash64(col(keyCol)))
     val definitelyNew = incoming.filter(!mightContain)
@@ -247,4 +326,31 @@ object Dedup {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via chunk banding: the 64-bit sketch is split
+    * into 4 16-bit chunks; two docs are candidates iff they share a chunk
+    * value at the same position (pigeonhole: any pair within hamming
+    * distance 3 shares at least one intact chunk — recall is exact for
+    * d<=3, probabilistic above), then verified with the full
+    * `hamming <= maxDist` check. Never all-pairs: the self-join shuffles
+    * on the (position, 16-bit chunk) key only — same 100 TB shape as the
+    * MinHash band join. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 6): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"), simHash(textCol).as("sh64"))
+    val chunks = array((0 until 4).map(c => struct(
+      lit(c).as("bnd"),
+      shiftrightunsigned(col("sh64"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)
+    val banded = sk.select(col("id"), col("sh64"), explode(chunks).as("b"))
+      .select(col("id"), col("sh64"), col("b.bnd").as("bnd"), col("b.ck").as("ck"))
+    val a = banded.select(col("bnd"), col("ck"),
+      col("id").as("id_a"), col("sh64").as("sh_a"))
+    val b = banded.select(col("bnd"), col("ck"),
+      col("id").as("id_b"), col("sh64").as("sh_b"))
+    a.join(b, Seq("bnd", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -51,13 +51,16 @@ object AsofJoin {
       valueCols.map(c => s"__v_$c") ++ leftCols.filterNot(by.contains)).distinct.map(col): _*)
 
     val unioned = lSel.unionByName(rAligned)
-    // __tie: deterministic total order among right rows that share the
-    // same (keys, time) — without it, `last()` over such ties would pick
-    // a partition-order-dependent winner
+    // deterministic total order among right rows that share the same
+    // (keys, time): order by the value columns themselves, so the carried
+    // winner on a tie is the row with the greatest value tuple — a rule an
+    // oracle in any engine can reproduce verbatim (a hash-based tie-break
+    // would be engine-private). Without SOME tie order, `last()` over such
+    // ties picks a partition-order-dependent winner.
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc,
-        xxhash64(valueCols.map(c => col(s"__v_$c")): _*).asc)
+      .orderBy((Seq(col("__t").asc, col("__side").asc) ++
+        valueCols.map(c => col(s"__v_$c").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned)((df, c) =>
       df.withColumn(s"$prefix$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))

@@ -38,13 +38,15 @@ object SeqPack {
       .withColumn("pid", spark_partition_id())
       .persist()
 
-    // pass 1: per-partition totals -> exclusive prefix offsets
-    val totals = base.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
-      .orderBy(col("pid")).collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
-      (pid + 1, acc + tot)
-    }.map { case (pid, off) => (pid, off) }.toMap
+    // pass 1: per-partition totals -> exclusive prefix offsets. Built over
+    // ALL pids 0 until nPartitions (absent = empty partition = total 0):
+    // range partitioning can leave gaps, and a scan over only the
+    // non-empty pids would mis-assign offsets past the first gap.
+    val totalOf = base.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = (0 until nPartitions)
+      .scanLeft(0L)((acc, pid) => acc + totalOf.getOrElse(pid, 0L))
+      .zipWithIndex.map { case (off, pid) => (pid, off) }.toMap
     val offsetOf = typedlit(offsets.map { case (k, v) => (k, v) })
 
     // pass 2: parallel per-partition running sum + broadcast offset

@@ -83,12 +83,15 @@ object JoinQueries {
        |GROUP BY c_custkey
        |ORDER BY c_custkey""".stripMargin
 
-  /** Left anti join: parts that never appear in any lineitem. (Customers
-    * all have orders at sf>=0.01, which would make the check vacuous.) */
+  /** Left anti join: parts never shipped in a large quantity. The right
+    * side is FILTERED (l_quantity > 49) so the result is non-empty at
+    * every SF — an unfiltered right side matches every part at sf>=0.01,
+    * which made the check vacuous (0 rows = 0 rows proves nothing). */
   def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val bigLots = Tables.lineitem(spark, sfDir).filter($"l_quantity" > 49)
     Tables.part(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir), $"p_partkey" === $"l_partkey", "left_anti")
+      .join(bigLots, $"p_partkey" === $"l_partkey", "left_anti")
       .select($"p_partkey", $"p_name", $"p_brand")
       .orderBy($"p_partkey")
   }
@@ -96,7 +99,8 @@ object JoinQueries {
   val qJoinAntiSql: String =
     """SELECT p_partkey, p_name, p_brand
       |FROM part
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
       |ORDER BY p_partkey""".stripMargin
 
   /** Left semi join: customers having at least one open ('O') order. */
@@ -171,7 +175,8 @@ object JoinQueries {
       |  SELECT event_id, user_id, ts,
       |    last(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
       |      OVER (PARTITION BY user_id
-      |            ORDER BY ts ASC, (CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) ASC
+      |            ORDER BY ts ASC, (CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) ASC,
+      |                     (CASE WHEN event_type = 'purchase' THEN value END) ASC
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
       |  FROM events)
       |ORDER BY event_id""".stripMargin

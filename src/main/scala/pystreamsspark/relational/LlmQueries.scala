@@ -122,7 +122,7 @@ object LlmQueries {
 
   val qLangStatsSql: String =
     """SELECT lang, source, COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS sum_chars, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
@@ -289,6 +289,113 @@ object LlmQueries {
       |ORDER BY jaccard DESC, id_a ASC, id_b ASC
       |LIMIT 50""".stripMargin
 
+  /** Connected components over the EXACT-Jaccard near-dup pair list
+    * (threshold 0.5, (lang, source) blocking): every clustered doc labeled
+    * with the min doc_id of its component. Unlike [[qDedupClusters]] (the
+    * LSH production path), the edge list here is oracle-reproducible, so
+    * the full distributed min-label-propagation loop is value-checked
+    * against a DuckDB transitive-closure recursion. */
+  def qCcClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select($"id", $"label")
+      .orderBy($"id")
+  }
+
+  // oracle: min label = min id reachable in the undirected edge graph —
+  // a recursive transitive closure (components here are small; the Spark
+  // side is the O(diameter)-round distributed formulation instead)
+  val qCcClustersSql: String =
+    """WITH RECURSIVE reach AS (
+      |    SELECT s AS id, s AS r FROM und
+      |    UNION
+      |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
+      |), t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |)
+      |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** MinHash-LSH with an md5-derived hash family — the ORACLE-CHECKABLE
+    * twin of [[qMinhashDedup]]. hash_i(token) = first 15 hex digits of
+    * md5(i + ":" + token) as a 60-bit int (md5 exists in both engines with
+    * identical hex output; 15 digits keeps the value positive in BIGINT).
+    * Signature = per-seed min over the distinct token set; 16 hashes in
+    * 4 bands of 4; candidates collide on a whole band; est = fraction of
+    * agreeing signature positions (integer count, one IEEE division).
+    * The xxhash64 family ([[qMinhashDedup]]) stays the production path —
+    * this key exists so the signature/band/bucket-join LOGIC is
+    * value-verified end-to-end, not just property-tested. */
+  def qMinhashOracle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nH = 16
+    val bands = 4
+    val rows = nH / bands
+    val toks = array_distinct(TextOps.tokens($"text"))
+    val sigExpr = transform(
+      sequence(lit(0), lit(nH - 1)),
+      i => array_min(transform(col("toks"), t =>
+        conv(substring(md5(concat(i.cast("string"), lit(":"), t).cast("binary")), 1, 15),
+          16, 10).cast("long"))))
+    val sigs = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", sigExpr.as("sig"))
+    val banded = sigs
+      .select($"doc_id", $"sig", posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", transform(slice($"sig", b * rows + 1, lit(rows)),
+          v => v.cast("string"))))))
+      .select($"doc_id", $"sig", $"pos".as("bnd"), $"col".as("bkey"))
+    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"), $"sig".as("sig_a"))
+    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+    a.join(b, Seq("bnd", "bkey"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sig_a", $"sig_b").distinct()
+      .select($"id_a", $"id_b",
+        (aggregate(zip_with($"sig_a", $"sig_b",
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / nH).as("est"))
+      .filter($"est" >= 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qMinhashOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+      |), s AS (
+      |  SELECT doc_id,
+      |    [ list_min([ CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', tk)),1,15)) AS BIGINT)
+      |                 FOR tk IN toks ]) FOR i IN range(0,16) ] AS sig
+      |  FROM t
+      |), b AS (
+      |  SELECT doc_id, sig, bnd,
+      |    array_to_string(sig[bnd*4+1:bnd*4+4], ',') AS bkey
+      |  FROM s, UNNEST(range(0,4)) AS u(bnd)
+      |), p AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sig_a, b2.sig AS sig_b
+      |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(len([i FOR i IN range(0,16) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/16.0 AS est
+      |FROM p
+      |WHERE CAST(len([i FOR i IN range(0,16) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/16.0 >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- sketch-based ops: no DuckDB oracle (xxhash64), rows-only check ----
 
   /** MinHash-LSH near-dup detection, demonstrated on docs + engineered
@@ -333,6 +440,23 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** SimHash banded hamming-pairs (the join step [[qSimhash]] only
+    * sketches for): docs + planted near-duplicates (last token dropped,
+    * id + 10_000_000) → chunk-banded candidate join → hamming <= 6
+    * verify. Smoke key (xxhash64 sketch — no DuckDB oracle); the planted
+    * mutants guarantee a non-empty result, and SketchesSpec asserts
+    * recall on hamming-close plants. */
+  def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val mutated = docs.select(
+      ($"doc_id" + 10000000L).as("doc_id"),
+      expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
+        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
+    Dedup.simHashPairs(docs.unionByName(mutated), "doc_id", "text", maxDist = 6)
+      .orderBy($"id_a".asc, $"id_b".asc)
+  }
+
   /** LSH-bucketed ANN pairs on embeddings + planted exact duplicates
     * (vec_id + 10_000_000): every planted pair shares all buckets and
     * must be found with cosine 1.0. */
@@ -357,9 +481,12 @@ object LlmQueries {
     "q_knn_cosine"    -> (qKnnCosine _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_cc_clusters"   -> (qCcClusters _),
+    "q_minhash_oracle" -> (qMinhashOracle _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash"       -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_sim_join"      -> (qSimJoin _))
 
   val oracle: Map[String, String] = Map(
@@ -373,5 +500,7 @@ object LlmQueries {
     "q_fingerprint"   -> qFingerprintSql,
     "q_knn_cosine"    -> qKnnCosineSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
-    "q_jaccard_pairs" -> qJaccardPairsSql)
+    "q_jaccard_pairs" -> qJaccardPairsSql,
+    "q_cc_clusters"   -> qCcClustersSql,
+    "q_minhash_oracle" -> qMinhashOracleSql)
 }

@@ -413,7 +413,7 @@ object PipelineQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t)
       |SELECT CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS chunk,
-      |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM c
       |GROUP BY 1
       |ORDER BY chunk""".stripMargin
@@ -469,26 +469,21 @@ object PipelineQueries {
       |WHERE l_orderkey % 20 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** Fuzzy (edit-distance) matching — the blocked similarity-join shape
-    * for entity resolution: block on a cheap equality key (nation) so
-    * the quadratic comparison only runs inside blocks, then keep pairs
-    * within Levenshtein ≤ 2. Same funnel as the LSH dedup: block →
-    * candidate pairs → exact verify; at 100 TB the block key comes from
-    * a cheap canopy (prefix, phonetic code, LSH bucket). */
+  /** Fuzzy (edit-distance) entity matching via
+    * [[pystreamsspark.operators.EditDistanceJoin]]: PassJoin-style
+    * segment-signature blocking inside the (nation) block, then exact
+    * Levenshtein ≤ 2 verify. Unlike a nation-only block (whose 25 fixed
+    * blocks grow O(n²) pairs at 100×), the segment equi-join keeps
+    * candidate generation LINEAR while provably losing no pair within
+    * the distance bound — so the result still equals the oracle's
+    * all-pairs formulation exactly. */
   def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.customer(spark, sfDir)
       .filter($"c_custkey" % 29 === 0)
-      .select($"c_custkey", $"c_name", $"c_nationkey")
-    val a = base.select($"c_custkey".as("id_a"), $"c_name".as("name_a"),
-      $"c_nationkey".as("nk"))
-    val b = base.select($"c_custkey".as("id_b"), $"c_name".as("name_b"),
-      $"c_nationkey".as("nk"))
-    a.join(b, Seq("nk"))
-      .filter($"id_a" < $"id_b")
-      .withColumn("dist", levenshtein($"name_a", $"name_b"))
-      .filter($"dist" <= 2)
-      .select($"id_a", $"id_b", $"dist")
+      .select($"c_custkey", $"c_name", $"c_nationkey".as("nk"))
+    pystreamsspark.operators.EditDistanceJoin
+      .editDistancePairs(base, "c_custkey", "c_name", Seq("nk"), k = 2)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -66,8 +66,8 @@ object ScalarQueries {
       |  year(o_orderdate) AS yr,
       |  month(o_orderdate) AS mo,
       |  day(o_orderdate) AS dom,
-      |  date_trunc('month', o_orderdate) AS month_start,
-      |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
       |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
       |  epoch_us(o_orderdate) // 1000000 AS epoch_s
       |FROM orders
@@ -95,12 +95,12 @@ object ScalarQueries {
     """SELECT s_suppkey,
       |  abs(s_acctbal) AS abs_bal,
       |  round(s_acctbal, 1) AS round_bal,
-      |  floor(s_acctbal) AS floor_bal,
-      |  ceil(s_acctbal) AS ceil_bal,
+      |  CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+      |  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
       |  sqrt(abs(s_acctbal)) AS sqrt_bal,
       |  s_acctbal * s_acctbal AS sq_bal,
       |  s_suppkey % 7 AS mod7,
-      |  CASE WHEN s_acctbal > 0 THEN 1.0 WHEN s_acctbal < 0 THEN -1.0 ELSE 0.0 END AS sign_bal,
+      |  CAST(CASE WHEN s_acctbal > 0 THEN 1.0 WHEN s_acctbal < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sign_bal,
       |  greatest(s_acctbal, 0.0) AS pos_part,
       |  least(s_acctbal, 0.0) AS neg_part
       |FROM supplier

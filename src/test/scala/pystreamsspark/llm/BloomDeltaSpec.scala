@@ -25,6 +25,18 @@ class BloomDeltaSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("deltaWithBloom with EMPTY existing returns all of incoming (bootstrap run)") {
+    val s = spark
+    import s.implicits._
+    val docs = pystreamsspark.io.Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.normText($"text").as("norm"))
+    val existing = docs.filter(lit(false)).select($"norm") // zero rows
+    val incoming = docs.limit(100)
+    // BloomFilterAggregate yields NULL over zero rows; an unguarded
+    // bloom_contains(NULL, h) would silently drop EVERY row here
+    assert(Dedup.deltaWithBloom(existing, incoming, "norm").count() == 100)
+  }
+
   test("bloom filter has no false negatives; fp rate is small") {
     val s = spark
     import s.implicits._

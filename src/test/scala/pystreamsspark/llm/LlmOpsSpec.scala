@@ -28,6 +28,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh.toSet === Set("a b c", "b c d"))
   }
 
+  test("shingles: empty/whitespace-only text yields an EMPTY array (ShingleHash parity)") {
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val df = docsDf(Seq((1L, ""), (2L, "   "), (3L, "a")))
+    val rows = df.select(
+        Dedup.shingles(col("text"), 3).as("sh"),
+        call_function("shingle_hash",
+          TextOps.tokens(col("text")), lit(3)).as("nat"))
+      .collect()
+    for (r <- rows) {
+      val hof = r.getSeq[String](0)
+      val nat = r.getSeq[Long](1)
+      assert(hof.size == nat.size, s"HOF ${hof.size} vs native ${nat.size}")
+    }
+    assert(rows(0).getSeq[String](0).isEmpty && rows(1).getSeq[String](0).isEmpty)
+  }
+
   test("minhash jaccard estimate within tolerance of exact") {
     pystreamsspark.functions.VectorExpressions.register(spark)
     val a = "the quick brown fox jumps over the lazy dog today again"
@@ -187,6 +203,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star CC == label-propagation CC; fewer rounds on a deep chain") {
+    val s = spark
+    import s.implicits._
+    // 64-node chain: diameter 63 — label propagation needs ~log-capped
+    // maxIter rounds of distance-1 hops; star rounds double the jump
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (starLabels, rounds) = Dedup.ccStarWithRounds(chain)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 64 && star.values.forall(_ == 0L),
+      s"chain must collapse to root 0, got ${star.toSeq.sortBy(_._1).take(8)}...")
+    assert(rounds <= 10, s"star CC took $rounds rounds on a 64-chain (expected O(log))")
+    // equivalence with the propagation variant on an arbitrary mixed graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (5L, 9L), (9L, 6L), (6L, 5L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star2 = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star2 == prop)
+  }
+
   test("asof join: carries most recent earlier value") {
     val s = spark
     import s.implicits._
@@ -201,5 +239,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L) === Some(1.0))  // ts=100 matches right ts=100 (<=)
     assert(out(2L) === Some(2.0))  // ts=205 -> right ts=200
     assert(out(3L) === None)       // ts=150 < first right ts=300 for user 20
+  }
+
+  test("asof join tie-break: same-(key,ts) right rows resolve to max value, deterministically") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "ts")
+    // three right rows at the SAME (user_id, ts): winner must be the
+    // greatest value (the documented, oracle-reproducible rule) on every run
+    val right = Seq((10L, 100L, 2.0), (10L, 100L, 7.0), (10L, 100L, 5.0))
+      .toDF("user_id", "ts", "value").repartition(3)
+    (1 to 3).foreach { _ =>
+      val v = pystreamsspark.operators.AsofJoin.asofJoin(
+          left, right, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select("asof_value").head.getDouble(0)
+      assert(v === 7.0)
+    }
   }
 }

@@ -110,6 +110,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("seq-pack with empty intermediate partitions (nPartitions >> rows): no NULL offsets") {
+    val s = spark
+    import s.implicits._
+    // 8 rows into 32 range partitions guarantees empty partitions — a
+    // prefix-offset map built only over NON-empty pids would leave every
+    // pid past the first gap with a NULL offset (NULL cum/chunk rows)
+    val docs = (1L to 8L).map(i => (i, i * 100L)).toDF("doc_id", "n_tok")
+    val out = pystreamsspark.operators.SeqPack
+      .packChunks(docs, "doc_id", "n_tok", 500L, nPartitions = 32)
+    assert(out.filter($"cum".isNull || $"chunk".isNull).count() == 0)
+    val total = out.agg(max($"cum")).head.getLong(0)
+    assert(total == (1L to 8L).map(_ * 100L).sum)
+  }
+
+  test("edit-distance join: segment blocking == naive all-pairs (substitutions AND indels)") {
+    val s = spark
+    import s.implicits._
+    // adversarial set: substitutions, insertions, deletions, shifts —
+    // including pairs a naive prefix canopy would lose (edits in the prefix)
+    val strs = Seq("abcdef", "abcdeg", "xbcdef", "abdef", "aabcdef", "abcdefg",
+      "zabcde", "abcxyz", "qrstuv", "qrstxv", "rstuvq", "abc", "abd", "ab",
+      "Customer#000000029", "Customer#000000129", "Customer#000001029",
+      "Customer#00000029x", "ustomer#000000029a")
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t, 0) }
+      .toDF("id", "name", "blk")
+    val naive = {
+      val a = df.select($"id".as("id_a"), $"name".as("na"), $"blk")
+      val b = df.select($"id".as("id_b"), $"name".as("nb"), $"blk")
+      a.join(b, "blk").filter($"id_a" < $"id_b")
+        .withColumn("dist", levenshtein($"na", $"nb")).filter($"dist" <= 2)
+        .select($"id_a", $"id_b", $"dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val seg = pystreamsspark.operators.EditDistanceJoin
+      .editDistancePairs(df, "id", "name", Seq("blk"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(seg == naive, s"missing=${naive -- seg} extra=${seg -- naive}")
+  }
+
+  test("edit-distance join on customer == naive nation-blocked formulation") {
+    val s = spark
+    import s.implicits._
+    val base = pystreamsspark.io.Tables.customer(spark, sf)
+      .filter($"c_custkey" % 29 === 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey".as("nk"))
+    val naive = {
+      val a = base.select($"c_custkey".as("id_a"), $"c_name".as("na"), $"nk")
+      val b = base.select($"c_custkey".as("id_b"), $"c_name".as("nb"), $"nk")
+      a.join(b, "nk").filter($"id_a" < $"id_b")
+        .withColumn("dist", levenshtein($"na", $"nb")).filter($"dist" <= 2)
+        .select($"id_a", $"id_b", $"dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val seg = pystreamsspark.operators.EditDistanceJoin
+      .editDistancePairs(base, "c_custkey", "c_name", Seq("nk"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(seg == naive, s"missing=${naive -- seg} extra=${seg -- naive}")
+  }
+
   test("mode tie-break picks the lexicographically first type") {
     val s = spark
     import s.implicits._

@@ -37,6 +37,26 @@ class SketchesSpec extends SparkSpec {
     assert(err < 0.05, s"merged=$merged exact=$exact err=$err")
   }
 
+  test("simhash banded pairs: planted near-dups recalled, no id-order dups, dist bounded") {
+    val s = spark
+    import s.implicits._
+    import pystreamsspark.llm.Dedup
+    val docs = pystreamsspark.io.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").limit(200)
+    val mutated = docs.select(($"doc_id" + 10000000L).as("doc_id"),
+      expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
+        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
+    val pairs = Dedup.simHashPairs(docs.unionByName(mutated), "doc_id", "text", maxDist = 6)
+      .persist()
+    val found = pairs
+      .filter($"id_b" === $"id_a" + 10000000L).count()
+    // dropping one of ~100+ tokens rarely flips >6 of 64 bits; banding
+    // guarantees recall only for dist<=3, so assert a strong majority
+    assert(found >= 150, s"planted recall $found/200 too low")
+    assert(pairs.filter($"dist" > 6 || $"id_a" >= $"id_b").count() == 0)
+    pairs.unpersist()
+  }
+
   test("count-min sketch: estimates never undercount, overcount bounded") {
     val s = spark
     import s.implicits._

@@ -17,6 +17,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+import re
+
+
+def _canon_type(t):
+    """Canonicalize DuckDB type names to the equivalence the DRIVER's hash
+    empirically uses (calibrated against CORRECTNESS_r01.json):
+
+    - integer widths are interchangeable (TINYINT..BIGINT all hashed as
+      ints — 13 round-1 queries had INTEGER vs BIGINT drift and passed);
+    - DECIMAL and FLOAT/DOUBLE are interchangeable (both render as floats
+      in pandas — q_histogram DOUBLE vs DECIMAL(25,1) passed);
+    - int-family vs float-family FAILS ("100" vs "100.0" — q_math_fns);
+    - HUGEINT FAILS vs int-family (pandas converts int128 to float64 —
+      q_lang_stats, q_seq_pack).
+    """
+    if t is None:
+        return None
+    t = str(t)
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if t in ("FLOAT", "DOUBLE") or re.fullmatch(r"DECIMAL\(\d+,\d+\)", t):
+        return "FLOAT"
+    return t.replace("STRING", "VARCHAR").replace("TEXT", "VARCHAR")
+
+
 def main(outdir: str, sfdir: str) -> int:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
@@ -43,6 +69,23 @@ def main(outdir: str, sfdir: str) -> int:
         ref = ref[sorted(ref.columns)]
         if list(mine.columns) != list(ref.columns):
             print(f"FAIL {name}: columns {list(mine.columns)} != {list(ref.columns)}")
+            n_fail += 1
+            continue
+        # Dtype parity at the DuckDB level (BEFORE pandas normalization):
+        # the driver's hash is type-sensitive, so DuckDB HUGEINT/DOUBLE vs
+        # Spark BIGINT must fail here even when values compare equal.
+        mt = dict(zip(*con.execute(
+            "SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM "
+            f"read_parquet('{outdir}/{name}/*.parquet'))").fetchnumpy().values()))
+        rt = dict(zip(*con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE ({sql}))"
+        ).fetchnumpy().values()))
+        dt_bad = [(c, mt.get(c), rt.get(c)) for c in mine.columns
+                  if _canon_type(mt.get(c)) != _canon_type(rt.get(c))]
+        if dt_bad:
+            c, a, b = dt_bad[0]
+            print(f"FAIL {name}: dtype drift on {len(dt_bad)} col(s); first: "
+                  f"col={c} spark={a} oracle={b}")
             n_fail += 1
             continue
         if mine.shape != ref.shape:
