@@ -3,7 +3,7 @@ package pystreamsspark.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
-import pystreamsspark.llm.{Dedup, Similarity, TextOps}
+import pystreamsspark.llm.{Contamination, Dedup, Similarity, TextOps}
 import Det._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.8) as oracle-checked
@@ -328,30 +328,39 @@ object LlmQueries {
       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** MinHash-LSH with an md5-derived hash family — the ORACLE-CHECKABLE
-    * twin of [[qMinhashDedup]]. hash_i(token) = first 15 hex digits of
-    * md5(i + ":" + token) as a 60-bit int (md5 exists in both engines with
-    * identical hex output; 15 digits keeps the value positive in BIGINT).
-    * Signature = per-seed min over the distinct token set; 16 hashes in
-    * 4 bands of 4; candidates collide on a whole band; est = fraction of
-    * agreeing signature positions (integer count, one IEEE division).
-    * The xxhash64 family ([[qMinhashDedup]]) stays the production path —
-    * this key exists so the signature/band/bucket-join LOGIC is
-    * value-verified end-to-end, not just property-tested. */
+    * twin of [[qMinhashDedup]]. Works on distinct word 3-SHINGLES like
+    * the production path (single tokens are useless here: the synthetic
+    * corpus has a ~40-word vocabulary, so token-level signatures collide
+    * globally and the pair set goes quadratic — measured 6.6M pairs/41 s
+    * at sf0.1). ONE md5 per shingle, split into two 40-bit halves
+    * (a, b); hash family h_i = (a + i*b) mod 2^40 — exact in BIGINT
+    * (max ~2^44, no overflow in either engine), 16x fewer md5 calls than
+    * hashing per seed. Signature = per-seed min over the shingle set;
+    * 16 hashes in 4 bands of 4; candidates collide on a whole band;
+    * est = fraction of agreeing signature positions (integer count, one
+    * IEEE division). The xxhash64 family ([[qMinhashDedup]]) stays the
+    * production path — this key exists so the signature/band/bucket-join
+    * LOGIC is value-verified end-to-end, not just property-tested. */
   def qMinhashOracle(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nH = 16
     val bands = 4
     val rows = nH / bands
-    val toks = array_distinct(TextOps.tokens($"text"))
-    val sigExpr = transform(
-      sequence(lit(0), lit(nH - 1)),
-      i => array_min(transform(col("toks"), t =>
-        conv(substring(md5(concat(i.cast("string"), lit(":"), t).cast("binary")), 1, 15),
-          16, 10).cast("long"))))
-    val sigs = Tables.documents(spark, sfDir)
-      .select($"doc_id", toks.as("toks"))
-      .filter(size($"toks") > 0)
-      .select($"doc_id", sigExpr.as("sig"))
+    val M = 1099511627776L // 2^40
+    // RELATIONAL signature build — explode the (already-distinct) shingle
+    // array, md5 each gram ONCE in a flat projection (whole-stage codegen
+    // + subexpression elimination, which lambda bodies never get), then
+    // 16 partial-aggregated MINs per doc. Measured 30x faster than the
+    // nested-HOF formulation (interpreted md5 per lambda element).
+    val hashed = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("g"))
+      .select($"doc_id",
+        conv(substring(md5($"g".cast("binary")), 1, 10), 16, 10).cast("long").as("a"),
+        conv(substring(md5($"g".cast("binary")), 11, 10), 16, 10).cast("long").as("b"))
+    val minCols = (0 until nH).map(i => min(($"a" + $"b" * i) % M).as(s"m$i"))
+    val sigs = hashed.groupBy($"doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id", array((0 until nH).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs
       .select($"doc_id", $"sig", posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
@@ -374,14 +383,23 @@ object LlmQueries {
   val qMinhashOracleSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks
-      |  FROM documents
-      |  WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), ab AS (
+      |  SELECT doc_id,
+      |    [ { a: CAST(concat('0x', substring(md5(g),1,10)) AS BIGINT),
+      |        b: CAST(concat('0x', substring(md5(g),11,10)) AS BIGINT) }
+      |      FOR g IN grams ] AS ab
+      |  FROM t
       |), s AS (
       |  SELECT doc_id,
-      |    [ list_min([ CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', tk)),1,15)) AS BIGINT)
-      |                 FOR tk IN toks ]) FOR i IN range(0,16) ] AS sig
-      |  FROM t
+      |    [ list_min([ (x.a + i*x.b) % 1099511627776 FOR x IN ab ])
+      |      FOR i IN range(0,16) ] AS sig
+      |  FROM ab
       |), b AS (
       |  SELECT doc_id, sig, bnd,
       |    array_to_string(sig[bnd*4+1:bnd*4+4], ',') AS bkey
@@ -395,6 +413,128 @@ object LlmQueries {
       |FROM p
       |WHERE CAST(len([i FOR i IN range(0,16) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/16.0 >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Train/test contamination detection ([[Contamination]]): eval docs
+    * (md5-split, first hex digit < '2' ≈ 12.5%) that share >= 2 distinct
+    * word 3-grams with a training doc, with the standard heavy-hitter df
+    * cap (grams in > 50 training docs are banned as signal-free). The
+    * gram→pairs funnel shuffles on the gram key only — never test×train
+    * all-pairs. */
+  def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 1).as("hc"))
+    val test = docs.filter($"hc" < "2")
+    val train = docs.filter($"hc" >= "2")
+    Contamination.contaminationPairs(train, test, "doc_id", "text",
+        n = 3, minShared = 2, maxDf = 50L)
+      .orderBy($"test_id", $"train_id")
+  }
+
+  val qContaminationSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS hc,
+      |    list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, hc, g
+      |  FROM (
+      |    SELECT doc_id, hc,
+      |      list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                      FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS gs
+      |    FROM tok WHERE len(toks) > 0
+      |  ), UNNEST(gs) AS u(g)
+      |), tr AS (
+      |  SELECT doc_id AS train_id, g FROM grams WHERE hc >= '2'
+      |), te AS (
+      |  SELECT doc_id AS test_id, g FROM grams WHERE hc < '2'
+      |), banned AS (
+      |  SELECT g FROM tr GROUP BY g HAVING COUNT(*) > 50
+      |), kept AS (
+      |  SELECT * FROM tr WHERE g NOT IN (SELECT g FROM banned)
+      |)
+      |SELECT te.test_id, kept.train_id, COUNT(*) AS n_shared
+      |FROM te JOIN kept ON te.g = kept.g
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY test_id, train_id""".stripMargin
+
+  /** BM25 relevance scoring for a fixed 3-term query ("join window
+    * stream") over the document corpus — the retrieval/reranking pass of
+    * a RAG or data-curation pipeline.
+    *
+    * Cross-engine float determinism by construction (see SKILL.md):
+    * k1 = 1.5 and b = 0.75 are exactly representable; idf is the raw
+    * ratio (N - df + 0.5)/(df + 0.5) (no ln — libm differs across
+    * engines); every scalar is computed by the SAME parenthesized op
+    * tree in Spark and DuckDB; the 3 per-term scores are added in one
+    * FIXED order (s1 + s2) + s3, never a reduction.
+    *
+    * Scale shape: tf/dl are per-row HOFs (map-side); the corpus stats
+    * (df per term, total length, N) are ONE map-side-combined global
+    * aggregate, broadcast back with a 1-row cross join — no window over
+    * an unpartitioned frame, no second scan shuffle. */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("join", "window", "stream")
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id" +: TextOps.tokens($"text").as("toks") +: Nil: _*)
+      .select(($"doc_id" +: size($"toks").cast("long").as("dl") +:
+        terms.map(t => size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    val aggCols = count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    def score(t: String) = {
+      val idf = ($"n_docs".cast("double") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      val norm = lit(1.5) * (lit(0.25) + lit(0.75) *
+        ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs".cast("double"))))
+      when(col(s"tf_$t") > 0,
+        idf * (col(s"tf_$t") * lit(2.5)) / (col(s"tf_$t") + norm)).otherwise(lit(0.0))
+    }
+    scored
+      .select(($"doc_id" +: terms.map(t => col(s"tf_$t"))) :+
+        ((score("join") + score("window")) + score("stream")).as("bm25"): _*)
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(100)
+  }
+
+  val qBm25Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x = 'join')) AS BIGINT) AS tf_join,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x = 'window')) AS BIGINT) AS tf_window,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x = 'stream')) AS BIGINT) AS tf_stream
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+      |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+      |    CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+      |  FROM base
+      |)
+      |SELECT doc_id, tf_join, tf_window, tf_stream,
+      |  ((CASE WHEN tf_join > 0 THEN
+      |      ((CAST(n_docs AS DOUBLE) - df_join + 0.5) / (df_join + 0.5))
+      |      * (tf_join * 2.5)
+      |      / (tf_join + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    ELSE 0.0 END
+      |  + CASE WHEN tf_window > 0 THEN
+      |      ((CAST(n_docs AS DOUBLE) - df_window + 0.5) / (df_window + 0.5))
+      |      * (tf_window * 2.5)
+      |      / (tf_window + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    ELSE 0.0 END)
+      |  + CASE WHEN tf_stream > 0 THEN
+      |      ((CAST(n_docs AS DOUBLE) - df_stream + 0.5) / (df_stream + 0.5))
+      |      * (tf_stream * 2.5)
+      |      / (tf_stream + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    ELSE 0.0 END) AS bm25
+      |FROM base CROSS JOIN stats
+      |ORDER BY bm25 DESC, doc_id ASC
+      |LIMIT 100""".stripMargin
 
   // ---- sketch-based ops: no DuckDB oracle (xxhash64), rows-only check ----
 
@@ -445,7 +585,9 @@ object LlmQueries {
     * id + 10_000_000) → chunk-banded candidate join → hamming <= 6
     * verify. Smoke key (xxhash64 sketch — no DuckDB oracle); the planted
     * mutants guarantee a non-empty result, and SketchesSpec asserts
-    * recall on hamming-close plants. */
+    * recall on hamming-close plants. Sketches come from
+    * [[Dedup.simHashBulk]] (explode + 64 partial-agg vote sums — the
+    * codegen'd corpus-scale path). */
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
@@ -483,6 +625,8 @@ object LlmQueries {
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_cc_clusters"   -> (qCcClusters _),
     "q_minhash_oracle" -> (qMinhashOracle _),
+    "q_contamination" -> (qContamination _),
+    "q_bm25"          -> (qBm25 _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash"       -> (qSimhash _),
@@ -502,5 +646,7 @@ object LlmQueries {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_cc_clusters"   -> qCcClustersSql,
-    "q_minhash_oracle" -> qMinhashOracleSql)
+    "q_minhash_oracle" -> qMinhashOracleSql,
+    "q_contamination" -> qContaminationSql,
+    "q_bm25"          -> qBm25Sql)
 }

@@ -225,6 +225,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(star2 == prop)
   }
 
+  test("simHashBulk == scalar simHash sketch for every doc (incl. empty text)") {
+    val s = spark
+    import s.implicits._
+    val docs = pystreamsspark.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((900001L, ""), (900002L, "   ")).toDF("doc_id", "text"))
+    val scalar = docs.select($"doc_id", Dedup.simHash("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bulk = Dedup.simHashBulk(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == scalar)
+  }
+
+  test("contamination: planted copy flagged, ubiquitous grams banned, disjoint docs clean") {
+    val s = spark
+    import s.implicits._
+    val common = "the quick brown fox" // appears in EVERY train doc -> df-banned
+    val train = (1L to 30L).map(i =>
+      (i, s"$common unique$i phrase$i tail$i alpha$i beta$i gamma$i")).toDF("doc_id", "text")
+    val test = Seq(
+      (101L, "unique7 phrase7 tail7 alpha7 beta7 gamma7"), // copy of train 7's tail
+      (102L, "totally disjoint words here nothing shared"),
+      (103L, common)) // ONLY banned grams -> must not pair
+      .toDF("doc_id", "text")
+    val out = Contamination.contaminationPairs(train, test, "doc_id", "text",
+        n = 3, minShared = 2, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (te, tr, n) => te == 101L && tr == 7L && n >= 2 })
+    assert(!out.exists(_._1 == 102L))
+    assert(!out.exists(_._1 == 103L), "df-banned grams must not create pairs")
+  }
+
   test("asof join: carries most recent earlier value") {
     val s = spark
     import s.implicits._

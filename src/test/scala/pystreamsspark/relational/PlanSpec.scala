@@ -78,6 +78,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // row_number<=k prunes in-shuffle
   }
 
+  test("q_contamination: df-cap is a broadcast ANTI join; no cartesian anywhere") {
+    // registered key: no cartesian (at tiny SF the banned set is empty and
+    // AQE rightly ELIMINATES the anti-join via PropagateEmptyRelation)
+    val p = plan(graft.SparkEntry.queries("q_contamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // maxDf=1 forces a non-empty ban list -> the anti-join must survive
+    // as a BROADCAST anti, never a shuffled one
+    val docs = pystreamsspark.io.Tables.documents(spark, sf)
+    val p2 = plan(pystreamsspark.llm.Contamination.contaminationPairs(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, minShared = 1, maxDf = 1L))
+    assert(p2.contains("LeftAnti") && p2.contains("BroadcastHashJoin"), p2)
+  }
+
+  test("q_fuzzy_join: segment equi-join, no cartesian / nested-loop fallback") {
+    val p = plan(graft.SparkEntry.queries("q_fuzzy_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q_minhash_oracle: signature build is a partial-aggregated hash agg (no window)") {
+    val p = plan(graft.SparkEntry.queries("q_minhash_oracle")(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     val s = spark
     import s.implicits._
