@@ -66,6 +66,51 @@ object Stress {
       pystreamsspark.llm.Similarity.annPairs(emb, "vec_id", "embedding",
         planes = 10, threshold = 0.95).count()
     }
+
+    // token-perturbed doc amplification: suffix every token with the
+    // replica tag so replicas share NO n-grams/sketch bits — a plain
+    // self-union would fabricate 10 exact copies of every doc (quadratic
+    // duplicate structure a real 10x corpus doesn't have)
+    val docsPerturbed = (0 until mult).map { r =>
+      pystreamsspark.io.Tables.documents(spark, sfDir)
+        .withColumn("doc_id", $"doc_id" + lit(r * 10000000L))
+        .withColumn("text", array_join(
+          transform(split($"text", " "), t => concat(t, lit("_" + r))), " "))
+    }.reduce(_ unionByName _)
+    time(s"contamination x$mult") {
+      val test = docsPerturbed.filter(
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) < "2")
+      val train = docsPerturbed.filter(
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) >= "2")
+      pystreamsspark.llm.Contamination.contaminationPairs(
+        train, test, "doc_id", "text", n = 3, minShared = 2, maxDf = 50L).count()
+    }
+    time(s"simhash_pairs x$mult") {
+      pystreamsspark.llm.Dedup.simHashPairs(
+        docsPerturbed, "doc_id", "text", maxDist = 6).count()
+    }
+    // regenerated names (not copied) so replica keys get distinct strings,
+    // like a real 10x customer table
+    val cust = (0 until mult).map { r =>
+      pystreamsspark.io.Tables.customer(spark, sfDir)
+        .withColumn("c_custkey", $"c_custkey" + lit(r * 10000000L))
+    }.reduce(_ unionByName _)
+      .filter($"c_custkey" % 29 === 0)
+      .select($"c_custkey",
+        format_string("Customer#%09d", $"c_custkey").as("c_name"),
+        $"c_nationkey".as("nk"))
+    time(s"edit_join x$mult") {
+      pystreamsspark.operators.EditDistanceJoin.editDistancePairs(
+        cust, "c_custkey", "c_name", Seq("nk"), k = 2).count()
+    }
+    time(s"cc_star x$mult") {
+      val pairs = amplified(
+        pystreamsspark.llm.Dedup.jaccardPairs(
+          pystreamsspark.io.Tables.documents(spark, sfDir), "doc_id", "text",
+          Seq("lang", "source"), threshold = 0.5),
+        Seq("id_a", "id_b"), 10000000L)
+      pystreamsspark.llm.Dedup.connectedComponentsStar(pairs).count()
+    }
     spark.stop()
   }
 }
