@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.queries ++ AggQueries.queries ++ JoinQueries.queries ++
       ScalarQueries.queries ++ WindowQueries.queries ++ TimeQueries.queries ++
       LlmQueries.queries ++ SetQueries.queries ++ SqlQueries.queries ++
-      ExtraQueries.queries ++ PipelineQueries.queries ++ StorageQueries.queries
+      ExtraQueries.queries ++ PipelineQueries.queries ++ StorageQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
       ScalarQueries.oracle ++ WindowQueries.oracle ++ TimeQueries.oracle ++
       LlmQueries.oracle ++ SetQueries.oracle ++ SqlQueries.oracle ++
-      ExtraQueries.oracle ++ PipelineQueries.oracle ++ StorageQueries.oracle
+      ExtraQueries.oracle ++ PipelineQueries.oracle ++ StorageQueries.oracle ++
+      GraphQueries.oracle
 }

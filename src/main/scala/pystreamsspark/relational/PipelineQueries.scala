@@ -496,7 +496,57 @@ object PipelineQueries {
       |  AND levenshtein(a.c_name, b.c_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** CDC MERGE apply ([[pystreamsspark.operators.Upsert]]): a
+    * deterministic changeset against the customer snapshot — updates for
+    * custkey%7 (acctbal+100 at seq 1), deletes for custkey%13 (seq 2),
+    * inserts at key+1,000,000 for custkey%31. Keys divisible by both 7
+    * and 13 receive an update AND a later delete, so the
+    * latest-change-wins collapse is exercised for real. */
+  def qUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.customer(spark, sfDir)
+    val updates = snap.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        ($"c_acctbal" + 100.0).as("c_acctbal"), $"c_mktsegment",
+        lit(1L).as("seq"), lit("U").as("op"))
+    val deletes = snap.filter($"c_custkey" % 13 === 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+        $"c_mktsegment", lit(2L).as("seq"), lit("D").as("op"))
+    val inserts = snap.filter($"c_custkey" % 31 === 0)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name",
+        $"c_nationkey", lit(0.0).as("c_acctbal"), $"c_mktsegment",
+        lit(1L).as("seq"), lit("U").as("op"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    pystreamsspark.operators.Upsert(snap, changes, "c_custkey", "seq", "op")
+      .orderBy($"c_custkey")
+  }
+
+  val qUpsertSql: String =
+    """WITH changes AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+      |         c_mktsegment, 1 AS seq, 'U' AS op
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 2, 'D'
+      |  FROM customer WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, c_mktsegment, 1, 'U'
+      |  FROM customer WHERE c_custkey % 31 = 0
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+      |    FROM changes) WHERE rn = 1
+      |)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer s WHERE NOT EXISTS (
+      |  SELECT 1 FROM latest l WHERE l.c_custkey = s.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM latest WHERE op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert"           -> (qUpsert _),
     "q_fuzzy_join"       -> (qFuzzyJoin _),
     "q_try_fns"          -> (qTryFns _),
     "q_unpivot"          -> (qUnpivot _),
@@ -515,6 +565,7 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_upsert"           -> qUpsertSql,
     "q_fuzzy_join"       -> qFuzzyJoinSql,
     "q_try_fns"          -> qTryFnsSql,
     "q_unpivot"          -> qUnpivotSql,

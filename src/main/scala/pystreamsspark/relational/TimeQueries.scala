@@ -91,13 +91,55 @@ object TimeQueries {
        |GROUP BY user_id, sid
        |ORDER BY user_id, s_start""".stripMargin
 
+  /** Conversion funnel: per user, first 'view' and the earliest
+    * 'purchase' within 1 hour of it. The per-user range join shuffles
+    * both sides once on user_id (sort-merge with the range as a join
+    * residual) — the standard funnel/attribution shape; converted is an
+    * INT flag so the schema is engine-neutral. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("first_view"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    firstView.join(purchases,
+        purchases("user_id") === firstView("user_id") &&
+          $"p_ts" >= $"first_view" &&
+          $"p_ts" <= $"first_view" + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(firstView("user_id").as("user_id"), $"first_view")
+      .agg(min($"p_ts").as("conv_ts"))
+      .select($"user_id", $"first_view", $"conv_ts",
+        when($"conv_ts".isNotNull, 1).otherwise(0).as("converted"))
+      .orderBy($"user_id")
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS first_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), p AS (
+      |  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT v.user_id, v.first_view, MIN(p.p_ts) AS conv_ts,
+      |  CAST(CASE WHEN MIN(p.p_ts) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS converted
+      |FROM v LEFT JOIN p
+      |  ON p.user_id = v.user_id
+      | AND p.p_ts >= v.first_view
+      | AND p.p_ts <= v.first_view + INTERVAL 1 HOUR
+      |GROUP BY v.user_id, v.first_view
+      |ORDER BY v.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
-    "q_session_window" -> (qSessionWindow _))
+    "q_session_window" -> (qSessionWindow _),
+    "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,
-    "q_session_window" -> qSessionWindowSql)
+    "q_session_window" -> qSessionWindowSql,
+    "q_funnel"         -> qFunnelSql)
 }

@@ -169,6 +169,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(seg == naive, s"missing=${naive -- seg} extra=${seg -- naive}")
   }
 
+  test("upsert: latest change wins, deletes drop, inserts land, untouched survive") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)).toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b", 99.0, 1L, "U"),  // update
+      (3L, "c", 30.0, 1L, "D"),  // delete
+      (4L, "d", 77.0, 1L, "U"),  // update...
+      (4L, "d", 77.0, 2L, "D"),  // ...then delete at a later seq: delete wins
+      (6L, "f", 60.0, 1L, "U"))  // insert
+      .toDF("k", "name", "bal", "seq", "op")
+    val out = pystreamsspark.operators.Upsert(snap, changes, "k", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b", 99.0), (5L, "e", 50.0), (6L, "f", 60.0)))
+  }
+
+  test("triangle counts: K4 gives 3 per node; pendant edge gives none") {
+    val s = spark
+    import s.implicits._
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((5L, 6L))).toDF("a", "b")
+    val got = GraphQueries.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("mode tie-break picks the lexicographically first type") {
     val s = spark
     import s.implicits._
