@@ -90,6 +90,34 @@ class SinksAndTriggersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC merge: foreachBatch + Upsert maintains a keyed snapshot across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // the lakehouse MERGE pattern without a table format: each microbatch
+    // of (key, seq, op, payload) changes is applied to the running
+    // snapshot with the same latest-change-wins collapse as batch Upsert
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"))
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val q = in.toDF().toDF("k", "seq", "op", "bal").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val changes = batch.select($"k", $"bal", $"seq", $"op")
+        state.set(pystreamsspark.operators.Upsert(
+          state.get(), changes, "k", "seq", "op").localCheckpoint())
+        ()
+      }.start()
+    try {
+      in.addData((2L, 1L, "U", 99.0), (3L, 1L, "U", 30.0)) // update 2, insert 3
+      q.processAllAvailable()
+      in.addData((1L, 2L, "D", 0.0), (3L, 2L, "U", 33.0))  // delete 1, update 3
+      q.processAllAvailable()
+      val got = state.get().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((2L, 99.0), (3L, 33.0)))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a file source then stops; second run picks up only new files") {
     val s = spark
     import s.implicits._
