@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *   2. compute train-side df per gram and DROP grams with
   *      df > maxDf — ubiquitous phrases ("in the case of") would
   *      otherwise fan out quadratically and signal nothing, exactly
-  *      why published decontamination pipelines cap df;
+  *      why published decontamination pipelines cap df. The count is
+  *      a gram-partitioned window fused into the stream's one shuffle
+  *      (see below), not a separate aggregate pass;
   *   3. equi-join test grams ⋈ train grams on the gram itself —
   *      shuffle keyed by gram, only co-occurring docs ever meet;
   *   4. count shared grams per (test_doc, train_doc); keep pairs
@@ -36,16 +38,17 @@ object Contamination {
           explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
     val trainGrams = grams(train, "train_id")
     val testGrams = grams(test, "test_id")
-    // df cap on the TRAIN side: the over-frequent grams are a SMALL set
-    // (heavy hitters), so ban them with a broadcast anti-join — one
-    // map-side-combined groupBy to find them, no second full shuffle of
-    // the gram stream
-    val banned = trainGrams.groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("gram"))
+    // df cap on the TRAIN side, fused into the stream's ONE shuffle: a
+    // gram-partitioned window counts df in-partition and the filtered
+    // stream comes out ALREADY HashPartitioning(gram)-distributed, which
+    // the pairs join below reuses — so train grams are read once and
+    // shuffled once, total. (A broadcast-anti formulation was measured
+    // slower: it re-reads + re-explodes the train side for the ban-list
+    // aggregate, and the pairs join still needs the full-stream shuffle.)
     val keptTrain = trainGrams
-      .join(broadcast(banned), Seq("gram"), "left_anti")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .filter(col("df") <= maxDf)
       .select(col("train_id"), col("gram"))
     testGrams.join(keptTrain, "gram")
       .groupBy(col("test_id"), col("train_id"))

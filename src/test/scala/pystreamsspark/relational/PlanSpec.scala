@@ -78,19 +78,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // row_number<=k prunes in-shuffle
   }
 
-  test("q_contamination: df-cap is a broadcast ANTI join; no cartesian anywhere") {
-    // registered key: no cartesian (at tiny SF the banned set is empty and
-    // AQE rightly ELIMINATES the anti-join via PropagateEmptyRelation)
+  test("q_contamination: df-cap window fused into ONE train-gram shuffle; no cartesian") {
     val p = plan(graft.SparkEntry.queries("q_contamination")(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // maxDf=1 forces a non-empty ban list -> the anti-join must survive
-    // as a BROADCAST anti, never a shuffled one
-    val docs = pystreamsspark.io.Tables.documents(spark, sf)
-    val p2 = plan(pystreamsspark.llm.Contamination.contaminationPairs(
-      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", n = 3, minShared = 1, maxDf = 1L))
-    assert(p2.contains("LeftAnti") && p2.contains("BroadcastHashJoin"), p2)
+    // the kept-train stream must come out of the window already
+    // gram-partitioned and feed the pairs join WITHOUT re-shuffling:
+    // exchanges = train grams + test grams + pairs groupBy + orderBy (4),
+    // not 5 (a separate df-aggregate pass would add one)
+    assert(countOf(p, "Exchange") <= 4, p)
+    assert(p.contains("Window"), p)
   }
 
   test("q_fuzzy_join: segment equi-join, no cartesian / nested-loop fallback") {
