@@ -545,7 +545,68 @@ object PipelineQueries {
       |FROM latest WHERE op <> 'D'
       |ORDER BY c_custkey""".stripMargin
 
+  /** In-document repetition removal: collapse runs of consecutive
+    * duplicate tokens (the cheap cousin of repeated-line stripping —
+    * this corpus is single-line, so the run is the repetition unit).
+    * Pure per-row HOF with an index lambda — scan-speed, zero shuffle. */
+  def qDedupRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = pystreamsspark.llm.TextOps.tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id",
+        size($"toks").as("n_before"),
+        size(filter($"toks",
+          (t, i) => i === 0 || t =!= element_at($"toks", i))).as("n_after"))
+      .withColumn("n_removed", $"n_before" - $"n_after")
+      .orderBy($"doc_id")
+  }
+
+  val qDedupRunsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(toks) AS n_before,
+      |  len([toks[i+1] FOR i IN range(0, len(toks))
+      |       IF i = 0 OR toks[i+1] <> toks[i]]) AS n_after,
+      |  len(toks) - len([toks[i+1] FOR i IN range(0, len(toks))
+      |       IF i = 0 OR toks[i+1] <> toks[i]]) AS n_removed
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Percentile length trimming: per-language, keep docs whose n_chars
+    * percent_rank lies in [0.05, 0.95] — the outlier-trimming pass of a
+    * corpus-shaping pipeline. percent_rank is deterministic under ties
+    * (equal values share a rank), so the kept set is engine-stable. */
+  def qLengthTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("pr", percent_rank().over(w))
+      .filter($"pr" >= 0.05 && $"pr" <= 0.95)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  val qLengthTrimSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM r WHERE pr >= 0.05 AND pr <= 0.95
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_runs"       -> (qDedupRuns _),
+    "q_length_trim"      -> (qLengthTrim _),
     "q_upsert"           -> (qUpsert _),
     "q_fuzzy_join"       -> (qFuzzyJoin _),
     "q_try_fns"          -> (qTryFns _),
@@ -565,6 +626,8 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_runs"       -> qDedupRunsSql,
+    "q_length_trim"      -> qLengthTrimSql,
     "q_upsert"           -> qUpsertSql,
     "q_fuzzy_join"       -> qFuzzyJoinSql,
     "q_try_fns"          -> qTryFnsSql,
