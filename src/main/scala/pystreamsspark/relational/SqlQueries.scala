@@ -42,6 +42,57 @@ object SqlQueries {
     spark.sql(sqlQ5)
   }
 
+  /** Adapted TPC-H Q7: shipping volume between two nation pairs by ship
+    * year — double self-role of the nation dim (n1 supplier-side, n2
+    * customer-side), both broadcast; one agg shuffle on the 3-part key.
+    * Shared SQL text; decimal-exact revenue. */
+  val sqlQ7: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${sqlSum("volume")} AS revenue, COUNT(*) AS n_items
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    year(l_shipdate) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey
+       |    AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey
+       |    AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def qSqlQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlQ7)
+  }
+
+  /** Adapted TPC-H Q10: top-20 customers by revenue lost to returned
+    * items in one quarter — 4-table join, agg on the customer key, global
+    * top-k by the decimal-exact revenue with an id tie-break. */
+  val sqlQ10: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |  AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
+  def qSqlQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(sqlQ10)
+  }
+
   /** Explicit GROUPING SETS — finer than rollup/cube; same shared text. */
   val sqlGroupingSets: String =
     s"""SELECT
@@ -151,6 +202,8 @@ object SqlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lateral_topn"  -> (qLateral _),
     "q_sql_q5"        -> (qSqlQ5 _),
+    "q_sql_q7"        -> (qSqlQ7 _),
+    "q_sql_q10"       -> (qSqlQ10 _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_subqueries"    -> (qSubqueries _),
     "q_recursive_cte" -> (qRecursive _),
@@ -159,6 +212,8 @@ object SqlQueries {
   val oracle: Map[String, String] = Map(
     "q_lateral_topn"  -> sqlLateral,
     "q_sql_q5"        -> sqlQ5,
+    "q_sql_q7"        -> sqlQ7,
+    "q_sql_q10"       -> sqlQ10,
     "q_grouping_sets" -> sqlGroupingSets,
     "q_subqueries"    -> sqlSubqueries,
     "q_recursive_cte" -> sqlRecursive,
