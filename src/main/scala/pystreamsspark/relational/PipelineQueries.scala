@@ -604,7 +604,32 @@ object PipelineQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Salted (two-phase) skew-safe aggregation as an oracle key: stats of
+    * l_quantity per return flag through [[pystreamsspark.operators.Salted]]
+    * — phase 1 spreads each key over 16 salt buckets, phase 2 combines.
+    * l_quantity is integer-valued, so every partial double sum is exact
+    * and the two-phase result is bit-identical to the oracle's one-pass
+    * SUM regardless of combine order. */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pystreamsspark.operators.Salted
+      .aggStats(Tables.lineitem(spark, sfDir), Seq("l_returnflag"), "l_quantity",
+        buckets = 16)
+      .orderBy($"l_returnflag")
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  SUM(l_quantity) AS sum_l_quantity,
+      |  COUNT(l_quantity) AS cnt_l_quantity,
+      |  MIN(l_quantity) AS min_l_quantity,
+      |  MAX(l_quantity) AS max_l_quantity
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg"       -> (qSaltedAgg _),
     "q_dedup_runs"       -> (qDedupRuns _),
     "q_length_trim"      -> (qLengthTrim _),
     "q_upsert"           -> (qUpsert _),
@@ -626,6 +651,7 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg"       -> qSaltedAggSql,
     "q_dedup_runs"       -> qDedupRunsSql,
     "q_length_trim"      -> qLengthTrimSql,
     "q_upsert"           -> qUpsertSql,
