@@ -536,6 +536,69 @@ object LlmQueries {
       |ORDER BY bm25 DESC, doc_id ASC
       |LIMIT 100""".stripMargin
 
+  /** SimHash with an md5-derived hash family — the ORACLE-CHECKABLE twin
+    * of [[qSimhashPairs]], closing the last unverified sketch family:
+    * 32-bit sketch from the first 40 bits of md5(token) (sign votes per
+    * bit, ties set the bit — same rule as [[Dedup.simHash]]), banded into
+    * 4 8-bit chunks, bucket-join candidates, exact hamming <= 6 verify.
+    * Relational build like [[Dedup.simHashBulk]]: explode tokens, md5
+    * once per token in codegen, 32 partial-agg vote sums. Zero-token
+    * docs are excluded symmetrically on both sides. */
+  def qSimhashOracle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val votes = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
+      .select($"doc_id",
+        conv(substring(md5($"t".cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
+    val sumCols = (0 until 32).map(j => sum(
+      when(shiftrightunsigned($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j"))
+    val sk = votes.groupBy($"doc_id")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select($"doc_id",
+        (0 until 32).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sk"))
+    val banded = sk.select($"doc_id", $"sk",
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftrightunsigned($"sk", 8 * c).bitwiseAND(lit(255L)).as("ck"))): _*)).as("b"))
+      .select($"doc_id", $"sk", $"b.c".as("c"), $"b.ck".as("ck"))
+    val a = banded.select($"c", $"ck", $"doc_id".as("id_a"), $"sk".as("sk_a"))
+    val b = banded.select($"c", $"ck", $"doc_id".as("id_b"), $"sk".as("sk_b"))
+    a.join(b, Seq("c", "ck"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sk_a", $"sk_b").distinct()
+      .select($"id_a", $"id_b",
+        bit_count($"sk_a".bitwiseXOR($"sk_b")).as("dist"))
+      .filter($"dist" <= 6)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qSimhashOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |  FROM documents WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+      |), h AS (
+      |  SELECT doc_id,
+      |    [ CAST(concat('0x', substring(md5(tk),1,10)) AS BIGINT) FOR tk IN toks ] AS hs
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([ CASE WHEN
+      |        list_sum([ CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END FOR x IN hs ]) >= 0
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 32) ]) AS BIGINT) AS sk
+      |  FROM h
+      |), b AS (
+      |  SELECT doc_id, sk, c, (sk >> (c*8)) & 255 AS ck
+      |  FROM s, UNNEST(range(0,4)) AS u(c)
+      |), p AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sk AS sk_a, b2.sk AS sk_b
+      |  FROM b a JOIN b b2 ON a.c = b2.c AND a.ck = b2.ck AND a.doc_id < b2.doc_id
+      |)
+      |SELECT id_a, id_b, bit_count(xor(sk_a, sk_b)) AS dist
+      |FROM p WHERE bit_count(xor(sk_a, sk_b)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- sketch-based ops: no DuckDB oracle (xxhash64), rows-only check ----
 
   /** MinHash-LSH near-dup detection, demonstrated on docs + engineered
@@ -627,6 +690,7 @@ object LlmQueries {
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_contamination" -> (qContamination _),
     "q_bm25"          -> (qBm25 _),
+    "q_simhash_oracle" -> (qSimhashOracle _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash"       -> (qSimhash _),
@@ -648,5 +712,6 @@ object LlmQueries {
     "q_cc_clusters"   -> qCcClustersSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_contamination" -> qContaminationSql,
-    "q_bm25"          -> qBm25Sql)
+    "q_bm25"          -> qBm25Sql,
+    "q_simhash_oracle" -> qSimhashOracleSql)
 }
