@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *      df > maxDf — ubiquitous phrases ("in the case of") would
   *      otherwise fan out quadratically and signal nothing, exactly
   *      why published decontamination pipelines cap df. The count is
-  *      a gram-partitioned window fused into the stream's one shuffle
-  *      (see below), not a separate aggregate pass;
+  *      a PARTIAL aggregate (map-side combine) feeding a tiny
+  *      broadcast ban list (see below) — never a gram-partitioned
+  *      window, which would materialize every occurrence of the
+  *      hottest gram in one task before filtering it;
   *   3. equi-join test grams ⋈ train grams on the gram itself —
   *      shuffle keyed by gram, only co-occurring docs ever meet;
   *   4. count shared grams per (test_doc, train_doc); keep pairs
@@ -38,17 +40,26 @@ object Contamination {
           explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
     val trainGrams = grams(train, "train_id")
     val testGrams = grams(test, "test_id")
-    // df cap on the TRAIN side, fused into the stream's ONE shuffle: a
-    // gram-partitioned window counts df in-partition and the filtered
-    // stream comes out ALREADY HashPartitioning(gram)-distributed, which
-    // the pairs join below reuses — so train grams are read once and
-    // shuffled once, total. (A broadcast-anti formulation was measured
-    // slower: it re-reads + re-explodes the train side for the ban-list
-    // aggregate, and the pairs join still needs the full-stream shuffle.)
+    // df cap on the TRAIN side, SKEW-SAFE two-pass form. Pass 1 is a
+    // groupBy(gram) partial aggregate: map-side combine collapses even a
+    // gram occurring in 30% of all docs to one row per input partition,
+    // so the reduce task for the hottest gram sees ≤ nPartitions rows —
+    // never the raw occurrence list. Only grams OVER the cap survive the
+    // filter, and that ban list is tiny by construction (ubiquitous
+    // phrases), so it broadcasts. Pass 2 anti-joins the gram stream
+    // against the broadcast ban list — no shuffle, and every gram that
+    // reaches the pairs join below has df ≤ maxDf, which bounds the
+    // join's per-key fan-out too. (A window-fused single-shuffle variant
+    // measured faster at sf0.1, where no gram is hot — but a window
+    // partitioned by raw gram materializes every occurrence of the top
+    // gram in ONE task before filtering, exactly the hot-task the df cap
+    // exists to prevent; at corpus scale the two-pass form wins.)
+    val banned = trainGrams
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("gram"))
     val keptTrain = trainGrams
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-      .filter(col("df") <= maxDf)
+      .join(broadcast(banned), Seq("gram"), "left_anti")
       .select(col("train_id"), col("gram"))
     testGrams.join(keptTrain, "gram")
       .groupBy(col("test_id"), col("train_id"))

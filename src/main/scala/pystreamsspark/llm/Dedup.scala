@@ -113,32 +113,123 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard similarity pairs within a blocking key —
-    * the verifiable (oracle-checkable) small-scale variant: token-set
-    * Jaccard for every same-block pair. */
+  /** Exact token-set Jaccard similarity pairs within a blocking key.
+    *
+    * Dispatch: a positive threshold routes through the EXACT-RECALL
+    * prefix-filtered join ([[jaccardPairsPrefix]] — sub-quadratic
+    * candidates, the 100 TB shape); `threshold <= 0` means the caller
+    * asked for EVERY pair (no similarity bound to prune with), which is
+    * quadratic-by-definition and served by the plain block join. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], threshold: Double): DataFrame = {
+                   blockCols: Seq[String], threshold: Double): DataFrame =
+    if (threshold > 0)
+      jaccardPairsPrefix(docs, idCol, textCol, blockCols, threshold)
+    else
+      jaccardPairsBlock(docs, idCol, textCol, blockCols, threshold)
+
+  // id + distinct hashed token set + block cols: set sizes and
+  // intersections are identical to the string sets (xxh64 is injective
+  // on any realistic vocabulary), and the pairwise array_intersect
+  // runs over longs instead of strings
+  private def hashedTokenSets(docs: DataFrame, idCol: String, textCol: String,
+                              blockCols: Seq[String]): DataFrame = {
     pystreamsspark.functions.VectorExpressions.register(docs.sparkSession)
-    // token sets as 8-byte hashes (shingle_hash with k=1): set sizes and
-    // intersections are identical to the string sets (xxh64 is injective
-    // on any realistic vocabulary), and the pairwise array_intersect
-    // runs over longs instead of strings
-    val base = docs.select(
+    docs.select(
       (col(idCol).as("id") +:
         array_distinct(call_function("shingle_hash",
           TextOps.tokens(col(textCol)), lit(1))).as("toks")
         +: blockCols.map(col)): _*)
-    val a = base.select(
-      (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
-    val b = base.select(
-      (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
-    a.join(b, blockCols)
+  }
+
+  private def pairStats(joined: DataFrame, threshold: Double): DataFrame =
+    joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
         size(array_union(col("toks_a"), col("toks_b"))).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .filter(col("jaccard") >= threshold)
+
+  /** All same-block pairs — O(block²); only for `threshold <= 0`
+    * (the caller wants every pair) or as the parity baseline in tests. */
+  private[pystreamsspark] def jaccardPairsBlock(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    val a = base.select(
+      (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
+    val b = base.select(
+      (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
+    pairStats(a.join(b, blockCols), threshold)
+  }
+
+  /** EXACT-recall set-similarity join via prefix filtering — the
+    * AllPairs / PPJoin candidate scheme (Bayardo, Ma & Srikant, "Scaling
+    * Up All Pairs Similarity Search", WWW 2007; Xiao et al., "Efficient
+    * Similarity Joins for Near-Duplicate Detection", TODS 2011 — public
+    * algorithms). Unlike LSH banding this is NOT probabilistic: every
+    * pair with Jaccard >= t is guaranteed to surface.
+    *
+    * Theorem (prefix filter): order every token set by one global total
+    * order and keep only the first  |s| - ceil(t*|s|) + 1  tokens (the
+    * "prefix"). If J(x,y) >= t then |x ∩ y| >= ceil(t*max(|x|,|y|)), and
+    * two sets whose prefixes are disjoint can overlap in at most
+    * (|x| - p_x) < ceil(t*|x|) positions — contradiction. So joining on
+    * prefix tokens loses NO true pair; exact verification then removes
+    * false candidates.
+    *
+    * The global order is document-frequency ASCENDING (ties by token
+    * value): prefixes then hold each set's RAREST tokens, so the
+    * candidate fan-out per join key is bounded by the df of rare tokens
+    * — on a Zipfian corpus this collapses the candidate set by orders of
+    * magnitude. Cost: one vocab-sized partial aggregate (df), one join
+    * to stamp df (broadcast when vocab fits, shuffle otherwise — Spark
+    * picks), one groupBy(id) to re-sort each set. A length filter
+    * (t*|x| <= |y| <= |x|/t) prunes cross-size candidates before the
+    * verify.
+    *
+    * MEASURED on the driver's synthetic corpus (sf0.1): vocabulary is 31
+    * tokens with near-uniform df ≈ 0.77·N, so 72% of all within-block
+    * pairs are TRUE pairs at t=0.5 (114 135 of 159 293) — the output
+    * itself is quadratic in block size and no candidate scheme can beat
+    * the block join there (this corpus is the pruning-hostile worst
+    * case). The prefix join is registered anyway because its plan is the
+    * one that survives scale: per-key fan-out is df(rarest prefix
+    * token)-bounded, while the block join is |block|² regardless of how
+    * few pairs pass. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    // global token order: df ascending, token value tie-break
+    val tokDf = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sorted = base
+      .select((col("id") +: blockCols.map(col) :+ explode(col("toks")).as("tok")): _*)
+      .join(tokDf, "tok")
+      .groupBy((col("id") +: blockCols.map(col)): _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        s => s.getField("tok")).as("toks"))
+    val prefixLen = (size(col("toks"))
+      - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    val pre = sorted.select(
+      (col("id") +: col("toks") +: blockCols.map(col)
+        :+ explode(slice(col("toks"), lit(1), prefixLen)).as("ptok")): _*)
+    val a = pre.select(
+      (col("ptok") +: col("id").as("id_a") +: col("toks").as("toks_a")
+        +: blockCols.map(col)): _*)
+    val b = pre.select(
+      (col("ptok") +: col("id").as("id_b") +: col("toks").as("toks_b")
+        +: blockCols.map(col)): _*)
+    val cand = a.join(b, blockCols :+ "ptok")
+      // length filter: J >= t forces t*|x| <= |y| <= |x|/t
+      .filter(size(col("toks_b")) * lit(threshold) <= size(col("toks_a")) &&
+              size(col("toks_a")) * lit(threshold) <= size(col("toks_b")))
+    // one verify per shared prefix token, dedup after — same MEASURED
+    // tradeoff as minHashLsh (carrying the arrays through a pre-verify
+    // distinct costs more than the redundant codegen'd intersections)
+    pairStats(cand, threshold).distinct()
   }
 
   /** Connected components over a near-duplicate pair list — turns the
@@ -269,6 +360,12 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    // A non-converged edge set is NOT a star forest — reading labels off
+    // it would silently return wrong components. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds; " +
+        "raise maxIter (chains of n nodes need ~log2(n)+2 rounds)")
     // star forest: u -> root v; roots label themselves
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
@@ -360,9 +457,16 @@ object Dedup {
     * d<=3, probabilistic above), then verified with the full
     * `hamming <= maxDist` check. Never all-pairs: the self-join shuffles
     * on the (position, 16-bit chunk) key only — same 100 TB shape as the
-    * MinHash band join. */
+    * MinHash band join.
+    *
+    * @param maxDist verification threshold. Recall is EXHAUSTIVE only for
+    *   maxDist <= 3 (the 4-chunk pigeonhole bound) — hence the default.
+    *   Larger values are accepted but return probabilistic-recall
+    *   candidates (pairs at distance 4..maxDist that happen to share an
+    *   intact chunk), NOT the complete set — don't use this as an exact
+    *   join above 3. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 6): DataFrame = {
+                   maxDist: Int = 3): DataFrame = {
     val sk = simHashBulk(docs, idCol, textCol)
     val chunks = array((0 until 4).map(c => struct(
       lit(c).as("bnd"),

@@ -9,25 +9,50 @@ import pystreamsspark.llm.Dedup
   * edge list the dedup clustering consumes) — connected components live
   * in `llm.Dedup`; this module holds the pattern-matching side.
   *
-  * Triangle counting: enumerate each triangle once via the id-oriented
-  * two-join (a<b<c): edges(a,b) ⋈ edges(b,c) builds open wedges, a third
-  * join closes them against edges(a,c). Both joins are equi-joins on a
-  * vertex key — no cartesian anywhere. At 100 TB the orientation would
-  * be by (degree, id) instead of raw id (the classic skew fix: every
-  * wedge pivots at its LOWEST-degree vertex, bounding per-key fanout at
-  * sqrt(|E|)); id orientation keeps the enumeration oracle-identical
-  * here and the join shape is the same.
+  * Triangle counting: enumerate each triangle once via the DEGREE-
+  * oriented two-join (the classic MapReduce-triangles skew fix, cf.
+  * Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+  * Reducer", WWW 2011 — public algorithm): orient every edge from its
+  * lower-(degree, id) endpoint to its higher one, build wedges by
+  * joining oriented edges on their SOURCE, and close each wedge with a
+  * third equi-join. Every wedge then pivots at its lowest-degree
+  * vertex, so per-join-key fan-out is bounded by O(sqrt(|E|)) even when
+  * the graph has a hub whose raw degree is ~|V| — under raw-id
+  * orientation that hub serializes one reducer. Each triangle is
+  * enumerated exactly once (its unique min-rank vertex is the pivot),
+  * so per-node participation counts are identical to any other
+  * orientation — which keeps the oracle SQL orientation-free.
   */
 object GraphQueries {
 
-  /** Per-node triangle participation counts over an id-oriented edge
-    * list (`a` < `b` in every row). */
+  /** Per-node triangle participation counts over an undirected edge
+    * list given as one row per edge (any per-row endpoint order). */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val wedges = edges.as("e1")
-      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    // total order on vertices: (degree, id) — unique since ids are unique
+    val deg = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge u -> v with rank(u) < rank(v); carry v's rank for the
+    // wedge-ordering filter below
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // the closing edge y-z is oriented y -> z because rank(y) < rank(z)
+    // by the wedge filter — one equi-join, no inequality probe
     val tris = wedges
-      .join(edges.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .join(oriented.as("e3"),
+        col("y") === col("e3.u") && col("z") === col("e3.v"))
       .select(col("x"), col("y"), col("z"))
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id"))
@@ -40,7 +65,7 @@ object GraphQueries {
     import spark.implicits._
     val edges = Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
         Seq("lang", "source"), threshold = 0.5)
-      .select($"id_a".as("a"), $"id_b".as("b")) // id_a < id_b by construction
+      .select($"id_a".as("a"), $"id_b".as("b"))
     triangleCounts(edges).orderBy($"id")
   }
 

@@ -263,12 +263,17 @@ object LlmQueries {
       |ORDER BY cosine DESC, id_a ASC, id_b ASC
       |LIMIT 20""".stripMargin
 
-  /** Blocked exact n-gram Jaccard pairs (lang, source blocking), top-50 —
-    * the oracle-checkable near-dup variant. */
+  /** Blocked exact n-gram Jaccard pairs (lang, source blocking) at
+    * threshold 0.5, top-50 — the oracle-checkable near-dup variant. The
+    * positive threshold routes [[pystreamsspark.llm.Dedup.jaccardPairs]]
+    * through the EXACT-RECALL prefix-filtered join (AllPairs/PPJoin), so
+    * this key value-verifies the prefix-filter funnel end-to-end against
+    * DuckDB's all-pairs formulation: a single lost true pair would break
+    * the hash. */
   def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
-        Seq("lang", "source"), threshold = -1.0)
+        Seq("lang", "source"), threshold = 0.5)
       .orderBy($"jaccard".desc, $"id_a".asc, $"id_b".asc)
       .limit(50)
       .select($"id_a", $"id_b", $"n_inter", $"n_union", $"jaccard")
@@ -279,13 +284,15 @@ object LlmQueries {
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  len(list_intersect(a.toks, b.toks)) AS n_inter,
-      |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union,
-      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-      |FROM t a JOIN t b
-      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks)) AS n_inter,
+      |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5
       |ORDER BY jaccard DESC, id_a ASC, id_b ASC
       |LIMIT 50""".stripMargin
 

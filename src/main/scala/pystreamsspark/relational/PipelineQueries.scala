@@ -499,7 +499,10 @@ object PipelineQueries {
   /** CDC MERGE apply ([[pystreamsspark.operators.Upsert]]): a
     * deterministic changeset against the customer snapshot — updates for
     * custkey%7 (acctbal+100 at seq 1), deletes for custkey%13 (seq 2),
-    * inserts at key+1,000,000 for custkey%31. Keys divisible by both 7
+    * inserts at key+10,000,000 for custkey%31 (offset chosen so insert
+    * keys cannot collide with real custkeys until sf≈70 — +1M collided
+    * from sf 7 up, making the seq tie-break engine-divergent). Keys
+    * divisible by both 7
     * and 13 receive an update AND a later delete, so the
     * latest-change-wins collapse is exercised for real. */
   def qUpsert(spark: SparkSession, sfDir: String): DataFrame = {
@@ -513,7 +516,7 @@ object PipelineQueries {
       .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
         $"c_mktsegment", lit(2L).as("seq"), lit("D").as("op"))
     val inserts = snap.filter($"c_custkey" % 31 === 0)
-      .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name",
+      .select(($"c_custkey" + 10000000L).as("c_custkey"), $"c_name",
         $"c_nationkey", lit(0.0).as("c_acctbal"), $"c_mktsegment",
         lit(1L).as("seq"), lit("U").as("op"))
     val changes = updates.unionByName(deletes).unionByName(inserts)
@@ -530,7 +533,7 @@ object PipelineQueries {
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 2, 'D'
       |  FROM customer WHERE c_custkey % 13 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, c_mktsegment, 1, 'U'
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, 0.0, c_mktsegment, 1, 'U'
       |  FROM customer WHERE c_custkey % 31 = 0
       |), latest AS (
       |  SELECT * FROM (

@@ -18,9 +18,15 @@ import pystreamsspark.io.Tables
   */
 object StorageQueries {
 
+  // per-process unique component: two concurrent runs (Bench + test
+  // suite) on one machine must not overwrite each other's scratch files
+  // mid-read; the oracle reads the original parquet, so uniqueness of
+  // this path costs nothing.
+  private val runTag: String = java.util.UUID.randomUUID().toString.take(8)
+
   private def scratch(sfDir: String, fmt: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${tag}_$fmt"
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${runTag}/${tag}_$fmt"
   }
 
   def qCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {

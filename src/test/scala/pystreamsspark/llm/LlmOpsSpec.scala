@@ -225,6 +225,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(star2 == prop)
   }
 
+  test("prefix-filtered Jaccard join == all-pairs block join (exact recall, real corpus)") {
+    val s = spark
+    import s.implicits._
+    val docs = pystreamsspark.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_inter", "n_union").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val block = asSet(Dedup.jaccardPairsBlock(
+        docs, "doc_id", "text", Seq("lang", "source"), t))
+      val prefix = asSet(Dedup.jaccardPairsPrefix(
+        docs, "doc_id", "text", Seq("lang", "source"), t))
+      assert(prefix == block,
+        s"t=$t: prefix path lost ${(block -- prefix).size} pairs / " +
+          s"invented ${(prefix -- block).size}")
+      assert(block.nonEmpty, s"t=$t parity is vacuous")
+    }
+  }
+
   test("simHashBulk == scalar simHash sketch for every doc (incl. empty text)") {
     val s = spark
     import s.implicits._

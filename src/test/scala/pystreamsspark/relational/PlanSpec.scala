@@ -78,15 +78,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // row_number<=k prunes in-shuffle
   }
 
-  test("q_contamination: df-cap window fused into ONE train-gram shuffle; no cartesian") {
+  test("q_contamination: df-cap is partial-agg + broadcast ban list — NO gram window") {
     val p = plan(graft.SparkEntry.queries("q_contamination")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // the kept-train stream must come out of the window already
-    // gram-partitioned and feed the pairs join WITHOUT re-shuffling:
-    // exchanges = train grams + test grams + pairs groupBy + orderBy (4),
-    // not 5 (a separate df-aggregate pass would add one)
-    assert(countOf(p, "Exchange") <= 4, p)
-    assert(p.contains("Window"), p)
+    // the skew-safe shape: a raw-gram-partitioned Window would put every
+    // occurrence of the hottest gram in ONE task; instead the df count
+    // must be a map-side-combined partial aggregate (at sf0.001 the ban
+    // list is empty and AQE's empty-relation propagation correctly
+    // erases the anti-join itself — the LeftAnti shape is asserted below
+    // on a corpus that actually HAS an over-cap gram)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("contamination with a planted hot gram: ban list broadcasts into a LEFT ANTI join") {
+    val s = spark
+    import s.implicits._
+    val common = "the quick brown fox" // in EVERY train doc -> over any cap
+    val train = (1L to 40L).map(i =>
+      (i, s"$common unique$i phrase$i tail$i")).toDF("doc_id", "text")
+    val test = (101L to 110L).map(i =>
+      (i, s"unique${i - 100} phrase${i - 100} tail${i - 100}")).toDF("doc_id", "text")
+    val p = plan(pystreamsspark.llm.Contamination.contaminationPairs(
+      train, test, "doc_id", "text", n = 3, minShared = 1, maxDf = 10L))
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q_fuzzy_join: segment equi-join, no cartesian / nested-loop fallback") {
