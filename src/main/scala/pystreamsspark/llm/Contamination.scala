@@ -49,11 +49,14 @@ object Contamination {
     // phrases), so it broadcasts. Pass 2 anti-joins the gram stream
     // against the broadcast ban list — no shuffle, and every gram that
     // reaches the pairs join below has df ≤ maxDf, which bounds the
-    // join's per-key fan-out too. (A window-fused single-shuffle variant
-    // measured faster at sf0.1, where no gram is hot — but a window
-    // partitioned by raw gram materializes every occurrence of the top
-    // gram in ONE task before filtering, exactly the hot-task the df cap
-    // exists to prevent; at corpus scale the two-pass form wins.)
+    // join's per-key fan-out too. MEASURED tradeoff: the retired
+    // window-fused single-shuffle variant ran 2.4 s vs this form's
+    // 4.1 s at sf0.1 (the second pass re-explodes the train grams and
+    // sf0.1 has no hot gram to save) — but a window partitioned by raw
+    // gram materializes every occurrence of the top gram in ONE task
+    // before filtering, exactly the hot-task the df cap exists to
+    // prevent; at corpus scale that task is billions of rows and the
+    // two-pass form wins outright (tools/Stress plants such a gram).
     val banned = trainGrams
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

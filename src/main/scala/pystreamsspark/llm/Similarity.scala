@@ -56,21 +56,28 @@ object Similarity {
 
   /** Batched brute-force top-k: one top-k list PER probe vector. Probes
     * (a small query set, column `pid`/`probe`) are broadcast against the
-    * corpus — the big side is scanned once with no shuffle on it; the
-    * only shuffle is the per-probe window over |probes|·|corpus| scored
-    * rows, partitioned on `pid`. At 100 TB you'd pre-filter candidates
-    * with [[lshBuckets]] or [[ivfKnn]] cells before this exact re-rank —
-    * this is the exact re-rank stage of that funnel. */
+    * corpus — the big side is scanned once with no shuffle on it. The
+    * per-probe selection is the BOUNDED map-side top-k UDAF
+    * ([[pystreamsspark.operators.TopKAgg]]): each task keeps at most k
+    * scored rows per probe, so only |probes|·k·nPartitions rows reach
+    * the final aggregate — the retired `row_number()` window instead
+    * shuffled and SORTED all |probes|·|corpus| scored rows with one
+    * task per probe (a full corpus sort per probe at 100 TB). Ordering
+    * (cosine DESC, id ASC) is a total order, so output is deterministic
+    * and identical to the window form. At 100 TB you'd pre-filter
+    * candidates with [[lshBuckets]] or [[ivfKnn]] cells before this
+    * exact re-rank — this is the exact re-rank stage of that funnel. */
   def knnBatch(emb: DataFrame, idCol: String, vecCol: String,
                probes: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    native(emb).crossJoin(broadcast(probes))
+    val scored = native(emb).crossJoin(broadcast(probes))
       .select(col("pid"), col(idCol),
         cosineNative(col(vecCol), col("probe")).as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    scored.groupBy(col("pid"))
+      .agg(pystreamsspark.operators.TopKAgg.topK(k)(
+        col("cosine"), col(idCol)).as("top"))
+      .select(col("pid"), posexplode(col("top")))
+      .select(col("pid"), col("col._2").as(idCol),
+        col("col._1").as("cosine"), (col("pos") + 1).as("rn"))
   }
 
   /** Sign-random-projection LSH bucket id over `planes` hyperplanes —

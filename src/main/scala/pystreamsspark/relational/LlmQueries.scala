@@ -264,12 +264,11 @@ object LlmQueries {
       |LIMIT 20""".stripMargin
 
   /** Blocked exact n-gram Jaccard pairs (lang, source blocking) at
-    * threshold 0.5, top-50 — the oracle-checkable near-dup variant. The
-    * positive threshold routes [[pystreamsspark.llm.Dedup.jaccardPairs]]
-    * through the EXACT-RECALL prefix-filtered join (AllPairs/PPJoin), so
-    * this key value-verifies the prefix-filter funnel end-to-end against
-    * DuckDB's all-pairs formulation: a single lost true pair would break
-    * the hash. */
+    * threshold 0.5, top-50 — the oracle-checkable near-dup variant.
+    * Uses [[pystreamsspark.llm.Dedup.jaccardPairs]]'s cost-based
+    * dispatch; on this corpus the stats sample detects a near-uniform
+    * 31-token vocabulary (zero pruning power) and picks the block join.
+    * The prefix-filter plan is driver-verified by [[qJaccardPrefix]]. */
   def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
@@ -295,6 +294,40 @@ object LlmQueries {
       |WHERE jaccard >= 0.5
       |ORDER BY jaccard DESC, id_a ASC, id_b ASC
       |LIMIT 50""".stripMargin
+
+  /** EXACT-RECALL prefix-filtered similarity join (AllPairs/PPJoin),
+    * FORCED strategy — value-verifies the whole prefix funnel
+    * (df-ordered token sort → prefix explode → candidate join → length
+    * filter → exact verify) against DuckDB's all-pairs formulation: one
+    * lost true pair breaks the hash. Restricted to two sources so the
+    * deliberately pruning-hostile corpus (31-token uniform vocabulary —
+    * candidates ~= all pairs with ~9x multiplicity) keeps the key
+    * affordable in Bench; recall-exactness is input-independent. */
+  def qJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.jaccardPairs(
+        Tables.documents(spark, sfDir).filter($"source".isin("src3", "src7")),
+        "doc_id", "text", Seq("lang", "source"), threshold = 0.5,
+        strategy = "prefix")
+      .orderBy($"id_a".asc, $"id_b".asc)
+      .select($"id_a", $"id_b", $"n_inter", $"n_union", $"jaccard")
+  }
+
+  val qJaccardPrefixSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents WHERE source IN ('src3', 'src7'))
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks)) AS n_inter,
+      |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5
+      |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
   /** Connected components over the EXACT-Jaccard near-dup pair list
     * (threshold 0.5, (lang, source) blocking): every clustered doc labeled
@@ -693,6 +726,7 @@ object LlmQueries {
     "q_knn_cosine"    -> (qKnnCosine _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_cc_clusters"   -> (qCcClusters _),
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_contamination" -> (qContamination _),
@@ -716,6 +750,7 @@ object LlmQueries {
     "q_knn_cosine"    -> qKnnCosineSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
+    "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_cc_clusters"   -> qCcClustersSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_contamination" -> qContaminationSql,

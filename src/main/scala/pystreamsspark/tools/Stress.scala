@@ -85,6 +85,22 @@ object Stress {
       pystreamsspark.llm.Contamination.contaminationPairs(
         train, test, "doc_id", "text", n = 3, minShared = 2, maxDf = 50L).count()
     }
+    // planted heavy hitter: ONE shared 3-gram prepended to 30% of all
+    // docs. Under the retired gram-window df cap this serializes every
+    // occurrence of that gram into one task; the broadcast-ban-list form
+    // must stay linear (the hot gram collapses in the partial agg and is
+    // banned before any join).
+    time(s"contamination_hotgram x$mult") {
+      val hot = docsPerturbed.withColumn("text",
+        when($"doc_id" % 10 < 3, concat(lit("hot hot hot "), $"text"))
+          .otherwise($"text"))
+      val test = hot.filter(
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) < "2")
+      val train = hot.filter(
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) >= "2")
+      pystreamsspark.llm.Contamination.contaminationPairs(
+        train, test, "doc_id", "text", n = 3, minShared = 2, maxDf = 50L).count()
+    }
     time(s"simhash_pairs x$mult") {
       pystreamsspark.llm.Dedup.simHashPairs(
         docsPerturbed, "doc_id", "text", maxDist = 6).count()
@@ -102,6 +118,23 @@ object Stress {
     time(s"edit_join x$mult") {
       pystreamsspark.operators.EditDistanceJoin.editDistancePairs(
         cust, "c_custkey", "c_name", Seq("nk"), k = 2).count()
+    }
+    // hub-skew probe: the near-dup graph plus ONE hub vertex adjacent to
+    // every node. Raw-id orientation would make the hub (smallest id)
+    // the pivot of C(|V|, 2) wedges — one quadratic task; the
+    // (degree, id) orientation points every hub edge INTO the hub, so
+    // the hub is never a wedge pivot and the probe stays linear.
+    time(s"triangles_hub x$mult") {
+      val base = amplified(
+        pystreamsspark.llm.Dedup.jaccardPairs(
+          pystreamsspark.io.Tables.documents(spark, sfDir), "doc_id", "text",
+          Seq("lang", "source"), threshold = 0.5),
+        Seq("id_a", "id_b"), 10000000L)
+        .select($"id_a".as("a"), $"id_b".as("b"))
+      val hub = base.select($"a".as("id")).union(base.select($"b".as("id")))
+        .distinct().select(lit(-1L).as("a"), $"id".as("b"))
+      pystreamsspark.relational.GraphQueries.triangleCounts(
+        base.unionByName(hub)).agg(sum($"n_triangles")).count()
     }
     time(s"cc_star x$mult") {
       val pairs = amplified(

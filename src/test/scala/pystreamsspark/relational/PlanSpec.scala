@@ -105,6 +105,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_knn_batch: bounded top-k via partial+final aggregate — no per-probe window sort") {
+    val p = plan(graft.SparkEntry.queries("q_knn_batch")(spark, sf))
+    // the UDAF aggregates map-side (partial) then merges (final): at most
+    // |probes|*k rows per task cross the shuffle, vs the retired window
+    // form's full |probes|*|corpus| shuffle-and-sort
+    assert(p.contains("ObjectHashAggregate") || countOf(p, "HashAggregate") >= 2, p)
+    assert(p.contains("partial_topkbyvalue") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_fuzzy_join: segment equi-join, no cartesian / nested-loop fallback") {
     val p = plan(graft.SparkEntry.queries("q_fuzzy_join")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
