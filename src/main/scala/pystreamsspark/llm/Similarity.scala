@@ -109,6 +109,86 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Distributed k-means (Lloyd's) over DataFrames — fits the centroid
+    * set a production IVF index needs (`ivfAssign`/`ivfKnn` accept any
+    * centroid frame; random seeds give luck-dependent recall on real
+    * embedding distributions, fitted ones don't).
+    *
+    * Every step is a partial-aggregable DataFrame op — nothing
+    * driver-side except the k×dim centroid frame itself (localCheckpoint
+    * per round, the same scalar-traffic pattern as the CC loop):
+    *  - init: the k vectors with the smallest md5(id) — deterministic,
+    *    seedless, reproducible on any executor count;
+    *  - assign: broadcast centroids, `min(struct(-sim, cid))` per point —
+    *    map-side combine collapses the k candidates before the shuffle
+    *    (no per-point window sort);
+    *  - update: per-(cell, dim) mean via posexplode + partial agg. Means
+    *    use [[pystreamsspark.relational.Det]] decimal sums: exact and
+    *    reduction-order-independent, so fitted centroids are
+    *    BIT-IDENTICAL at any partition count (and oracle-reproducible —
+    *    q_kmeans_cells hash-verifies two full Lloyd rounds vs DuckDB).
+    * Cosine similarity (spherical assignment), computed with the same
+    * sequential-fold IEEE sequence as [[cosine]] on double-widened
+    * values so an oracle can mirror it with list_dot_product.
+    *
+    * Returns (cid, cvec: Array[Double]) with cid in 1..k. */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val md5c = md5(col("__id").cast("string").cast("binary"))
+    var centroids = e.orderBy(md5c, col("__id")).limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(md5c, col("__id"))))
+      .select(col("cid"), col("__v").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignMin(e, centroids)
+      val means = assigned
+        .select(col("cell").as("cid"), posexplode(col("__v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(pystreamsspark.relational.Det.davg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("next"))
+      // empty-cell guard: a cell that captured no points this round keeps
+      // its previous centroid (otherwise k silently shrinks — the classic
+      // Lloyd's empty-cluster case when two seeds land in one tight
+      // cluster); mirrored in the q_kmeans_cells oracle SQL
+      centroids = centroids.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment via `min(struct(-sim, cid, v))` — the
+    * k scored candidates per point collapse in the MAP-side partial
+    * aggregate; only one row per point crosses the shuffle. (-sim, cid)
+    * is already unique, so the carried array is never compared. */
+  private def assignMin(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .select(col("__id"), struct(
+        (lit(0) - cosine(col("__v"), col("cvec"))).as("ns"),
+        col("cid"), col("__v").as("v")).as("sc"))
+      .groupBy(col("__id"))
+      .agg(min(col("sc")).as("sc"))
+      .select(col("__id"), col("sc.v").as("__v"), col("sc.cid").as("cell"))
+
+  /** Final cell occupancy of a k-means fit: (cell, n_points) — the
+    * oracle-checkable surface of [[kmeansFit]] (cluster counts pin the
+    * full assign→update→assign pipeline without comparing float arrays
+    * structurally). */
+  def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val fitted = kmeansFit(emb, idCol, vecCol, k, iters)
+    assignMin(e, fitted)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** IVF cell assignment: each vector goes to its nearest centroid
     * (cosine, deterministic tie-break on centroid id). `centroids` is a
     * small (cid, cvec) frame — broadcast, so assignment is one scan of

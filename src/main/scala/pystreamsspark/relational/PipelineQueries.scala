@@ -325,6 +325,63 @@ object PipelineQueries {
       |FROM r WHERE rn <= 5
       |ORDER BY pid, rn""".stripMargin
 
+  /** Distributed k-means, value-verified end-to-end: one full Lloyd
+    * round (md5-ranked deterministic seeds → min-struct assignment →
+    * Det-exact per-dimension decimal means → re-assignment) and the
+    * final cell occupancy counts. The decimal sums make the fitted
+    * centroids bit-identical across partition counts AND engines, so
+    * DuckDB can replay the whole fit arithmetically — a single
+    * differently-assigned point breaks the hash. */
+  def qKmeansCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansCells(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", k = 8, iters = 1)
+      .select($"cell".cast("long").as("cell"), $"n")
+      .orderBy($"cell")
+  }
+
+  val qKmeansCellsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ranked AS (
+      |  SELECT id, v, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid
+      |  FROM e),
+      |c0 AS (SELECT cid, v AS cvec FROM ranked WHERE cid <= 8),
+      |s1 AS (
+      |  SELECT e.id, e.v, c0.cid,
+      |    list_dot_product(e.v, c0.cvec) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(c0.cvec, c0.cvec))) AS sim
+      |  FROM e CROSS JOIN c0),
+      |a1 AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id
+      |                                 ORDER BY sim DESC, cid ASC) AS rn
+      |    FROM s1) WHERE rn = 1),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |m1 AS (
+      |  SELECT cid, i,
+      |    (CAST(CAST(SUM(CAST((v[i]) AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
+      |       / COUNT((v[i]))) AS m
+      |  FROM a1 CROSS JOIN dims GROUP BY cid, i),
+      |cm AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY cid),
+      |c1 AS (
+      |  SELECT c0.cid, coalesce(cm.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN cm ON cm.cid = c0.cid),
+      |s2 AS (
+      |  SELECT e.id, c1.cid,
+      |    list_dot_product(e.v, c1.cvec) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(c1.cvec, c1.cvec))) AS sim
+      |  FROM e CROSS JOIN c1),
+      |a2 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id
+      |                                 ORDER BY sim DESC, cid ASC) AS rn
+      |    FROM s2) WHERE rn = 1)
+      |SELECT CAST(cid AS BIGINT) AS cell, COUNT(*) AS n
+      |FROM a2 GROUP BY cid ORDER BY cell""".stripMargin
+
   /** Wide→long melt (`Dataset.unpivot` → Spark `Expand` node: each input
     * row fans out to one row per value column, map-side, no shuffle).
     * The oracle is the portable UNION ALL formulation. */
@@ -651,7 +708,8 @@ object PipelineQueries {
     "q_corr_manual"      -> (qCorrManual _),
     "q_histogram"        -> (qHistogram _),
     "q_mode"             -> (qMode _),
-    "q_knn_batch"        -> (qKnnBatch _))
+    "q_knn_batch"        -> (qKnnBatch _),
+    "q_kmeans_cells"     -> (qKmeansCells _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg"       -> qSaltedAggSql,
@@ -673,5 +731,6 @@ object PipelineQueries {
     "q_corr_manual"      -> qCorrManualSql,
     "q_histogram"        -> qHistogramSql,
     "q_mode"             -> qModeSql,
-    "q_knn_batch"        -> qKnnBatchSql)
+    "q_knn_batch"        -> qKnnBatchSql,
+    "q_kmeans_cells"     -> qKmeansCellsSql)
 }

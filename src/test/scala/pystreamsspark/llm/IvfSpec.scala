@@ -42,6 +42,57 @@ class IvfSpec extends SparkSpec {
     assert(scanned < 200, s"scanned=$scanned of 400")
   }
 
+  test("kmeans: partition-invariant centroids, monotone objective, fitted IVF recall") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val nClusters = 8
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+
+    // Det decimal means -> centroids are BIT-identical at any partition count
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val f1 = centMap(Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 3))
+    val f2 = centMap(Similarity.kmeansFit(
+      emb.repartition(7), "vec_id", "embedding", 8, 3))
+    assert(f1 === f2)
+    assert(f1.size === 8)
+
+    // Lloyd's objective (mean best-centroid cosine) strictly improves on
+    // clustered data from the md5 seeds to the fitted centroids
+    def objective(cents: Map[Int, Seq[Double]]): Double = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      points.map { case (_, v) =>
+        val vd = v.map(_.toDouble).toSeq
+        cents.values.map(c => cos(vd, c)).max
+      }.sum / points.size
+    }
+    val seeds = centMap(Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 0))
+    assert(objective(f1) > objective(seeds) + 0.01,
+      s"fit=${objective(f1)} seeds=${objective(seeds)}")
+
+    // fitted centroids drive the IVF funnel: high recall at nprobe=3
+    val fittedF = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 3)
+      .select($"cid", transform($"cvec", x => x.cast("float")).as("cvec"))
+    val probe = emb.filter($"vec_id" === 100).select($"embedding".as("probe"))
+    val exact = Similarity.knn(emb, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfKnn(emb, "vec_id", "embedding",
+        fittedF, probe, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("ivf assignment is deterministic and total") {
     val s = spark
     import s.implicits._
