@@ -396,7 +396,10 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // LAZY checkpoint: the fingerprint aggregate right below both
+      // tests the fixpoint AND materializes the round — one job per
+      // round instead of two (eager checkpoint + separate agg)
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

@@ -189,6 +189,50 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** OR-amplified sign-LSH near-dup pairs: `bands` independent bands of
+    * `planesPerBand` hyperplanes each; two vectors are candidates iff
+    * they agree on ALL planes of AT LEAST ONE band (the same AND-then-OR
+    * amplification MinHash banding uses). A single `planes`-bit band
+    * ([[annPairs]]) has recall p^planes with p = 1 - acos(cos)/pi — at
+    * cosine 0.7 and 8 planes that is ~10%, i.e. luck; 8 bands of 4
+    * planes lift it to ~95% while keeping per-band buckets selective.
+    *
+    * One fused lsh_bucket call computes all bands' bits (one pass over
+    * the vector); the signature is then CHUNKED into band keys — same
+    * shape as SimHash chunk banding. The self-join shuffles on the
+    * (band, chunk) key only; candidates are verified with exact cosine
+    * and deduped across bands, so output == [[annPairs]] semantics with
+    * band-tunable recall. */
+  def annPairsMultiband(emb: DataFrame, idCol: String, vecCol: String,
+                        planesPerBand: Int = 4, bands: Int = 8,
+                        threshold: Double = 0.8): DataFrame = {
+    require(planesPerBand * bands <= 62, "planesPerBand * bands must be <= 62")
+    val nbits = planesPerBand * bands
+    val mask = (1L << planesPerBand) - 1
+    val bucketed = native(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(call_function("vec_dot", col(vecCol), col(vecCol))).as("nrm"),
+      lshBuckets(col(vecCol), nbits).as("sig"))
+    val chunks = array((0 until bands).map(c => struct(
+      lit(c).as("bnd"),
+      shiftrightunsigned(col("sig"), planesPerBand * c)
+        .bitwiseAND(lit(mask)).as("ck"))): _*)
+    val banded = bucketed
+      .select(col("id"), col("v"), col("nrm"), explode(chunks).as("b"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("b.bnd").as("bnd"), col("b.ck").as("ck"))
+    val a = banded.select(col("bnd"), col("ck"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = banded.select(col("bnd"), col("ck"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bnd", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (call_function("vec_dot", col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF cell assignment: each vector goes to its nearest centroid
     * (cosine, deterministic tie-break on centroid id). `centroids` is a
     * small (cid, cvec) frame — broadcast, so assignment is one scan of

@@ -367,6 +367,39 @@ object LlmQueries {
       |)
       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Large-star/small-star connected components
+    * ([[pystreamsspark.llm.Dedup.connectedComponentsStar]], Kiveris et
+    * al. SoCC 2014) on a DEEP graph: each (lang, source) block's docs
+    * chained by consecutive doc_id — components of diameter ~|block|
+    * (~100 at sf0.1), where the O(diameter) label-propagation loop
+    * would need ~100 rounds and the star loop needs O(log²)≈8 (the
+    * round count is asserted in LlmOpsSpec). The oracle knows each
+    * chain's answer analytically: label = min doc_id of the block —
+    * so every node's label is value-checked without recursion. */
+  def qCcChain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source").orderBy($"doc_id")
+    val edges = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source")
+      .withColumn("prev", lag($"doc_id", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev".as("id_a"), $"doc_id".as("id_b"))
+    Dedup.connectedComponentsStar(edges)
+      .select($"id", $"label")
+      .orderBy($"id")
+  }
+
+  val qCcChainSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    count(*)    OVER (PARTITION BY lang, source) AS n,
+      |    min(doc_id) OVER (PARTITION BY lang, source) AS mn
+      |  FROM documents)
+      |SELECT doc_id AS id, mn AS label FROM b
+      |WHERE n >= 2
+      |ORDER BY id""".stripMargin
+
   /** MinHash-LSH with an md5-derived hash family — the ORACLE-CHECKABLE
     * twin of [[qMinhashDedup]]. Works on distinct word 3-SHINGLES like
     * the production path (single tokens are useless here: the synthetic
@@ -728,6 +761,7 @@ object LlmQueries {
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_cc_clusters"   -> (qCcClusters _),
+    "q_cc_chain"      -> (qCcChain _),
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_contamination" -> (qContamination _),
     "q_bm25"          -> (qBm25 _),
@@ -752,6 +786,7 @@ object LlmQueries {
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_cc_clusters"   -> qCcClustersSql,
+    "q_cc_chain"      -> qCcChainSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,

@@ -1,8 +1,10 @@
 package pystreamsspark.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** One event row (mirrors the events table schema after ts conversion). */
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -122,6 +124,100 @@ object EventStreams {
             Iterator.empty
           }
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // transformWithState forms (Spark 4.x successor API to
+  // [flat]mapGroupsWithState): explicit StatefulProcessor lifecycle,
+  // named state variables with optional TTL, first-class timers. Both
+  // legacy and TWS forms are kept — the semantics are identical
+  // (asserted in StreamingSmokeSpec / CheckpointRecoverySpec); TWS is
+  // where Spark's state-store features (RocksDB column families, TTL,
+  // multiple state vars) land. TWS requires the RocksDB state store
+  // provider (tests set spark.sql.streaming.stateStore.providerClass).
+  // ---------------------------------------------------------------------
+
+  /** TWS processor: running per-user (count, sum), one output row per
+    * input batch of rows per key — same semantics as
+    * [[runningUserTotals]]. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      rows.foreach { e => n += 1; s += e.value }
+      val next = UserRunning(key, n, s)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** TWS twin of [[runningUserTotals]]. */
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** TWS processor with an EVENT-TIME timer: accumulate per-user
+    * (count, sum); (re-)register a timer 30 min of event time past the
+    * user's latest event; when the watermark crosses it the session is
+    * emitted once and the state cleared — same bounded-state semantics
+    * as [[finalizedSessions]], with the timer made explicit. */
+  class FinalizedSessionsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+    @transient private var deadline: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[UserRunning](
+        "session", Encoders.product[UserRunning], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long](
+        "deadline", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      var maxTs = Long.MinValue
+      rows.foreach { e =>
+        n += 1; s += e.value; maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      state.update(UserRunning(key, n, s))
+      // slide the expiry timer to latest event + 30 min (delete the old
+      // one — timers are not implicitly replaced like setTimeoutTimestamp)
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      val due = maxTs + 30 * 60 * 1000L
+      getHandle.registerTimer(due)
+      deadline.update(due)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[UserRunning] = {
+      val done = state.get()
+      state.clear()
+      deadline.clear()
+      Iterator.single(done)
+    }
+  }
+
+  /** TWS twin of [[finalizedSessions]]. */
+  def finalizedSessionsTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new FinalizedSessionsProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Arbitrary keyed state: running per-user (count, sum) emitted on

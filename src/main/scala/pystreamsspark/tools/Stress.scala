@@ -50,6 +50,29 @@ object Stress {
       li.join(o, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority").agg(count(lit(1))).count()
     }
+    val ord = amplified(pystreamsspark.io.Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey"), 100000000L)
+    time(s"window_topk x$mult") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+      ord.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).count()
+    }
+    val ev = amplified(pystreamsspark.io.Tables.events(spark, sfDir),
+      Seq("event_id", "user_id"), 100000000L)
+    time(s"distinct_users x$mult") {
+      ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id"), approx_count_distinct($"user_id")).count()
+    }
+    time(s"sessionize x$mult") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      ev.withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("gap", unix_timestamp($"ts") - unix_timestamp($"prev"))
+        .withColumn("new_s", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum($"new_s").over(w))
+        .groupBy($"user_id", $"sid").agg(count(lit(1)), min($"ts"), max($"ts"))
+        .count()
+    }
     val docs = amplified(pystreamsspark.io.Tables.documents(spark, sfDir),
       Seq("doc_id"), 10000000L)
     time(s"minhash_lsh x$mult") {
@@ -62,6 +85,11 @@ object Stress {
     }
     val emb = amplified(pystreamsspark.io.Tables.embeddings(spark, sfDir),
       Seq("vec_id"), 10000000L)
+    time(s"knn_cosine x$mult") {
+      val probe = pystreamsspark.io.Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" === 0).select($"embedding".as("probe"))
+      pystreamsspark.llm.Similarity.knn(emb, "vec_id", "embedding", probe, 10).count()
+    }
     time(s"ann_pairs x$mult") {
       pystreamsspark.llm.Similarity.annPairs(emb, "vec_id", "embedding",
         planes = 10, threshold = 0.95).count()

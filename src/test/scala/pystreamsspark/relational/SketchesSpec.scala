@@ -37,6 +37,37 @@ class SketchesSpec extends SparkSpec {
     assert(err < 0.05, s"merged=$merged exact=$exact err=$err")
   }
 
+  test("multi-band sign-LSH: planted cosine-0.72 pairs recalled where one band is luck") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val target = 0.72 // just above the 0.7 verify threshold
+    // 60 planted pairs at EXACT cosine 0.72: partner = t*v̂ + sqrt(1-t²)*û
+    // with û ⊥ v̂ — deterministic geometry, fixed seed
+    val rows = (0 until 60).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val vh = v.map(_ / nv)
+      val u0 = Array.fill(dim)(rnd.nextGaussian())
+      val d = u0.zip(vh).map { case (a, b) => a * b }.sum
+      val u1 = u0.zip(vh).map { case (a, b) => a - d * b }
+      val nu = math.sqrt(u1.map(x => x * x).sum)
+      val w = vh.zip(u1).map { case (a, b) =>
+        (target * a + math.sqrt(1 - target * target) * b / nu).toFloat }
+      Seq((i.toLong, vh.map(_.toFloat)), (1000L + i, w))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def recallOf(pairs: org.apache.spark.sql.DataFrame): Double =
+      pairs.filter($"id_b" === $"id_a" + 1000L).count().toDouble / 60
+    val multi = recallOf(pystreamsspark.llm.Similarity.annPairsMultiband(
+      emb, "vec_id", "embedding", planesPerBand = 4, bands = 8, threshold = 0.7))
+    val single = recallOf(pystreamsspark.llm.Similarity.annPairs(
+      emb, "vec_id", "embedding", planes = 8, threshold = 0.7))
+    assert(multi >= 0.8, s"multiband recall=$multi")
+    assert(multi > single, s"multi=$multi single=$single — amplification must help")
+  }
+
   test("simhash banded pairs: planted near-dups recalled, no id-order dups, dist bounded") {
     val s = spark
     import s.implicits._
