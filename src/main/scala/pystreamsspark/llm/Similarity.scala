@@ -236,21 +236,26 @@ object Similarity {
   /** IVF cell assignment: each vector goes to its nearest centroid
     * (cosine, deterministic tie-break on centroid id). `centroids` is a
     * small (cid, cvec) frame — broadcast, so assignment is one scan of
-    * the big side with no shuffle. A production index would k-means the
-    * centroids; any deterministic centroid set works for the structure. */
+    * the big side. Nearest-centroid selection is `min(struct(-sim, cid))`
+    * per point: the |centroids| scored candidates collapse in the
+    * MAP-side partial aggregate, so one row per point crosses the
+    * shuffle — the row_number() window this replaces shuffled and sorted
+    * all |points|·|centroids| scored rows. (-sim, cid) is unique, so the
+    * carried vector is never compared; tie-break (min cid) is identical
+    * to the window form. Centroids fitted by [[kmeansFit]] (cast to
+    * float) or any deterministic set work. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__sim").desc, col("cid").asc)
+                centroids: DataFrame): DataFrame =
     native(emb)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosineNative(col("__v"), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("__v").as(vecCol), col("cid").as("cell"))
-  }
+      .select(col("__id"), struct(
+        (lit(0) - cosineNative(col("__v"), col("cvec"))).as("ns"),
+        col("cid"), col("__v").as("v")).as("sc"))
+      .groupBy(col("__id"))
+      .agg(min(col("sc")).as("sc"))
+      .select(col("__id").as(idCol), col("sc.v").as(vecCol),
+        col("sc.cid").as("cell"))
 
   /** IVF top-k search: rank cells by centroid similarity to the probe,
     * scan only the `nprobe` best cells. At 100 TB the assignment is
