@@ -275,6 +275,45 @@ object Dedup {
     pairStats(cand, threshold).distinct()
   }
 
+  /** ASYMMETRIC containment pairs: |toks(a) ∩ toks(b)| / |toks(a)| >=
+    * threshold within a block — catches quotes, excerpts and
+    * boilerplate-wrapped copies that symmetric Jaccard misses (a 50-word
+    * quote inside a 5000-word page has Jaccard ~0.01 but containment
+    * 1.0). Output is directional: (id_a, id_b) means a's tokens are
+    * inside b. Same block-join shape as [[jaccardPairsBlock]]; at scale
+    * route candidates through the prefix funnel keyed on the SMALL
+    * side's tokens (containment >= t needs a's prefix of length
+    * |a| - ceil(t*|a|) + 1 to hit b — the same pigeonhole). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    val a = base.select(
+      (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
+    val b = base.select(
+      (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("toks_a")).as("n_a"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"))
+      .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** End-to-end near-duplicate corpus PRUNE: the output a dedup pass
+    * actually ships — every unclustered doc plus one representative
+    * (min id) per near-dup cluster. Pairs from [[jaccardPairs]] (cost-
+    * based), clusters from [[connectedComponents]], then one left
+    * anti-ish filter keeps docs that are their own label or have none. */
+  def neardupPrune(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, blockCols, threshold)
+    val labels = connectedComponents(pairs)
+    docs.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("label").isNull || col("label") === col(idCol))
+      .drop("label")
+  }
+
   /** Connected components over a near-duplicate pair list — turns the
     * LSH pair output into duplicate CLUSTERS, labeling every doc with
     * the smallest id in its component (the canonical representative a

@@ -367,6 +367,145 @@ object LlmQueries {
       |)
       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]]) at 0.9
+    * within (lang, source): directional quote/excerpt detection that
+    * symmetric Jaccard misses. Top-50 by containment for a bounded,
+    * deterministic oracle surface. */
+  def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.containmentPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.9)
+      .orderBy($"containment".desc, $"id_a".asc, $"id_b".asc)
+      .limit(50)
+      .select($"id_a", $"id_b", $"n_a", $"n_inter", $"containment")
+  }
+
+  val qContainmentSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(a.toks) AS n_a,
+      |    len(list_intersect(a.toks, b.toks)) AS n_inter,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks)
+      |      AS containment
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id)
+      |WHERE containment >= 0.9
+      |ORDER BY containment DESC, id_a ASC, id_b ASC
+      |LIMIT 50""".stripMargin
+
+  /** End-to-end near-dup corpus prune ([[Dedup.neardupPrune]]): the
+    * deliverable of a dedup pass — unclustered docs + one min-id
+    * representative per exact-Jaccard-0.5 cluster. Value-verifies
+    * pairs -> connected components -> prune as ONE pipeline against the
+    * DuckDB transitive-closure recursion. */
+  def qNeardupPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.neardupPrune(Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.5)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val qNeardupPruneSql: String =
+    """WITH RECURSIVE reach AS (
+      |    SELECT s AS id, s AS r FROM und
+      |    UNION
+      |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
+      |), t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |), labels AS (
+      |  SELECT id, MIN(r) AS label FROM reach GROUP BY id
+      |)
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM labels WHERE label <> id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Batched BM25 retrieval: top-10 docs PER QUERY for a 3-query set,
+    * selected with the bounded map-side top-k UDAF
+    * ([[pystreamsspark.operators.TopKAgg]]) — |queries|·k rows per task
+    * cross the shuffle, no per-query window sort (the batch twin of
+    * [[qBm25]]; same libm-free fixed-order IEEE score tree, so scores
+    * hash-match the oracle bit-for-bit). */
+  def qBm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("join", "stream", "window") // qid 1, 2, 3
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id" +: TextOps.tokens($"text").as("toks") +: Nil: _*)
+      .select(($"doc_id" +: size($"toks").cast("long").as("dl") +:
+        terms.map(t => size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    val aggCols = count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    def score(t: String) = {
+      val idf = ($"n_docs".cast("double") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      val norm = lit(1.5) * (lit(0.25) + lit(0.75) *
+        ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs".cast("double"))))
+      when(col(s"tf_$t") > 0,
+        idf * (col(s"tf_$t") * lit(2.5)) / (col(s"tf_$t") + norm)).otherwise(lit(0.0))
+    }
+    val perQuery = terms.zipWithIndex.map { case (t, i) =>
+      scored.select(lit(i + 1).as("qid"), $"doc_id", score(t).as("s"))
+    }.reduce(_ unionByName _)
+    perQuery
+      .groupBy($"qid")
+      .agg(pystreamsspark.operators.TopKAgg.topK(10)($"s", $"doc_id").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", $"col._2".as("doc_id"), $"col._1".as("bm25"),
+        ($"pos" + 1).cast("long").as("rn"))
+      .orderBy($"qid", $"rn")
+  }
+
+  val qBm25TopkSql: String = {
+    def scoreSql(t: String): String =
+      s"""CASE WHEN tf_$t > 0 THEN
+         |      ((CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5))
+         |      * (tf_$t * 2.5)
+         |      / (tf_$t + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    ELSE 0.0 END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x = 'join')) AS BIGINT) AS tf_join,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x = 'stream')) AS BIGINT) AS tf_stream,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x = 'window')) AS BIGINT) AS tf_window
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+       |    CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream,
+       |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+       |  FROM base
+       |), perq AS (
+       |  SELECT 1 AS qid, doc_id, ${scoreSql("join")} AS s FROM base CROSS JOIN stats
+       |  UNION ALL
+       |  SELECT 2, doc_id, ${scoreSql("stream")} FROM base CROSS JOIN stats
+       |  UNION ALL
+       |  SELECT 3, doc_id, ${scoreSql("window")} FROM base CROSS JOIN stats
+       |)
+       |SELECT qid, doc_id, s AS bm25, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |                                    ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rn
+       |  FROM perq)
+       |WHERE rn <= 10
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   /** Large-star/small-star connected components
     * ([[pystreamsspark.llm.Dedup.connectedComponentsStar]], Kiveris et
     * al. SoCC 2014) on a DEEP graph: each (lang, source) block's docs
@@ -762,6 +901,9 @@ object LlmQueries {
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_cc_clusters"   -> (qCcClusters _),
     "q_cc_chain"      -> (qCcChain _),
+    "q_containment"   -> (qContainment _),
+    "q_neardup_prune" -> (qNeardupPrune _),
+    "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_contamination" -> (qContamination _),
     "q_bm25"          -> (qBm25 _),
@@ -787,6 +929,9 @@ object LlmQueries {
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_cc_clusters"   -> qCcClustersSql,
     "q_cc_chain"      -> qCcChainSql,
+    "q_containment"   -> qContainmentSql,
+    "q_neardup_prune" -> qNeardupPruneSql,
+    "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,

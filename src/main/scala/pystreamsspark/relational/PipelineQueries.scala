@@ -382,6 +382,65 @@ object PipelineQueries {
       |SELECT CAST(cid AS BIGINT) AS cell, COUNT(*) AS n
       |FROM a2 GROUP BY cid ORDER BY cell""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (k=100, weight = text
+    * length) via the Efraimidis–Spirakis A-ES key (u^(1/w) ranking —
+    * "Weighted random sampling with a reservoir", IPL 2006; public
+    * algorithm), expressed as ln(u)/w to avoid pow. u is a
+    * deterministic md5-derived 40-bit uniform (same cross-engine hash
+    * family as q_minhash_oracle), so the sample is a pure function of
+    * the data: reproducible on any cluster layout, no RNG state, no
+    * driver round. Selection = global top-k on the key —
+    * TakeOrderedAndProject, never a full sort. The ln key itself is NOT
+    * output (libm may differ in the last ulp across engines); the
+    * SELECTED SET is compared, which md5-random keys make stable. */
+  def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 10),
+      16, 10).cast("long")
+    val u = (a + 1L).cast("double") / lit(1099511627777.0) // (2^40+1): u in (0,1]
+    val key = log(u) / length($"text").cast("double")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"), key.as("k"))
+      .orderBy($"k".desc, $"doc_id".asc)
+      .limit(100)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val qWeightedSampleSql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+      |    ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 1)
+      |       / 1099511627777.0) / len(text) AS k
+      |  FROM documents
+      |  ORDER BY k DESC, doc_id ASC
+      |  LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Text normalization pipeline over a column where it does real work
+    * (customer names: uppercase, '#', digit runs): lower → strip
+    * non-[a-z0-9 ] → collapse whitespace → trim. All per-row codegen'd
+    * regexp/string expressions — scan-speed, zero shuffle; the oracle
+    * mirrors each step with DuckDB's regexp_replace 'g' flag. */
+  def qTextNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"c_name"), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", norm.as("norm_name"),
+        length(norm).cast("long").as("n_chars"))
+      .orderBy($"c_custkey")
+  }
+
+  val qTextNormSql: String =
+    """SELECT c_custkey,
+      |  trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g')) AS norm_name,
+      |  CAST(len(trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g'))) AS BIGINT) AS n_chars
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** Wide→long melt (`Dataset.unpivot` → Spark `Expand` node: each input
     * row fans out to one row per value column, map-side, no shuffle).
     * The oracle is the portable UNION ALL formulation. */
@@ -709,7 +768,9 @@ object PipelineQueries {
     "q_histogram"        -> (qHistogram _),
     "q_mode"             -> (qMode _),
     "q_knn_batch"        -> (qKnnBatch _),
-    "q_kmeans_cells"     -> (qKmeansCells _))
+    "q_kmeans_cells"     -> (qKmeansCells _),
+    "q_weighted_sample"  -> (qWeightedSample _),
+    "q_text_norm"        -> (qTextNorm _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg"       -> qSaltedAggSql,
@@ -732,5 +793,7 @@ object PipelineQueries {
     "q_histogram"        -> qHistogramSql,
     "q_mode"             -> qModeSql,
     "q_knn_batch"        -> qKnnBatchSql,
-    "q_kmeans_cells"     -> qKmeansCellsSql)
+    "q_kmeans_cells"     -> qKmeansCellsSql,
+    "q_weighted_sample"  -> qWeightedSampleSql,
+    "q_text_norm"        -> qTextNormSql)
 }

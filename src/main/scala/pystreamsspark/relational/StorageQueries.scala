@@ -68,11 +68,38 @@ object StorageQueries {
        |GROUP BY s_nationkey
        |ORDER BY s_nationkey""".stripMargin
 
+  /** ORC round-trip (the third columnar-adjacent format Spark ships
+    * natively): part written to ORC, read back, aggregated; the oracle
+    * reads the original parquet — equality proves writer+reader
+    * fidelity including the decimal/double and string columns. */
+  def qOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    val dir = scratch(sfDir, "orc")
+    part.coalesce(1).write.mode("overwrite").orc(dir)
+    spark.read.schema(part.schema).orc(dir)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        pystreamsspark.relational.Det.dsum($"p_retailprice").as("sum_price"),
+        max(length($"p_name")).as("max_name_len"))
+      .orderBy($"p_brand")
+  }
+
+  val qOrcRoundtripSql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_parts,
+       |  ${Det.sqlSum("p_retailprice")} AS sum_price,
+       |  CAST(MAX(len(p_name)) AS INT) AS max_name_len
+       |FROM part
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
-    "q_json_roundtrip" -> (qJsonRoundtrip _))
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
-    "q_json_roundtrip" -> qJsonRoundtripSql)
+    "q_json_roundtrip" -> qJsonRoundtripSql,
+    "q_orc_roundtrip"  -> qOrcRoundtripSql)
 }

@@ -244,6 +244,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment: directional — quote inside page found, reverse direction not") {
+    val s = spark
+    import s.implicits._
+    val page = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (5 to 12).map(i => s"w$i").mkString(" ") // fully inside page
+    val other = "x1 x2 x3 x4 x5"
+    val docs = Seq((1L, page, "en"), (2L, quote, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((2L, 1L)), "quote (2) is contained in page (1)")
+    assert(!out.contains((1L, 2L)), "page is NOT contained in quote")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("neardupPrune keeps unclustered docs and exactly one representative per cluster") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "en"), (2L, "a b c d e f", "en"), // dup pair -> keep 1
+      (3L, "a b c d e g", "en"),                            // near-dup of 1,2 -> same cluster
+      (4L, "x y z q r s", "en"))                            // unclustered -> kept
+      .toDF("doc_id", "text", "lang")
+    val kept = Dedup.neardupPrune(docs, "doc_id", "text", Seq("lang"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L), s"got $kept")
+  }
+
   test("simHashBulk == scalar simHash sketch for every doc (incl. empty text)") {
     val s = spark
     import s.implicits._
