@@ -886,7 +886,21 @@ object LlmQueries {
       .orderBy($"id_a".asc, $"id_b".asc)
   }
 
+  /** OR-amplified multi-band sign-LSH near-dup pairs
+    * ([[Similarity.annPairsMultiband]]) with planted duplicates — smoke
+    * key (xxhash64 plane weights are engine-specific; recall is
+    * value-asserted in SketchesSpec's planted cosine-0.72 test). */
+  def qAnnMultiband(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val planted = emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+    Similarity.annPairsMultiband(emb.unionByName(planted), "vec_id", "embedding",
+        planesPerBand = 4, bands = 8, threshold = 0.9)
+      .orderBy($"id_a".asc, $"id_b".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_multiband" -> (qAnnMultiband _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_delta"   -> (qDedupDelta _),
     "q_tokens_topk"   -> (qTokensTopk _),

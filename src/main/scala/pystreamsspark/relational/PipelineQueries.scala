@@ -559,6 +559,60 @@ object PipelineQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** TEMPERATURE-rebalanced source mixing — the multinomial-with-
+    * temperature reweighting multilingual/multi-source LLM training
+    * uses to keep big sources from drowning small ones (sampling mass
+    * ∝ n_s^T, here T = 0.5; cf. the XLM-R / mBERT exponent-sampling
+    * methodology — public). sqrt is CORRECTLY-ROUNDED IEEE in both
+    * engines (unlike pow/ln), so the data-dependent per-source target
+    * floor(10·sqrt(n_s)) is cross-engine exact. Selection is the
+    * deterministic md5-rank prefix per source (pure function of the
+    * data); output pins counts AND the exact selected id set
+    * (sum + min + max of selected ids, all exact BIGINT). Shape:
+    * one partial agg for counts, broadcast targets, one per-source
+    * hash-rank window — the stratified-cap pattern with a computed cap. */
+  def qTempMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val targets = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("n_target",
+        least(floor(lit(10.0) * sqrt($"n_total".cast("double"))).cast("long"),
+          $"n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+    docs.join(broadcast(targets), Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n_target")
+      .groupBy($"source", $"n_total", $"n_target")
+      .agg(count(lit(1)).as("n_sel"),
+        sum($"doc_id").as("sum_sel"),
+        min($"doc_id").as("min_sel"),
+        max($"doc_id").as("max_sel"))
+      .orderBy($"source")
+  }
+
+  val qTempMixSql: String =
+    """WITH targets AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    least(CAST(floor(10.0 * sqrt(COUNT(*))) AS BIGINT),
+      |          CAST(COUNT(*) AS BIGINT)) AS n_target
+      |  FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT d.source, d.doc_id, t.n_total, t.n_target,
+      |    row_number() OVER (PARTITION BY d.source
+      |                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      |  FROM documents d JOIN targets t ON d.source = t.source
+      |)
+      |SELECT source, n_total, n_target,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sel,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_sel,
+      |  MIN(doc_id) AS min_sel, MAX(doc_id) AS max_sel
+      |FROM ranked WHERE rn <= n_target
+      |GROUP BY source, n_total, n_target
+      |ORDER BY source""".stripMargin
+
   /** Error-tolerant scalar surface for dirty data under ANSI mode:
     * Spark 4 runs ANSI-on (1/0 and bad casts THROW), so robust
     * pipelines use the `try_*` family — NULL instead of a failed 100 TB
@@ -770,7 +824,8 @@ object PipelineQueries {
     "q_knn_batch"        -> (qKnnBatch _),
     "q_kmeans_cells"     -> (qKmeansCells _),
     "q_weighted_sample"  -> (qWeightedSample _),
-    "q_text_norm"        -> (qTextNorm _))
+    "q_text_norm"        -> (qTextNorm _),
+    "q_temp_mix"         -> (qTempMix _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg"       -> qSaltedAggSql,
@@ -795,5 +850,6 @@ object PipelineQueries {
     "q_knn_batch"        -> qKnnBatchSql,
     "q_kmeans_cells"     -> qKmeansCellsSql,
     "q_weighted_sample"  -> qWeightedSampleSql,
-    "q_text_norm"        -> qTextNormSql)
+    "q_text_norm"        -> qTextNormSql,
+    "q_temp_mix"         -> qTempMixSql)
 }

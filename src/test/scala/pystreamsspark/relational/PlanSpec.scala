@@ -115,6 +115,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_weighted_sample: global top-k is TakeOrdered, never a full sort") {
+    val p = plan(graft.SparkEntry.queries("q_weighted_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_bm25_topk: bounded per-query top-k aggregate, no window; one broadcast stats row") {
+    val p = plan(graft.SparkEntry.queries("q_bm25_topk")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("partial_topkbyvalue"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_kmeans_cells: assignment is min-struct partial agg — no per-point window") {
+    val p = plan(graft.SparkEntry.queries("q_kmeans_cells")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+
   test("q_fuzzy_join: segment equi-join, no cartesian / nested-loop fallback") {
     val p = plan(graft.SparkEntry.queries("q_fuzzy_join")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
