@@ -559,6 +559,32 @@ object PipelineQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** BPE-ish subword pre-tokenization stats
+    * ([[pystreamsspark.llm.TextOps.subwordTokens]] — GPT-2-style
+    * letter/digit/other run splitting, pure codegen'd regexp) over a
+    * column where it does real work: customer names split into 3 runs
+    * ("customer", "#", "000000001") vs 1 whitespace token. The oracle
+    * counts the SAME run regex with DuckDB regexp_extract_all and
+    * compares the joined subword stream verbatim. */
+  def qSubwordStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sub = pystreamsspark.llm.TextOps.subwordTokens($"c_name")
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey",
+        pystreamsspark.llm.TextOps.tokenCount($"c_name").cast("long").as("n_ws"),
+        size(sub).cast("long").as("n_sub"),
+        concat_ws(" ", sub).as("sub_text"))
+      .orderBy($"c_custkey")
+  }
+
+  val qSubwordStatsSql: String =
+    """SELECT c_custkey,
+      |  CAST(len(list_filter(string_split(c_name, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(lower(c_name), '([a-z]+|[0-9]+|[^a-z0-9 ]+)')) AS BIGINT) AS n_sub,
+      |  array_to_string(regexp_extract_all(lower(c_name), '([a-z]+|[0-9]+|[^a-z0-9 ]+)'), ' ') AS sub_text
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** TEMPERATURE-rebalanced source mixing — the multinomial-with-
     * temperature reweighting multilingual/multi-source LLM training
     * uses to keep big sources from drowning small ones (sampling mass
@@ -825,7 +851,8 @@ object PipelineQueries {
     "q_kmeans_cells"     -> (qKmeansCells _),
     "q_weighted_sample"  -> (qWeightedSample _),
     "q_text_norm"        -> (qTextNorm _),
-    "q_temp_mix"         -> (qTempMix _))
+    "q_temp_mix"         -> (qTempMix _),
+    "q_subword_stats"    -> (qSubwordStats _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg"       -> qSaltedAggSql,
@@ -851,5 +878,6 @@ object PipelineQueries {
     "q_kmeans_cells"     -> qKmeansCellsSql,
     "q_weighted_sample"  -> qWeightedSampleSql,
     "q_text_norm"        -> qTextNormSql,
-    "q_temp_mix"         -> qTempMixSql)
+    "q_temp_mix"         -> qTempMixSql,
+    "q_subword_stats"    -> qSubwordStatsSql)
 }
