@@ -23,17 +23,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 abstract class VecBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  // ExpectsInputTypes is sql-private; validate array<float> inputs manually
+  // ExpectsInputTypes is sql-private; validate inputs manually. Each side
+  // may independently be array<float> or array<double> (e.g. a float
+  // embedding against a double k-means centroid): floats are widened to
+  // double exactly, doubles pass through — so the accumulation sequence,
+  // and therefore every produced bit, is identical to the HOF forms.
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
+
+  protected def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def elem(fl: Boolean, arr: ArrayData, i: Int): Double =
+    if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+  protected def elemCode(fl: Boolean, arr: String, i: String): String =
+    if (fl) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
 }
 
 /** dot(a, b) = Σ (double)a_i * (double)b_i, sequential. */
@@ -43,10 +56,11 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryExpressi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val fx = isFloatArr(left); val fy = isFloatArr(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { acc += elem(fx, x, i) * elem(fy, y, i); i += 1 }
     acc
   }
 
@@ -59,7 +73,7 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryExpressi
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ${elemCode(isFloatArr(left), a, i)} * ${elemCode(isFloatArr(right), b, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -77,12 +91,13 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpre
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val fx = isFloatArr(left); val fy = isFloatArr(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = elem(fx, x, i)
+      val yv = elem(fy, y, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -102,8 +117,8 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpre
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = ${elemCode(isFloatArr(left), a, i)};
+         |  double $yv = ${elemCode(isFloatArr(right), b, i)};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

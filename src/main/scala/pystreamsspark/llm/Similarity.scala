@@ -165,15 +165,20 @@ object Similarity {
   /** Nearest-centroid assignment via `min(struct(-sim, cid, v))` — the
     * k scored candidates per point collapse in the MAP-side partial
     * aggregate; only one row per point crosses the shuffle. (-sim, cid)
-    * is already unique, so the carried array is never compared. */
-  private def assignMin(e: DataFrame, centroids: DataFrame): DataFrame =
+    * is already unique, so the carried array is never compared. Cosine
+    * is the native fused expression (accepts double arrays since round
+    * 3) — bit-identical to the HOF form, one codegen'd loop instead of
+    * three interpreted passes per (point, centroid). */
+  private def assignMin(e: DataFrame, centroids: DataFrame): DataFrame = {
+    pystreamsspark.functions.VectorExpressions.register(e.sparkSession)
     e.crossJoin(broadcast(centroids))
       .select(col("__id"), struct(
-        (lit(0) - cosine(col("__v"), col("cvec"))).as("ns"),
+        (lit(0) - cosineNative(col("__v"), col("cvec"))).as("ns"),
         col("cid"), col("__v").as("v")).as("sc"))
       .groupBy(col("__id"))
       .agg(min(col("sc")).as("sc"))
       .select(col("__id"), col("sc.v").as("__v"), col("sc.cid").as("cell"))
+  }
 
   /** Final cell occupancy of a k-means fit: (cell, n_points) — the
     * oracle-checkable surface of [[kmeansFit]] (cluster counts pin the

@@ -367,6 +367,61 @@ object LlmQueries {
       |)
       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Corpus BOILERPLATE detection — the CCNet/RefinedWeb-style pass
+    * that scores each doc by how much of it is made of n-grams shared
+    * with most of the corpus (navigation chrome, license headers,
+    * templating). A gram is boilerplate when its document frequency
+    * exceeds half the corpus; each doc reports its distinct-gram count,
+    * boilerplate-gram count and ratio. Skew-safe shape, same as the
+    * contamination df cap: gram df is a map-side-combined partial
+    * aggregate (the hottest gram collapses per partition), the ban
+    * list broadcasts, and the per-doc count is one more partial agg —
+    * no gram-partitioned window anywhere. */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("gram"))
+    val nDocs = grams.select($"doc_id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val banned = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" > lit(0.5) * $"n_docs")
+      .select($"gram")
+    grams.join(broadcast(banned.withColumn("is_boiler", lit(1L))),
+        Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio", $"n_boiler".cast("double") / $"n_grams")
+      .orderBy($"doc_id")
+  }
+
+  val qBoilerplateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM t
+      |), df AS (
+      |  SELECT gram, count(*) AS c FROM g GROUP BY gram
+      |), n AS (SELECT count(*) AS n_docs FROM t
+      |), banned AS (
+      |  SELECT gram FROM df, n WHERE c > 0.5 * n_docs
+      |)
+      |SELECT g.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS boiler_ratio
+      |FROM g LEFT JOIN banned b ON g.gram = b.gram
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** Asymmetric containment pairs ([[Dedup.containmentPairs]]) at 0.9
     * within (lang, source): directional quote/excerpt detection that
     * symmetric Jaccard misses. Top-50 by containment for a bounded,
@@ -916,6 +971,7 @@ object LlmQueries {
     "q_cc_clusters"   -> (qCcClusters _),
     "q_cc_chain"      -> (qCcChain _),
     "q_containment"   -> (qContainment _),
+    "q_boilerplate"   -> (qBoilerplate _),
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
@@ -944,6 +1000,7 @@ object LlmQueries {
     "q_cc_clusters"   -> qCcClustersSql,
     "q_cc_chain"      -> qCcChainSql,
     "q_containment"   -> qContainmentSql,
+    "q_boilerplate"   -> qBoilerplateSql,
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,

@@ -559,6 +559,52 @@ object PipelineQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Robust per-language length-outlier detection via median/MAD — the
+    * outlier-resistant alternative to mean/stddev z-scores for corpus
+    * quality filtering. Flags docs with |len − median| > 2·MAD (the
+    * synthetic corpus's lengths are tight: 3·MAD returns zero rows at
+    * every SF, i.e. a vacuous oracle; at 2·MAD the nearest ratio is
+    * 2.004 — far from the cut, and the comparison is exact anyway).
+    * Exact
+    * interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`) over integer lengths land on x.0/x.5 — exactly
+    * representable, so medians, MADs and the 3·MAD threshold are
+    * cross-engine exact with no float wobble. Two grouped aggregates
+    * + two broadcast joins; the big side is scanned twice, never
+    * windowed. */
+  def qMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"))
+    val med = docs.groupBy($"lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val withMed = docs.join(broadcast(med), Seq("lang"))
+      .withColumn("adev", abs($"n_chars".cast("double") - $"med"))
+    val mad = withMed.groupBy($"lang")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("lang"))
+      .filter($"adev" > lit(2.0) * $"mad")
+      .select($"doc_id", $"lang", $"n_chars", $"med", $"mad")
+      .orderBy($"doc_id")
+  }
+
+  val qMadOutliersSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS n_chars FROM documents
+      |), med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY lang
+      |), wm AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars, med.med,
+      |    abs(CAST(d.n_chars AS DOUBLE) - med.med) AS adev
+      |  FROM d JOIN med ON d.lang = med.lang
+      |), mad AS (
+      |  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM wm GROUP BY lang
+      |)
+      |SELECT wm.doc_id, wm.lang, wm.n_chars, wm.med, mad.mad
+      |FROM wm JOIN mad ON wm.lang = mad.lang
+      |WHERE wm.adev > 2.0 * mad.mad
+      |ORDER BY wm.doc_id""".stripMargin
+
   /** BPE-ish subword pre-tokenization stats
     * ([[pystreamsspark.llm.TextOps.subwordTokens]] — GPT-2-style
     * letter/digit/other run splitting, pure codegen'd regexp) over a
@@ -852,7 +898,8 @@ object PipelineQueries {
     "q_weighted_sample"  -> (qWeightedSample _),
     "q_text_norm"        -> (qTextNorm _),
     "q_temp_mix"         -> (qTempMix _),
-    "q_subword_stats"    -> (qSubwordStats _))
+    "q_subword_stats"    -> (qSubwordStats _),
+    "q_mad_outliers"     -> (qMadOutliers _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg"       -> qSaltedAggSql,
@@ -879,5 +926,6 @@ object PipelineQueries {
     "q_weighted_sample"  -> qWeightedSampleSql,
     "q_text_norm"        -> qTextNormSql,
     "q_temp_mix"         -> qTempMixSql,
-    "q_subword_stats"    -> qSubwordStatsSql)
+    "q_subword_stats"    -> qSubwordStatsSql,
+    "q_mad_outliers"     -> qMadOutliersSql)
 }

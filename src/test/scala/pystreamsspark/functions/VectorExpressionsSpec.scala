@@ -31,6 +31,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("double-array and mixed float/double inputs are bit-identical to HOF forms") {
+    VectorExpressions.register(spark)
+    val df = vecs(100, 32)
+      .select(col("id"), col("v"),
+        transform(col("v"), x => x.cast("double")).as("vd"))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .where(col("a.id") < col("b.id")).limit(1000)
+      .select(
+        // double x double
+        Similarity.cosine(col("a.vd"), col("b.vd")).as("cos_hof_dd"),
+        call_function("vec_cosine", col("a.vd"), col("b.vd")).as("cos_nat_dd"),
+        // float x double (the kmeans assignment shape)
+        Similarity.cosine(col("a.v"), col("b.vd")).as("cos_hof_fd"),
+        call_function("vec_cosine", col("a.v"), col("b.vd")).as("cos_nat_fd"),
+        Similarity.dot(col("a.vd"), col("b.vd")).as("dot_hof_dd"),
+        call_function("vec_dot", col("a.vd"), col("b.vd")).as("dot_nat_dd"))
+    val bad = pairs.where(
+      col("cos_hof_dd") =!= col("cos_nat_dd") ||
+      col("cos_hof_fd") =!= col("cos_nat_fd") ||
+      col("dot_hof_dd") =!= col("dot_nat_dd"))
+    assert(bad.count() === 0)
+  }
+
   test("native expressions run inside WholeStageCodegen") {
     VectorExpressions.register(spark)
     // range source (not a local relation) so the projection isn't
