@@ -59,6 +59,159 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** PageRank over an undirected edge list, in FIXED-POINT integer
+    * arithmetic: ranks are BIGINT micro-units (`scale` = 1.0 of rank
+    * mass split over N nodes), a node's per-edge share is `pr div deg`
+    * (integral division), and damping is `(85 * s) div 100`. Every
+    * operation is exact integer arithmetic, so the result is
+    * independent of partitioning, reduction order, AND engine — the
+    * oracle replays the iterations in DuckDB with `//` and matches
+    * bit-for-bit, with none of the float-reduction-order machinery
+    * `Det` exists for. (Truncation loses < 1 micro-unit per division —
+    * a 1e-12 relative error at the default scale, far below any
+    * ranking-relevant difference.)
+    *
+    * Scale shape: the edge list is the big side and is joined once per
+    * iteration against the per-node share table (|V| rows, broadcast /
+    * co-partitioned by src); the new rank is one partial+final agg on
+    * dst. No windows, no driver-side data — the only scalar crossing
+    * the driver is N. Undirected edges mean every node has deg >= 1 and
+    * an in-edge, so there are no dangling-mass or missing-row cases. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               scale: Long = 1000000000000L): DataFrame = {
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    val init = scale / n
+    val base = (15L * init) / 100L
+    var ranks = deg.select(col("src").as("id"), col("deg"),
+      lit(init).as("pr"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.select(col("id").as("src"),
+        expr("pr div deg").as("share"))
+      val sums = dir.join(shares, "src")
+        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+      ranks = deg.select(col("src").as("id"), col("deg"))
+        .join(sums.withColumnRenamed("dst", "id"), Seq("id"))
+        .select(col("id"), col("deg"),
+          (lit(base) + expr("(85 * s) div 100")).as("pr"))
+    }
+    ranks.select(col("id"), col("pr"))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any seed, capped at
+    * `maxHops` relaxation rounds (after round k, every node holds its
+    * exact BFS distance if it is <= k; unreached nodes are absent).
+    * Hop counts are integers, so the result is partitioning- and
+    * engine-exact by construction. Each round is one join of the
+    * (small, <= |V| rows) distance table against the edge list plus a
+    * min partial+final agg — the distance side broadcasts / co-
+    * partitions; the big edge list is never re-keyed or windowed. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    var dist = seeds.select(col("id"), lit(0L).as("hop"))
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(dir, dist("id") === dir("src"))
+        .select(col("dst").as("id"), (col("hop") + 1).as("hop"))
+      dist = dist.unionAll(next).groupBy(col("id")).agg(min(col("hop")).as("hop"))
+    }
+    dist
+  }
+
+  /** BFS hop distances over the customer–supplier trade graph from the
+    * every-10th-supplier seed set (s_suppkey % 10 == 0 — non-empty from
+    * sf0.001's 10 suppliers up). 4 rounds cover the graph's tiny
+    * bipartite diameter; the oracle replays as a state-deduplicating
+    * recursive CTE (UNION, not UNION ALL — path-count explosion is the
+    * classic recursive-BFS trap). */
+  def qBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val seeds = Tables.supplier(spark, sfDir)
+      .filter($"s_suppkey" % 10 === 0)
+      .select(($"s_suppkey" * 2 + 1).as("id"))
+    bfsHops(edges, seeds).orderBy($"id")
+  }
+
+  val qBfsHopsSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), dir AS (
+      |  SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM e0
+      |), walk(id, hop) AS (
+      |  SELECT s_suppkey * 2 + 1, 0 FROM supplier WHERE s_suppkey % 10 = 0
+      |  UNION
+      |  SELECT dir.dst, walk.hop + 1
+      |  FROM walk JOIN dir ON walk.id = dir.src
+      |  WHERE walk.hop < 4
+      |)
+      |SELECT id, CAST(MIN(hop) AS BIGINT) AS hop
+      |FROM walk GROUP BY id ORDER BY id""".stripMargin
+
+  /** PageRank (3 fixed-point iterations) over the bipartite
+    * customer–supplier trade graph: an undirected edge per distinct
+    * (o_custkey, l_suppkey) pair that ever traded. Node ids are made
+    * disjoint arithmetically (customer k -> 2k, supplier k -> 2k+1). */
+  def qPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    pageRank(edges).orderBy($"id")
+  }
+
+  val qPageRankSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), dir AS (
+      |  SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM e0
+      |), deg AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM dir GROUP BY src
+      |), nn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS base
+      |  FROM deg
+      |), r0 AS (
+      |  SELECT src AS id, deg, CAST(1000000000000 // n AS BIGINT) AS pr
+      |  FROM deg, nn
+      |), s1 AS (
+      |  SELECT dst, CAST(SUM(pr // deg) AS BIGINT) AS s
+      |  FROM dir JOIN r0 ON dir.src = r0.id GROUP BY dst
+      |), r1 AS (
+      |  SELECT deg.src AS id, deg.deg,
+      |         CAST(base + (85 * s) // 100 AS BIGINT) AS pr
+      |  FROM deg JOIN s1 ON deg.src = s1.dst, nn
+      |), s2 AS (
+      |  SELECT dst, CAST(SUM(pr // deg) AS BIGINT) AS s
+      |  FROM dir JOIN r1 ON dir.src = r1.id GROUP BY dst
+      |), r2 AS (
+      |  SELECT deg.src AS id, deg.deg,
+      |         CAST(base + (85 * s) // 100 AS BIGINT) AS pr
+      |  FROM deg JOIN s2 ON deg.src = s2.dst, nn
+      |), s3 AS (
+      |  SELECT dst, CAST(SUM(pr // deg) AS BIGINT) AS s
+      |  FROM dir JOIN r2 ON dir.src = r2.id GROUP BY dst
+      |), r3 AS (
+      |  SELECT deg.src AS id,
+      |         CAST(base + (85 * s) // 100 AS BIGINT) AS pr
+      |  FROM deg JOIN s3 ON deg.src = s3.dst, nn
+      |)
+      |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
+
   /** Per-node triangle participation counts (the clustering-coefficient
     * numerator) over the exact-Jaccard >= 0.5 near-dup graph. */
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
@@ -94,8 +247,12 @@ object GraphQueries {
       |ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_triangles" -> (qTriangles _))
+    "q_triangles" -> (qTriangles _),
+    "q_pagerank"  -> (qPageRank _),
+    "q_bfs_hops"  -> (qBfsHops _))
 
   val oracle: Map[String, String] = Map(
-    "q_triangles" -> qTrianglesSql)
+    "q_triangles" -> qTrianglesSql,
+    "q_pagerank"  -> qPageRankSql,
+    "q_bfs_hops"  -> qBfsHopsSql)
 }

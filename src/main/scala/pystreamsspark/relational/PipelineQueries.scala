@@ -605,6 +605,93 @@ object PipelineQueries {
       |WHERE wm.adev > 2.0 * mad.mad
       |ORDER BY wm.doc_id""".stripMargin
 
+  /** GloVe-style token co-occurrence counts (window = 2 positions,
+    * directed): the count table an embedding-training preprocessor
+    * builds. NO self-join — each shift distance k becomes a zip of the
+    * token array against its own k-shifted slice (pure codegen'd array
+    * ops, zero shuffle), and the only exchange is the final
+    * partial+final count agg on (tok_a, tok_b). At 100 TB this is a
+    * map-side scan; the ≤|vocab|² result is what crosses the wire. */
+  def qCooc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def pairsAt(k: Int): DataFrame = {
+      val toks = pystreamsspark.llm.TextOps.tokens($"text")
+      val n = greatest(size(toks) - k, lit(0))
+      docs.select(explode(zip_with(
+        slice(toks, lit(1), n), slice(toks, lit(k + 1), n),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+        .select($"p.tok_a", $"p.tok_b")
+    }
+    pairsAt(1).unionAll(pairsAt(2))
+      .groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("n_cooc"))
+      .orderBy($"tok_a", $"tok_b")
+  }
+
+  val qCoocSql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT unnest(toks[1:len(toks)-1]) AS tok_a,
+      |         unnest(toks[2:len(toks)])   AS tok_b
+      |  FROM t WHERE len(toks) >= 2
+      |  UNION ALL
+      |  SELECT unnest(toks[1:len(toks)-2]),
+      |         unnest(toks[3:len(toks)])
+      |  FROM t WHERE len(toks) >= 3
+      |)
+      |SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_cooc
+      |FROM p GROUP BY tok_a, tok_b
+      |ORDER BY tok_a, tok_b""".stripMargin
+
+  /** Tokenizer-artifact build + corpus encoding: vocabulary ids ranked
+    * by (frequency desc, token asc) — the classic BPE-merge-table /
+    * word-vocab id assignment — then every document re-emitted as its
+    * ordered id sequence. The ranking window runs over the AGGREGATED
+    * vocab (|vocab| rows — tiny by construction, never the corpus);
+    * encoding is explode → broadcast vocab join → partial-agg
+    * collect + sort by position. Docs with zero tokens are absent on
+    * both sides. The id sequence is emitted comma-joined (ragged LIST
+    * columns are untested territory in the driver's pandas-level
+    * compare — every passing array-ish key to date is a string). */
+  def qEncodeIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(pystreamsspark.llm.TextOps.tokens($"text")))
+      .withColumnRenamed("col", "tok")
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .select($"tok",
+        row_number().over(Window.orderBy($"n".desc, $"tok".asc)).cast("long").as("id"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy($"doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"pos", $"id"))),
+          p => p.getField("id").cast("string")), ",").as("ids"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val qEncodeIdsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |         unnest(range(1, len(toks) + 1)) AS pos
+      |  FROM t WHERE len(toks) > 0
+      |), v AS (
+      |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS id
+      |  FROM g GROUP BY tok
+      |)
+      |SELECT g.doc_id,
+      |       string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY g.pos) AS ids,
+      |       CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM g JOIN v USING (tok)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** BPE-ish subword pre-tokenization stats
     * ([[pystreamsspark.llm.TextOps.subwordTokens]] — GPT-2-style
     * letter/digit/other run splitting, pure codegen'd regexp) over a
@@ -899,7 +986,9 @@ object PipelineQueries {
     "q_text_norm"        -> (qTextNorm _),
     "q_temp_mix"         -> (qTempMix _),
     "q_subword_stats"    -> (qSubwordStats _),
-    "q_mad_outliers"     -> (qMadOutliers _))
+    "q_mad_outliers"     -> (qMadOutliers _),
+    "q_cooc"             -> (qCooc _),
+    "q_encode_ids"       -> (qEncodeIds _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg"       -> qSaltedAggSql,
@@ -927,5 +1016,7 @@ object PipelineQueries {
     "q_text_norm"        -> qTextNormSql,
     "q_temp_mix"         -> qTempMixSql,
     "q_subword_stats"    -> qSubwordStatsSql,
-    "q_mad_outliers"     -> qMadOutliersSql)
+    "q_mad_outliers"     -> qMadOutliersSql,
+    "q_cooc"             -> qCoocSql,
+    "q_encode_ids"       -> qEncodeIdsSql)
 }

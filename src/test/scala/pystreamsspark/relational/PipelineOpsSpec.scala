@@ -196,6 +196,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("fixed-point pageRank matches an exact scalar reference bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    // deterministic irregular graph: a K4 core, a path tail, a hub
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (1L, 8L), (8L, 9L), (8L, 10L), (8L, 11L))
+    val got = GraphQueries.pageRank(raw.toDF("a", "b"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // scalar reference: identical integer ops, plain Scala
+    val scale = 1000000000000L
+    val dir = raw ++ raw.map(_.swap)
+    val deg = dir.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val init = scale / n
+    val base = (15L * init) / 100L
+    var pr = deg.map { case (k, _) => k -> init }
+    for (_ <- 1 to 3) {
+      val sums = dir.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = sums.map { case (v, sm) => v -> (base + (85L * sm) / 100L) }
+    }
+    assert(got == pr)
+    // total mass conserved up to truncation loss: each integral division
+    // loses < 1 unit; 3 iterations of (2|E| share divs + n damping divs)
+    // plus the n-way init split bounds the loss at 3*(2*13 + n) + n
+    val mass = got.values.sum
+    assert(mass <= scale && mass > scale - (3L * (2L * 13L + n) + n))
+  }
+
+  test("bfsHops: exact hops on a path, cap exclusion, multi-source min") {
+    val s = spark
+    import s.implicits._
+    val path = (1L to 8L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a", "b")
+    val one = GraphQueries.bfsHops(path, Seq(1L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val two = GraphQueries.bfsHops(path, Seq(1L, 8L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 3L, 6L -> 2L, 7L -> 1L, 8L -> 0L))
+  }
+
   test("mode tie-break picks the lexicographically first type") {
     val s = spark
     import s.implicits._
