@@ -1,6 +1,7 @@
 package pystreamsspark.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
 import Det._
@@ -127,15 +128,57 @@ object ExtraQueries {
        |WHERE n > 1
        |ORDER BY s_nationkey""".stripMargin
 
+  /** 2-D Pareto frontier (skyline) of parts: cheapest-for-their-size
+    * parts, i.e. p survives iff no part is strictly cheaper with size >=
+    * p's. The naive plan is the quadratic dominance anti-join; this is
+    * the SCALE-TRUE sort-based form: (1) collapse to price levels
+    * (partial agg), (2) per price-BUCKET running max — parallel window,
+    * one task per integer price bucket, (3) cross-bucket prefix max over
+    * the tiny bucket table (|buckets| rows — the only single-partition
+    * window, constant-size), (4) broadcast both back and filter. Exact
+    * because bucket ranges are disjoint and ordered, so "strictly
+    * cheaper" = strictly-earlier-in-bucket ∪ any-earlier-bucket. The
+    * oracle is the INDEPENDENT quadratic NOT EXISTS formulation, so the
+    * decomposition itself is value-verified. */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, sfDir)
+    val pl = parts.groupBy($"p_retailprice".as("price"))
+      .agg(max($"p_size").as("msize"))
+      .withColumn("b", floor($"price").cast("long"))
+    val wIn = Window.partitionBy($"b").orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = pl.withColumn("prior_in", max($"msize").over(wIn))
+    val wB = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+    val bm = pl.groupBy($"b").agg(max($"msize").as("bmax"))
+      .withColumn("prior_b", max($"bmax").over(wB))
+    val prior = inb.join(broadcast(bm.select($"b", $"prior_b")), Seq("b"))
+      .select($"price", greatest($"prior_in", $"prior_b").as("prior"))
+    parts.join(prior, parts("p_retailprice") === prior("price"))
+      .filter($"p_size" > coalesce($"prior", lit(-1)))
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
+
+  val qSkylineSql: String =
+    """SELECT p.p_partkey, p.p_retailprice, p.p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+      |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_map_fns"      -> (qMapFns _),
     "q_except_all"   -> (qExceptAll _),
     "q_minmax_by"    -> (qMinmaxBy _),
+    "q_skyline"      -> (qSkyline _),
     "q_stats_manual" -> (qStatsManual _))
 
   val oracle: Map[String, String] = Map(
     "q_map_fns"      -> qMapFnsSql,
     "q_except_all"   -> qExceptAllSql,
     "q_minmax_by"    -> qMinmaxBySql,
+    "q_skyline"      -> qSkylineSql,
     "q_stats_manual" -> qStatsManualSql)
 }

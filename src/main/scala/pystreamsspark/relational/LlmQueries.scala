@@ -422,6 +422,99 @@ object LlmQueries {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** Inverted index over 3-gram shingles — the retrieval building block
+    * behind BM25/contamination lookups, materialized: per gram its document
+    * frequency and a capped posting list (10 smallest doc_ids,
+    * comma-joined — ragged LIST columns are untested in the driver's
+    * compare, and the cap is what a 100 TB build needs anyway: uncapped
+    * postings for a stopword-gram are the corpus itself, so the full-scale
+    * representation is the (gram, doc_id) pair table this aggregates,
+    * with collect only ever applied through a bound). Shape: one partial+
+    * final agg keyed by gram (the hottest gram collapses map-side), then
+    * a global top-200 by (df desc, gram) via TakeOrderedAndProject — no
+    * full sort, no window. */
+  def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_set($"doc_id")), 1, 10), ",")
+          .as("postings"))
+      .orderBy($"df".desc, $"gram".asc)
+      .limit(200)
+  }
+
+  // Same shingle comprehension as qBoilerplateSql; shingles() is
+  // per-doc-distinct, so COUNT(*) over (doc_id, gram) rows is df.
+  val qInvertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM t
+      |)
+      |SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
+      |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+      |FROM g
+      |GROUP BY gram
+      |ORDER BY df DESC, gram ASC
+      |LIMIT 200""".stripMargin
+
+  /** Per-document token-repetition scoring via the unbiased Simpson
+    * index: sum c_i(c_i-1) / (n(n-1)) — the probability two tokens drawn
+    * without replacement are equal. The Gopher-style repetition signal
+    * with an EXACT cross-engine value: numerator and denominator are pure
+    * integer aggregates, and the single double division of identical
+    * operands is correctly rounded in both engines (no logs, no float
+    * sums — the reason this is registered instead of Shannon entropy,
+    * whose ln() is not correctly rounded in either libm). Shape: two
+    * partial+final aggs (token counts, then per-doc moments); docs with
+    * n <= 1 report 0.0 by definition. */
+  def qTokenDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum($"c" * ($"c" - 1)).as("rep_pairs"))
+      .withColumn("simpson",
+        when($"n_tokens" > 1,
+          $"rep_pairs".cast("double") /
+            ($"n_tokens" * ($"n_tokens" - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  val qTokenDiversitySql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, token, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> ''
+      |  GROUP BY doc_id, token
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs,
+      |  CASE WHEN SUM(c) > 1
+      |       THEN CAST(SUM(c * (c - 1)) AS DOUBLE) /
+      |            CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE)
+      |       ELSE 0.0 END AS simpson
+      |FROM tc
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Asymmetric containment pairs ([[Dedup.containmentPairs]]) at 0.9
     * within (lang, source): directional quote/excerpt detection that
     * symmetric Jaccard misses. Top-50 by containment for a bounded,
@@ -972,6 +1065,8 @@ object LlmQueries {
     "q_cc_chain"      -> (qCcChain _),
     "q_containment"   -> (qContainment _),
     "q_boilerplate"   -> (qBoilerplate _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_token_diversity" -> (qTokenDiversity _),
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
@@ -1001,6 +1096,8 @@ object LlmQueries {
     "q_cc_chain"      -> qCcChainSql,
     "q_containment"   -> qContainmentSql,
     "q_boilerplate"   -> qBoilerplateSql,
+    "q_inverted_index" -> qInvertedIndexSql,
+    "q_token_diversity" -> qTokenDiversitySql,
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,

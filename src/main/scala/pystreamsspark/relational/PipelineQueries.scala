@@ -960,7 +960,52 @@ object PipelineQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order (Morton) clustering key over (p_size, floor(price) mod 64):
+    * the data-layout primitive behind multi-dimensional data skipping
+    * (Delta/Iceberg OPTIMIZE ZORDER). Interleaving the low 6 bits of both
+    * dimensions makes a single range-partitioned sort cluster the data on
+    * BOTH columns at once, so min/max file statistics prune selective
+    * predicates on either dimension — a lexicographic sort only ever
+    * prunes its leading column. The bit interleave is 12 unrolled
+    * shift-mask-shift terms — pure integer codegen, identical semantics
+    * in DuckDB's `>>`/`&` — and the scale deployment is
+    * `repartitionByRange(z).sortWithinPartitions(z).write` (exercised in
+    * StorageAndSkewSpec write patterns); the key itself is what's
+    * oracle-verified here, top-200 by (z, partkey) for a bounded
+    * surface. */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val px = $"p_size".cast("long")
+    val py = pmod(floor($"p_retailprice").cast("long"), lit(64L))
+    val z = (0 until 6).map { b =>
+      (shiftright(px, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+        (shiftright(py, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+    }.reduceLeft(_ + _)
+    Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_size", py.as("price_bucket"), z.as("zkey"))
+      .orderBy($"zkey", $"p_partkey")
+      .limit(200)
+  }
+
+  val qZorderSql: String =
+    """WITH t AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(p_size AS BIGINT) AS px,
+      |    CAST(floor(p_retailprice) AS BIGINT) % 64 AS py
+      |  FROM part)
+      |SELECT p_partkey, p_size, py AS price_bucket,
+      |    ((px >> 0) & 1) * 1    + ((py >> 0) & 1) * 2
+      |  + ((px >> 1) & 1) * 4    + ((py >> 1) & 1) * 8
+      |  + ((px >> 2) & 1) * 16   + ((py >> 2) & 1) * 32
+      |  + ((px >> 3) & 1) * 64   + ((py >> 3) & 1) * 128
+      |  + ((px >> 4) & 1) * 256  + ((py >> 4) & 1) * 512
+      |  + ((px >> 5) & 1) * 1024 + ((py >> 5) & 1) * 2048 AS zkey
+      |FROM t
+      |ORDER BY zkey, p_partkey
+      |LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder"           -> (qZorder _),
     "q_salted_agg"       -> (qSaltedAgg _),
     "q_dedup_runs"       -> (qDedupRuns _),
     "q_length_trim"      -> (qLengthTrim _),
@@ -991,6 +1036,7 @@ object PipelineQueries {
     "q_encode_ids"       -> (qEncodeIds _))
 
   val oracle: Map[String, String] = Map(
+    "q_zorder"           -> qZorderSql,
     "q_salted_agg"       -> qSaltedAggSql,
     "q_dedup_runs"       -> qDedupRunsSql,
     "q_length_trim"      -> qLengthTrimSql,

@@ -1,6 +1,7 @@
 package pystreamsspark.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
 import Det._
@@ -131,15 +132,70 @@ object TimeQueries {
       |GROUP BY v.user_id, v.first_view
       |ORDER BY v.user_id""".stripMargin
 
+  /** Exponentially-weighted moving average (half-life decay, α = 1/2)
+    * of each user's event values — the time-series smoothing primitive,
+    * truncated to the last 8 observations and renormalized over the
+    * weights actually present. Cross-engine EXACT on doubles by
+    * construction: every weight is a power of two (128..1, scaled by
+    * 2^7), so each product is exact; the numerator/denominator sums are
+    * written as the same left-associated IEEE op tree in both engines
+    * (the q_bm25 trick); and the single final division of identical
+    * operands is correctly rounded in both. Shape: all 8 lags share one
+    * window spec → ONE sort within the user_id shuffle, no join, no
+    * second exchange; the orderBy is presentation-only. */
+  def qEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // scaled weights 2^(7-k) for lag k; k=0 is the current row (no lag)
+    val wts = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+    val num = wts.zipWithIndex.map {
+      case (wt, 0) => $"value" * lit(wt.toDouble)
+      case (wt, k) => coalesce(lag($"value", k).over(w), lit(0.0)) * lit(wt.toDouble)
+    }.reduceLeft(_ + _)
+    val den = wts.zipWithIndex.map {
+      case (wt, 0) => lit(wt)
+      case (wt, k) => when(lag($"value", k).over(w).isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    Tables.events(spark, sfDir)
+      .withColumn("ewma", num / den.cast("double"))
+      .select($"event_id", $"user_id", $"ts", $"value", $"ewma")
+      .orderBy($"event_id")
+  }
+
+  val qEwmaSql: String =
+    """SELECT event_id, user_id, ts, value,
+      |  (value * 128
+      |   + COALESCE(lag(value, 1) OVER w, 0.0) * 64
+      |   + COALESCE(lag(value, 2) OVER w, 0.0) * 32
+      |   + COALESCE(lag(value, 3) OVER w, 0.0) * 16
+      |   + COALESCE(lag(value, 4) OVER w, 0.0) * 8
+      |   + COALESCE(lag(value, 5) OVER w, 0.0) * 4
+      |   + COALESCE(lag(value, 6) OVER w, 0.0) * 2
+      |   + COALESCE(lag(value, 7) OVER w, 0.0) * 1) /
+      |  CAST(128
+      |   + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END
+      |   + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END
+      |   + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END
+      |   + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END
+      |   + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END
+      |   + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END
+      |   + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END
+      |   AS DOUBLE) AS ewma
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
+    "q_ewma"           -> (qEwma _),
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,
     "q_session_window" -> qSessionWindowSql,
+    "q_ewma"           -> qEwmaSql,
     "q_funnel"         -> qFunnelSql)
 }
