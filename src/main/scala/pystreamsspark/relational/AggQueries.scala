@@ -112,16 +112,48 @@ object AggQueries {
       .orderBy($"event_type")
   }
 
+  /** MULTIPLE exact count-distincts in one aggregation — the shape that
+    * forces Catalyst's Expand-based rewrite: the input is replicated once
+    * per distinct column (gid tagging), partial-aggregated per (key, gid,
+    * value), then re-aggregated, so each distinct set dedups in parallel
+    * map-side instead of funneling through a naive per-key set union.
+    * The Expand node is asserted in PlanSpec. sum_qty is a sum of
+    * integer-valued doubles (< 2^53) — order-independent, cast to long
+    * on both sides. */
+  def qMultiDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_part"),
+        countDistinct($"l_suppkey").as("nd_supp"),
+        count(lit(1)).as("n"),
+        sum($"l_quantity").cast("long").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup"          -> (qRollup _),
     "q_cube"            -> (qCube _),
     "q_percentile"      -> (qPercentile _),
     "q_collect_list"    -> (qCollectList _),
+    "q_multi_distinct"  -> (qMultiDistinct _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
-    "q_rollup"       -> qRollupSql,
-    "q_cube"         -> qCubeSql,
-    "q_percentile"   -> qPercentileSql,
-    "q_collect_list" -> qCollectListSql)
+    "q_rollup"         -> qRollupSql,
+    "q_cube"           -> qCubeSql,
+    "q_percentile"     -> qPercentileSql,
+    "q_collect_list"   -> qCollectListSql,
+    "q_multi_distinct" -> qMultiDistinctSql)
 }

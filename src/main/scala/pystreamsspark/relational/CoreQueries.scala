@@ -192,11 +192,36 @@ object CoreQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Outer flatmap — `explode_outer` keeps rows whose array is EMPTY as a
+    * single null-element row, where plain explode silently drops them
+    * (the flatmap-vs-outer-flatmap distinction every ETL framework
+    * carries). Exercised non-vacuously: long tokens (len >= 7) exist in
+    * 394/500 docs at sf0.01, so both the exploded and the null-preserved
+    * branches appear. Null row ordering is pinned NULLS FIRST on both
+    * engines (DuckDB defaults NULLS LAST — silent hash mismatch
+    * otherwise). Zero shuffle: generator + presentation sort only. */
+  def qExplodeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode_outer(filter(split($"text", " "), t => length(t) >= 7))
+          .as("token"))
+      .orderBy($"doc_id", $"token".asc_nulls_first)
+  }
+
+  val qExplodeOuterSql: String =
+    """SELECT d.doc_id, t.token
+      |FROM documents d LEFT JOIN LATERAL (
+      |  SELECT unnest(list_filter(string_split(d.text, ' '),
+      |                            x -> len(x) >= 7)) AS token) t ON TRUE
+      |ORDER BY d.doc_id, t.token ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"          -> (q1Agg _),
     "q_map_project"   -> (qMapProject _),
     "q_filter"        -> (qFilter _),
     "q_flatmap_tokens" -> (qFlatmapTokens _),
+    "q_explode_outer" -> (qExplodeOuter _),
     "q_groupby_count" -> (qGroupbyCount _),
     "q_distinct"      -> (qDistinct _),
     "q_sort"          -> (qSort _),
@@ -207,6 +232,7 @@ object CoreQueries {
     "q_map_project"   -> qMapProjectSql,
     "q_filter"        -> qFilterSql,
     "q_flatmap_tokens" -> qFlatmapTokensSql,
+    "q_explode_outer" -> qExplodeOuterSql,
     "q_groupby_count" -> qGroupbyCountSql,
     "q_distinct"      -> qDistinctSql,
     "q_sort"          -> qSortSql,

@@ -960,6 +960,43 @@ object PipelineQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Overlapping sliding-window document chunking — the RAG /
+    * context-window prep pass: each doc becomes ceil(n/4) chunks of up
+    * to 8 tokens at stride 4, so consecutive chunks share a 4-token
+    * overlap and no token is more than half a window from a chunk
+    * boundary. Pure per-row generator (sequence + explode + slice), zero
+    * shuffle — at 100 TB this is map-only work that chains straight into
+    * the tokenizer/packer ([[SeqPack]]); the orderBy is presentation
+    * only. Ragged tails are kept (last chunk may be < 8 tokens), matching
+    * the usual retrieval-chunking semantics. */
+  def qChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), size($"toks") - 1, lit(4))).as("s"))
+      .select($"doc_id",
+        ($"s" / lit(4)).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice($"toks", $"s" + 1, lit(8))).as("chunk_text"),
+        least(size($"toks") - $"s", lit(8)).as("n_tok"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val qChunkOverlapSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS s
+      |  FROM t WHERE len(toks) > 0
+      |)
+      |SELECT doc_id, s // 4 AS chunk_idx,
+      |  array_to_string(toks[s+1:s+8], ' ') AS chunk_text,
+      |  least(len(toks) - s, 8) AS n_tok
+      |FROM s
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Z-order (Morton) clustering key over (p_size, floor(price) mod 64):
     * the data-layout primitive behind multi-dimensional data skipping
     * (Delta/Iceberg OPTIMIZE ZORDER). Interleaving the low 6 bits of both
@@ -1005,6 +1042,7 @@ object PipelineQueries {
       |LIMIT 200""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap"    -> (qChunkOverlap _),
     "q_zorder"           -> (qZorder _),
     "q_salted_agg"       -> (qSaltedAgg _),
     "q_dedup_runs"       -> (qDedupRuns _),
@@ -1036,6 +1074,7 @@ object PipelineQueries {
     "q_encode_ids"       -> (qEncodeIds _))
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_overlap"    -> qChunkOverlapSql,
     "q_zorder"           -> qZorderSql,
     "q_salted_agg"       -> qSaltedAggSql,
     "q_dedup_runs"       -> qDedupRunsSql,

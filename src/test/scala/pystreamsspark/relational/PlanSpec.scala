@@ -186,6 +186,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ewma: all 8 lags fuse into one Window operator (one sort pass)") {
+    val p = plan(graft.SparkEntry.queries("q_ewma")(spark, sf))
+    assert(countOf(p, "Window [") == 1, p)
+  }
+
+  test("q_skyline: broadcast joins only — no cartesian, no nested loop") {
+    val p = plan(graft.SparkEntry.queries("q_skyline")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_inverted_index: partial+final agg then TakeOrdered — no window, no full sort") {
+    val p = plan(graft.SparkEntry.queries("q_inverted_index")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window ["), p)
+    // collect_set aggregates partial+final around one gram shuffle
+    assert(countOf(p, "Exchange") <= 1, p)
+  }
+
+  test("q_zorder: pure scan-project into TakeOrdered — zero data shuffles") {
+    val p = plan(graft.SparkEntry.queries("q_zorder")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Sort ["), p) // top-k never materializes a full sort
+  }
+
+  test("q_multi_distinct: Expand-based rewrite — distinct sets dedup in parallel") {
+    val p = plan(graft.SparkEntry.queries("q_multi_distinct")(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(countOf(p, "HashAggregate") >= 3, p) // per-gid partial + merge + final
+  }
+
+  test("q_chunk_overlap / q_explode_outer: map-only generators, no data shuffle") {
+    for (k <- Seq("q_chunk_overlap", "q_explode_outer")) {
+      val p = plan(graft.SparkEntry.queries(k)(spark, sf))
+      assert(p.contains("Generate"), s"$k: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$k: $p")
+    }
+  }
+
   test("native vec expressions stay inside WholeStageCodegen") {
     val s = spark
     import s.implicits._
