@@ -41,11 +41,44 @@ class TopKByValue(val k: Int)
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** k smallest longs per group, kept bounded on the MAP side — the
+  * posting-list/cap shape: a stopword-gram's full posting list is the
+  * corpus, but only n_groups × k ids ever cross the shuffle. Output is
+  * ascending (a total order on distinct inputs; duplicates are kept,
+  * callers that need set semantics dedup upstream). */
+class SmallestKLongs(val k: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], in: Long): Seq[Long] =
+    if (buf.length < k) (buf :+ in).sorted
+    else if (in >= buf.last) buf
+    else ((buf :+ in).sorted).take(k)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    ((a ++ b).sorted).take(k)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 object TopKAgg {
   /** Column-level top-k UDAF: topK(k)(valueCol, payloadCol) — the tuple
     * input encoder flattens to two argument columns. */
   def topK(k: Int): ((Column, Column) => Column) = {
     val agg = udaf(new TopKByValue(k), ExpressionEncoder[(Double, Long)]())
     (v: Column, p: Column) => agg(v, p)
+  }
+
+  /** Bounded min-k UDAF: smallestK(k)(longCol) → ascending array. */
+  def smallestK(k: Int): (Column => Column) = {
+    val agg = udaf(new SmallestKLongs(k), ExpressionEncoder[Long]())
+    (c: Column) => agg(c)
   }
 }

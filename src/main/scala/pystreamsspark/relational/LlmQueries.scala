@@ -430,16 +430,20 @@ object LlmQueries {
     * postings for a stopword-gram are the corpus itself, so the full-scale
     * representation is the (gram, doc_id) pair table this aggregates,
     * with collect only ever applied through a bound). Shape: one partial+
-    * final agg keyed by gram (the hottest gram collapses map-side), then
-    * a global top-200 by (df desc, gram) via TakeOrderedAndProject — no
-    * full sort, no window. */
+    * final agg keyed by gram — the posting cap is enforced DURING
+    * aggregation by the bounded [[operators.SmallestKLongs]] UDAF, so the
+    * hottest gram ships k ids per map task, never its full corpus-sized
+    * posting list — then a global top-200 by (df desc, gram) via
+    * TakeOrderedAndProject. No full sort, no window. Shingles are
+    * per-doc-distinct, so inputs to the min-k are already set-semantic. */
   def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("gram"))
       .groupBy($"gram")
       .agg(count(lit(1)).as("df"),
-        array_join(slice(sort_array(collect_set($"doc_id")), 1, 10), ",")
+        array_join(
+          pystreamsspark.operators.TopKAgg.smallestK(10)($"doc_id"), ",")
           .as("postings"))
       .orderBy($"df".desc, $"gram".asc)
       .limit(200)

@@ -110,6 +110,20 @@ class LayoutAndSeriesSpec extends SparkSpec {
     assert(rows.map(_._1).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("smallestK UDAF equals sort-take under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val data = (1 to 997).map(i => ((i * 7919) % 13, ((i * 104729) % 4999).toLong))
+    val df = data.toDF("g", "v").repartition(7)
+    val got = df.groupBy($"g")
+      .agg(pystreamsspark.operators.TopKAgg.smallestK(10)($"v").as("ks"))
+      .select($"g", $"ks").as[(Int, Seq[Long])].collect().toMap
+    val expect = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted.take(10).toSeq
+    }
+    assert(got == expect)
+  }
+
   test("simpson index is in [0,1] and 1 exactly for single-token docs") {
     val s = spark
     import s.implicits._
