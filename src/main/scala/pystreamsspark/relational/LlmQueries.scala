@@ -470,6 +470,32 @@ object LlmQueries {
       |ORDER BY df DESC, gram ASC
       |LIMIT 200""".stripMargin
 
+  /** Bounded-memory EXACT top-20 tokens via the Misra–Gries funnel
+    * ([[operators.HeavyHitters.exactTopK]]): sketch pass (≤ m counters
+    * per task cross the shuffle, however large the vocabulary) →
+    * broadcast candidate semi-join → exact recount → top-k. The
+    * deliberate output-twin of [[qTokensTopk]] — same rows, same oracle
+    * — so the sketch funnel itself is value-verified cross-engine, the
+    * same twin pattern as q_minhash_oracle. The exactness certificate
+    * (20th count > n/(m+1)) holds with ~2× margin at every SF for the
+    * token stream; HeavyHittersSpec exercises the decrement/merge path
+    * on a vocabulary ≫ m where the guarantee is non-trivial. */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    pystreamsspark.operators.HeavyHitters.exactTopK(toks, "token", 20, m = 64)
+  }
+
+  val qHeavyHittersSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 20""".stripMargin
+
   /** Per-document token-repetition scoring via the unbiased Simpson
     * index: sum c_i(c_i-1) / (n(n-1)) — the probability two tokens drawn
     * without replacement are equal. The Gopher-style repetition signal
@@ -1070,6 +1096,7 @@ object LlmQueries {
     "q_containment"   -> (qContainment _),
     "q_boilerplate"   -> (qBoilerplate _),
     "q_inverted_index" -> (qInvertedIndex _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_token_diversity" -> (qTokenDiversity _),
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
@@ -1101,6 +1128,7 @@ object LlmQueries {
     "q_containment"   -> qContainmentSql,
     "q_boilerplate"   -> qBoilerplateSql,
     "q_inverted_index" -> qInvertedIndexSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_token_diversity" -> qTokenDiversitySql,
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,

@@ -185,7 +185,41 @@ object TimeQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Daily new users + running distinct-user count — the growth-metrics
+    * primitive. Spark has no COUNT(DISTINCT) over a window; the
+    * SCALE-TRUE formulation is first-touch attribution: min(date) per
+    * user (one partial+final agg over users), count first-touches per
+    * day, then a running sum over the DATE-level table — the only
+    * single-partition window, |days| rows, constant-size. The oracle is
+    * the INDEPENDENT quadratic formulation (a correlated COUNT(DISTINCT)
+    * subquery per day), so the first-touch identity itself is
+    * value-verified. Days with events but no new users stay present with
+    * new_users = 0 via the distinct-days spine. */
+  def qRunningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val days = ev.select(to_date($"ts").as("d")).distinct()
+    val newPerDay = ev.groupBy($"user_id").agg(min(to_date($"ts")).as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, 0)
+    days.join(newPerDay, Seq("d"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .orderBy($"d")
+  }
+
+  val qRunningDistinctSql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id)
+      |SELECT d.d,
+      |  CAST((SELECT COUNT(*) FROM f WHERE f.fd = d.d) AS BIGINT) AS new_users,
+      |  CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+      |        WHERE CAST(e.ts AS DATE) <= d.d) AS BIGINT) AS cum_users
+      |FROM days d
+      |ORDER BY d.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_distinct" -> (qRunningDistinct _),
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
@@ -193,6 +227,7 @@ object TimeQueries {
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "q_running_distinct" -> qRunningDistinctSql,
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,
     "q_session_window" -> qSessionWindowSql,
