@@ -140,6 +140,7 @@ object VectorExpressions {
       (es: Seq[Expression]) => VecCosine(es(0), es(1))),
     MinHashSig.registryEntry,
     ShingleHash.registryEntry,
+    ShingleStrings.registryEntry,
     LshBucket.registryEntry)
 
   /** Idempotent session-level registration (the extensions class does the

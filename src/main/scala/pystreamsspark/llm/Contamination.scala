@@ -37,7 +37,7 @@ object Contamination {
                          maxDf: Long = 50L): DataFrame = {
     def grams(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
-          explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+          explode(Dedup.shinglesNative(df.sparkSession, col(textCol), n)).as("gram"))
     val trainGrams = grams(train, "train_id")
     val testGrams = grams(test, "test_id")
     // df cap on the TRAIN side, SKEW-SAFE two-pass form. Pass 1 is a

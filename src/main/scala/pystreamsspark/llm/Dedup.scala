@@ -43,6 +43,17 @@ object Dedup {
       .otherwise(array_distinct(grams))
   }
 
+  /** Native codegen'd twin of [[shingles]] — identical output (distinct,
+    * first-occurrence order, whole-doc gram when tokens < k), but one
+    * JVM loop per ROW instead of four interpreted HOF lambdas per GRAM
+    * (functions.ShingleStrings; measured 7× on sf0.1 documents).
+    * Registers the expression on the session (idempotent). */
+  def shinglesNative(spark: org.apache.spark.sql.SparkSession,
+                     text: Column, k: Int = 3): Column = {
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    call_function("shingle_strings", TextOps.tokens(text), lit(k))
+  }
+
   /** MinHash signature via the native fused expression (hashes each
     * shingle once, mixes all seeds in one codegen loop). Requires
     * pystreamsspark.functions.VectorExpressions.register on the session

@@ -86,6 +86,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(cosExpr.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("shingle_strings is bit-identical to the HOF Dedup.shingles, edge cases included") {
+    VectorExpressions.register(spark)
+    val s = spark
+    import s.implicits._
+    val docs = pystreamsspark.io.Tables
+      .documents(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"text")
+      .union(Seq((100001L, ""), (100002L, "one"), (100003L, "one two"),
+        (100004L, "  padded   spaces  "), (100005L, "a a a a")).toDF())
+    val cmp = docs.select(
+        pystreamsspark.llm.Dedup.shingles($"text", 3).as("hof"),
+        pystreamsspark.llm.Dedup.shinglesNative(spark, $"text", 3).as("nat"))
+      .as[(Seq[String], Seq[String])].collect()
+    cmp.foreach { case (hof, nat) => assert(hof == nat) }
+  }
+
   test("GraftExtensions injects SQL functions at session build") {
     val ext = SparkSession.builder()
       .master("local[2]")
