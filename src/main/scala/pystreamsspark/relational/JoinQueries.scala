@@ -224,6 +224,49 @@ object JoinQueries {
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
       |ORDER BY r_name, o_orderstatus""".stripMargin
 
+  /** Bloom-prefiltered semi join — the runtime-filter pattern that makes
+    * 100 TB semi joins cheap, registered as an EXACT oracle key: build a
+    * Bloom filter over the selective side (~10% of orders), broadcast
+    * its BYTES (one row, not the key set), discard ~90% of the probe
+    * side map-side BEFORE the join shuffle, then confirm survivors with
+    * the exact semi join so Bloom false positives never reach the
+    * output. Exactness is by construction (the Bloom pass only ever
+    * removes definite non-matches); the oracle is the plain IN-subquery
+    * formulation. Same machinery as [[pystreamsspark.llm.Dedup.deltaWithBloom]],
+    * and the same bytes-to-literal move: might_contain demands a
+    * CONSTANT (or scalar-subquery) filter blob, so the sketch row is
+    * collected — one binary scalar to the driver, the SeqPack-style
+    * bounded exception to the no-collect rule — and re-injected as a
+    * literal, which is exactly how Spark's own runtime filters inline
+    * the blob. */
+  def qBloomSemijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pystreamsspark.functions.BloomFunctions.register(spark)
+    val hi = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 450000.0).select($"o_orderkey")
+    val bytes = hi.agg(
+        call_function("bloom_agg", xxhash64($"o_orderkey"), lit(100000L)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val prefiltered =
+      if (bytes == null) Tables.lineitem(spark, sfDir).limit(0) // no build rows
+      else Tables.lineitem(spark, sfDir)
+        .filter(call_function("bloom_contains", lit(bytes), xxhash64($"l_orderkey")))
+    prefiltered
+      .join(hi, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qBloomSemijoinSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_join_topk" -> (q3JoinTopk _),
     "q_join_large" -> (qJoinLarge _),
@@ -233,7 +276,8 @@ object JoinQueries {
     "q_join_range" -> (qJoinRange _),
     "q_join_asof"  -> (qJoinAsof _),
     "q_join_full"  -> (qJoinFull _),
-    "q_join_cross" -> (qJoinCross _))
+    "q_join_cross" -> (qJoinCross _),
+    "q_bloom_semijoin" -> (qBloomSemijoin _))
 
   val oracle: Map[String, String] = Map(
     "q3_join_topk" -> q3JoinTopkSql,
@@ -244,5 +288,6 @@ object JoinQueries {
     "q_join_range" -> qJoinRangeSql,
     "q_join_asof"  -> qJoinAsofSql,
     "q_join_full"  -> qJoinFullSql,
-    "q_join_cross" -> qJoinCrossSql)
+    "q_join_cross" -> qJoinCrossSql,
+    "q_bloom_semijoin" -> qBloomSemijoinSql)
 }

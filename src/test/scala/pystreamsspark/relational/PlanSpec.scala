@@ -227,6 +227,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_semijoin: bloom prefilter evaluated below the semi join") {
+    val p = plan(graft.SparkEntry.queries("q_bloom_semijoin")(spark, sf))
+    assert(p.contains("might_contain"), p) // bloom_contains prints as might_contain
+    assert(p.contains("LeftSemi"), p)
+    // the probe-side filter must run under the join, not above it:
+    // plan prints top-down, so the join appears before the filter line
+    val iJoin = p.indexOf("LeftSemi")
+    val iBloom = p.indexOf("might_contain")
+    assert(iJoin < iBloom, p)
+  }
+
   test("native vec expressions stay inside WholeStageCodegen") {
     val s = spark
     import s.implicits._
