@@ -45,6 +45,73 @@ object Micro {
       docs.select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
         .agg(count(lit(1))).head.getLong(0)
     }
+
+    // skyline: naive quadratic dominance anti-join vs the bucketed
+    // prefix-max decomposition registered as q_skyline
+    val parts = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    time("skyline_naive_antijoin") {
+      parts.as("p").join(parts.as("q"),
+          col("q.p_retailprice") < col("p.p_retailprice") &&
+            col("q.p_size") >= col("p.p_size"), "left_anti")
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    time("skyline_bucketed") {
+      pystreamsspark.relational.ExtraQueries.qSkyline(spark, sfDir)
+        .agg(count(lit(1))).head.getLong(0)
+    }
+
+    // heavy hitters: full groupBy top-k vs the MG sketch funnel (tiny
+    // closed vocabulary here, so the funnel's win is memory shape, not
+    // local wall time — record both honestly)
+    val toks = docs.select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    time("topk_full_groupby") {
+      toks.groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc).limit(20)
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    time("topk_mg_funnel") {
+      pystreamsspark.operators.HeavyHitters.exactTopK(toks, "token", 20, m = 64)
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    // crossover probe: TRADE-OFF data (price up, size up — the classic
+    // skyline hard case for (min price, max size) dominance: no point
+    // dominates another, the whole set is the frontier, so the naive
+    // anti-join's early-exit never fires and it degenerates to true
+    // O(n^2); on dominated-heavy random data it short-circuits and
+    // stays fast, measured above). 50k rows = 2.5e9 comparisons.
+    if (args.length > 1 && args(1) == "crossover") {
+      val nRows = if (args.length > 2) args(2).toLong else 50000L
+      val big = spark.range(0, nRows).select(
+        $"id".as("p_partkey"),
+        ($"id".cast("double") / 100).as("p_retailprice"),
+        $"id".cast("int").as("p_size")).localCheckpoint()
+      time("skyline10x_bucketed") {
+        val pl = big.groupBy($"p_retailprice".as("price"))
+          .agg(max($"p_size").as("msize"))
+          .withColumn("b", floor($"price").cast("long"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy($"b").orderBy($"price")
+          .rowsBetween(Long.MinValue, -1)
+        val inb = pl.withColumn("prior_in", max($"msize").over(wIn))
+        val wB = org.apache.spark.sql.expressions.Window
+          .orderBy($"b").rowsBetween(Long.MinValue, -1)
+        val bm = pl.groupBy($"b").agg(max($"msize").as("bmax"))
+          .withColumn("prior_b", max($"bmax").over(wB))
+        val prior = inb.join(broadcast(bm.select($"b", $"prior_b")), Seq("b"))
+          .select($"price", greatest($"prior_in", $"prior_b").as("prior"))
+        big.join(prior, big("p_retailprice") === prior("price"))
+          .filter($"p_size" > coalesce($"prior", lit(-1)))
+          .agg(count(lit(1))).head.getLong(0)
+      }
+      time("skyline10x_naive_antijoin") {
+        big.as("p").join(big.as("q"),
+            col("q.p_retailprice") < col("p.p_retailprice") &&
+              col("q.p_size") >= col("p.p_size"), "left_anti")
+          .agg(count(lit(1))).head.getLong(0)
+      }
+    }
     spark.stop()
   }
 }
