@@ -960,6 +960,40 @@ object PipelineQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Slowly-changing-dimension TYPE 2 build — the warehouse companion to
+    * [[qUpsert]]'s CDC merge: each key's ordered change log becomes
+    * versioned rows with [valid_from, valid_to) intervals and a
+    * current-row flag, via lead() over (key, change-time). One shuffle
+    * on the key, one window sort, no joins; at 100 TB this is the
+    * standard dimension-history materialization (the as-of join then
+    * reads it back — [[JoinQueries.qJoinAsof]]). Ties on change-time are
+    * totally ordered by the version id so intervals are deterministic. */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("valid_from", $"o_orderdate")
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+      .withColumn("is_current",
+        when(lead($"o_orderdate", 1).over(w).isNull, 1).otherwise(0))
+      .select($"o_custkey", $"o_orderkey", $"valid_from", $"valid_to",
+        $"is_current", $"o_totalprice")
+      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+  }
+
+  val qScd2Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate, 1) OVER w AS valid_to,
+      |  CAST(CASE WHEN lead(o_orderdate, 1) OVER w IS NULL
+      |       THEN 1 ELSE 0 END AS INT) AS is_current,
+      |  o_totalprice
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
   /** Overlapping sliding-window document chunking — the RAG /
     * context-window prep pass: each doc becomes ceil(n/4) chunks of up
     * to 8 tokens at stride 4, so consecutive chunks share a 4-token
@@ -1043,6 +1077,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap"    -> (qChunkOverlap _),
+    "q_scd2"             -> (qScd2 _),
     "q_zorder"           -> (qZorder _),
     "q_salted_agg"       -> (qSaltedAgg _),
     "q_dedup_runs"       -> (qDedupRuns _),
@@ -1075,6 +1110,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_chunk_overlap"    -> qChunkOverlapSql,
+    "q_scd2"             -> qScd2Sql,
     "q_zorder"           -> qZorderSql,
     "q_salted_agg"       -> qSaltedAggSql,
     "q_dedup_runs"       -> qDedupRunsSql,
