@@ -79,9 +79,14 @@ object GraphQueries {
     * an in-edge, so there are no dangling-mass or missing-row cases. */
   def pageRank(edges: DataFrame, iters: Int = 3,
                scale: Long = 1000000000000L): DataFrame = {
+    // materialize the adjacency ONCE (same move as the CC loop): without
+    // this every iteration's lineage re-scans the raw edge table twice —
+    // at 100 TB that is iters x 2 full re-reads of the biggest input
     val dir = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val n = deg.count()
     val init = scale / n
     val base = (15L * init) / 100L
@@ -109,8 +114,11 @@ object GraphQueries {
     * min partial+final agg — the distance side broadcasts / co-
     * partitions; the big edge list is never re-keyed or windowed. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    // adjacency materialized once, as in pageRank — each relaxation
+    // round joins against it without re-deriving from the raw table
     val dir = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     var dist = seeds.select(col("id"), lit(0L).as("hop"))
     for (_ <- 1 to maxHops) {
       val next = dist.join(dir, dist("id") === dir("src"))
