@@ -204,7 +204,46 @@ object WindowQueries {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** The remaining analytic-function surface in one key: cume_dist
+    * (cumulative distribution — exact, a single division of identical
+    * integer operands under a TOTAL order, so ties can't skew it),
+    * nth_value and first/last_value over the full-partition frame
+    * (frame pinned ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING on
+    * both engines — nth_value under the default growing frame is null
+    * until n rows have arrived, a classic cross-engine trap). One
+    * exchange, two window passes over the same sort. */
+  def qCumeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        cume_dist().over(w).as("cd"),
+        nth_value($"c_acctbal", 3).over(wf).as("third_bal"),
+        first($"c_custkey").over(wf).as("top_key"),
+        last($"c_custkey").over(wf).as("bottom_key"))
+      .filter($"c_custkey" % 20 === 0)
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val qCumeDistSql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    cume_dist() OVER w AS cd,
+      |    nth_value(c_acctbal, 3) OVER wf AS third_bal,
+      |    first_value(c_custkey) OVER wf AS top_key,
+      |    last_value(c_custkey) OVER wf AS bottom_key
+      |  FROM customer
+      |  WINDOW
+      |    w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
+      |    wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE c_custkey % 20 = 0
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cume_dist"    -> (qCumeDist _),
     "q_window"       -> (qWindow _),
     "q_topk_agg"     -> (qTopkAgg _),
     "q_rank_funcs"   -> (qRankFuncs _),
@@ -214,6 +253,7 @@ object WindowQueries {
     "q_session"      -> (qSession _))
 
   val oracle: Map[String, String] = Map(
+    "q_cume_dist"    -> qCumeDistSql,
     "q_window"       -> qWindowSql,
     "q_topk_agg"     -> qTopkAggSql,
     "q_rank_funcs"   -> qRankFuncsSql,
