@@ -496,6 +496,64 @@ object LlmQueries {
       |ORDER BY n DESC, token ASC
       |LIMIT 20""".stripMargin
 
+  /** Sparse TF-weighted cosine similarity — the inverted-index
+    * counterpart to the dense [[qKnnCosine]]: doc vectors are (token →
+    * tf) sparse maps, candidate pairs come from a TOKEN-keyed join
+    * (docs sharing no token never meet — the q_jaccard_pairs block
+    * bound applies on this pruning-hostile 31-word corpus, see the
+    * jaccardPairs dispatch note), and the whole score is cross-engine
+    * EXACT: dot and squared norms are integer aggregates (sums of
+    * products < 2^53, order-independent), sqrt is correctly-rounded
+    * IEEE in both engines, and the final product+division of identical
+    * operands is correctly rounded. Top-20 by (cosine, ids) total
+    * order. At open-vocabulary scale the token join IS the inverted
+    * index — df-cap the stopword tail exactly as contamination does. */
+  def qSparseCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .filter($"lang" === "en")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("id_a"), $"n2".as("na")), Seq("id_a"))
+      .join(norms.select($"doc_id".as("id_b"), $"n2".as("nb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        ($"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+          .as("cosine"))
+      .orderBy($"cosine".desc, $"id_a".asc, $"id_b".asc)
+      .limit(20)
+  }
+
+  val qSparseCosineSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE lang = 'en')
+      |  WHERE token <> ''
+      |  GROUP BY doc_id, token
+      |), norms AS (
+      |  SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id
+      |), dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+      |  FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      |FROM dots
+      |JOIN norms na ON na.doc_id = id_a
+      |JOIN norms nb ON nb.doc_id = id_b
+      |ORDER BY cosine DESC, id_a ASC, id_b ASC
+      |LIMIT 20""".stripMargin
+
   /** Per-document token-repetition scoring via the unbiased Simpson
     * index: sum c_i(c_i-1) / (n(n-1)) — the probability two tokens drawn
     * without replacement are equal. The Gopher-style repetition signal
@@ -1098,6 +1156,7 @@ object LlmQueries {
     "q_inverted_index" -> (qInvertedIndex _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_token_diversity" -> (qTokenDiversity _),
+    "q_sparse_cosine" -> (qSparseCosine _),
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
@@ -1130,6 +1189,7 @@ object LlmQueries {
     "q_inverted_index" -> qInvertedIndexSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_token_diversity" -> qTokenDiversitySql,
+    "q_sparse_cosine" -> qSparseCosineSql,
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
