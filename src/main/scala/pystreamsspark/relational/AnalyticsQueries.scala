@@ -1,0 +1,296 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+
+/** Product-analytics and pipeline-utility operators: cohort retention,
+  * OHLC bars, event-sequence transition mining, dataset reconciliation
+  * (table diff), BPE merge-pair counting, and int8 embedding
+  * quantization.
+  *
+  * Scale notes (100 TB): every query here is shaped as partial+final
+  * aggregations and key-hash joins — no windows over raw fact tables
+  * except per-user sequences (bounded by a user's own history), no
+  * driver-side materialization. Cross-engine float discipline follows
+  * Det.scala: compared doubles are either exact (min/max/first/last of
+  * stored values) or the result of one correctly-rounded op on identical
+  * operands.
+  */
+object AnalyticsQueries {
+
+  /** Weekly cohort retention over events: cohort = ISO week of a user's
+    * first event, one row per (cohort, week_offset) with the retained
+    * user count. Two partial+final aggregations (per-user min, then the
+    * distinct (user, week) activity set) and a broadcast-size final
+    * rollup — the user-level shuffle is the only big exchange, exactly
+    * as you'd run it on 100 TB of events. Both engines truncate weeks
+    * to Monday. */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset", expr("datediff(wk, cohort) div 7"))
+      .groupBy($"cohort", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH a AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id
+      |)
+      |SELECT c.cohort, date_diff('day', c.cohort, a.wk) // 7 AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort, week_offset""".stripMargin
+
+  /** Daily OHLC bars per event_type — the time-series downsampling
+    * primitive. open/close are min_by/max_by on the (ts, event_id)
+    * composite (deterministic under timestamp ties); high/low are plain
+    * min/max. Every compared double is a STORED value, never a sum, so
+    * the result is exact on any engine. One partial+final aggregation;
+    * min_by/max_by carry one (key, value) pair per group map-side. */
+  def qOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = struct($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"), $"event_type")
+      .agg(
+        min_by($"value", ord).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", ord).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy($"d", $"event_type")
+  }
+
+  val qOhlcSql: String =
+    """WITH r AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type, value,
+      |    row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+      |                       ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT d, event_type,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  COUNT(*) AS n
+      |FROM r GROUP BY d, event_type
+      |ORDER BY d, event_type""".stripMargin
+
+  /** First-order Markov transitions over each user's event sequence:
+    * global (prev_type, next_type) counts plus each transition's share
+    * of its source state — the sequence-mining / next-event-model
+    * input. The lag window is per-user (bounded by one user's history);
+    * the transition matrix is |event_types|² rows, so the share window
+    * runs over a constant-size aggregate. share = one correctly-rounded
+    * division of two exact bigints — cross-engine exact. */
+  def qEventBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy($"prev_type")
+    pairs
+      .withColumn("share", $"n".cast("double") / sum($"n").over(tot).cast("double"))
+      .select($"prev_type", $"event_type".as("next_type"), $"n", $"share")
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val qEventBigramsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events
+      |), p AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+      |    AS share
+      |FROM p ORDER BY prev_type, next_type""".stripMargin
+
+  /** Dataset reconciliation (table diff): compare `orders` against a
+    * deterministically derived snapshot (md5-selected ~6% deletes, ~12%
+    * status updates, ~6% synthesized inserts at key+1e9 — far above any
+    * real orderkey) and report per-class row counts plus an exact
+    * key-sum checksum. The diff itself is ONE full outer hash join on
+    * the key — the scale shape for auditing two 100 TB snapshots —
+    * with all-column comparison (doubles compared by value, never
+    * rendered to strings). */
+  def qTableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val old = Tables.orders(spark, sfDir)
+    val tagged = old.withColumn("tag",
+      substring(md5($"o_orderkey".cast("string")), 1, 1))
+    val updated = tagged.filter($"tag" =!= "0")
+      .withColumn("o_orderstatus",
+        when($"tag".isin("1", "2"), lit("X")).otherwise($"o_orderstatus"))
+      .drop("tag")
+    val inserted = tagged.filter($"tag" === "3")
+      .select(($"o_orderkey" + 1000000000L).as("o_orderkey"), $"o_custkey",
+        lit("I").as("o_orderstatus"), $"o_totalprice", $"o_orderdate",
+        $"o_orderpriority")
+    val newSnap = updated.unionByName(inserted)
+
+    val o = old.alias("o")
+    val n = newSnap.alias("n")
+    val differs =
+      col("o.o_orderstatus") =!= col("n.o_orderstatus") ||
+      col("o.o_custkey") =!= col("n.o_custkey") ||
+      col("o.o_totalprice") =!= col("n.o_totalprice") ||
+      col("o.o_orderdate") =!= col("n.o_orderdate") ||
+      col("o.o_orderpriority") =!= col("n.o_orderpriority")
+    o.join(n, col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("k"),
+        when(col("o.o_orderkey").isNull, "added")
+          .when(col("n.o_orderkey").isNull, "removed")
+          .when(differs, "changed")
+          .otherwise("same").as("change_class"))
+      .groupBy($"change_class")
+      .agg(count(lit(1)).as("n"), sum($"k").as("key_sum"))
+      .orderBy($"change_class")
+  }
+
+  val qTableDiffSql: String =
+    """WITH tagged AS (
+      |  SELECT o.*, substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS tag
+      |  FROM orders o
+      |), newsnap AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN tag IN ('1','2') THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM tagged WHERE tag <> '0'
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, 'I',
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM tagged WHERE tag = '3'
+      |), d AS (
+      |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+      |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |         WHEN n.o_orderkey IS NULL THEN 'removed'
+      |         WHEN o.o_orderstatus <> n.o_orderstatus
+      |           OR o.o_custkey <> n.o_custkey
+      |           OR o.o_totalprice <> n.o_totalprice
+      |           OR o.o_orderdate <> n.o_orderdate
+      |           OR o.o_orderpriority <> n.o_orderpriority THEN 'changed'
+      |         ELSE 'same' END AS change_class
+      |  FROM orders o FULL OUTER JOIN newsnap n
+      |    ON o.o_orderkey = n.o_orderkey)
+      |SELECT change_class, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY change_class
+      |ORDER BY change_class""".stripMargin
+
+  /** First BPE merge iteration's candidate table: corpus-weighted
+    * adjacent character-pair frequencies over the token vocabulary —
+    * the inner loop of byte-pair-encoding tokenizer training. Pair
+    * generation runs over the AGGREGATED vocabulary (|vocab| rows, each
+    * token's count already reduced), never the raw corpus, so the
+    * explode fan-out is vocabulary-sized however big the corpus is.
+    * Top-20 by (count desc, pair asc) via TakeOrderedAndProject. */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    tf.filter(length($"tok") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"), $"freq")
+      .groupBy($"pair").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
+  val qBpeMergesSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT tok, COUNT(*) AS freq FROM toks WHERE tok <> '' GROUP BY tok
+      |), pairs AS (
+      |  SELECT substring(tok, i, 2) AS pair, freq
+      |  FROM (SELECT tok, freq, unnest(generate_series(1, length(tok) - 1)) AS i
+      |        FROM tf WHERE length(tok) >= 2)
+      |)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * compression step before a 100 TB ANN index build (4× smaller than
+    * float32). Per vector: maxabs (exact float comparisons), scale =
+    * 127/maxabs (one correctly-rounded division), q_i = floor(x_i ·
+    * scale) (correctly-rounded product, exact floor) — every step a
+    * pure function of the stored floats, so qsum/qmin/qmax hash-match
+    * across engines with no Det machinery. Zero-vector guard pins
+    * scale = 0 on both sides. Per-row map work only; zero shuffles. */
+  def qEmbedQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sfDir)
+      .withColumn("maxabs",
+        array_max(transform($"embedding", x => abs(x))).cast("double"))
+      .withColumn("scale",
+        when($"maxabs" === 0.0, lit(0.0)).otherwise(lit(127.0) / $"maxabs"))
+      .withColumn("q",
+        transform($"embedding", x => floor(x.cast("double") * $"scale")))
+    df.select($"vec_id", $"maxabs",
+        aggregate($"q", lit(0L), (acc: Column, x: Column) => acc + x).as("qsum"),
+        array_min($"q").as("qmin"),
+        array_max($"q").as("qmax"))
+      .orderBy($"vec_id")
+  }
+
+  val qEmbedQuantSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |      AS maxabs,
+      |    embedding
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, maxabs,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+      |      (CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END))
+      |      AS BIGINT)) AS qs
+      |  FROM e)
+      |SELECT vec_id, maxabs,
+      |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+      |  list_min(qs) AS qmin,
+      |  list_max(qs) AS qmax
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention"     -> (qRetention _),
+    "q_ohlc"          -> (qOhlc _),
+    "q_event_bigrams" -> (qEventBigrams _),
+    "q_table_diff"    -> (qTableDiff _),
+    "q_bpe_merges"    -> (qBpeMerges _),
+    "q_embed_quant"   -> (qEmbedQuant _))
+
+  val oracle: Map[String, String] = Map(
+    "q_retention"     -> qRetentionSql,
+    "q_ohlc"          -> qOhlcSql,
+    "q_event_bigrams" -> qEventBigramsSql,
+    "q_table_diff"    -> qTableDiffSql,
+    "q_bpe_merges"    -> qBpeMergesSql,
+    "q_embed_quant"   -> qEmbedQuantSql)
+}

@@ -1,0 +1,113 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+import pystreamsspark.io.Tables
+
+/** Semantic invariants for the analytics/utility batch: cohort retention,
+  * OHLC bars, Markov transitions, table diff, BPE pair counts, and int8
+  * embedding quantization. (Value-level correctness is the DuckDB oracle's
+  * job; these pin the properties the oracle can't state.)
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("retention: offset-0 cell of each cohort counts every cohort user") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qRetention(spark, sf).cache()
+    // every user is active in their own cohort week, so the offset-0 cell
+    // per cohort equals the cohort's size, and offsets are non-negative
+    assert(r.filter($"week_offset" < 0).count() == 0)
+    val cohortSizes = Tables.events(spark, sf)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      .groupBy($"user_id").agg(min($"wk").as("cohort"))
+      .groupBy($"cohort").count()
+    val zeroCells = r.filter($"week_offset" === 0)
+      .select($"cohort", $"n_users".as("count"))
+    assert(zeroCells.except(cohortSizes).isEmpty &&
+      cohortSizes.except(zeroCells).isEmpty)
+    // retention never exceeds the cohort size in any later week
+    val joined = r.join(cohortSizes.withColumnRenamed("count", "size"), "cohort")
+    assert(joined.filter($"n_users" > $"size").count() == 0)
+    r.unpersist()
+  }
+
+  test("ohlc: low <= open/close <= high and bar counts sum to all events") {
+    val s = spark
+    import s.implicits._
+    val b = AnalyticsQueries.qOhlc(spark, sf).cache()
+    assert(b.filter($"low" > $"open" || $"low" > $"close" ||
+      $"high" < $"open" || $"high" < $"close").count() == 0)
+    assert(b.agg(sum($"n")).head.getLong(0) == Tables.events(spark, sf).count())
+    b.unpersist()
+  }
+
+  test("event bigrams: shares sum to 1 per source state, n sums to rows-users") {
+    val s = spark
+    import s.implicits._
+    val t = AnalyticsQueries.qEventBigrams(spark, sf).cache()
+    // each user's sequence of length L contributes L-1 transitions
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(t.agg(sum($"n")).head.getLong(0) == expected)
+    val shareSums = t.groupBy($"prev_type").agg(sum($"share").as("ss"))
+      .select(abs($"ss" - 1.0).as("err")).agg(max($"err")).head.getDouble(0)
+    assert(shareSums < 1e-9, s"share rows don't sum to 1: max err $shareSums")
+    t.unpersist()
+  }
+
+  test("table diff: classes partition the key universe and checksum adds up") {
+    val s = spark
+    import s.implicits._
+    val d = AnalyticsQueries.qTableDiff(spark, sf).cache()
+    val m = d.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.keySet == Set("added", "removed", "changed", "same"))
+    val orders = Tables.orders(spark, sf).count()
+    // old keys = removed + changed + same; every added key is old-key + 1e9
+    assert(m("removed")._1 + m("changed")._1 + m("same")._1 == orders)
+    // md5 first hex char is ~uniform over 16 values: removed ~ 1/16 of rows,
+    // changed ~ 2/16 (loose 3x bounds, deterministic data so never flaky)
+    assert(m("removed")._1 > orders / 48 && m("removed")._1 < orders / 5)
+    assert(m("changed")._1 > orders / 24 && m("changed")._1 < orders / 3)
+    assert(m("added")._1 > 0)
+    d.unpersist()
+  }
+
+  test("bpe merges: pair counts bounded by total char-pair mass, top-20 sorted") {
+    val s = spark
+    import s.implicits._
+    val p = AnalyticsQueries.qBpeMerges(spark, sf).collect()
+    assert(p.length == 20)
+    val counts = p.map(_.getLong(1))
+    assert(counts.toSeq == counts.sortBy(-_).toSeq)
+    // total adjacent-pair occurrences across the corpus bounds any single pair
+    val totalPairs = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .agg(sum(length($"tok") - 1)).head.getLong(0)
+    assert(counts.head <= totalPairs && counts.head > 0)
+  }
+
+  test("embed quant: values land in [-128, 127] and reconstruct within 1/127") {
+    val s = spark
+    import s.implicits._
+    val q = AnalyticsQueries.qEmbedQuant(spark, sf).cache()
+    assert(q.filter($"qmin" < -128 || $"qmax" > 127).count() == 0)
+    // a vector's max-|x| dimension quantizes to 127 (positive max) or
+    // -128/-127 (negative): qmax or |qmin| must reach 126+ for every row
+    assert(q.filter($"maxabs" > 0 && $"qmax" < 126 && $"qmin" > -127).count() == 0)
+    // dequantized qsum approximates the true coordinate sum within n*step
+    val truth = Tables.embeddings(spark, sf).select($"vec_id",
+      aggregate(transform($"embedding", _.cast("double")), lit(0.0),
+        (a, x) => a + x).as("true_sum"))
+    val err = q.join(truth, "vec_id")
+      .filter($"maxabs" > 0)
+      .select(abs($"qsum" * $"maxabs" / 127.0 - $"true_sum").as("e"),
+        ($"maxabs" / 127.0 * 64.0).as("bound")) // 64 dims, 1 step each
+      .filter($"e" > $"bound").count()
+    assert(err == 0)
+    q.unpersist()
+  }
+}
