@@ -497,39 +497,23 @@ object LlmQueries {
       |LIMIT 20""".stripMargin
 
   /** Sparse TF-weighted cosine similarity — the inverted-index
-    * counterpart to the dense [[qKnnCosine]]: doc vectors are (token →
-    * tf) sparse maps, candidate pairs come from a TOKEN-keyed join
-    * (docs sharing no token never meet — the q_jaccard_pairs block
-    * bound applies on this pruning-hostile 31-word corpus, see the
-    * jaccardPairs dispatch note), and the whole score is cross-engine
-    * EXACT: dot and squared norms are integer aggregates (sums of
-    * products < 2^53, order-independent), sqrt is correctly-rounded
+    * counterpart to the dense [[qKnnCosine]], via
+    * [[pystreamsspark.llm.Similarity.sparseCosineTopK]]'s cost-based
+    * dispatch: candidate pairs from a TOKEN-keyed join (the inverted
+    * index, the open-vocabulary scale path) OR vocabulary-indexed dense
+    * tf vectors + codegen'd vec_dot when a bounded stats sample shows
+    * the index join's fan-out Σ df² exceeding brute-force n² — this
+    * 31-word uniform corpus is that regime (measured 10 s → <1 s at
+    * sf0.1). Both plans are exact and parity-tested; the score is
+    * cross-engine EXACT: dot and squared norms are integer values
+    * (< 2^53, order-independent in double), sqrt is correctly-rounded
     * IEEE in both engines, and the final product+division of identical
     * operands is correctly rounded. Top-20 by (cosine, ids) total
-    * order. At open-vocabulary scale the token join IS the inverted
-    * index — df-cap the stopword tail exactly as contamination does. */
-  def qSparseCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val tf = Tables.documents(spark, sfDir)
-      .filter($"lang" === "en")
-      .select($"doc_id", explode(split($"text", " ")).as("token"))
-      .filter($"token" =!= "")
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
-    val dots = tf.as("a").join(tf.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-    dots
-      .join(norms.select($"doc_id".as("id_a"), $"n2".as("na")), Seq("id_a"))
-      .join(norms.select($"doc_id".as("id_b"), $"n2".as("nb")), Seq("id_b"))
-      .select($"id_a", $"id_b",
-        ($"dot".cast("double") /
-          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
-          .as("cosine"))
-      .orderBy($"cosine".desc, $"id_a".asc, $"id_b".asc)
-      .limit(20)
-  }
+    * order. */
+  def qSparseCosine(spark: SparkSession, sfDir: String): DataFrame =
+    pystreamsspark.llm.Similarity.sparseCosineTopK(
+      Tables.documents(spark, sfDir).filter(col("lang") === "en"),
+      "doc_id", "text", 20)
 
   val qSparseCosineSql: String =
     """WITH tf AS (

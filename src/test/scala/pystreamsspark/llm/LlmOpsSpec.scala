@@ -335,4 +335,18 @@ class LlmOpsSpec extends SparkSpec {
       assert(v === 7.0)
     }
   }
+
+  test("sparse cosine: dense-vector plan == inverted-index plan, and auto picks dense here") {
+    val s = spark
+    import s.implicits._
+    val docs = pystreamsspark.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"lang" === "en")
+    def run(strategy: String) =
+      Similarity.sparseCosineTopK(docs, "doc_id", "text", 20, strategy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dense = run("dense")
+    val index = run("index")
+    assert(dense == index) // bit-identical scores AND identical pair order
+    assert(run("auto") == dense) // the 31-token uniform corpus is the dense regime
+  }
 }
