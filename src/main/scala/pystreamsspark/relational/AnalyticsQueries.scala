@@ -278,19 +278,99 @@ object AnalyticsQueries {
       |  list_max(qs) AS qmax
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Per-user day-of-month activity bitmaps — the roaring-bitmap-style
+    * engagement primitive: one BIGINT mask per user (bit d-1 set when
+    * the user was active on day d), popcount = active-day count. ONE
+    * partial+final bit_or aggregation; masks merge associatively and
+    * commutatively, so the map-side combine is exact at any partition
+    * count — the textbook 100 TB engagement-metrics shape (a bitmap per
+    * (user, month) instead of a row per event). */
+  def qActivityBitmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1)")).as("mask"))
+      .select($"user_id", $"mask", bit_count($"mask").as("n_days"))
+      .orderBy($"user_id")
+  }
+
+  val qActivityBitmapSql: String =
+    """SELECT user_id,
+      |  bit_or(1::BIGINT << (date_part('day', ts) - 1)) AS mask,
+      |  bit_count(bit_or(1::BIGINT << (date_part('day', ts) - 1))) AS n_days
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Peak interval concurrency per day (sweep line): each event opens a
+    * 30-minute interval; output is each day's maximum number of
+    * simultaneously open intervals — the resource-utilization /
+    * concurrent-sessions primitive. Scale shape: intervals are clipped
+    * into per-DAY segments (≤2 per interval since 30 min < 1 day), so
+    * the running-sum window is partitioned by the natural time bucket,
+    * never global — one bounded sort per day however long the history.
+    * End-exclusive semantics pinned by ordering (t, delta): a -1 at
+    * time t precedes a +1 at the same t in both engines. */
+  def qConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.events(spark, sfDir)
+      .select($"ts".as("s"), ($"ts" + expr("INTERVAL 30 MINUTES")).as("te"))
+    val seg1 = iv.select(to_date($"s").as("d"), $"s",
+      least($"te", date_add(to_date($"s"), 1).cast("timestamp")).as("e"))
+    val d2 = to_date($"te" - expr("INTERVAL 1 MICROSECOND"))
+    val seg2 = iv.filter(d2 > to_date($"s"))
+      .select(d2.as("d"), d2.cast("timestamp").as("s"), $"te".as("e"))
+    val segs = seg1.unionByName(seg2)
+    val pts = segs.select($"d", $"s".as("t"), lit(1).as("delta"))
+      .unionByName(segs.select($"d", $"e".as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy($"d").orderBy($"t", $"delta")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts.withColumn("c", sum($"delta").over(w))
+      .groupBy($"d").agg(max($"c").as("max_concurrent"))
+      .orderBy($"d")
+  }
+
+  val qConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT ts AS s, ts + INTERVAL 30 MINUTE AS te FROM events
+      |), seg AS (
+      |  SELECT CAST(s AS DATE) AS d, s,
+      |    LEAST(te, CAST(CAST(s AS DATE) + 1 AS TIMESTAMP)) AS e
+      |  FROM iv
+      |  UNION ALL
+      |  SELECT CAST(te - INTERVAL 1 MICROSECOND AS DATE) AS d,
+      |    CAST(CAST(te - INTERVAL 1 MICROSECOND AS DATE) AS TIMESTAMP) AS s, te
+      |  FROM iv
+      |  WHERE CAST(te - INTERVAL 1 MICROSECOND AS DATE) > CAST(s AS DATE)
+      |), pts AS (
+      |  SELECT d, s AS t, 1 AS delta FROM seg
+      |  UNION ALL
+      |  SELECT d, e AS t, -1 AS delta FROM seg
+      |), sw AS (
+      |  SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM pts)
+      |SELECT d, CAST(MAX(c) AS BIGINT) AS max_concurrent
+      |FROM sw GROUP BY d
+      |ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_retention"     -> (qRetention _),
-    "q_ohlc"          -> (qOhlc _),
-    "q_event_bigrams" -> (qEventBigrams _),
-    "q_table_diff"    -> (qTableDiff _),
-    "q_bpe_merges"    -> (qBpeMerges _),
-    "q_embed_quant"   -> (qEmbedQuant _))
+    "q_retention"       -> (qRetention _),
+    "q_ohlc"            -> (qOhlc _),
+    "q_event_bigrams"   -> (qEventBigrams _),
+    "q_table_diff"      -> (qTableDiff _),
+    "q_bpe_merges"      -> (qBpeMerges _),
+    "q_embed_quant"     -> (qEmbedQuant _),
+    "q_activity_bitmap" -> (qActivityBitmap _),
+    "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
-    "q_retention"     -> qRetentionSql,
-    "q_ohlc"          -> qOhlcSql,
-    "q_event_bigrams" -> qEventBigramsSql,
-    "q_table_diff"    -> qTableDiffSql,
-    "q_bpe_merges"    -> qBpeMergesSql,
-    "q_embed_quant"   -> qEmbedQuantSql)
+    "q_retention"       -> qRetentionSql,
+    "q_ohlc"            -> qOhlcSql,
+    "q_event_bigrams"   -> qEventBigramsSql,
+    "q_table_diff"      -> qTableDiffSql,
+    "q_bpe_merges"      -> qBpeMergesSql,
+    "q_embed_quant"     -> qEmbedQuantSql,
+    "q_activity_bitmap" -> qActivityBitmapSql,
+    "q_concurrency"     -> qConcurrencySql)
 }

@@ -538,6 +538,100 @@ object LlmQueries {
       |ORDER BY cosine DESC, id_a ASC, id_b ASC
       |LIMIT 20""".stripMargin
 
+  /** Corpus bigram-LM familiarity scoring — the integer-arithmetic
+    * proxy for perplexity-based quality filtering (a doc whose word
+    * bigrams are common in the corpus reads like the corpus; one full
+    * of rare transitions doesn't). Score = mean corpus frequency of the
+    * doc's bigrams: pure integer aggregates + ONE correctly-rounded
+    * division, so it's cross-engine exact where a real LM's log-probs
+    * (libm ln) never are. Shape: bigram generation is a per-row array
+    * op (zero shuffle), counts are one partial+final agg, and the
+    * count join is gram-keyed — the contamination shape, broadcast-able
+    * when the vocabulary is small, never doc×doc. */
+  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", filter(split($"text", " "), t => t =!= "").as("toks"))
+      .filter(size($"toks") >= 2)
+    val bg = toks.select($"doc_id", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
+      .as("bigram"))
+    val cnt = bg.groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+    bg.join(cnt, "bigram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"cnt").as("sum_freq"))
+      .withColumn("avg_bigram_freq", $"sum_freq".cast("double") / $"n_bigrams")
+      .orderBy($"doc_id")
+  }
+
+  val qBigramLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 2)
+      |), c AS (
+      |  SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+      |)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+      |  CAST(CAST(SUM(c.cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_bigram_freq
+      |FROM bg JOIN c USING (bigram)
+      |GROUP BY bg.doc_id
+      |ORDER BY bg.doc_id""".stripMargin
+
+  /** Cross-document duplicated-span detection — the ExactSubstr signal
+    * from the "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., ACL 2022) methodology at 8-token span
+    * granularity: per doc, how many of its distinct 8-gram spans occur
+    * in at least one OTHER document (within-doc repetition is
+    * [[qNgramRepeat]]'s job; corpus-dominant boilerplate is
+    * [[qBoilerplate]]'s). dup_frac near 1 marks a doc that is
+    * substantially a copy. Shape: native codegen'd shingling, one
+    * partial+final df agg, and a gram-keyed shuffle join for the flag —
+    * the df≥2 gram set is unbounded at scale, so it is deliberately
+    * NOT broadcast. */
+  def qDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 8)).as("gram"))
+    val dup = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2)
+      .select($"gram", lit(1L).as("is_dup"))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dup"))
+      .withColumn("dup_frac", $"n_dup".cast("double") / $"n_spans")
+      .orderBy($"doc_id")
+  }
+
+  val qDupSpansSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+8], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-8, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM t
+      |), dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+      |)
+      |SELECT g.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS dup_frac
+      |FROM g LEFT JOIN dup d ON g.gram = d.gram
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** Per-document token-repetition scoring via the unbiased Simpson
     * index: sum c_i(c_i-1) / (n(n-1)) — the probability two tokens drawn
     * without replacement are equal. The Gopher-style repetition signal
@@ -1141,6 +1235,8 @@ object LlmQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_token_diversity" -> (qTokenDiversity _),
     "q_sparse_cosine" -> (qSparseCosine _),
+    "q_bigram_lm"     -> (qBigramLm _),
+    "q_dup_spans"     -> (qDupSpans _),
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
@@ -1174,6 +1270,8 @@ object LlmQueries {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_token_diversity" -> qTokenDiversitySql,
     "q_sparse_cosine" -> qSparseCosineSql,
+    "q_bigram_lm"     -> qBigramLmSql,
+    "q_dup_spans"     -> qDupSpansSql,
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,

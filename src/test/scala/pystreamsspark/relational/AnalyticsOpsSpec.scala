@@ -90,6 +90,71 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(counts.head <= totalPairs && counts.head > 0)
   }
 
+  test("activity bitmap: popcount consistent and mask bits match active days") {
+    val s = spark
+    import s.implicits._
+    val b = AnalyticsQueries.qActivityBitmap(spark, sf).cache()
+    assert(b.filter($"n_days" < 1 || $"n_days" > 31).count() == 0)
+    // Σ n_days over users == |distinct (user, day)| — the bitmap loses nothing
+    val userDays = Tables.events(spark, sf)
+      .select($"user_id", dayofmonth($"ts")).distinct().count()
+    assert(b.agg(sum($"n_days".cast("long"))).head.getLong(0) == userDays)
+    b.unpersist()
+  }
+
+  test("concurrency: cross-midnight sessions carry into the next day's sweep") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("conc").toString
+    def ns(day: Int, h: Int, m: Int): Long =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+        .getTime * 1000000L
+    // intervals [23:50,00:20) [23:55,00:25) day 1; [00:05,00:35) day 2
+    Seq((1L, ns(1, 23, 50), 10L, "view", 1.0, "{}"),
+        (2L, ns(1, 23, 55), 11L, "view", 1.0, "{}"),
+        (3L, ns(2, 0, 5), 12L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.qConcurrency(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1 peaks at 2 (both late sessions open); day 2 peaks at 3
+    // (both carried-over sessions still open when the 00:05 one starts)
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 3L))
+  }
+
+  test("bigram LM familiarity: exact scores on a planted twin + unique doc") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blm").toString
+    Seq((1L, "a b c d", "en", "src0", 7L),
+        (2L, "a b c d", "en", "src0", 7L),
+        (3L, "x y z w", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmQueries.qBigramLm(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // twins: each of 3 bigrams occurs twice corpus-wide -> avg 2.0
+    assert(got.toSeq == Seq((1L, 3L, 6L, 2.0), (2L, 3L, 6L, 2.0),
+      (3L, 3L, 3L, 1.0)))
+  }
+
+  test("dup spans: planted copy pair fully flagged, unique doc clean") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dspan").toString
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val other = (1 to 10).map(i => s"u$i").mkString(" ")
+    Seq((1L, ten, "en", "src0", 30L), (2L, ten, "en", "src0", 30L),
+        (3L, other, "en", "src0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmQueries.qDupSpans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 10 tokens -> 3 distinct 8-gram spans; copies share all, unique none
+    assert(got.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 0L, 0.0)))
+  }
+
   test("embed quant: values land in [-128, 127] and reconstruct within 1/127") {
     val s = spark
     import s.implicits._
