@@ -305,12 +305,20 @@ object AnalyticsQueries {
   /** Peak interval concurrency per day (sweep line): each event opens a
     * 30-minute interval; output is each day's maximum number of
     * simultaneously open intervals — the resource-utilization /
-    * concurrent-sessions primitive. Scale shape: intervals are clipped
-    * into per-DAY segments (≤2 per interval since 30 min < 1 day), so
-    * the running-sum window is partitioned by the natural time bucket,
-    * never global — one bounded sort per day however long the history.
-    * End-exclusive semantics pinned by ordering (t, delta): a -1 at
-    * time t precedes a +1 at the same t in both engines. */
+    * concurrent-sessions primitive.
+    *
+    * Scale shape — the q_skyline two-level decomposition, NOT one sweep
+    * per day (a single hot day would serialize one task at 100 TB):
+    * intervals are clipped into per-DAY segments (≤2 each, 30 min <
+    * 1 day), sweep points are bucketed by HOUR, each (day, hour) bucket
+    * computes its local running max and net delta in parallel, and the
+    * cross-bucket carry is a prefix sum over ≤24 rows per day. Running
+    * value at any instant = hour carry-in + local running sum, so
+    * day max = max over hours of (carry_in + local_max). The oracle is
+    * the INDEPENDENT single-sweep-per-day formulation, value-verifying
+    * the decomposition. End-exclusive semantics pinned by ordering
+    * (t, delta): a -1 at time t precedes a +1 at the same t in both
+    * engines. */
   def qConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val iv = Tables.events(spark, sfDir)
@@ -323,10 +331,20 @@ object AnalyticsQueries {
     val segs = seg1.unionByName(seg2)
     val pts = segs.select($"d", $"s".as("t"), lit(1).as("delta"))
       .unionByName(segs.select($"d", $"e".as("t"), lit(-1).as("delta")))
-    val w = Window.partitionBy($"d").orderBy($"t", $"delta")
+      // hours since the day's own midnight (NOT hour(t): a day-end point
+      // at exactly 24:00 must land in bucket 24, after bucket 23)
+      .withColumn("hr", expr("timestampdiff(HOUR, CAST(d AS TIMESTAMP), t)"))
+    val local = Window.partitionBy($"d", $"hr").orderBy($"t", $"delta")
       .rowsBetween(Window.unboundedPreceding, 0)
-    pts.withColumn("c", sum($"delta").over(w))
-      .groupBy($"d").agg(max($"c").as("max_concurrent"))
+    val hourly = pts
+      .withColumn("run", sum($"delta").over(local))
+      .groupBy($"d", $"hr")
+      .agg(max($"run").as("local_max"), sum($"delta").as("net"))
+    val carry = Window.partitionBy($"d").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .withColumn("carry_in", coalesce(sum($"net").over(carry), lit(0L)))
+      .groupBy($"d").agg(max($"carry_in" + $"local_max").as("max_concurrent"))
       .orderBy($"d")
   }
 
