@@ -249,4 +249,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p)
     assert(p.contains("vec_cosine"), p)
   }
+
+  test("q_activity_bitmap: one partial+final agg pair, no window, no join") {
+    val p = plan(graft.SparkEntry.queries("q_activity_bitmap")(spark, sf))
+    assert(countOf(p, "HashAggregate") == 2, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q_embed_quant: map-only quantization — zero data shuffles") {
+    val p = plan(graft.SparkEntry.queries("q_embed_quant")(spark, sf))
+    // the only exchange allowed is the presentation orderBy's range part
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q_bpe_merges: pair fan-out above the vocabulary aggregate, top-k TakeOrdered") {
+    val p = plan(graft.SparkEntry.queries("q_bpe_merges")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // generation over the AGGREGATED vocabulary: Generate sits above the
+    // first HashAggregate pair in the plan text (plans print top-down)
+    val iGen = p.indexOf("Generate")
+    val iAgg = p.lastIndexOf("HashAggregate")
+    assert(iGen >= 0 && iAgg > iGen, p)
+  }
+
+  test("q_sparse_cosine (auto=dense here): no token-keyed shuffle join; vec_dot pairs") {
+    val p = plan(graft.SparkEntry.queries("q_sparse_cosine")(spark, sf))
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("SortMergeJoin"), p) // the index join's signature shape
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_table_diff: single full-outer hash/sort join on the key, no nested loop") {
+    val p = plan(graft.SparkEntry.queries("q_table_diff")(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_concurrency: both windows bucket-bounded — no global (empty-partition) sort") {
+    val p = plan(graft.SparkEntry.queries("q_concurrency")(spark, sf))
+    // every Window must carry a partition spec; a scale-hostile global
+    // window would print "Window [...] , [t ASC" with no PARTITION columns,
+    // planned as a SinglePartition exchange — forbid that shape
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
