@@ -4,17 +4,21 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the value columns of the
-  * most recent right row with `rightTime <= leftTime` for the same keys.
+/** As-of join: for each left row, attach the value columns of the
+  * nearest right row for the same keys — `direction = "backward"`
+  * (default) takes the most recent right row with `rightTime <=
+  * leftTime`; `direction = "forward"` the earliest right row with
+  * `rightTime >= leftTime`.
   *
   * Spark has no native as-of join, so this rewrites it as union + one
   * window pass — the scalable formulation:
   *
   *   1. tag both sides, align schemas, `unionByName`;
   *   2. one shuffle on the `by` keys, sort by (time, side) within each
-  *      partition;
-  *   3. running `last(<right value>, ignoreNulls)` carries the latest
-  *      right value forward onto each left row;
+  *      partition (time DESCENDS for the forward direction — the running
+  *      carry then holds the nearest-LATER right row);
+  *   3. running `last(<right value>, ignoreNulls)` carries the nearest
+  *      right value onto each left row;
   *   4. keep left rows.
   *
   * Cost = exactly one ShuffleExchange + one in-partition sort over
@@ -23,8 +27,9 @@ import org.apache.spark.sql.functions._
   * (A per-key range interpolation join would be the next step at 100 TB
   * if a single key's timeline outgrows a partition; not needed here.)
   *
-  * Right rows at the same timestamp as a left row DO match (<=): the sort
-  * places side=0 (right) before side=1 (left) on ties.
+  * Right rows at the same timestamp as a left row DO match (<= / >=):
+  * the sort places side=0 (right) before side=1 (left) on ties in both
+  * directions.
   */
 object AsofJoin {
   def asofJoin(
@@ -34,7 +39,8 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       valueCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -57,9 +63,15 @@ object AsofJoin {
     // oracle in any engine can reproduce verbatim (a hash-based tie-break
     // would be engine-private). Without SOME tie order, `last()` over such
     // ties picks a partition-order-dependent winner.
+    val timeOrd = direction match {
+      case "backward" => col("__t").asc
+      case "forward"  => col("__t").desc
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got $other")
+    }
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy((Seq(col("__t").asc, col("__side").asc) ++
+      .orderBy((Seq(timeOrd, col("__side").asc) ++
         valueCols.map(c => col(s"__v_$c").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned)((df, c) =>

@@ -319,9 +319,14 @@ object AnalyticsQueries {
     * the decomposition. End-exclusive semantics pinned by ordering
     * (t, delta): a -1 at time t precedes a +1 at the same t in both
     * engines. */
-  def qConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val iv = Tables.events(spark, sfDir)
+  def qConcurrency(spark: SparkSession, sfDir: String): DataFrame =
+    concurrencyByDay(Tables.events(spark, sfDir))
+
+  /** The decomposed sweep over any frame with a `ts` column — exposed
+    * so the Stress hot-day probe can run it on amplified/skewed data. */
+  def concurrencyByDay(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val iv = events
       .select($"ts".as("s"), ($"ts" + expr("INTERVAL 30 MINUTES")).as("te"))
     val seg1 = iv.select(to_date($"s").as("d"), $"s",
       least($"te", date_add(to_date($"s"), 1).cast("timestamp")).as("e"))

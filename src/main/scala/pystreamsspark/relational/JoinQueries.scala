@@ -181,6 +181,38 @@ object JoinQueries {
       |  FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Forward as-of: each event picks up the EARLIEST purchase at-or-after
+    * it per user — the "time to next conversion" primitive, same
+    * union + one-window-pass shape as [[qJoinAsof]] with the scan
+    * direction flipped (time DESC carry). */
+  def qJoinAsofFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    AsofJoin.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        direction = "forward")
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  val qJoinAsofFwdSql: String =
+    """SELECT event_id, user_id, ts, asof_value FROM (
+      |  SELECT event_id, user_id, ts,
+      |    last(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts DESC, (CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) ASC,
+      |                     (CASE WHEN event_type = 'purchase' THEN value END) ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** Full outer join: per-nation customer counts ⟗ supplier counts —
     * nations missing on either side survive with NULL-coalesced zeros
     * (at small SF some nations have no suppliers, exercising the null
@@ -275,6 +307,7 @@ object JoinQueries {
     "q_join_semi"  -> (qJoinSemi _),
     "q_join_range" -> (qJoinRange _),
     "q_join_asof"  -> (qJoinAsof _),
+    "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -287,6 +320,7 @@ object JoinQueries {
     "q_join_semi"  -> qJoinSemiSql,
     "q_join_range" -> qJoinRangeSql,
     "q_join_asof"  -> qJoinAsofSql,
+    "q_join_asof_fwd" -> qJoinAsofFwdSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)

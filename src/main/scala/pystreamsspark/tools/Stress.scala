@@ -172,6 +172,20 @@ object Stress {
         Seq("id_a", "id_b"), 10000000L)
       pystreamsspark.llm.Dedup.connectedComponentsStar(pairs).count()
     }
+    // hot-day probe: 30% of ALL events squeezed onto one calendar day
+    // (time-of-day preserved). A one-sweep-per-day plan serializes that
+    // day into a single task; the two-level (day, hour) decomposition
+    // keeps the heavy day parallel across its hour buckets with a
+    // constant-size carry prefix.
+    time(s"concurrency_hotday x$mult") {
+      val evx = amplified(pystreamsspark.io.Tables.events(spark, sfDir),
+        Seq("event_id"), 100000000L)
+        .withColumn("ts", when($"event_id" % 10 < 3,
+          $"ts" + expr(
+            "make_interval(0, 0, 0, datediff(DATE'2024-01-05', to_date(ts)), 0, 0, 0)"))
+          .otherwise($"ts"))
+      pystreamsspark.relational.AnalyticsQueries.concurrencyByDay(evx).count()
+    }
     spark.stop()
   }
 }

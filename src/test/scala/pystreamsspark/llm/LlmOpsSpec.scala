@@ -336,6 +336,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("forward asof join: carries nearest LATER value, inclusive at ties") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 400L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 100L, 1.0), (10L, 300L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val got = pystreamsspark.operators.AsofJoin.asofJoin(
+        left, right, Seq("user_id"), "ts", "ts", Seq("value"),
+        direction = "forward")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // t=100 matches the right row AT 100 (inclusive); t=250 the one at 300;
+    // t=400 has nothing later -> null
+    assert(got.toSeq == Seq((1L, Some(1.0)), (2L, Some(3.0)), (3L, None)))
+  }
+
   test("sparse cosine: dense-vector plan == inverted-index plan, and auto picks dense here") {
     val s = spark
     import s.implicits._
