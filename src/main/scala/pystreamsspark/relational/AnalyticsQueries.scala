@@ -377,7 +377,40 @@ object AnalyticsQueries {
       |FROM sw GROUP BY d
       |ORDER BY d""".stripMargin
 
+  /** Rolling 7-day active users (WAU) per day — the growth metric with
+    * no windowed COUNT(DISTINCT) anywhere: activity is first reduced to
+    * the distinct (user, day) grid, each activity day fans out to the 7
+    * window-end days it supports (a ×7 expansion of the AGGREGATED
+    * grid, the q_sliding move), the (user, end-day) pairs dedup in one
+    * partial+final distinct, and the count per end day is a plain agg.
+    * The oracle is the INDEPENDENT correlated COUNT(DISTINCT)-per-day
+    * quadratic formulation, so the expansion identity is
+    * value-verified. */
+  def qWauSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val spine = ud.select($"d".as("e")).distinct()
+    ud.select($"user_id", explode(sequence(lit(0), lit(6))).as("k"), $"d")
+      .select($"user_id", expr("date_add(d, k)").as("e"))
+      .distinct()
+      .join(broadcast(spine), Seq("e"))
+      .groupBy($"e").agg(count(lit(1)).as("wau"))
+      .orderBy($"e")
+  }
+
+  val qWauSlidingSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), sp AS (SELECT DISTINCT d AS e FROM ud)
+      |SELECT e,
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM ud
+      |        WHERE ud.d BETWEEN sp.e - 6 AND sp.e) AS BIGINT) AS wau
+      |FROM sp
+      |ORDER BY e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wau_sliding"     -> (qWauSliding _),
     "q_retention"       -> (qRetention _),
     "q_ohlc"            -> (qOhlc _),
     "q_event_bigrams"   -> (qEventBigrams _),
@@ -388,6 +421,7 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_wau_sliding"     -> qWauSlidingSql,
     "q_retention"       -> qRetentionSql,
     "q_ohlc"            -> qOhlcSql,
     "q_event_bigrams"   -> qEventBigramsSql,

@@ -632,6 +632,115 @@ object LlmQueries {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** Collocation mining via PMI-style LIFT over adjacent token pairs:
+    * lift(a,b) = p(ab) / (p(a)·p(b)) — how much more often the pair
+    * occurs than independence predicts, the classic phrase-detection
+    * score with its log dropped (log is monotone, so the top-k by lift
+    * IS the top-k by PMI — and unlike libm log, the ratio is
+    * cross-engine exact: two exact bigint products, then two
+    * correctly-rounded double divisions in a fixed tree). Pairs seen
+    * < 5 times are noise-filtered. Shape: two partial+final aggs
+    * (unigrams, bigrams), one broadcast-able unigram join, one 1-row
+    * totals broadcast; top-50 via TakeOrderedAndProject. Integer
+    * products stay < 2^63 at any tested SF (ANSI would throw loudly,
+    * not corrupt); at 100 TB flip the products to double — still
+    * deterministic, same tree. */
+  def qPmiLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", filter(split($"text", " "), t => t =!= "").as("toks"))
+    val uni = toks.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val bg = toks.filter(size($"toks") >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("a"), element_at($"toks", i + 1).as("b"))))
+        .as("p"))
+      .select($"p.a", $"p.b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 5)
+    // n_pairs must count ALL bigrams, not just the freq-filtered ones
+    val np = toks.filter(size($"toks") >= 2)
+      .agg(sum(size($"toks") - 1).as("np"))
+    val nt = uni.agg(sum($"c").as("nt"))
+    bg.join(uni.select($"tok".as("a"), $"c".as("ca")), Seq("a"))
+      .join(uni.select($"tok".as("b"), $"c".as("cb")), Seq("b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select($"a", $"b", $"cab",
+        (($"cab" * $"nt").cast("double") / ($"ca" * $"cb").cast("double") *
+          ($"nt".cast("double") / $"np".cast("double"))).as("lift"))
+      .orderBy($"lift".desc, $"a", $"b")
+      .limit(50)
+  }
+
+  val qPmiLiftSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), uni AS (
+      |  SELECT tok, COUNT(*) AS c
+      |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+      |), bg AS (
+      |  SELECT a, b, COUNT(*) AS cab FROM (
+      |    SELECT toks[i] AS a, toks[i+1] AS b
+      |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |          FROM t WHERE len(toks) >= 2))
+      |  GROUP BY a, b HAVING COUNT(*) >= 5
+      |), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+      |np AS (SELECT CAST(SUM(len(toks) - 1) AS BIGINT) AS np
+      |       FROM t WHERE len(toks) >= 2)
+      |SELECT a, b, cab,
+      |  CAST(cab * nt.nt AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) *
+      |    (CAST(nt.nt AS DOUBLE) / CAST(np.np AS DOUBLE)) AS lift
+      |FROM bg
+      |JOIN uni ua ON ua.tok = bg.a
+      |JOIN uni ub ON ub.tok = bg.b
+      |CROSS JOIN nt CROSS JOIN np
+      |ORDER BY lift DESC, a, b
+      |LIMIT 50""".stripMargin
+
+  /** Tokenizer vocabulary coverage: per-document out-of-vocabulary rate
+    * against the corpus top-20 vocabulary (freq desc, token asc — the
+    * deterministic rank [[qEncodeIds]] uses). The coverage metric that
+    * sizes a vocabulary before training; integer counts + one division.
+    * Shape: vocab is a 20-row broadcast; the flag join is map-side;
+    * one partial+final per-doc agg. */
+  def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(20)
+      .select($"tok", lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val qOovRateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> ''
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+      |    ORDER BY c DESC, tok LIMIT 20)
+      |)
+      |SELECT tok.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS oov_rate
+      |FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
+      |GROUP BY tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
   /** Per-document token-repetition scoring via the unbiased Simpson
     * index: sum c_i(c_i-1) / (n(n-1)) — the probability two tokens drawn
     * without replacement are equal. The Gopher-style repetition signal
@@ -1237,6 +1346,8 @@ object LlmQueries {
     "q_sparse_cosine" -> (qSparseCosine _),
     "q_bigram_lm"     -> (qBigramLm _),
     "q_dup_spans"     -> (qDupSpans _),
+    "q_pmi_lift"      -> (qPmiLift _),
+    "q_oov_rate"      -> (qOovRate _),
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
@@ -1272,6 +1383,8 @@ object LlmQueries {
     "q_sparse_cosine" -> qSparseCosineSql,
     "q_bigram_lm"     -> qBigramLmSql,
     "q_dup_spans"     -> qDupSpansSql,
+    "q_pmi_lift"      -> qPmiLiftSql,
+    "q_oov_rate"      -> qOovRateSql,
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,

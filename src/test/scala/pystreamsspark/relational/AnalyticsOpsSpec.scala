@@ -155,6 +155,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       (3L, 3L, 0L, 0.0)))
   }
 
+  test("wau: bounded below by that day's DAU and above by total users") {
+    val s = spark
+    import s.implicits._
+    val w = AnalyticsQueries.qWauSliding(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    val dau = ev.select($"user_id", to_date($"ts").as("e")).distinct()
+      .groupBy($"e").agg(count(lit(1)).as("dau"))
+    val total = ev.select($"user_id").distinct().count()
+    val joined = w.join(dau, Seq("e"))
+    assert(joined.filter($"wau" < $"dau").count() == 0)
+    assert(w.filter($"wau" > total).count() == 0)
+    // the spine covers every active day
+    assert(w.count() == dau.count())
+    w.unpersist()
+  }
+
+  test("pmi lift: positive scores, min-count filter respected, top-50 sorted") {
+    val s = spark
+    import s.implicits._
+    val p = LlmQueries.qPmiLift(spark, sf).collect()
+    assert(p.length <= 50 && p.nonEmpty)
+    assert(p.forall(_.getLong(2) >= 5))
+    assert(p.forall(_.getDouble(3) > 0.0))
+    val lifts = p.map(_.getDouble(3))
+    assert(lifts.toSeq == lifts.sortBy(-_).toSeq)
+  }
+
+  test("oov rate: bounded, token totals preserved, top-vocab docs score low") {
+    val s = spark
+    import s.implicits._
+    val o = LlmQueries.qOovRate(spark, sf).cache()
+    assert(o.filter($"oov_rate" < 0 || $"oov_rate" > 1).count() == 0)
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "").count()
+    assert(o.agg(sum($"n_tokens")).head.getLong(0) == corpusTokens)
+    // 20 of ~31 vocabulary words in-vocab -> mean OOV rate well below 1
+    val meanRate = o.agg(avg($"oov_rate")).head.getDouble(0)
+    assert(meanRate > 0.0 && meanRate < 0.8, s"mean oov $meanRate")
+    o.unpersist()
+  }
+
   test("embed quant: values land in [-128, 127] and reconstruct within 1/127") {
     val s = spark
     import s.implicits._
