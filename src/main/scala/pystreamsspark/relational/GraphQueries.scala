@@ -222,13 +222,137 @@ object GraphQueries {
 
   /** Per-node triangle participation counts (the clustering-coefficient
     * numerator) over the exact-Jaccard >= 0.5 near-dup graph. */
-  def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The near-dup similarity graph every key in this module analyzes. */
+  private def neardupEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val edges = Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+    Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text",
         Seq("lang", "source"), threshold = 0.5)
       .select($"id_a".as("a"), $"id_b".as("b"))
-    triangleCounts(edges).orderBy($"id")
   }
+
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    triangleCounts(neardupEdges(spark, sfDir)).orderBy($"id")
+  }
+
+  /** Per-node local clustering coefficient 2·tri / (deg·(deg−1)) — how
+    * close each node's neighborhood is to a clique; near 1 across a
+    * dedup graph means clusters are true duplicate cliques rather than
+    * chains of borderline pairs. Exact cross-engine: integer triangle
+    * and degree counts, one correctly-rounded division; deg < 2 pins
+    * 0.0. Adds one broadcast-size left join over [[triangleCounts]]'
+    * skew-oriented plan. */
+  def qClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = neardupEdges(spark, sfDir)
+    val deg = edges.select($"a".as("id")).unionAll(edges.select($"b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges), Seq("id"), "left")
+      .withColumn("n_triangles", coalesce($"n_triangles", lit(0L)))
+      .withColumn("coef", when($"deg" >= 2,
+        ($"n_triangles" * 2).cast("double") / ($"deg" * ($"deg" - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+      .select($"id", $"deg", $"n_triangles", $"coef")
+      .orderBy($"id")
+  }
+
+  val qClusteringCoefSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), tc AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |  FROM (SELECT x AS id FROM tri UNION ALL
+      |        SELECT y FROM tri UNION ALL
+      |        SELECT z FROM tri)
+      |  GROUP BY id
+      |), deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY id
+      |)
+      |SELECT d.id, d.deg,
+      |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN d.deg >= 2
+      |    THEN CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+      |    ELSE 0.0 END AS coef
+      |FROM deg d LEFT JOIN tc ON tc.id = d.id
+      |ORDER BY d.id""".stripMargin
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * all directed edge ends — positive when similar-degree nodes link
+    * (cliquey dedup graphs), negative for hub-and-spoke. All Pearson
+    * moments are exact bigint sums of integer degrees (ANSI would throw
+    * on overflow, not corrupt); the final expression is two
+    * correctly-rounded sqrt's and one division of identical operands —
+    * cross-engine exact with zero Det machinery. One agg row out. */
+  def qDegreeCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = neardupEdges(spark, sfDir)
+    val deg = edges.select($"a".as("id")).unionAll(edges.select($"b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    val both = edges.unionAll(edges.select($"b".as("a"), $"a".as("b")))
+    val pts = both
+      .join(deg.select($"id".as("a"), $"deg".as("x")), Seq("a"))
+      .join(deg.select($"id".as("b"), $"deg".as("y")), Seq("b"))
+    pts
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"n".as("n_ends"),
+        when($"n" * $"sxx" - $"sx" * $"sx" === 0 ||
+             $"n" * $"syy" - $"sy" * $"sy" === 0, lit(null).cast("double"))
+          .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("assortativity"))
+  }
+
+  val qDegreeCorrSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY id
+      |), pts AS (
+      |  SELECT da.deg AS x, db.deg AS y
+      |  FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) e2
+      |  JOIN deg da ON da.id = e2.a
+      |  JOIN deg db ON db.id = e2.b
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM pts
+      |)
+      |SELECT n AS n_ends,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+      |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+      |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+      |  END AS assortativity
+      |FROM s""".stripMargin
 
   val qTrianglesSql: String =
     """WITH t AS (
@@ -257,10 +381,14 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
     "q_pagerank"  -> (qPageRank _),
-    "q_bfs_hops"  -> (qBfsHops _))
+    "q_bfs_hops"  -> (qBfsHops _),
+    "q_clustering_coef" -> (qClusteringCoef _),
+    "q_degree_corr"     -> (qDegreeCorr _))
 
   val oracle: Map[String, String] = Map(
     "q_triangles" -> qTrianglesSql,
     "q_pagerank"  -> qPageRankSql,
-    "q_bfs_hops"  -> qBfsHopsSql)
+    "q_bfs_hops"  -> qBfsHopsSql,
+    "q_clustering_coef" -> qClusteringCoefSql,
+    "q_degree_corr"     -> qDegreeCorrSql)
 }

@@ -196,6 +196,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     o.unpersist()
   }
 
+  test("clustering coefficient in [0,1]; assortativity in [-1,1]") {
+    val s = spark
+    import s.implicits._
+    val cc = GraphQueries.qClusteringCoef(spark, sf)
+    assert(cc.filter($"coef" < 0 || $"coef" > 1).count() == 0)
+    // a node with a triangle must have degree >= 2
+    assert(cc.filter($"n_triangles" > 0 && $"deg" < 2).count() == 0)
+    val r = GraphQueries.qDegreeCorr(spark, sf).head
+    val a = r.getDouble(1)
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a")
+  }
+
   test("embed quant: values land in [-128, 127] and reconstruct within 1/127") {
     val s = spark
     import s.implicits._
