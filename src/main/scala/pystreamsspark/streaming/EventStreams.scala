@@ -55,6 +55,25 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Streaming daily OHLC bars per event_type — the streaming twin of
+    * the batch `AnalyticsQueries.qOhlc`: min_by/max_by on the
+    * (ts, event_id) composite inside a watermarked daily window, so a
+    * live feed downsamples to the same bars the batch query produces
+    * once the watermark closes each day. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("d"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Stateful exact dedup by event_id, state bounded by the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

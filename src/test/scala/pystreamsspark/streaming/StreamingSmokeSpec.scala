@@ -2,6 +2,7 @@ package pystreamsspark.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import pystreamsspark.SparkSpec
 
@@ -39,6 +40,40 @@ class StreamingSmokeSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
       assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L)))
       assert(rows.contains(("2024-01-01 02:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming OHLC bars match the batch formulation on the same events") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.ohlcBars(in.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 1: open=2.0 (earliest ts), high=9.0, low=1.0, close=1.0 (latest)
+      val day1 = Seq(ev(1, 10, 1, "click", 2.0), ev(2, 50, 2, "click", 9.0),
+        ev(3, 200, 1, "click", 1.0))
+      in.addData(day1: _*)
+      q.processAllAvailable()
+      // next-day event pushes the watermark past day 1 -> bar emits
+      in.addData(ev(4, 60 * 26, 1, "click", 5.0))
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM ohlc_out WHERE d = DATE'2024-01-01'")
+        .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      assert(got.toSeq == Seq(("click", 2.0, 9.0, 1.0, 1.0, 3L)))
+      // parity with the batch OHLC aggregation on the same rows
+      val batch = day1.toDF()
+        .groupBy(to_date($"ts").as("d"), $"event_type")
+        .agg(min_by($"value", struct($"ts", $"event_id")).as("open"),
+          max($"value").as("high"), min($"value").as("low"),
+          max_by($"value", struct($"ts", $"event_id")).as("close"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      assert(batch.toSeq == got.toSeq)
     } finally q.stop()
   }
 
