@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
+import Det._
 
 /** Product-analytics and pipeline-utility operators: cohort retention,
   * OHLC bars, event-sequence transition mining, dataset reconciliation
@@ -409,7 +410,183 @@ object AnalyticsQueries {
       |FROM sp
       |ORDER BY e""".stripMargin
 
+  /** Ordered 3-step funnel: per user, first signup → first view after
+    * it → first purchase after that, each within 7 days of the prior
+    * step; one row per funnel stage with the user count reaching it.
+    * Three per-user min-aggregations chained by range-joins on the
+    * SAME user key — at scale all three shuffles co-partition on
+    * user_id so AQE collapses them into one exchange lineage, never a
+    * fact×fact blowup. Counts are exact integers. */
+  def qFunnel3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def firstAfter(typ: String, prev: DataFrame, prevCol: String, outCol: String) =
+      ev.filter($"event_type" === typ)
+        .select($"user_id", $"ts")
+        .join(prev.select($"user_id", col(prevCol)), Seq("user_id"))
+        .filter($"ts" >= col(prevCol) &&
+          $"ts" <= col(prevCol) + expr("INTERVAL 7 DAYS"))
+        .groupBy($"user_id").agg(min($"ts").as(outCol))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_signup"))
+    val s2 = firstAfter("view", s1, "t_signup", "t_view")
+    val s3 = firstAfter("purchase", s2, "t_view", "t_purchase")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), $"n_users")
+    stage("1_signup", s1)
+      .unionByName(stage("2_view", s2))
+      .unionByName(stage("3_purchase", s3))
+      .orderBy($"stage")
+  }
+
+  val qFunnel3Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_view
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view'
+      |    AND e.ts >= s1.t_signup AND e.ts <= s1.t_signup + INTERVAL 7 DAY
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts >= s2.t_view AND e.ts <= s2.t_view + INTERVAL 7 DAY
+      |  GROUP BY e.user_id
+      |)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+      |  UNION ALL
+      |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+      |ORDER BY stage""".stripMargin
+
+  /** Most common 3-event paths: per user, consecutive event-type
+    * triples in (ts, event_id) order, counted corpus-wide — the
+    * sequence-mining extension of [[qEventBigrams]]. Two lag windows
+    * share ONE per-user sort; the path table is ≤ |types|³ rows. */
+  def qPathTrigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("p1", lag($"event_type", 2).over(w))
+      .withColumn("p2", lag($"event_type", 1).over(w))
+      .filter($"p1".isNotNull)
+      .select(concat_ws(">", $"p1", $"p2", $"event_type").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(25)
+  }
+
+  val qPathTrigramsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type, 2) OVER w AS p1,
+      |    lag(event_type, 1) OVER w AS p2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
+      |FROM s WHERE p1 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 25""".stripMargin
+
+  /** Day-over-day revenue change: daily purchase-value totals
+    * (Det-exact decimal sums, so both engines hold bit-identical
+    * doubles) with lag-based absolute and relative deltas — the BI
+    * period-over-period primitive. The lag window runs over the tiny
+    * date-level aggregate; deltas are single correctly-rounded ops on
+    * identical operands. */
+  def qPeriodChange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(dsum($"value").as("revenue"))
+    val w = Window.orderBy($"d")
+    daily
+      .withColumn("prev", lag($"revenue", 1).over(w))
+      .withColumn("delta", $"revenue" - $"prev")
+      .withColumn("pct_change",
+        when($"prev".isNotNull && $"prev" =!= 0.0, $"delta" / $"prev"))
+      .orderBy($"d")
+  }
+
+  val qPeriodChangeSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, ${Det.sqlSum("value")} AS revenue
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1
+       |)
+       |SELECT d, revenue,
+       |  lag(revenue) OVER (ORDER BY d) AS prev,
+       |  revenue - lag(revenue) OVER (ORDER BY d) AS delta,
+       |  CASE WHEN lag(revenue) OVER (ORDER BY d) IS NOT NULL
+       |        AND lag(revenue) OVER (ORDER BY d) <> 0.0
+       |    THEN (revenue - lag(revenue) OVER (ORDER BY d)) / lag(revenue) OVER (ORDER BY d)
+       |  END AS pct_change
+       |FROM daily
+       |ORDER BY d""".stripMargin
+
+  /** Daily bounce rate: share of 30-min-gap sessions containing exactly
+    * one event, attributed to the session's start day — the engagement-
+    * quality metric. Sessionization = the lag/cumsum gaps-and-islands
+    * form (one per-user window); the rate is one exact division over
+    * the day-level aggregate. */
+  def qBounceRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("new_s",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(cum))
+      .groupBy($"user_id", $"sid")
+      .agg(min(to_date($"ts")).as("d"), count(lit(1)).as("n_events"))
+    sess.groupBy($"d")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate", $"n_bounces".cast("double") / $"n_sessions")
+      .orderBy($"d")
+  }
+
+  val qBounceRateSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+      |    ts
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS d, COUNT(*) AS n
+      |  FROM sess GROUP BY user_id, sid
+      |)
+      |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS bounce_rate
+      |FROM agg GROUP BY d
+      |ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel3"         -> (qFunnel3 _),
+    "q_path_trigrams"   -> (qPathTrigrams _),
+    "q_period_change"   -> (qPeriodChange _),
+    "q_bounce_rate"     -> (qBounceRate _),
     "q_wau_sliding"     -> (qWauSliding _),
     "q_retention"       -> (qRetention _),
     "q_ohlc"            -> (qOhlc _),
@@ -421,6 +598,10 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_funnel3"         -> qFunnel3Sql,
+    "q_path_trigrams"   -> qPathTrigramsSql,
+    "q_period_change"   -> qPeriodChangeSql,
+    "q_bounce_rate"     -> qBounceRateSql,
     "q_wau_sliding"     -> qWauSlidingSql,
     "q_retention"       -> qRetentionSql,
     "q_ohlc"            -> qOhlcSql,

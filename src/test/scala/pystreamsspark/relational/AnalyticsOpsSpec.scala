@@ -196,6 +196,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     o.unpersist()
   }
 
+  test("funnel3: stage counts monotone non-increasing and non-vacuous") {
+    val s = spark
+    import s.implicits._
+    val f = AnalyticsQueries.qFunnel3(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("1_signup") >= f("2_view") && f("2_view") >= f("3_purchase"))
+    assert(f("3_purchase") > 0) // the funnel actually converts on this data
+  }
+
+  test("path trigrams: counts bounded by total transitions, sorted desc") {
+    val s = spark
+    import s.implicits._
+    val p = AnalyticsQueries.qPathTrigrams(spark, sf).collect()
+    assert(p.length == 25)
+    val counts = p.map(_.getLong(1))
+    assert(counts.toSeq == counts.sortBy(-_).toSeq)
+    val ev = Tables.events(spark, sf)
+    val transitions = ev.count() - 2 * ev.select($"user_id").distinct().count()
+    assert(counts.sum <= transitions)
+  }
+
+  test("period change: delta/pct consistent with revenue and prev") {
+    val s = spark
+    import s.implicits._
+    val pc = AnalyticsQueries.qPeriodChange(spark, sf).cache()
+    // reconstructible: delta == revenue - prev wherever prev exists
+    assert(pc.filter($"prev".isNotNull && $"delta" =!= $"revenue" - $"prev")
+      .count() == 0)
+    assert(pc.filter($"prev".isNull).count() == 1) // only the first day
+    pc.unpersist()
+  }
+
+  test("bounce rate: bounded and session counts match the gap sessionizer") {
+    val s = spark
+    import s.implicits._
+    val b = AnalyticsQueries.qBounceRate(spark, sf).cache()
+    assert(b.filter($"bounce_rate" < 0 || $"bounce_rate" > 1).count() == 0)
+    assert(b.filter($"n_bounces" > $"n_sessions").count() == 0)
+    assert(b.filter($"n_bounces" > 0).count() > 0) // non-vacuous
+    b.unpersist()
+  }
+
   test("clustering coefficient in [0,1]; assortativity in [-1,1]") {
     val s = spark
     import s.implicits._
