@@ -366,4 +366,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(dense == index) // bit-identical scores AND identical pair order
     assert(run("auto") == dense) // the 31-token uniform corpus is the dense regime
   }
+
+  test("sparse cosine dispatch is two-sided: a Zipfian open vocabulary picks the index") {
+    val s = spark
+    import s.implicits._
+    // 200 docs over a large, mostly-rare vocabulary: each doc holds one of
+    // 5 common tokens plus 9 tokens drawn from a 600-token tail, so a
+    // typical doc's rarest token has df share << 1 and sum(df^2) << m^2.
+    val docs = (0 until 200).map { i =>
+      val common = s"common${i % 5}"
+      val rare = (0 until 9).map(j => s"tok${(i * 37 + j * 11) % 600}")
+      (i.toLong, (common +: rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(strategy: String) =
+      Similarity.sparseCosineTopK(docs, "doc_id", "text", 15, strategy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val index = run("index")
+    assert(run("dense") == index) // both plans exact on the Zipfian corpus too
+    assert(run("auto") == index)
+    // and auto actually chose the index PLAN: the dense path's signature
+    // (the native vec_dot call) must be absent from the resolved plan
+    val autoPlan = Similarity.sparseCosineTopK(docs, "doc_id", "text", 15, "auto")
+      .queryExecution.analyzed.toString
+    assert(!autoPlan.contains("vec_dot"), autoPlan.take(500))
+  }
 }
