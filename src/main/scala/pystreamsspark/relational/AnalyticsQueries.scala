@@ -144,8 +144,11 @@ object AnalyticsQueries {
       .withColumn("o_orderstatus",
         when($"tag".isin("1", "2"), lit("X")).otherwise($"o_orderstatus"))
       .drop("tag")
+    // offset far above any real orderkey at any plausible SF (TPC-H
+    // orderkey ~ 6M·sf: 1e12 is safe past sf 100,000) so a synthesized
+    // insert key can never collide with a genuine one
     val inserted = tagged.filter($"tag" === "3")
-      .select(($"o_orderkey" + 1000000000L).as("o_orderkey"), $"o_custkey",
+      .select(($"o_orderkey" + 1000000000000L).as("o_orderkey"), $"o_custkey",
         lit("I").as("o_orderstatus"), $"o_totalprice", $"o_orderdate",
         $"o_orderpriority")
     val newSnap = updated.unionByName(inserted)
@@ -181,7 +184,7 @@ object AnalyticsQueries {
       |    o_totalprice, o_orderdate, o_orderpriority
       |  FROM tagged WHERE tag <> '0'
       |  UNION ALL
-      |  SELECT o_orderkey + 1000000000, o_custkey, 'I',
+      |  SELECT o_orderkey + 1000000000000, o_custkey, 'I',
       |    o_totalprice, o_orderdate, o_orderpriority
       |  FROM tagged WHERE tag = '3'
       |), d AS (
@@ -279,29 +282,32 @@ object AnalyticsQueries {
       |  list_max(qs) AS qmax
       |FROM q ORDER BY vec_id""".stripMargin
 
-  /** Per-user day-of-month activity bitmaps — the roaring-bitmap-style
-    * engagement primitive: one BIGINT mask per user (bit d-1 set when
-    * the user was active on day d), popcount = active-day count. ONE
-    * partial+final bit_or aggregation; masks merge associatively and
-    * commutatively, so the map-side combine is exact at any partition
-    * count — the textbook 100 TB engagement-metrics shape (a bitmap per
-    * (user, month) instead of a row per event). */
+  /** Per-(user, month) day-of-month activity bitmaps — the
+    * roaring-bitmap-style engagement primitive: one BIGINT mask per
+    * user-month (bit d-1 set when the user was active on day d of that
+    * month), popcount = active-day count. Keying by month makes the
+    * bitmap correct by construction on multi-month histories (day bits
+    * from different months never alias). ONE partial+final bit_or
+    * aggregation; masks merge associatively and commutatively, so the
+    * map-side combine is exact at any partition count — the textbook
+    * 100 TB engagement-metrics shape (a bitmap per (user, month)
+    * instead of a row per event). */
   def qActivityBitmap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
-      .groupBy($"user_id")
+      .groupBy($"user_id", date_trunc("month", $"ts").cast("date").as("month"))
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1)")).as("mask"))
-      .select($"user_id", $"mask", bit_count($"mask").as("n_days"))
-      .orderBy($"user_id")
+      .select($"user_id", $"month", $"mask", bit_count($"mask").as("n_days"))
+      .orderBy($"user_id", $"month")
   }
 
   val qActivityBitmapSql: String =
-    """SELECT user_id,
+    """SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
       |  bit_or(1::BIGINT << (date_part('day', ts) - 1)) AS mask,
       |  bit_count(bit_or(1::BIGINT << (date_part('day', ts) - 1))) AS n_days
       |FROM events
-      |GROUP BY user_id
-      |ORDER BY user_id""".stripMargin
+      |GROUP BY user_id, CAST(date_trunc('month', ts) AS DATE)
+      |ORDER BY user_id, month""".stripMargin
 
   /** Peak interval concurrency per day (sweep line): each event opens a
     * 30-minute interval; output is each day's maximum number of

@@ -95,9 +95,11 @@ class AnalyticsOpsSpec extends SparkSpec {
     import s.implicits._
     val b = AnalyticsQueries.qActivityBitmap(spark, sf).cache()
     assert(b.filter($"n_days" < 1 || $"n_days" > 31).count() == 0)
-    // Σ n_days over users == |distinct (user, day)| — the bitmap loses nothing
+    // Σ n_days over (user, month) == |distinct (user, month, day)| —
+    // the bitmap loses nothing and never aliases across months
     val userDays = Tables.events(spark, sf)
-      .select($"user_id", dayofmonth($"ts")).distinct().count()
+      .select($"user_id", date_trunc("month", $"ts"), dayofmonth($"ts"))
+      .distinct().count()
     assert(b.agg(sum($"n_days".cast("long"))).head.getLong(0) == userDays)
     b.unpersist()
   }
