@@ -588,7 +588,119 @@ object AnalyticsQueries {
       |FROM agg GROUP BY d
       |ORDER BY d""".stripMargin
 
+  /** Referential-integrity audit across the star schema: for every
+    * foreign-key relationship, total child rows and orphan count
+    * (children whose parent key is missing) — the data-quality gate a
+    * pipeline runs before trusting a snapshot. Each relationship is one
+    * left-anti-joinable aggregate; parents are aggregated to their key
+    * before the join, so each check is a key-hash join with a
+    * broadcast-able dimension side, never a row-level collect. (The
+    * driver's generator is consistent, so orphan counts are 0 — the
+    * non-vacuous signal is the per-FK totals plus the zero certificate
+    * cross-checked by DuckDB.) */
+  /** One FK relationship's (total children, orphan count) audit row. */
+  def fkAudit(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__fk"))
+      .join(p, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_children"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_children"), col("n_orphans"))
+  }
+
+  def qFkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+      fkAudit(name, child, childKey, parent, parentKey)
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val pt = Tables.part(spark, sfDir)
+    audit("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(audit("lineitem.partkey->part", li, "l_partkey", pt, "p_partkey"))
+      .unionByName(audit("lineitem.suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionByName(audit("orders.custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(audit("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(audit("supplier.nationkey->nation", s, "s_nationkey", n, "n_nationkey"))
+      .orderBy($"fk")
+  }
+
+  val qFkAuditSql: String =
+    """SELECT fk, n_children, n_orphans FROM (
+      |  SELECT 'lineitem.orderkey->orders' AS fk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_children,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_orphans
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.partkey->part',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.suppkey->supplier',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders.custkey->customer',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'customer.nationkey->nation',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'supplier.nationkey->nation',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey)
+      |ORDER BY fk""".stripMargin
+
+  /** Benford first-digit audit over order totals — the statistical
+    * anomaly screen (natural multi-magnitude amounts follow
+    * log10(1+1/d); synthetic or tampered ones usually don't). The first
+    * digit comes from the INTEGER part rendered as a string — bigint
+    * formatting is identical across engines, unlike double→string —
+    * and the share is one exact division. One partial+final agg over a
+    * 9-row output. */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // floor() BEFORE the integer cast: Spark's double->bigint cast
+    // truncates but DuckDB's ROUNDS (99.5 -> digit 9 vs 1); flooring
+    // first makes the value integer-exact so both casts agree
+    val digits = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" >= 1.0)
+      .select(substring(floor($"o_totalprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum($"n").as("tot"))
+    digits.crossJoin(broadcast(total))
+      .select($"digit", $"n", ($"n".cast("double") / $"tot".cast("double")).as("share"))
+      .orderBy($"digit")
+  }
+
+  val qBenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS INT) AS digit, COUNT(*) AS n
+      |  FROM orders WHERE o_totalprice >= 1.0
+      |  GROUP BY 1
+      |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(CAST(n AS BIGINT) AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      |FROM d CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fk_audit"        -> (qFkAudit _),
+    "q_benford"         -> (qBenford _),
     "q_funnel3"         -> (qFunnel3 _),
     "q_path_trigrams"   -> (qPathTrigrams _),
     "q_period_change"   -> (qPeriodChange _),
@@ -604,6 +716,8 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_fk_audit"        -> qFkAuditSql,
+    "q_benford"         -> qBenfordSql,
     "q_funnel3"         -> qFunnel3Sql,
     "q_path_trigrams"   -> qPathTrigramsSql,
     "q_period_change"   -> qPeriodChangeSql,

@@ -240,6 +240,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("fk audit: child totals match tables, planted orphans are counted") {
+    val s = spark
+    import s.implicits._
+    val rows = AnalyticsQueries.qFkAudit(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 6)
+    assert(rows.values.forall(_._2 == 0L)) // consistent generator: no orphans
+    assert(rows("lineitem.orderkey->orders")._1 ==
+      Tables.lineitem(spark, sf).count())
+    // planted: 2 of 5 children point at a missing parent
+    val child = Seq(1L, 2L, 3L, 99L, 98L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = AnalyticsQueries.fkAudit("t", child, "k", parent, "pk")
+      .head
+    assert(got.getLong(1) == 5L && got.getLong(2) == 2L)
+  }
+
+  test("benford: digits 1-9, shares sum to 1, counts match orders") {
+    val s = spark
+    import s.implicits._
+    val b = AnalyticsQueries.qBenford(spark, sf).collect()
+    assert(b.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    assert(math.abs(b.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    val expected = Tables.orders(spark, sf).filter($"o_totalprice" >= 1.0).count()
+    assert(b.map(_.getLong(1)).sum == expected)
+  }
+
   test("clustering coefficient in [0,1]; assortativity in [-1,1]") {
     val s = spark
     import s.implicits._
