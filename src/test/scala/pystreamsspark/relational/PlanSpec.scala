@@ -294,4 +294,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q_wau_sliding: expansion dedups via aggregate — no windowed COUNT DISTINCT") {
+    val p = plan(graft.SparkEntry.queries("q_wau_sliding")(spark, sf))
+    assert(!p.contains("Window"), p) // pure partial+final aggs + tiny spine join
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_pmi_lift: totals broadcast as 1-row sides, top-50 is TakeOrdered") {
+    val p = plan(graft.SparkEntry.queries("q_pmi_lift")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q_fk_audit: every FK check joins key-aggregated parents — no cartesian") {
+    val p = plan(graft.SparkEntry.queries("q_fk_audit")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_benford / q_period_change: date-or-digit-level finals, fact scanned once") {
+    val pb = plan(graft.SparkEntry.queries("q_benford")(spark, sf))
+    assert(!pb.contains("CartesianProduct"), pb) // 1-row total joins broadcast
+    val pc = plan(graft.SparkEntry.queries("q_period_change")(spark, sf))
+    // the only window runs over the ~30-row daily aggregate (post-agg),
+    // like q_running_distinct — the fact table itself is never windowed
+    assert(pc.contains("Window"), pc)
+    assert(countOf(pc, "HashAggregate") >= 2, pc)
+  }
 }
