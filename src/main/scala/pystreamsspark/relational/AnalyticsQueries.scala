@@ -698,7 +698,135 @@ object AnalyticsQueries {
       |FROM d CROSS JOIN t
       |ORDER BY digit""".stripMargin
 
+  /** Market-basket association rules over order baskets: top part
+    * pairs by co-occurrence support, with confidence(a→b) and lift —
+    * the classic retail data-mining op. The pair join is WITHIN-basket
+    * (equi-join on the order key, a < b), so fan-out is bounded by
+    * basket size squared — never part×part; supports are
+    * vocabulary-sized aggregates and the order count is a 1-row
+    * broadcast. Confidence and lift are exact rational arithmetic
+    * (bigint products, correctly-rounded divisions). */
+  def qAssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("oid"), $"l_partkey".as("item")).distinct()
+    val sup = baskets.groupBy($"item").agg(count(lit(1)).as("sup"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    val n = baskets.select($"oid").distinct().agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(sup.select($"item".as("a"), $"sup".as("sup_a")), Seq("a"))
+      .join(sup.select($"item".as("b"), $"sup".as("sup_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select($"a", $"b", $"sup_ab",
+        ($"sup_ab".cast("double") / $"sup_a".cast("double")).as("confidence"),
+        (($"sup_ab" * $"n_orders").cast("double") /
+          ($"sup_a" * $"sup_b").cast("double")).as("lift"))
+      .orderBy($"sup_ab".desc, $"a", $"b")
+      .limit(25)
+  }
+
+  val qAssocRulesSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+      |), sup AS (
+      |  SELECT item, COUNT(*) AS sup FROM baskets GROUP BY item
+      |), pairs AS (
+      |  SELECT x.item AS a, y.item AS b, COUNT(*) AS sup_ab
+      |  FROM baskets x JOIN baskets y
+      |    ON x.oid = y.oid AND x.item < y.item
+      |  GROUP BY x.item, y.item
+      |), n AS (
+      |  SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_orders FROM baskets
+      |)
+      |SELECT a, b, CAST(sup_ab AS BIGINT) AS sup_ab,
+      |  CAST(sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+      |  CAST(sup_ab * n_orders AS DOUBLE) /
+      |    CAST(sa.sup * sb.sup AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN sup sa ON sa.item = pairs.a
+      |JOIN sup sb ON sb.item = pairs.b
+      |CROSS JOIN n
+      |ORDER BY sup_ab DESC, a, b
+      |LIMIT 25""".stripMargin
+
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintile scores (5 = best). SCALE-TRUE bucketing: quintile
+    * BOUNDARIES come from one exact-percentile aggregate row (constant
+    * size, broadcast back), and each customer scores itself map-side
+    * with four comparisons — never a global ntile/percent_rank window
+    * over the customer table. Cross-engine exact: recency/frequency
+    * are integers, monetary is a Det-exact decimal sum, and Spark's
+    * exact `percentile` interpolation matches DuckDB's `quantile_cont`
+    * (the q_percentile-pinned parity); recency scores on the NEGATED
+    * value so one uniform higher-is-better comparison chain serves all
+    * three dimensions. */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val anchor = o.agg(max(to_date($"o_orderdate")).as("anchor"))
+    val per = o.crossJoin(broadcast(anchor))
+      .groupBy($"o_custkey")
+      .agg(
+        (-min(datediff($"anchor", to_date($"o_orderdate")))).as("rn"),
+        count(lit(1)).as("f"),
+        dsum($"o_totalprice").as("m"))
+    val bounds = per.agg(
+      expr("percentile(rn, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(f,  array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(m,  array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def quintile(v: Column, b: Column): Column =
+      lit(1) + (v > element_at(b, 1)).cast("int") + (v > element_at(b, 2)).cast("int") +
+        (v > element_at(b, 3)).cast("int") + (v > element_at(b, 4)).cast("int")
+    per.crossJoin(broadcast(bounds))
+      .select($"o_custkey",
+        quintile($"rn".cast("double"), $"rb").as("r_score"),
+        quintile($"f".cast("double"), $"fb").as("f_score"),
+        quintile($"m", $"mb").as("m_score"))
+      .withColumn("rfm", $"r_score" * 100 + $"f_score" * 10 + $"m_score")
+      .orderBy($"o_custkey")
+  }
+
+  val qRfmSql: String =
+    s"""WITH anchor AS (
+       |  SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+       |), per AS (
+       |  SELECT o_custkey,
+       |    -MIN(date_diff('day', CAST(o_orderdate AS DATE), anchor)) AS rn,
+       |    COUNT(*) AS f,
+       |    ${Det.sqlSum("o_totalprice")} AS m
+       |  FROM orders CROSS JOIN anchor
+       |  GROUP BY o_custkey
+       |), b AS (
+       |  SELECT quantile_cont(rn, [0.2, 0.4, 0.6, 0.8]) AS rb,
+       |         quantile_cont(f,  [0.2, 0.4, 0.6, 0.8]) AS fb,
+       |         quantile_cont(m,  [0.2, 0.4, 0.6, 0.8]) AS mb
+       |  FROM per
+       |)
+       |SELECT o_custkey,
+       |  1 + (CAST(rn AS DOUBLE) > rb[1])::INT + (CAST(rn AS DOUBLE) > rb[2])::INT
+       |    + (CAST(rn AS DOUBLE) > rb[3])::INT + (CAST(rn AS DOUBLE) > rb[4])::INT
+       |    AS r_score,
+       |  1 + (CAST(f AS DOUBLE) > fb[1])::INT + (CAST(f AS DOUBLE) > fb[2])::INT
+       |    + (CAST(f AS DOUBLE) > fb[3])::INT + (CAST(f AS DOUBLE) > fb[4])::INT
+       |    AS f_score,
+       |  1 + (m > mb[1])::INT + (m > mb[2])::INT + (m > mb[3])::INT
+       |    + (m > mb[4])::INT AS m_score,
+       |  (1 + (CAST(rn AS DOUBLE) > rb[1])::INT + (CAST(rn AS DOUBLE) > rb[2])::INT
+       |     + (CAST(rn AS DOUBLE) > rb[3])::INT + (CAST(rn AS DOUBLE) > rb[4])::INT) * 100
+       |  + (1 + (CAST(f AS DOUBLE) > fb[1])::INT + (CAST(f AS DOUBLE) > fb[2])::INT
+       |     + (CAST(f AS DOUBLE) > fb[3])::INT + (CAST(f AS DOUBLE) > fb[4])::INT) * 10
+       |  + (1 + (m > mb[1])::INT + (m > mb[2])::INT + (m > mb[3])::INT
+       |     + (m > mb[4])::INT) AS rfm
+       |FROM per CROSS JOIN b
+       |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules"     -> (qAssocRules _),
+    "q_rfm"             -> (qRfm _),
     "q_fk_audit"        -> (qFkAudit _),
     "q_benford"         -> (qBenford _),
     "q_funnel3"         -> (qFunnel3 _),
@@ -716,6 +844,8 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_assoc_rules"     -> qAssocRulesSql,
+    "q_rfm"             -> qRfmSql,
     "q_fk_audit"        -> qFkAuditSql,
     "q_benford"         -> qBenfordSql,
     "q_funnel3"         -> qFunnel3Sql,

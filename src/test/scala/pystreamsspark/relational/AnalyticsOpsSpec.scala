@@ -267,6 +267,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(b.map(_.getLong(1)).sum == expected)
   }
 
+  test("assoc rules: confidence in (0,1], lift positive, pair support <= item support") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qAssocRules(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 25)
+    assert(r.forall(x => x.getDouble(3) > 0 && x.getDouble(3) <= 1.0))
+    assert(r.forall(_.getDouble(4) > 0))
+    val sups = r.map(_.getLong(2))
+    assert(sups.toSeq == sups.sortBy(-_).toSeq)
+  }
+
+  test("rfm: scores in 1..5, quintiles roughly balanced, rfm digit-consistent") {
+    val s = spark
+    import s.implicits._
+    val m = AnalyticsQueries.qRfm(spark, sf).cache()
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(m.filter(col(c) < 1 || col(c) > 5).count() == 0, c)
+    assert(m.filter($"rfm" =!=
+      $"r_score" * 100 + $"f_score" * 10 + $"m_score").count() == 0)
+    // monetary quintiles from exact boundaries: each bucket holds 10-30%
+    val total = m.count().toDouble
+    val byM = m.groupBy($"m_score").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((1 to 5).forall(q => byM.getOrElse(q, 0L) / total > 0.10 &&
+      byM.getOrElse(q, 0L) / total < 0.30), byM.toString)
+    m.unpersist()
+  }
+
   test("clustering coefficient in [0,1]; assortativity in [-1,1]") {
     val s = spark
     import s.implicits._
