@@ -364,7 +364,9 @@ object Dedup {
       .union(edges.select(col("src").as("id"), col("src").as("label")))
       .groupBy("id").agg(min(col("label")).as("label"))
       .persist()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // coalesce: an EMPTY pair set (nothing near-duplicated — the normal
+    // case on clean corpora) sums to NULL and must read as 0, not throw
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var converged = false
     var iter = 1
     while (!converged && iter < maxIter) {
@@ -378,7 +380,7 @@ object Dedup {
       // every few rounds, truncate the (linearly growing) iterative
       // lineage so Catalyst re-analysis stays O(1) per round
       if (iter % 5 == 0) next = next.localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       converged = nextSum == prevSum // labels are monotone non-increasing
       prevSum = nextSum
       labels.unpersist(blocking = false)
