@@ -824,7 +824,54 @@ object AnalyticsQueries {
        |FROM per CROSS JOIN b
        |ORDER BY o_custkey""".stripMargin
 
+  /** Column-level table profile (the ANALYZE-TABLE census): per column
+    * of `orders`, null count and exact distinct count — the stats a
+    * warehouse collects before planning and the first data-quality
+    * sweep on a new snapshot. One pass per column family via Spark's
+    * multi-COUNT(DISTINCT) Expand rewrite (all six distincts share one
+    * scan); integer outputs only, so the profile is engine-neutral. */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))): _*)
+    val perCol = cols.map { c =>
+      agg.select(lit(c).as("col_name"),
+        ($"n_rows" - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"))
+    }
+    perCol.reduce(_ unionByName _).orderBy($"col_name")
+  }
+
+  val qProfileSql: String =
+    """SELECT col_name, n_nulls, n_distinct FROM (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile"         -> (qProfile _),
     "q_assoc_rules"     -> (qAssocRules _),
     "q_rfm"             -> (qRfm _),
     "q_fk_audit"        -> (qFkAudit _),
@@ -844,6 +891,7 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_profile"         -> qProfileSql,
     "q_assoc_rules"     -> qAssocRulesSql,
     "q_rfm"             -> qRfmSql,
     "q_fk_audit"        -> qFkAuditSql,
