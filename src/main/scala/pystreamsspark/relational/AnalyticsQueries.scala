@@ -870,7 +870,72 @@ object AnalyticsQueries {
       |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
       |ORDER BY col_name""".stripMargin
 
+  /** Activity seasonality profile: event share per (ISO weekday, hour)
+    * cell — the usage-heatmap primitive. ONE partial+final agg to a
+    * ≤168-row grid; the share divides two exact bigints. Weekday parity
+    * trap pinned here: Spark's dayofweek is 1=Sunday while DuckDB's is
+    * 0=Sunday — both sides use the ISO form instead (Spark weekday()+1
+    * == DuckDB isodow, 1=Monday). */
+  def qSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy((weekday($"ts") + 1).as("dow"), hour($"ts").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum($"n").as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select($"dow", $"hr", $"n",
+        ($"n".cast("double") / $"tot".cast("double")).as("share"))
+      .orderBy($"dow", $"hr")
+  }
+
+  val qSeasonalitySql: String =
+    """WITH c AS (
+      |  SELECT isodow(ts) AS dow, date_part('hour', ts) AS hr, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+      |SELECT dow, hr, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY dow, hr""".stripMargin
+
+  /** Revenue concentration (Lorenz-style): how much of total revenue
+    * the top decile of customers carries. SCALE-TRUE: the P90 spend
+    * boundary is ONE exact-percentile aggregate row broadcast back, and
+    * the split sums are Det-exact decimal aggregations — no global
+    * rank/cumsum window over the customer table (the naive Lorenz
+    * cumulative curve sorts all customers in one task). share = one
+    * correctly-rounded division of two bit-identical doubles. */
+  def qRevenueConc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey").agg(dsum($"o_totalprice").as("m"))
+    val bound = per.agg(expr("percentile(m, 0.9)").as("b"))
+    per.crossJoin(broadcast(bound))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when($"m" > $"b", 1L).otherwise(0L)).as("n_top"),
+        dsum($"m").as("total_rev"),
+        dsum(when($"m" > $"b", $"m").otherwise(lit(0.0))).as("top_rev"))
+      .select($"n_customers", $"n_top", $"total_rev", $"top_rev",
+        ($"top_rev" / $"total_rev").as("top_share"))
+  }
+
+  val qRevenueConcSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, ${Det.sqlSum("o_totalprice")} AS m
+       |  FROM orders GROUP BY o_custkey
+       |), b AS (SELECT quantile_cont(m, 0.9) AS b FROM per)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CASE WHEN m > b THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+       |  ${Det.sqlSum("m")} AS total_rev,
+       |  ${Det.sqlSum("CASE WHEN m > b THEN m ELSE 0.0 END")} AS top_rev,
+       |  ${Det.sqlSum("CASE WHEN m > b THEN m ELSE 0.0 END")} / ${Det.sqlSum("m")}
+       |    AS top_share
+       |FROM per CROSS JOIN b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality"     -> (qSeasonality _),
+    "q_revenue_conc"    -> (qRevenueConc _),
     "q_profile"         -> (qProfile _),
     "q_assoc_rules"     -> (qAssocRules _),
     "q_rfm"             -> (qRfm _),
@@ -891,6 +956,8 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_seasonality"     -> qSeasonalitySql,
+    "q_revenue_conc"    -> qRevenueConcSql,
     "q_profile"         -> qProfileSql,
     "q_assoc_rules"     -> qAssocRulesSql,
     "q_rfm"             -> qRfmSql,

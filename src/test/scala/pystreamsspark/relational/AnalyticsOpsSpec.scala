@@ -295,6 +295,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("seasonality: ISO weekday grid, shares sum to 1, counts to all events") {
+    val s = spark
+    import s.implicits._
+    val g = AnalyticsQueries.qSeasonality(spark, sf).cache()
+    assert(g.filter($"dow" < 1 || $"dow" > 7 || $"hr" < 0 || $"hr" > 23).count() == 0)
+    assert(math.abs(g.agg(sum($"share")).head.getDouble(0) - 1.0) < 1e-9)
+    assert(g.agg(sum($"n")).head.getLong(0) == Tables.events(spark, sf).count())
+    g.unpersist()
+  }
+
+  test("revenue concentration: top decile is ~10% of customers, share in (0.1, 1)") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qRevenueConc(spark, sf).head
+    val (nCust, nTop, share) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+    assert(nTop <= nCust / 8 && nTop >= nCust / 12, s"$nTop of $nCust")
+    // the top decile must carry MORE than a tenth of revenue
+    assert(share > 0.1 && share < 1.0, share)
+  }
+
   test("clustering coefficient in [0,1]; assortativity in [-1,1]") {
     val s = spark
     import s.implicits._
