@@ -933,7 +933,81 @@ object AnalyticsQueries {
        |    AS top_share
        |FROM per CROSS JOIN b""".stripMargin
 
+  /** A/B experiment readout: md5-parity assignment (deterministic,
+    * layout-independent — the q_sample_hash discipline), per-arm user
+    * and converter counts, conversion rates, and the two-proportion
+    * pooled z-statistic. Conversion = the user's FIRST event is a
+    * purchase (first-touch intent, ~20% base rate) — "any purchase
+    * ever" saturates to ~100% on month-long histories, degenerating the
+    * variance to zero. Every number derives from exact bigints through
+    * a FIXED tree of correctly-rounded double ops (divisions, one
+    * sqrt — IEEE-exact in both engines), so even the test statistic
+    * hash-matches; a zero pooled variance reads as NULL z on both
+    * sides, never an ANSI divide-by-zero. Shape: one per-user agg, one
+    * 2-row arm agg, conditional final — no window, no join. */
+  def qAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(when(min_by($"event_type", struct($"ts", $"event_id")) === "purchase",
+        1L).otherwise(0L).as("conv"))
+      .withColumn("arm",
+        when(substring(md5($"user_id".cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val armAgg = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+    val row = armAgg.agg(
+      sum(when($"arm" === "A", $"n")).as("n_a"),
+      sum(when($"arm" === "A", $"c")).as("conv_a"),
+      sum(when($"arm" === "B", $"n")).as("n_b"),
+      sum(when($"arm" === "B", $"c")).as("conv_b"))
+    val rateA = $"conv_a".cast("double") / $"n_a".cast("double")
+    val rateB = $"conv_b".cast("double") / $"n_b".cast("double")
+    val pool = ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b").cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+    row.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      when(se > 0.0, (rateA - rateB) / se).as("z"))
+  }
+
+  val qAbTestSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+      |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |         THEN 'A' ELSE 'B' END AS arm
+      |  FROM ranked WHERE rn = 1
+      |), arms AS (
+      |  SELECT arm, COUNT(*) AS n, SUM(conv) AS c FROM pu GROUP BY arm
+      |), r AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN c END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN c END) AS BIGINT) AS conv_b
+      |  FROM arms
+      |)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+      |  CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+      |  THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+      |  sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |  END AS z
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test"         -> (qAbTest _),
     "q_seasonality"     -> (qSeasonality _),
     "q_revenue_conc"    -> (qRevenueConc _),
     "q_profile"         -> (qProfile _),
@@ -956,6 +1030,7 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test"         -> qAbTestSql,
     "q_seasonality"     -> qSeasonalitySql,
     "q_revenue_conc"    -> qRevenueConcSql,
     "q_profile"         -> qProfileSql,

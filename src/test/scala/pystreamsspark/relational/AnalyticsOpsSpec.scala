@@ -315,6 +315,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(share > 0.1 && share < 1.0, share)
   }
 
+  test("ab test: arms partition users, rates reconstruct, z matches hand formula") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qAbTest(spark, sf).head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(na + nb == users)
+    assert(r.getDouble(4) == ca.toDouble / na && r.getDouble(5) == cb.toDouble / nb)
+    val pool = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - (ca.toDouble / na - cb.toDouble / nb) / se) < 1e-12)
+  }
+
   test("clustering coefficient in [0,1]; assortativity in [-1,1]") {
     val s = spark
     import s.implicits._
