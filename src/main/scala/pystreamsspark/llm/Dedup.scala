@@ -254,17 +254,7 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          blockCols: Seq[String], threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
-    // global token order: df ascending, token value tie-break
-    val tokDf = base.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sorted = base
-      .select((col("id") +: blockCols.map(col) :+ explode(col("toks")).as("tok")): _*)
-      .join(tokDf, "tok")
-      .groupBy((col("id") +: blockCols.map(col)): _*)
-      .agg(transform(
-        sort_array(collect_list(struct(col("df"), col("tok")))),
-        s => s.getField("tok")).as("toks"))
+    val sorted = dfSortedTokenSets(docs, idCol, textCol, blockCols)
     val prefixLen = (size(col("toks"))
       - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
     val pre = sorted.select(
@@ -286,29 +276,114 @@ object Dedup {
     pairStats(cand, threshold).distinct()
   }
 
+  /** Each doc's distinct hashed token set re-sorted by the GLOBAL
+    * document-frequency-ascending total order (df, then token value) —
+    * the shared candidate-generation substrate of the prefix-filtered
+    * joins: a set's prefix then holds its RAREST tokens, so prefix-token
+    * join keys have the smallest possible fan-out. Cost: one vocab-sized
+    * partial agg (df), one join to stamp df (broadcast when the vocab
+    * fits — Spark picks), one groupBy(id) to re-sort each set. */
+  private def dfSortedTokenSets(docs: DataFrame, idCol: String, textCol: String,
+                                blockCols: Seq[String]): DataFrame = {
+    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    val tokDf = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    base
+      .select((col("id") +: blockCols.map(col) :+ explode(col("toks")).as("tok")): _*)
+      .join(tokDf, "tok")
+      .groupBy((col("id") +: blockCols.map(col)): _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        s => s.getField("tok")).as("toks"))
+  }
+
   /** ASYMMETRIC containment pairs: |toks(a) ∩ toks(b)| / |toks(a)| >=
     * threshold within a block — catches quotes, excerpts and
     * boilerplate-wrapped copies that symmetric Jaccard misses (a 50-word
     * quote inside a 5000-word page has Jaccard ~0.01 but containment
     * 1.0). Output is directional: (id_a, id_b) means a's tokens are
-    * inside b. Same block-join shape as [[jaccardPairsBlock]]; at scale
-    * route candidates through the prefix funnel keyed on the SMALL
-    * side's tokens (containment >= t needs a's prefix of length
-    * |a| - ceil(t*|a|) + 1 to hit b — the same pigeonhole). */
+    * inside b.
+    *
+    * COST-BASED dispatch, mirroring [[jaccardPairs]]: the prefix funnel
+    * ([[containmentPairsPrefix]]) is the plan that survives 100 TB blocks
+    * (candidate fan-out bounded by rare-token df, never |block|²); the
+    * block join ([[containmentPairsBlock]]) wins only when prefixes
+    * cannot prune — threshold <= 0 or a near-uniform vocabulary, the
+    * regime the bounded `prefixPrunes` sample detects. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       blockCols: Seq[String], threshold: Double): DataFrame = {
+                       blockCols: Seq[String], threshold: Double,
+                       strategy: String = "auto"): DataFrame = strategy match {
+    case "prefix" => containmentPairsPrefix(docs, idCol, textCol, blockCols, threshold)
+    case "block"  => containmentPairsBlock(docs, idCol, textCol, blockCols, threshold)
+    case "auto" =>
+      if (threshold > 0 && prefixPrunes(docs, textCol))
+        containmentPairsPrefix(docs, idCol, textCol, blockCols, threshold)
+      else
+        containmentPairsBlock(docs, idCol, textCol, blockCols, threshold)
+    case other => throw new IllegalArgumentException(
+      s"strategy must be auto|prefix|block, got $other")
+  }
+
+  /** All same-block ordered pairs — O(block²); the parity baseline and
+    * the `threshold <= 0` fallback. */
+  private[pystreamsspark] def containmentPairsBlock(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
     val base = hashedTokenSets(docs, idCol, textCol, blockCols)
     val a = base.select(
       (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
     val b = base.select(
       (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
-    a.join(b, blockCols)
+    containmentStats(a.join(b, blockCols), threshold)
+  }
+
+  private def containmentStats(joined: DataFrame, threshold: Double): DataFrame =
+    joined
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         size(col("toks_a")).as("n_a"),
         size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"))
       .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
       .filter(col("containment") >= threshold)
+
+  /** EXACT-recall containment join via the ASYMMETRIC prefix filter —
+    * the AllPairs candidate scheme (Bayardo, Ma & Srikant, WWW 2007)
+    * adapted to the one-sided overlap bound.
+    *
+    * Theorem: containment(a→b) >= t means |A∩B| >= ceil(t·|A|) (integer
+    * overlap). Order A by the global df-ascending total order and keep
+    * its first  p = |A| − ceil(t·|A|) + 1  tokens. If that prefix were
+    * disjoint from B, the overlap could only come from A's remaining
+    * |A| − p = ceil(t·|A|) − 1 tokens — contradiction. So joining A's
+    * PREFIX tokens against B's FULL token list loses no true pair.
+    * Containment bounds only |A∩B|/|A|, so nothing can be dropped from
+    * the B side (the asymmetry vs the Jaccard prefix join, where both
+    * sides keep only prefixes); B's fan-out is its full length — linear
+    * in corpus size — while A's is its prefix, and the per-key candidate
+    * count is bounded by df(rare prefix token), never |block|².
+    * Length filter: |B| >= t·|A| (overlap can't exceed |B|); containment
+    * has no upper length bound — a 5-token quote inside a 5000-token
+    * page is exactly the target.
+    *
+    * Verified candidates deduplicate per shared prefix token with one
+    * `distinct` over the (deterministic) stats row — same measured
+    * tradeoff as [[jaccardPairsPrefix]]. */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                             blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sorted = dfSortedTokenSets(docs, idCol, textCol, blockCols)
+    val prefixLen = (size(col("toks"))
+      - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    val a = sorted.select(
+      (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)
+        :+ explode(slice(col("toks"), lit(1), prefixLen)).as("ptok")): _*)
+    val b = sorted.select(
+      (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)
+        :+ explode(col("toks")).as("ptok")): _*)
+    val cand = a.join(b, blockCols :+ "ptok")
+      // |A∩B| <= |B| and containment >= t force |B| >= t·|A|
+      .filter(size(col("toks_b")) >= lit(threshold) * size(col("toks_a")))
+    containmentStats(cand, threshold).distinct()
   }
 
   /** End-to-end near-duplicate corpus PRUNE: the output a dedup pass
@@ -324,6 +399,20 @@ object Dedup {
       .filter(col("label").isNull || col("label") === col(idCol))
       .drop("label")
   }
+
+  /** Lineage truncation for the iterative CC loops. `localCheckpoint`
+    * stores blocks on executors — free on local[N], but on a real
+    * cluster an executor loss mid-iteration is unrecoverable (lineage is
+    * severed, so there is no recompute path). When the job has
+    * configured a RELIABLE checkpoint dir
+    * (`spark.sparkContext.setCheckpointDir(...)` — HDFS/S3 on a
+    * cluster), use a true `checkpoint` instead: blocks live in fault-
+    * tolerant storage and iteration survives executor churn. Dispatch is
+    * automatic; local runs pay nothing. */
+  private def truncateLineage(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
 
   /** Connected components over a near-duplicate pair list — turns the
     * LSH pair output into duplicate CLUSTERS, labeling every doc with
@@ -350,11 +439,11 @@ object Dedup {
     // propagation round re-reads it, and without the checkpoint each
     // round would recompute the whole upstream pair pipeline) and
     // pre-partitioned on the per-round join key
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .repartition(nPart, col("src"))
-      .localCheckpoint()
+    val edges = truncateLineage(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+        .repartition(nPart, col("src")))
     // first round folded into initialization: label = min(id, neighbors).
     // persist (lazy) + the sum aggregate = ONE job that both materializes
     // the round and tests the fixpoint; an eager checkpoint would cost a
@@ -379,7 +468,7 @@ object Dedup {
         .persist()
       // every few rounds, truncate the (linearly growing) iterative
       // lineage so Catalyst re-analysis stays O(1) per round
-      if (iter % 5 == 0) next = next.localCheckpoint()
+      if (iter % 5 == 0) next = truncateLineage(next)
       val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       converged = nextSum == prevSum // labels are monotone non-increasing
       prevSum = nextSum
@@ -410,11 +499,10 @@ object Dedup {
 
   private[pystreamsspark] def ccStarWithRounds(
       pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    var edges = pairs
+    var edges = truncateLineage(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor: order-insensitive and overflow-free (a SUM of xxhash64
@@ -451,7 +539,7 @@ object Dedup {
       // LAZY checkpoint: the fingerprint aggregate right below both
       // tests the fixpoint AND materializes the round — one job per
       // round instead of two (eager checkpoint + separate agg)
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val next = truncateLineage(smallStar(largeStar(edges)), eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

@@ -252,11 +252,61 @@ class LlmOpsSpec extends SparkSpec {
     val other = "x1 x2 x3 x4 x5"
     val docs = Seq((1L, page, "en"), (2L, quote, "en"), (3L, other, "en"))
       .toDF("doc_id", "text", "lang")
-    val out = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"), 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out.contains((2L, 1L)), "quote (2) is contained in page (1)")
-    assert(!out.contains((1L, 2L)), "page is NOT contained in quote")
-    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    // both physical plans must agree on the directional semantics
+    for (strategy <- Seq("block", "prefix")) {
+      val out = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"), 0.9,
+          strategy = strategy)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.contains((2L, 1L)), s"$strategy: quote (2) is contained in page (1)")
+      assert(!out.contains((1L, 2L)), s"$strategy: page is NOT contained in quote")
+      assert(!out.exists(p => p._1 == 3L || p._2 == 3L), s"$strategy: stray doc 3")
+    }
+  }
+
+  test("prefix-filtered containment join == all-pairs block join (exact recall, real corpus)") {
+    val docs = pystreamsspark.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_a", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    for (t <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      val block = asSet(Dedup.containmentPairsBlock(
+        docs, "doc_id", "text", Seq("lang", "source"), t))
+      val prefix = asSet(Dedup.containmentPairsPrefix(
+        docs, "doc_id", "text", Seq("lang", "source"), t))
+      assert(prefix == block,
+        s"t=$t: prefix path lost ${(block -- prefix).size} pairs / " +
+          s"invented ${(prefix -- block).size}")
+      assert(block.nonEmpty, s"t=$t parity is vacuous")
+    }
+  }
+
+  test("CC uses (and survives) a RELIABLE checkpoint dir when one is configured") {
+    val s = spark
+    import s.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test assumes no checkpoint dir pre-set")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk").toString
+    sc.setCheckpointDir(dir)
+    try {
+      assert(sc.getCheckpointDir.isDefined)
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+        (21L, 22L)).toDF("id_a", "id_b")
+      val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+      val prop = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == expected)
+      assert(star == expected)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint dir is empty — dispatch fell back to local")
+    } finally {
+      sc.setCheckpointDir(null) // restore the local-checkpoint default
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("neardupPrune keeps unclustered docs and exactly one representative per cluster") {
