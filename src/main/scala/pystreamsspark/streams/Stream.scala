@@ -46,6 +46,49 @@ final class Stream[T](val ds: Dataset[T]) {
 
   def union(other: Stream[T]): Stream[T] = new Stream(ds.union(other.ds))
 
+  /** Side-effect tap (Java Streams `peek`): applies `f` to every element
+    * as it flows through, passing the element on unchanged. `f` runs on
+    * the EXECUTORS at action time — use a Spark accumulator (not a
+    * closed-over driver variable) to observe anything from the driver. */
+  def peek(f: T => Unit): Stream[T] =
+    new Stream(ds.map { x => f(x); x }(ds.encoder))
+
+  /** Elements paired with their global encounter-order index (0-based).
+    * The pairing is map-side (no shuffle); `RDD.zipWithIndex` runs one
+    * lightweight job to count per-partition sizes first, so per-element
+    * indices are exact without any global sort. */
+  def zipWithIndex: Stream[(T, Long)] =
+    new Stream(ds.sparkSession.createDataset(ds.rdd.zipWithIndex())(
+      org.apache.spark.sql.Encoders.tuple(
+        ds.encoder, org.apache.spark.sql.Encoders.scalaLong)))
+
+  /** Drop the first `n` elements in encounter order (Java Streams
+    * `skip`) — index stamp + map-side filter, no shuffle. */
+  def skip(n: Long): Stream[T] =
+    new Stream(zipWithIndex.ds.filter(_._2 >= n).map(_._1)(ds.encoder))
+
+  /** Longest prefix on which `p` holds (ordered takeWhile). Distributed
+    * form: stamp encounter indices, find the first failing index with
+    * one tiny aggregate (min over failures — `fold`, so an all-pass
+    * stream yields the identity and keeps everything), keep rows below
+    * it. Two jobs at build time; never materializes data on the
+    * driver. */
+  def takeWhile(p: T => Boolean): Stream[T] = {
+    val idxed = zipWithIndex.ds
+    val cut = idxed.rdd.filter(x => !p(x._1)).map(_._2)
+      .fold(Long.MaxValue)(math.min)
+    new Stream(idxed.filter(_._2 < cut).map(_._1)(ds.encoder))
+  }
+
+  /** Complement of [[takeWhile]]: drop the longest all-pass prefix, keep
+    * the rest (ordered dropWhile). Same two-job shape. */
+  def dropWhile(p: T => Boolean): Stream[T] = {
+    val idxed = zipWithIndex.ds
+    val cut = idxed.rdd.filter(x => !p(x._1)).map(_._2)
+      .fold(Long.MaxValue)(math.min)
+    new Stream(idxed.filter(_._2 >= cut).map(_._1)(ds.encoder))
+  }
+
   // ---- terminal (eager) ----
 
   def reduce(f: (T, T) => T): T = ds.reduce(f)

@@ -2,16 +2,18 @@ package pystreamsspark.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Time selected queries (warm-up + best of 3, like Bench) without
-  * running the whole suite.
+/** Time selected queries (warm-up + best of 5, like Bench) without
+  * running the whole suite. Honors SPARK_GRAFT_CPUS like Bench so
+  * spot-check timings are directly comparable to bench rows.
   * Usage: runMain pystreamsspark.tools.Time <sfDir> <name...>
   */
 object Time {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -24,7 +26,7 @@ object Time {
         (System.nanoTime() - t0) / 1e9
       }
       run()
-      println(f"TIME $name ${Seq.fill(3)(run()).min}%.3f s")
+      println(f"TIME $name ${Seq.fill(5)(run()).min}%.3f s")
     }
     spark.stop()
   }

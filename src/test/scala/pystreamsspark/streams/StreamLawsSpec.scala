@@ -131,4 +131,38 @@ class StreamLawsSpec extends SparkSpec {
       assert(Stream(spark, data).fold(0)(_ + _) === data.sum)
     }
   }
+
+  test("takeWhile/dropWhile laws (ordered, partition them exactly)") {
+    check(smallLists) { data =>
+      val p = (x: Int) => x < 200
+      assert(Stream(spark, data).takeWhile(p).collect().toList === data.takeWhile(p))
+      assert(Stream(spark, data).dropWhile(p).collect().toList === data.dropWhile(p))
+      // all-pass predicate: takeWhile keeps everything, dropWhile nothing
+      assert(Stream(spark, data).takeWhile(_ => true).collect().toList === data)
+      assert(Stream(spark, data).dropWhile(_ => true).collect().isEmpty)
+    }
+  }
+
+  test("skip law (encounter order)") {
+    check(smallLists) { data =>
+      assert(Stream(spark, data).skip(7).collect().toList === data.drop(7))
+      assert(Stream(spark, data).skip(10000).collect().isEmpty)
+    }
+  }
+
+  test("zipWithIndex law: exact 0-based encounter indices") {
+    check(smallLists) { data =>
+      assert(Stream(spark, data).zipWithIndex.collect().toList ===
+        data.zipWithIndex.map { case (x, i) => (x, i.toLong) })
+    }
+  }
+
+  test("peek: passthrough unchanged, side-effect runs once per element") {
+    check(tinyNonEmpty) { data =>
+      val acc = spark.sparkContext.longAccumulator("peeked")
+      val out = Stream(spark, data).peek(_ => acc.add(1)).collect().toList
+      assert(out.sorted === data.sorted)
+      assert(acc.value === data.length)
+    }
+  }
 }
