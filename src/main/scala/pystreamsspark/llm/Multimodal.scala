@@ -13,12 +13,17 @@ case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
 /** Multimodal-column plumbing: image/audio/video payloads ride through
   * the engine as opaque `binary` columns + typed metadata structs.
   *
-  * The actual byte-level decoders (JPEG/PNG/audio codecs) are STUBBED —
-  * this container ships no media libraries — behind [[decodeStub]], a
-  * deterministic fake keyed on payload bytes, so the Spark-side plumbing
-  * (schema, partition-wise batch processing, explode shape, shuffle
-  * behavior) is real and tested. Swap `decodeStub`/`frameFeatureStub`
-  * for real codecs and nothing else changes.
+  * Decode dispatch ([[decode]]): payloads whose bytes carry a REAL
+  * container header are parsed for real — dependency-free PNG IHDR and
+  * JPEG SOF marker-walk parsers ([[decodeHeader]]), both public file
+  * formats (PNG: RFC 2083 / ISO 15948 §5.3; JPEG: ITU-T T.81 §B.2.2) —
+  * and everything else falls back to [[decodeStub]], a deterministic
+  * fake keyed on payload bytes. Pixel/frame DECODING (vs header
+  * metadata) stays stubbed — this container ships no media libraries —
+  * but the Spark-side plumbing (schema, partition-wise batch
+  * processing, explode shape, shuffle behavior) is real and tested, and
+  * so is the header path. Swap `frameFeatureStub` for a real codec and
+  * nothing else changes.
   *
   * Scale notes: decode runs inside `mapPartitions` — per-partition
   * batches, no driver involvement, no shuffle. Frame sampling is a
@@ -28,8 +33,57 @@ case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
   */
 object Multimodal {
 
+  /** Real, dependency-free container-header parse. Returns None when the
+    * bytes are not a recognized container (caller falls back to the
+    * stub).
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first, per
+    *    spec): width/height are the two big-endian u32s at offsets
+    *    16/20.
+    *  - JPEG: SOI marker FF D8, then a walk over FF-prefixed marker
+    *    segments (each carrying a big-endian u16 length that includes
+    *    itself) until the first SOF0..SOF15 frame header (excluding
+    *    DHT/JPG/DAC at C4/C8/CC, which reuse the Cx range but are not
+    *    frame headers): height/width are the u16s after the precision
+    *    byte. Stops at SOS/EOI — a frameless stream is not an image.
+    */
+  def decodeHeader(p: Array[Byte]): Option[MediaMeta] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toInt)
+    if (p.length >= 24 && (0 until 8).forall(i => u8(i) == pngSig(i)) &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val w = u32(16); val h = u32(20)
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some(MediaMeta(w.toInt, h.toInt, 1, "png"))
+      else None
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(i) != 0xff) return None // marker desync: not a JPEG stream
+        var m = u8(i + 1)
+        while (m == 0xff && i + 2 < p.length) { i += 1; m = u8(i + 1) } // fill bytes
+        if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+        if (m >= 0xd0 && m <= 0xd7) i += 2 // RSTn: standalone, no length
+        else {
+          val len = u16(i + 2)
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 7 || i + 8 >= p.length) return None
+            val h = u16(i + 5); val w = u16(i + 7)
+            return if (w > 0 && h > 0) Some(MediaMeta(w, h, 1, "jpeg")) else None
+          }
+          if (len < 2) return None // lengths include themselves; <2 is corrupt
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
   /** STUB decoder — deterministic fake metadata derived from the payload
-    * bytes (a real implementation would parse the container header). */
+    * bytes; the fallback for payloads with no recognized real header. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     val first = if (n > 0) payload(0) & 0xff else 0
@@ -39,6 +93,11 @@ object Multimodal {
       nFrames = n % 100 + 1,
       format = (n % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
   }
+
+  /** Decode dispatch: real header parse when the bytes carry one, stub
+    * otherwise. */
+  def decode(payload: Array[Byte]): MediaMeta =
+    decodeHeader(payload).getOrElse(decodeStub(payload))
 
   /** STUB per-frame feature extractor — deterministic 8-dim fake. */
   def frameFeatureStub(payload: Array[Byte], frameIdx: Int): Array[Float] = {
@@ -53,7 +112,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, decodeStub(bytes)) })
+      .mapPartitions(_.map { case (id, bytes) => (id, decode(bytes)) })
       .toDF(idCol, "meta")
       .select(col(idCol), col("meta.width"), col("meta.height"),
         col("meta.nFrames").as("n_frames"), col("meta.format"))
@@ -68,7 +127,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val meta = decodeStub(bytes)
+        val meta = decode(bytes)
         (0 until meta.nFrames by everyN).map(f =>
           FrameSample(id, f, frameFeatureStub(bytes, f)))
       }

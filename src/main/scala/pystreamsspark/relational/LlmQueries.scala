@@ -1322,8 +1322,110 @@ object LlmQueries {
       .orderBy($"id_a".asc, $"id_b".asc)
   }
 
+  /** ORACLE-CHECKABLE twin of [[qAnnMultiband]] — closes the last sketch
+    * family with no value-verified twin of the same banding structure
+    * (q_minhash_oracle covers MinHash banding, q_simhash_oracle SimHash
+    * banding; this one covers multi-band OR-amplified sign-LSH).
+    *
+    * Same pipeline shape as [[Similarity.annPairsMultiband]] — signature
+    * → per-band chunk keys → bucket self-join → exact verify — but every
+    * step is replayable in DuckDB:
+    *  - hyperplane weights are ±1s from the md5 family (the cross-engine
+    *    md5→BIGINT idiom), not xxhash64;
+    *  - the projection runs over the vector QUANTIZED to integers
+    *    (floor(x·1024): float→double widening and the power-of-two scale
+    *    are exact, floor is exact), so each plane's vote sum is INTEGER
+    *    arithmetic — reduction-order- and engine-independent, no float
+    *    sum ever crosses engines;
+    *  - the verify cosine is the quantized integer dot/norms through one
+    *    correctly-rounded sqrt/divide tree (the q_sparse_cosine
+    *    discipline), bit-exact in both engines.
+    * Planted byte-identical copies (id+10M) guarantee non-vacuous
+    * recall: identical vectors share every band chunk. */
+  def qAnnMultibandOracle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = 8; val planes = 4; val dims = 64
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val both = emb.unionByName(
+      emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
+    val q = both.select($"vec_id",
+      transform($"embedding", x => floor(x.cast("double") * 1024)).as("qv"))
+    val md5w = conv(substring(md5(concat($"bnd".cast("string"), lit(":"),
+      $"pl".cast("string"), lit(":"), $"pos".cast("string")).cast("binary")),
+      1, 10), 16, 10).cast("long")
+    val w = spark.range(bands).select($"id".cast("int").as("bnd"))
+      .crossJoin(spark.range(planes).select($"id".cast("int").as("pl")))
+      .crossJoin(spark.range(dims).select($"id".cast("int").as("pos")))
+      .select($"bnd", $"pl", $"pos",
+        when(md5w % 2 === 0, 1L).otherwise(-1L).as("w"))
+    // per-(vec, band, plane) integer vote sum -> sign bit -> band chunk
+    val votes = q.select($"vec_id", posexplode($"qv"))
+      .join(broadcast(w), "pos")
+      .groupBy($"vec_id", $"bnd", $"pl")
+      .agg(sum($"w" * $"col").as("s"))
+    val chunks = votes.groupBy($"vec_id", $"bnd")
+      .agg(sum(when($"s" >= 0, expr("shiftleft(1L, pl)")).otherwise(0L)).as("ck"))
+    val a = chunks.select($"bnd", $"ck", $"vec_id".as("id_a"))
+    val b = chunks.select($"bnd", $"ck", $"vec_id".as("id_b"))
+    val pairs = a.join(b, Seq("bnd", "ck")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    val qd = q.select($"vec_id", $"qv",
+      aggregate($"qv", lit(0L), (acc, x) => acc + x * x).as("n2"))
+    pairs
+      .join(qd.select($"vec_id".as("id_a"), $"qv".as("qa"), $"n2".as("na")), Seq("id_a"))
+      .join(qd.select($"vec_id".as("id_b"), $"qv".as("qb"), $"n2".as("nb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        (aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+          .cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double")))).as("qcos"))
+      .filter($"qcos" >= 0.9)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qAnnMultibandOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding FROM embeddings
+      |), q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) FOR x IN embedding] AS qv
+      |  FROM e
+      |), w AS (
+      |  SELECT CAST(b.range AS INT) AS bnd, CAST(p.range AS INT) AS pl,
+      |    CAST(d.range AS INT) AS pos,
+      |    CASE WHEN CAST(concat('0x',
+      |        substring(md5(concat(b.range, ':', p.range, ':', d.range)), 1, 10))
+      |        AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS w
+      |  FROM range(0,8) b, range(0,4) p, range(0,64) d
+      |), v AS (
+      |  SELECT q.vec_id, w.bnd, w.pl, SUM(w.w * qv[w.pos + 1]) AS s
+      |  FROM q CROSS JOIN w GROUP BY 1, 2, 3
+      |), ck AS (
+      |  SELECT vec_id, bnd,
+      |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << pl) ELSE 0 END)
+      |      AS BIGINT) AS ck
+      |  FROM v GROUP BY 1, 2
+      |), p2 AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      |  FROM ck a JOIN ck b2
+      |    ON a.bnd = b2.bnd AND a.ck = b2.ck AND a.vec_id < b2.vec_id
+      |), scored AS (
+      |  SELECT id_a, id_b,
+      |    list_dot_product(CAST(qa.qv AS DOUBLE[]), CAST(qb.qv AS DOUBLE[])) AS qdot,
+      |    list_dot_product(CAST(qa.qv AS DOUBLE[]), CAST(qa.qv AS DOUBLE[])) AS na,
+      |    list_dot_product(CAST(qb.qv AS DOUBLE[]), CAST(qb.qv AS DOUBLE[])) AS nb
+      |  FROM p2 JOIN q qa ON p2.id_a = qa.vec_id JOIN q qb ON p2.id_b = qb.vec_id
+      |)
+      |SELECT id_a, id_b, qdot / (sqrt(na) * sqrt(nb)) AS qcos
+      |FROM scored
+      |WHERE qdot / (sqrt(na) * sqrt(nb)) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_multiband" -> (qAnnMultiband _),
+    "q_ann_multiband_oracle" -> (qAnnMultibandOracle _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_delta"   -> (qDedupDelta _),
     "q_tokens_topk"   -> (qTokensTopk _),
@@ -1390,5 +1492,6 @@ object LlmQueries {
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,
-    "q_simhash_oracle" -> qSimhashOracleSql)
+    "q_simhash_oracle" -> qSimhashOracleSql,
+    "q_ann_multiband_oracle" -> qAnnMultibandOracleSql)
 }

@@ -78,6 +78,46 @@ object SetQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL container-header decode, oracle-checked differentially: Spark
+    * synthesizes spec-correct PNG IHDR / JPEG SOF0 payload BYTES from
+    * each doc's id (unhex of the exact header layout), then parses them
+    * back with the dependency-free byte parsers
+    * ([[pystreamsspark.llm.Multimodal.decodeHeader]]) inside the
+    * mapPartitions decode path; the oracle recomputes the expected
+    * dimensions arithmetically. A parser bug (endianness, offset, marker
+    * walk) breaks the hash match — this is the key that makes the
+    * multimodal decode row real rather than stubbed. */
+  def qMediaHeader(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = pmod($"doc_id", lit(4096)) + 1
+    val h = pmod($"doc_id" * 7, lit(2160)) + 1
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A0000000D49484452"), // signature + IHDR len/type
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000")))                      // bit depth/color/etc
+    val jpeg = unhex(concat(
+      lit("FFD8"),                             // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0 (walked over)
+      lit("FFC0000B08"),                       // SOF0, len 11, 8-bit
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("01011100"),                         // 1 component
+      lit("FFD9")))                            // EOI
+    val payloads = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(2)) === 0, png).otherwise(jpeg).as("payload"))
+    pystreamsspark.llm.Multimodal.withMeta(payloads, "doc_id", "payload")
+      .select($"doc_id", $"width", $"height", $"format")
+      .orderBy($"doc_id")
+  }
+
+  val qMediaHeaderSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 4096 + 1 AS INT) AS width,
+      |  CAST((doc_id * 7) % 2160 + 1 AS INT) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val qMultimodalMetaSql: String =
     """SELECT doc_id,
       |  octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -92,10 +132,12 @@ object SetQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_union"            -> (qUnion _),
     "q_intersect_except" -> (qIntersectExcept _),
-    "q_multimodal_meta"  -> (qMultimodalMeta _))
+    "q_multimodal_meta"  -> (qMultimodalMeta _),
+    "q_media_header"     -> (qMediaHeader _))
 
   val oracle: Map[String, String] = Map(
     "q_union"            -> qUnionSql,
     "q_intersect_except" -> qIntersectExceptSql,
-    "q_multimodal_meta"  -> qMultimodalMetaSql)
+    "q_multimodal_meta"  -> qMultimodalMetaSql,
+    "q_media_header"     -> qMediaHeaderSql)
 }
