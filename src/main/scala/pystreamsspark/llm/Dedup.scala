@@ -400,19 +400,12 @@ object Dedup {
       .drop("label")
   }
 
-  /** Lineage truncation for the iterative CC loops. `localCheckpoint`
-    * stores blocks on executors — free on local[N], but on a real
-    * cluster an executor loss mid-iteration is unrecoverable (lineage is
-    * severed, so there is no recompute path). When the job has
-    * configured a RELIABLE checkpoint dir
-    * (`spark.sparkContext.setCheckpointDir(...)` — HDFS/S3 on a
-    * cluster), use a true `checkpoint` instead: blocks live in fault-
-    * tolerant storage and iteration survives executor churn. Dispatch is
-    * automatic; local runs pay nothing. */
+  /** Lineage truncation for the iterative CC loops — reliable
+    * `checkpoint` when a checkpoint dir is configured (survives executor
+    * loss on a real cluster), `localCheckpoint` otherwise. See
+    * [[pystreamsspark.operators.Lineage]]. */
   private def truncateLineage(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    pystreamsspark.operators.Lineage.truncate(df, eager)
 
   /** Connected components over a near-duplicate pair list — turns the
     * LSH pair output into duplicate CLUSTERS, labeling every doc with

@@ -26,8 +26,22 @@ import pystreamsspark.llm.Dedup
 object GraphQueries {
 
   /** Per-node triangle participation counts over an undirected edge
-    * list given as one row per edge (any per-row endpoint order). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+    * list given as one row per edge (any per-row endpoint order).
+    * The edge list is MATERIALIZED once up front
+    * ([[pystreamsspark.operators.Lineage]]): the plan references it five
+    * times (degree union twice, degree stamping, and all three legs of
+    * the wedge/closing self-joins) — when `edges` is itself an expensive
+    * pipeline (the near-dup similarity join here), re-deriving it per
+    * reference costs more than the triangle join tree itself. */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsOn(pystreamsspark.operators.Lineage.truncate(
+      edges.select(col("a"), col("b"))))
+
+  /** [[triangleCounts]] over an ALREADY-materialized edge list — for
+    * callers (clustering coefficient) that reuse the same edges for
+    * their own aggregates and must not re-trigger the upstream
+    * pipeline. */
+  private[relational] def triangleCountsOn(edges: DataFrame): DataFrame = {
     // total order on vertices: (degree, id) — unique since ids are unique
     val deg = edges.select(col("a").as("id"))
       .unionAll(edges.select(col("b").as("id")))
@@ -38,7 +52,10 @@ object GraphQueries {
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     // oriented edge u -> v with rank(u) < rank(v); carry v's rank for the
-    // wedge-ordering filter below
+    // wedge-ordering filter below. NOT separately materialized: the three
+    // join legs are identical subplans over the already-checkpointed edge
+    // list, so ReusedExchange shares them — an extra eager checkpoint here
+    // MEASURED slower (1.77 -> 1.88 s at sf0.1), it just adds a job.
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
@@ -82,11 +99,11 @@ object GraphQueries {
     // materialize the adjacency ONCE (same move as the CC loop): without
     // this every iteration's lineage re-scans the raw edge table twice —
     // at 100 TB that is iters x 2 full re-reads of the biggest input
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val dir = pystreamsspark.operators.Lineage.truncate(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
+    val deg = pystreamsspark.operators.Lineage.truncate(
+      dir.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
     val init = scale / n
     val base = (15L * init) / 100L
@@ -116,9 +133,9 @@ object GraphQueries {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     // adjacency materialized once, as in pageRank — each relaxation
     // round joins against it without re-deriving from the raw table
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val dir = pystreamsspark.operators.Lineage.truncate(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
     var dist = seeds.select(col("id"), lit(0L).as("hop"))
     for (_ <- 1 to maxHops) {
       val next = dist.join(dir, dist("id") === dir("src"))
@@ -244,10 +261,13 @@ object GraphQueries {
     * skew-oriented plan. */
   def qClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val edges = neardupEdges(spark, sfDir)
+    // materialize the pair pipeline ONCE; both the degree aggregate and
+    // the triangle join tree read the same cached edge list
+    val edges = pystreamsspark.operators.Lineage.truncate(
+      neardupEdges(spark, sfDir))
     val deg = edges.select($"a".as("id")).unionAll(edges.select($"b".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges), Seq("id"), "left")
+    deg.join(triangleCountsOn(edges), Seq("id"), "left")
       .withColumn("n_triangles", coalesce($"n_triangles", lit(0L)))
       .withColumn("coef", when($"deg" >= 2,
         ($"n_triangles" * 2).cast("double") / ($"deg" * ($"deg" - 1)).cast("double"))

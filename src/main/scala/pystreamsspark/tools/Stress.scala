@@ -172,6 +172,49 @@ object Stress {
         Seq("id_a", "id_b"), 10000000L)
       pystreamsspark.llm.Dedup.connectedComponentsStar(pairs).count()
     }
+    // Zipfian open-vocabulary corpus (token rank = V^u, u log-uniform on
+    // [0.4, 1] => df ~ 1/rank over ranks 76..50000): the pruning-FRIENDLY
+    // regime the driver's 31-token uniform corpus can never exhibit. The
+    // 0.4 floor trims the distribution's head — an untrimmed Zipf head
+    // puts its rank-1 token in ~94% of docs, making the co-token pair
+    // count INHERENTLY quadratic for every plan (that regime is what
+    // df-capping/stopword removal handles upstream, cf. contamination's
+    // maxDf); with the trim the max df share is ~4%, so candidate counts
+    // are bounded and x1 vs x10 growth measures the PLANS, not the data.
+    // Deterministic (xxhash64-derived uniforms). BOTH corpus size and
+    // vocabulary scale with mult (Heaps' law: a 10x corpus has a bigger
+    // open vocabulary, not 10x-denser postings): df SHARES then stay
+    // constant across mults, so x1 vs x10 compares the plans at equal
+    // selectivity — with a FIXED vocab, df itself grows with n and
+    // Σ df² is quadratic for every possible plan (measured: 38 s at x10;
+    // that regime is an upstream df-cap's job, not a join scheme's).
+    val zipfBase = spark.range(3000L * mult).select(
+      $"id",
+      ($"id" % 4).cast("string").as("lang"),
+      concat_ws(" ", transform(sequence(lit(1), lit(30)),
+        j => concat(lit("t"), floor(pow(lit(50000.0 * mult),
+          lit(0.4) + pmod(xxhash64($"id", j), lit(1000000)).cast("double") / 1666666.0))
+          .cast("string")))).as("text"))
+    // plant near-duplicates for 2% of docs (drop the last token) so true
+    // pairs exist and scale LINEARLY with n — the verify stage is then
+    // non-vacuous while output stays far from quadratic
+    val zipf = zipfBase.unionByName(
+      zipfBase.filter($"id" % 50 === 0).select(
+        ($"id" + 100000000L).as("id"), $"lang",
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 29))").as("text")))
+    time(s"containment_prefix_zipf x$mult") {
+      pystreamsspark.llm.Dedup.containmentPairs(
+        zipf, "id", "text", Seq("lang"), threshold = 0.8).count()
+    }
+    time(s"jaccard_prefix_zipf x$mult") {
+      pystreamsspark.llm.Dedup.jaccardPairs(
+        zipf, "id", "text", Seq("lang"), threshold = 0.8).count()
+    }
+    time(s"sparse_cosine_zipf x$mult") {
+      pystreamsspark.llm.Similarity.sparseCosineTopK(
+        zipf, "id", "text", k = 20).count()
+    }
+
     // hot-day probe: 30% of ALL events squeezed onto one calendar day
     // (time-of-day preserved). A one-sweep-per-day plan serializes that
     // day into a single task; the two-level (day, hour) decomposition

@@ -417,6 +417,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(run("auto") == dense) // the 31-token uniform corpus is the dense regime
   }
 
+  test("containment dispatch is two-sided: a Zipfian open vocabulary picks the prefix plan") {
+    val s = spark
+    import s.implicits._
+    // same Zipfian shape as the sparse-cosine dispatch test: rare-token
+    // prefixes prune, so the stats sample must choose the prefix funnel
+    val docs = (0 until 200).map { i =>
+      val common = s"common${i % 5}"
+      val rare = (0 until 9).map(j => s"tok${(i * 37 + j * 11) % 600}")
+      (i.toLong, (common +: rare).mkString(" "), s"L${i % 3}")
+    }.toDF("doc_id", "text", "lang")
+    def asSet(strategy: String) =
+      Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"), 0.3, strategy)
+        .select("id_a", "id_b", "n_a", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val block = asSet("block")
+    assert(asSet("prefix") == block && asSet("auto") == block)
+    assert(block.nonEmpty, "Zipfian containment parity is vacuous")
+    // auto actually chose the prefix PLAN: the prefix explode's `slice`
+    // over df-sorted tokens is absent from the block plan
+    val autoPlan = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"), 0.3)
+      .queryExecution.analyzed.toString
+    assert(autoPlan.contains("slice("), autoPlan.take(500))
+  }
+
   test("sparse cosine dispatch is two-sided: a Zipfian open vocabulary picks the index") {
     val s = spark
     import s.implicits._
