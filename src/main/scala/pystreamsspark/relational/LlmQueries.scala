@@ -803,6 +803,21 @@ object LlmQueries {
       .select($"id_a", $"id_b", $"n_a", $"n_inter", $"containment")
   }
 
+  /** The asymmetric PREFIX-FILTERED containment plan, driver-verified on
+    * the real corpus (mirrors q_jaccard_prefix vs q_jaccard_pairs: the
+    * dispatched key picks the block join on this pruning-hostile
+    * vocabulary, so this key forces the prefix funnel so the oracle
+    * validates the scale plan's VALUES, not just its unit tests). Same
+    * oracle SQL as q_containment — the result is plan-independent. */
+  def qContainmentPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.containmentPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.9, strategy = "prefix")
+      .orderBy($"containment".desc, $"id_a".asc, $"id_b".asc)
+      .limit(50)
+      .select($"id_a", $"id_b", $"n_a", $"n_inter", $"containment")
+  }
+
   val qContainmentSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang, source,
@@ -1344,12 +1359,19 @@ object LlmQueries {
     * recall: identical vectors share every band chunk. */
   def qAnnMultibandOracle(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    pystreamsspark.functions.VectorExpressions.register(spark)
     val bands = 8; val planes = 4; val dims = 64
     val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     val both = emb.unionByName(
       emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
+    // quantized vector kept as a DOUBLE array holding exact integers:
+    // the verify dot can then be the native codegen'd vec_dot (every
+    // product/sum an exact integer < 2^53 -> order-independent and
+    // engine-exact); an interpreted HOF dot over the ~16-buckets-per-
+    // band candidate fan-out MEASURED 23 s at sf0.1
     val q = both.select($"vec_id",
-      transform($"embedding", x => floor(x.cast("double") * 1024)).as("qv"))
+      transform($"embedding",
+        x => floor(x.cast("double") * 1024).cast("double")).as("qv"))
     val md5w = conv(substring(md5(concat($"bnd".cast("string"), lit(":"),
       $"pl".cast("string"), lit(":"), $"pos".cast("string")).cast("binary")),
       1, 10), 16, 10).cast("long")
@@ -1358,26 +1380,43 @@ object LlmQueries {
       .crossJoin(spark.range(dims).select($"id".cast("int").as("pos")))
       .select($"bnd", $"pl", $"pos",
         when(md5w % 2 === 0, 1L).otherwise(-1L).as("w"))
-    // per-(vec, band, plane) integer vote sum -> sign bit -> band chunk
+    // the 32 per-(band,plane) signs fold into ONE 32-bit mask per
+    // dimension (64-row broadcast): all 32 integer vote sums then come
+    // out of a SINGLE grouped aggregate over the |vecs|·64 exploded rows
+    // — the naive (vec, dim) × (band, plane) join shape shuffles 32×
+    // more rows for the identical integers (measured 9.0 → ~1 s sf0.1)
+    val mask = w.groupBy($"pos")
+      .agg(sum(when($"w" === 1L, expr(s"shiftleft(1L, bnd * $planes + pl)"))
+        .otherwise(0L)).as("mask"))
     val votes = q.select($"vec_id", posexplode($"qv"))
-      .join(broadcast(w), "pos")
-      .groupBy($"vec_id", $"bnd", $"pl")
-      .agg(sum($"w" * $"col").as("s"))
-    val chunks = votes.groupBy($"vec_id", $"bnd")
-      .agg(sum(when($"s" >= 0, expr("shiftleft(1L, pl)")).otherwise(0L)).as("ck"))
-    val a = chunks.select($"bnd", $"ck", $"vec_id".as("id_a"))
-    val b = chunks.select($"bnd", $"ck", $"vec_id".as("id_b"))
-    val pairs = a.join(b, Seq("bnd", "ck")).filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b").distinct()
+      .select($"vec_id", $"pos", $"col".cast("long").as("col")) // exact
+      .join(broadcast(mask), "pos")
+    val sums = (0 until bands * planes).map(k => sum(
+      when(shiftrightunsigned($"mask", k).bitwiseAND(lit(1L)) === 1L, $"col")
+        .otherwise(-$"col")).as(s"s$k"))
+    val sk = votes.groupBy($"vec_id").agg(sums.head, sums.tail: _*)
+    val chunks = sk.select($"vec_id", explode(array((0 until bands).map(b =>
+      struct(lit(b).as("bnd"),
+        (0 until planes).map(p =>
+          when(col(s"s${b * planes + p}") >= 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("ck"))): _*)).as("x"))
+      .select($"vec_id", $"x.bnd".as("bnd"), $"x.ck".as("ck"))
+    // carry (qv, n2) through the band join — the same shape as
+    // annPairsMultiband: one verify per shared band, dedup after, no
+    // join-back of the multi-million-row candidate list
     val qd = q.select($"vec_id", $"qv",
-      aggregate($"qv", lit(0L), (acc, x) => acc + x * x).as("n2"))
-    pairs
-      .join(qd.select($"vec_id".as("id_a"), $"qv".as("qa"), $"n2".as("na")), Seq("id_a"))
-      .join(qd.select($"vec_id".as("id_b"), $"qv".as("qb"), $"n2".as("nb")), Seq("id_b"))
+      call_function("vec_dot", $"qv", $"qv").as("n2"))
+    val banded = chunks.join(qd, Seq("vec_id"))
+    val a = banded.select($"bnd", $"ck", $"vec_id".as("id_a"),
+      $"qv".as("qa"), $"n2".as("na"))
+    val b = banded.select($"bnd", $"ck", $"vec_id".as("id_b"),
+      $"qv".as("qb"), $"n2".as("nb"))
+    a.join(b, Seq("bnd", "ck"))
+      .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
-        (aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-          .cast("double") /
-          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double")))).as("qcos"))
+        (call_function("vec_dot", $"qa", $"qb") /
+          (sqrt($"na") * sqrt($"nb"))).as("qcos"))
+      .distinct()
       .filter($"qcos" >= 0.9)
       .orderBy($"id_a", $"id_b")
   }
@@ -1441,6 +1480,7 @@ object LlmQueries {
     "q_cc_clusters"   -> (qCcClusters _),
     "q_cc_chain"      -> (qCcChain _),
     "q_containment"   -> (qContainment _),
+    "q_containment_prefix" -> (qContainmentPrefix _),
     "q_boilerplate"   -> (qBoilerplate _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1478,6 +1518,7 @@ object LlmQueries {
     "q_cc_clusters"   -> qCcClustersSql,
     "q_cc_chain"      -> qCcChainSql,
     "q_containment"   -> qContainmentSql,
+    "q_containment_prefix" -> qContainmentSql,
     "q_boilerplate"   -> qBoilerplateSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

@@ -105,6 +105,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_containment_prefix: candidates join on prefix tokens, never a cartesian") {
+    val p = plan(graft.SparkEntry.queries("q_containment_prefix")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the funnel's signature: the equi-join key set includes the exploded
+    // prefix token (ptok) alongside the block columns — the |block|²
+    // all-pairs join has no such key
+    assert(p.contains("ptok"), p)
+    // while the dispatched key on this pruning-hostile corpus takes the
+    // block join (no prefix machinery in its plan)
+    val dispatched = plan(graft.SparkEntry.queries("q_containment")(spark, sf))
+    assert(!dispatched.contains("ptok"), dispatched)
+  }
+
   test("q_knn_batch: bounded top-k via partial+final aggregate — no per-probe window sort") {
     val p = plan(graft.SparkEntry.queries("q_knn_batch")(spark, sf))
     // the UDAF aggregates map-side (partial) then merges (final): at most
