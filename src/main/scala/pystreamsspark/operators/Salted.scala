@@ -31,6 +31,35 @@ object Salted {
   def salt(buckets: Int, cols: Seq[Column]): Column =
     pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
 
+  /** Skew-salted inner equi-join on `key`: the `big` side gets a
+    * deterministic per-row salt in [0, buckets), the `small` side is
+    * replicated once per salt value, and the join runs on (key, salt).
+    * A key owning p% of `big`'s rows then occupies at most p/buckets of
+    * any one shuffle partition instead of p — the hot reducer is gone.
+    *
+    * Use when BOTH of Spark's built-in skew escapes are unavailable:
+    * `small` too big to broadcast, and AQE's skew-split not engaging —
+    * it splits SMJ/SHJ partitions by map-output ranges (duplicating the
+    * matching partition on the other side), but is skipped by default
+    * whenever the split would add an exchange, e.g. precisely the common
+    * shape of a groupBy on the join key right after the join. Salting
+    * instead bakes the spread into the keys, so the downstream agg
+    * repartitions on (key) once, hot key already diluted.
+    * Cost: `small` is shuffled `buckets`× — so pick the smaller side as
+    * `small` and keep `buckets` at the skew factor, not above.
+    *
+    * The salt is invisible in the result: every `big` row meets exactly
+    * the `small` rows its key matches (each under precisely one salt),
+    * so the output is row-identical to `big.join(small, key)` — which
+    * is what makes the operator oracle-checkable. */
+  def joinSkewed(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val b = big.withColumn("__salt", salt(buckets, big.columns.map(col).toSeq))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted sum/count/min/max over `valueCol` grouped by `keyCols`.
     * Result schema: keyCols ++ (sum_<v>, cnt_<v>, min_<v>, max_<v>). */
   def aggStats(df: DataFrame, keyCols: Seq[String], valueCol: String,

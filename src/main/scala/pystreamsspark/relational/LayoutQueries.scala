@@ -1,0 +1,148 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.Tables
+import pystreamsspark.operators.Salted
+
+/** Data-LAYOUT operators as driver-checked keys (SURVEY.md §2.2/§6):
+  * partition-pruned reads, bucketed co-located joins, and salted skew
+  * joins. Each query builds the layout it claims to exploit (writes a
+  * partitioned/bucketed copy to scratch), then answers through it, while
+  * the oracle reads the ORIGINAL parquet — a green row proves the layout
+  * round-trip preserved the data AND the layout-aware plan computes the
+  * same answer as the naive one.
+  *
+  * These are the three levers the builder prompt calls out for 100 TB:
+  *  - partition pruning turns a full-corpus scan into a per-partition
+  *    directory listing (here: one lang out of five → ~1/5 of the bytes;
+  *    at 100 TB with date partitions, ~1/1000);
+  *  - bucketing pre-shuffles BOTH join sides once at write time so every
+  *    subsequent join on the bucket key is exchange-free (the write is
+  *    amortized over every downstream consumer);
+  *  - salting spreads one pathologically hot join key over `buckets`
+  *    sub-keys, bounding the largest shuffle partition when neither AQE
+  *    skew-split (which needs sort-merge) nor broadcast applies.
+  */
+object LayoutQueries {
+
+  // per-process unique scratch component — same rationale as
+  // StorageQueries.runTag: concurrent Bench + test runs must not clobber
+  // each other's layout copies mid-read.
+  private val runTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  private def scratch(sfDir: String, what: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_layout/${runTag}/${tag}_$what"
+  }
+
+  /** Per-source document stats for one language, answered through a
+    * lang-partitioned parquet copy: the write lays one directory per
+    * lang, and the `lang = 'en'` filter becomes a PartitionFilter — the
+    * scan never opens the other four langs' files. The oracle reads the
+    * original flat parquet; equality proves the partitioned layout holds
+    * exactly the original rows. `n_chars` sums are BIGINT — exact. */
+  def qPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "doc_by_lang")
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    spark.read.parquet(dir)
+      .filter($"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val qPartitionPruneSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang = 'en'
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Revenue by market segment through BUCKETED copies of orders and
+    * customer (8 buckets on the customer key, sorted within buckets):
+    * both sides land pre-shuffled on disk, so the join needs no
+    * exchange — at 100 TB this is the difference between re-shuffling
+    * the fact table on every query and shuffling it once at ingest.
+    * Exchange-free-ness is asserted in LayoutSpec (broadcast disabled);
+    * here smallness makes Catalyst broadcast instead, which is ALSO
+    * correct — bucketing never changes answers, only plans. */
+  def qBucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tOrders = s"graft_bkt_orders_${runTag}_$tag"
+    val tCust = s"graft_bkt_customer_${runTag}_$tag"
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite").option("path", scratch(sfDir, "bkt_orders"))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(tOrders)
+    Tables.customer(spark, sfDir)
+      .write.mode("overwrite").option("path", scratch(sfDir, "bkt_customer"))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tCust)
+    spark.table(tOrders)
+      .join(spark.table(tCust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qBucketJoinSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Skew-salted big-big join: ~90% of lineitem rows collapse onto one
+    * synthetic hot key (partkey bucket 0), the classic single-hot-key
+    * profile that serializes one reducer in a plain shuffle join. The
+    * join runs through [[Salted.joinSkewed]] — the hot key's rows spread
+    * over 16 salt sub-keys, the (small-but-not-tiny) dimension side is
+    * replicated 16×. The salt cancels out of the RESULT (replication ×
+    * deterministic-salt equi-join ≡ plain join), so the oracle is the
+    * plain join — and the key stays green under any salting. */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hot = when($"l_partkey" % 10 =!= 0, lit(0L)).otherwise($"l_partkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(hot.as("k"), $"l_extendedprice")
+    val r = Tables.part(spark, sfDir)
+      .select(when($"p_partkey" % 10 =!= 0, lit(0L)).otherwise($"p_partkey").as("k"),
+        $"p_retailprice")
+      .groupBy($"k").agg(count(lit(1)).as("n_parts"))
+    Salted.joinSkewed(l, r, "k", buckets = 16)
+      .groupBy(($"k" % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n_rows"), Det.dsum($"l_extendedprice").as("sum_price"),
+        sum($"n_parts").as("sum_parts"))
+      .orderBy($"k_mod")
+  }
+
+  val qSaltedJoinSql: String =
+    s"""WITH l AS (
+       |  SELECT CASE WHEN l_partkey % 10 <> 0 THEN 0 ELSE l_partkey END AS k,
+       |         l_extendedprice
+       |  FROM lineitem
+       |), r AS (
+       |  SELECT CASE WHEN p_partkey % 10 <> 0 THEN 0 ELSE p_partkey END AS k,
+       |         COUNT(*) AS n_parts
+       |  FROM part GROUP BY 1
+       |)
+       |SELECT l.k % 7 AS k_mod, COUNT(*) AS n_rows,
+       |  ${Det.sqlSum("l_extendedprice")} AS sum_price,
+       |  CAST(SUM(n_parts) AS BIGINT) AS sum_parts
+       |FROM l JOIN r ON l.k = r.k
+       |GROUP BY 1
+       |ORDER BY k_mod""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_prune" -> (qPartitionPrune _),
+    "q_bucket_join"     -> (qBucketJoin _),
+    "q_salted_join"     -> (qSaltedJoin _))
+
+  val oracle: Map[String, String] = Map(
+    "q_partition_prune" -> qPartitionPruneSql,
+    "q_bucket_join"     -> qBucketJoinSql,
+    "q_salted_join"     -> qSaltedJoinSql)
+}

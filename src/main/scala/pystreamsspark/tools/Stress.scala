@@ -15,6 +15,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // optional trailing args: probe-name substrings to run (default all)
+    val only = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,11 +32,12 @@ object Stress {
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * step)))
       }.reduce(_ unionByName _)
 
-    def time(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"STRESS $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
-    }
+    def time(name: String)(body: => Long): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"STRESS $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      }
 
     val li = amplified(pystreamsspark.io.Tables.lineitem(spark, sfDir),
       Seq("l_orderkey"), 100000000L)
@@ -228,6 +231,44 @@ object Stress {
             "make_interval(0, 0, 0, datediff(DATE'2024-01-05', to_date(ts)), 0, 0, 0)"))
           .otherwise($"ts"))
       pystreamsspark.relational.AnalyticsQueries.concurrencyByDay(evx).count()
+    }
+
+    // single-hot-key join probe: 90% of the (amplified) big side's rows
+    // collapse onto join key 0. Broadcast and AQE skew-split are both
+    // disabled — the regime joinSkewed exists for (dim too big to
+    // broadcast; skew-split vetoed because the groupBy on the join key
+    // right after the join would force an extra exchange). plain vs
+    // salted at the same mult measures the hot-reducer dilution; x1 vs
+    // x10 of the salted row measures linearity.
+    def hotJoinInputs(): (DataFrame, DataFrame) = {
+      val hot = when($"l_partkey" % 10 =!= 0, lit(0L)).otherwise($"l_partkey")
+      val big = li.select(hot.as("k"), $"l_extendedprice")
+      val dim = pystreamsspark.io.Tables.part(spark, sfDir)
+        .select(when($"p_partkey" % 10 =!= 0, lit(0L)).otherwise($"p_partkey").as("k"),
+          $"p_retailprice")
+        .groupBy($"k").agg(count(lit(1)).as("n_parts"))
+      (big, dim)
+    }
+    def withSkewEscapesOff[A](body: => A): A = {
+      val bc = "spark.sql.autoBroadcastJoinThreshold"
+      val sk = "spark.sql.adaptive.skewJoin.enabled"
+      val (bc0, sk0) = (spark.conf.get(bc), spark.conf.get(sk))
+      spark.conf.set(bc, "-1"); spark.conf.set(sk, "false")
+      try body finally { spark.conf.set(bc, bc0); spark.conf.set(sk, sk0) }
+    }
+    time(s"join_hotkey_plain x$mult") {
+      withSkewEscapesOff {
+        val (big, dim) = hotJoinInputs()
+        big.join(dim, "k")
+          .groupBy($"k").agg(count(lit(1)), sum($"l_extendedprice")).count()
+      }
+    }
+    time(s"join_hotkey_salted x$mult") {
+      withSkewEscapesOff {
+        val (big, dim) = hotJoinInputs()
+        pystreamsspark.operators.Salted.joinSkewed(big, dim, "k", buckets = 32)
+          .groupBy($"k").agg(count(lit(1)), sum($"l_extendedprice")).count()
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,93 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import pystreamsspark.SparkSpec
+import pystreamsspark.io.Tables
+import pystreamsspark.operators.Salted
+
+/** Physical-property checks for the data-layout batch: the oracle proves
+  * the ANSWERS match, these prove the layouts actually deliver what they
+  * exist for — partition pruning at the scan, an exchange-free bucketed
+  * join, and a salted join that both spreads the hot key and cancels out
+  * of the result.
+  */
+class LayoutQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    finalPlan(df.queryExecution.executedPlan).toString
+  }
+
+  test("q_partition_prune: lang filter becomes a partition filter, not a row filter") {
+    val p = plan(LayoutQueries.qPartitionPrune(spark, sf))
+    // pruned at the directory level: the scan carries a PartitionFilters
+    // entry on lang and needs no pushed DATA filter for it
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
+
+  test("bucketed join is exchange-free on the bucket key") {
+    val s = spark
+    import s.implicits._
+    // the query itself lets Catalyst broadcast (also correct); to prove
+    // the layout property force the shuffle path and count exchanges
+    withBroadcastOff {
+      val df = LayoutQueries.qBucketJoin(spark, sf)
+      val p = plan(df)
+      val joinIdx =
+        math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+      assert(joinIdx >= 0, p)
+      // the plan prints top-down, so everything after the join node is its
+      // subtree: both bucketed scans, and NO exchange between them and the
+      // join. (The two exchanges above it — groupBy hash, orderBy range —
+      // are the aggregation's, not the join's.)
+      assert(!p.substring(joinIdx).contains("Exchange"),
+        s"exchange below the bucketed join:\n$p")
+      assert(p.contains("SelectedBucketsCount"), p)
+    }
+  }
+
+  private def withBroadcastOff[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("joinSkewed equals the plain join row-for-row") {
+    val s = spark
+    import s.implicits._
+    // hot-key profile: 90% of the big side on key 0
+    val big = (1 to 5000).map { i =>
+      (if (i % 10 != 0) 0L else i.toLong, i.toLong)
+    }.toDF("k", "v").repartition(7)
+    val small = (0 to 500 by 10).map(i => (i.toLong, s"d$i"))
+      .toDF("k", "tag")
+    val salted = Salted.joinSkewed(big, small, "k", buckets = 16)
+      .select($"k", $"v", $"tag").as[(Long, Long, String)].collect().sorted
+    val plain = big.join(small, "k")
+      .select($"k", $"v", $"tag").as[(Long, Long, String)].collect().sorted
+    assert(salted.sameElements(plain))
+    assert(plain.nonEmpty)
+  }
+
+  test("joinSkewed spreads the hot key over all salt buckets") {
+    val s = spark
+    import s.implicits._
+    val big = (1 to 5000).map(i => (0L, i.toLong)).toDF("k", "v")
+    val salts = big
+      .withColumn("__salt", Salted.salt(16, big.columns.map(col).toSeq))
+      .select($"__salt").distinct().as[Int].collect()
+    assert(salts.length == 16, s"hot key hit only ${salts.length}/16 salts")
+    assert(salts.forall(sv => sv >= 0 && sv < 16))
+  }
+}
