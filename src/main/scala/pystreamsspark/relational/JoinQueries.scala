@@ -3,7 +3,7 @@ package pystreamsspark.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
-import pystreamsspark.operators.AsofJoin
+import pystreamsspark.operators.{AsofJoin, RangeJoin}
 import Det._
 
 /** Join surface (SURVEY.md §2.4). All equi-joins are declarative so
@@ -147,6 +147,36 @@ object JoinQueries {
        |  ON value >= lo AND value < hi
        |GROUP BY band
        |ORDER BY band""".stripMargin
+
+  /** BIG-BIG interval join — neither side broadcast-able at scale: every
+    * lineitem price joined to every order whose ±5 price window contains
+    * it, via [[RangeJoin.pointInInterval]]'s bin-bucketed equi-join
+    * (binWidth = interval width → ≤2 replicas per interval, zero nested
+    * loops). The oracle states the same join as the naive BETWEEN theta
+    * join — equality proves the bin rewrite is exact, pair for pair. */
+  def qIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.orders(spark, sfDir).select($"o_orderkey",
+      ($"o_totalprice" - 5.0).as("lo"), ($"o_totalprice" + 5.0).as("hi"))
+    val pts = Tables.lineitem(spark, sfDir).select($"l_extendedprice")
+    RangeJoin.pointInInterval(pts, "l_extendedprice", iv, "lo", "hi",
+        binWidth = 10.0)
+      .groupBy(($"o_orderkey" % 100).as("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"g")
+  }
+
+  val qIntervalJoinSql: String =
+    s"""SELECT o_orderkey % 100 AS g, COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM orders JOIN lineitem
+       |  ON l_extendedprice >= o_totalprice - 5.0
+       | AND l_extendedprice <= o_totalprice + 5.0
+       |GROUP BY 1
+       |ORDER BY g""".stripMargin
 
   /** As-of join (union + window rewrite, see [[AsofJoin]]): each event gets
     * the timestamp/value of the same user's most recent 'purchase' at or
@@ -306,6 +336,7 @@ object JoinQueries {
     "q_join_anti"  -> (qJoinAnti _),
     "q_join_semi"  -> (qJoinSemi _),
     "q_join_range" -> (qJoinRange _),
+    "q_interval_join" -> (qIntervalJoin _),
     "q_join_asof"  -> (qJoinAsof _),
     "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_full"  -> (qJoinFull _),
@@ -319,6 +350,7 @@ object JoinQueries {
     "q_join_anti"  -> qJoinAntiSql,
     "q_join_semi"  -> qJoinSemiSql,
     "q_join_range" -> qJoinRangeSql,
+    "q_interval_join" -> qIntervalJoinSql,
     "q_join_asof"  -> qJoinAsofSql,
     "q_join_asof_fwd" -> qJoinAsofFwdSql,
     "q_join_full"  -> qJoinFullSql,

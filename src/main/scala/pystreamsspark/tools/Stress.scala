@@ -233,6 +233,22 @@ object Stress {
       pystreamsspark.relational.AnalyticsQueries.concurrencyByDay(evx).count()
     }
 
+    // big-big interval join probe: xN points against the FIXED sf0.1
+    // interval set (150k intervals — far past broadcast), so true pairs
+    // grow xN and the probe measures the bin-bucketed plan's linearity
+    // in input (amplifying both sides would grow the true-pair count
+    // xN^2 — an output property of the join semantics, not the plan)
+    time(s"interval_join x$mult") {
+      val iv = pystreamsspark.io.Tables.orders(spark, sfDir)
+        .select($"o_orderkey",
+          ($"o_totalprice" - 5.0).as("lo"), ($"o_totalprice" + 5.0).as("hi"))
+      val pts = li.select($"l_extendedprice")
+      pystreamsspark.operators.RangeJoin.pointInInterval(
+          pts, "l_extendedprice", iv, "lo", "hi", binWidth = 10.0)
+        .groupBy(($"o_orderkey" % 100).as("g"))
+        .agg(count(lit(1)), sum($"l_extendedprice")).count()
+    }
+
     // single-hot-key join probe: 90% of the (amplified) big side's rows
     // collapse onto join key 0. Broadcast and AQE skew-split are both
     // disabled — the regime joinSkewed exists for (dim too big to
