@@ -46,4 +46,28 @@ object RangeJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Inner join of two interval sets on
+    * `equiKeys` ∧ intervals-overlap (closed bounds: llo ≤ rhi ∧ rlo ≤ lhi),
+    * bin-bucketed like [[pointInInterval]]. Both sides replicate onto
+    * their overlapped bins, so a pair can share SEVERAL bins; exactly-
+    * once output comes from the standard ownership rule — a pair is
+    * emitted only in the bin where the overlap STARTS,
+    * `max(bin(llo), bin(rlo))` (= `bin(max(llo, rlo))`, floor being
+    * monotone), which both replica ranges are guaranteed to contain
+    * whenever the intervals overlap. No dedup, no window. */
+  def intervalOverlap(left: DataFrame, lloCol: String, lhiCol: String,
+                      right: DataFrame, rloCol: String, rhiCol: String,
+                      binWidth: Double, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(lloCol)), bin(col(lhiCol)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(rloCol)), bin(col(rhiCol)))))
+    l.join(r, equiKeys :+ "__bin")
+      .filter(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol) &&
+        col("__bin") === greatest(bin(col(lloCol)), bin(col(rloCol))))
+      .drop("__bin")
+  }
 }

@@ -178,6 +178,56 @@ object JoinQueries {
        |GROUP BY 1
        |ORDER BY g""".stripMargin
 
+  /** Interval-OVERLAP join via [[RangeJoin.intervalOverlap]]: pairs of
+    * 1995 shipments by the SAME supplier whose synthesized transit
+    * windows [ship_day, ship_day + quantity days] overlap — per-pair
+    * overlap length summed per supplier bucket. The supplier equi-key
+    * rides along the bin equi-join; strict (orderkey, linenumber)
+    * ordering de-mirrors pairs identically in both engines. Oracle =
+    * the naive overlap theta join, proving the bin-ownership rule
+    * (emit only where the overlap starts) exact. */
+  def qOverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = to_date(lit("1992-01-01"))
+    val base = Tables.lineitem(spark, sfDir)
+      .filter(year($"l_shipdate") === 1995)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        datediff($"l_shipdate", epoch).as("lo"),
+        (datediff($"l_shipdate", epoch) + $"l_quantity".cast("int")).as("hi"))
+    val a = base.select($"l_suppkey", $"l_orderkey".as("a_ok"),
+      $"l_linenumber".as("a_ln"), $"lo".as("a_lo"), $"hi".as("a_hi"))
+    val b = base.select($"l_suppkey", $"l_orderkey".as("b_ok"),
+      $"l_linenumber".as("b_ln"), $"lo".as("b_lo"), $"hi".as("b_hi"))
+    RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        binWidth = 32.0, equiKeys = Seq("l_suppkey"))
+      .filter($"a_ok" < $"b_ok" ||
+        ($"a_ok" === $"b_ok" && $"a_ln" < $"b_ln"))
+      .groupBy(($"l_suppkey" % 20).as("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo") + lit(1))
+          .as("sum_overlap_days"))
+      .orderBy($"g")
+  }
+
+  val qOverlapJoinSql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS lo,
+      |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+      |      + CAST(l_quantity AS INT) AS hi
+      |  FROM lineitem WHERE year(l_shipdate) = 1995
+      |)
+      |SELECT a.l_suppkey % 20 AS g, COUNT(*) AS n_pairs,
+      |  CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1) AS BIGINT)
+      |    AS sum_overlap_days
+      |FROM iv a JOIN iv b
+      |  ON a.l_suppkey = b.l_suppkey
+      | AND a.lo <= b.hi AND b.lo <= a.hi
+      | AND (a.l_orderkey < b.l_orderkey OR
+      |      (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
+
   /** As-of join (union + window rewrite, see [[AsofJoin]]): each event gets
     * the timestamp/value of the same user's most recent 'purchase' at or
     * before it. */
@@ -337,6 +387,7 @@ object JoinQueries {
     "q_join_semi"  -> (qJoinSemi _),
     "q_join_range" -> (qJoinRange _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_overlap_join" -> (qOverlapJoin _),
     "q_join_asof"  -> (qJoinAsof _),
     "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_full"  -> (qJoinFull _),
@@ -351,6 +402,7 @@ object JoinQueries {
     "q_join_semi"  -> qJoinSemiSql,
     "q_join_range" -> qJoinRangeSql,
     "q_interval_join" -> qIntervalJoinSql,
+    "q_overlap_join" -> qOverlapJoinSql,
     "q_join_asof"  -> qJoinAsofSql,
     "q_join_asof_fwd" -> qJoinAsofFwdSql,
     "q_join_full"  -> qJoinFullSql,

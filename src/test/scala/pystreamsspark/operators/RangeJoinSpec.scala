@@ -35,6 +35,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(!binned.exists(_._2 == 6L))
   }
 
+  test("intervalOverlap equals the theta join, exactly once per pair") {
+    val s = spark
+    import s.implicits._
+    // dense overlapping mesh: many pairs share SEVERAL bins, so any
+    // failure of the bin-ownership rule shows up as duplicate rows and
+    // breaks the multiset comparison
+    val a = (0 until 120).map { i =>
+      (i.toLong, (i * 7 % 50).toDouble, (i * 7 % 50 + i % 37).toDouble)
+    }.toDF("aid", "a_lo", "a_hi")
+    val b = (0 until 90).map { i =>
+      (i.toLong, (i * 11 % 60 - 10).toDouble, (i * 11 % 60 - 10 + i % 29).toDouble)
+    }.toDF("bid", "b_lo", "b_hi")
+    val binned = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        binWidth = 5.0)
+      .select($"aid", $"bid").as[(Long, Long)].collect().sorted
+    val theta = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"aid", $"bid").as[(Long, Long)].collect().sorted
+    assert(binned.sameElements(theta))
+    assert(theta.length > 1000) // the mesh is genuinely dense
+    // exactly-once: no duplicates in the binned output
+    assert(binned.distinct.length == binned.length)
+  }
+
   test("q_interval_join plan has no nested loop or cartesian") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = pystreamsspark.relational.JoinQueries
