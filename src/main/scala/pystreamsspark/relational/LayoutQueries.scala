@@ -3,7 +3,7 @@ package pystreamsspark.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
-import pystreamsspark.operators.Salted
+import pystreamsspark.operators.{Compaction, Salted}
 
 /** Data-LAYOUT operators as driver-checked keys (SURVEY.md §2.2/§6):
   * partition-pruned reads, bucketed co-located joins, and salted skew
@@ -136,13 +136,50 @@ object LayoutQueries {
        |GROUP BY 1
        |ORDER BY k_mod""".stripMargin
 
+  /** Small-file compaction round-trip: documents deliberately shattered
+    * into 64 tiny files, compacted back to ~target-size files via
+    * [[Compaction.compactParquet]], then answered THROUGH the compacted
+    * copy with a per-lang md5-fingerprint aggregate. The oracle computes
+    * the same fingerprint over the ORIGINAL flat parquet — a green row
+    * proves the shatter→compact cycle preserved every row exactly (the
+    * bit_xor fingerprint is order-insensitive, so layout can change
+    * freely; any lost/duplicated/corrupted row flips it). */
+  def qCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fragDir = scratch(sfDir, "frag_docs")
+    Tables.documents(spark, sfDir)
+      .repartition(64).write.mode("overwrite").parquet(fragDir)
+    val compDir = scratch(sfDir, "compact_docs")
+    Compaction.compactParquet(spark, fragDir, compDir, targetBytes = 8L << 20)
+    spark.read.parquet(compDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        bit_xor(conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+          $"source", lit("|"), $"text").cast("binary")), 1, 10), 16, 10)
+          .cast("long")).as("fingerprint"))
+      .orderBy($"lang")
+  }
+
+  val qCompactionSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  BIT_XOR(CAST(concat('0x', substring(md5(
+      |    concat(CAST(doc_id AS VARCHAR), '|', source, '|', text)), 1, 10))
+      |    AS BIGINT)) AS fingerprint
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
-    "q_salted_join"     -> (qSaltedJoin _))
+    "q_salted_join"     -> (qSaltedJoin _),
+    "q_compaction"      -> (qCompaction _))
 
   val oracle: Map[String, String] = Map(
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,
-    "q_salted_join"     -> qSaltedJoinSql)
+    "q_salted_join"     -> qSaltedJoinSql,
+    "q_compaction"      -> qCompactionSql)
 }

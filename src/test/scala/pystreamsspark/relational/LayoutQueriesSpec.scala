@@ -80,6 +80,39 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("compaction hits the target file count and preserves every row") {
+    val s = spark
+    import s.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    try {
+      Tables.documents(spark, sf).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      assert(parquetFiles(s"$base/frag").length == 32)
+      val totalBytes = parquetFiles(s"$base/frag").map(_.length).sum
+      val target = totalBytes / 4 // force a known 32 -> ~5 compaction
+      val nOut = pystreamsspark.operators.Compaction.compactParquet(
+        spark, s"$base/frag", s"$base/comp", target)
+      assert(nOut == math.ceil(totalBytes.toDouble / target).toInt)
+      assert(parquetFiles(s"$base/comp").length == nOut)
+      assert(nOut < 32)
+      // row-level parity, not just counts
+      val orig = Tables.documents(spark, sf)
+        .select($"doc_id").as[Long].collect().sorted
+      val comp = spark.read.parquet(s"$base/comp")
+        .select($"doc_id").as[Long].collect().sorted
+      assert(comp.sameElements(orig))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("joinSkewed spreads the hot key over all salt buckets") {
     val s = spark
     import s.implicits._
