@@ -102,7 +102,9 @@ object AggQueries {
 
   /** HLL++ approximate distinct — sketches differ across engines, so this
     * key is smoke-checked only (no oracle entry); correctness is covered
-    * by the bounds test in the ScalaTest suite. */
+    * by the bounds test in the ScalaTest suite, and the same
+    * sketch-distinct pipeline is oracle-checked end-to-end by its
+    * replayable twin [[qKmvDistinct]]. */
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
@@ -111,6 +113,54 @@ object AggQueries {
            count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch — the replayable
+    * oracle TWIN of [[qApproxDistinct]]'s HLL pipeline (Bar-Yossef et
+    * al. 2002: keep the k smallest uniform hashes per group; with the
+    * k-th smallest at fraction h/2^40 of the hash space, distinct ≈
+    * (k−1)·2^40/h; under k distinct hashes the sketch IS the exact
+    * count). The same bounded-k map-side UDAF as top-k carries the
+    * sketch — n_groups×k rows cross the shuffle, mergeable on a 1000-
+    * executor combine tree — and the md5-derived 40-bit hash family
+    * exists in BOTH engines, so unlike HLL the whole sketch replays in
+    * DuckDB: estimator bit-exact, same IEEE op order. */
+  def qKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val scale = lit((k - 1).toDouble * 1099511627776.0) // (k−1)·2^40, exact
+    val d1 = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id").distinct()
+    val exact = d1.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    val d2 = d1.select($"event_type",
+      conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 10),
+        16, 10).cast("long").as("h")).distinct()
+    val sketch = d2.groupBy($"event_type")
+      .agg(pystreamsspark.operators.TopKAgg.smallestK(k)($"h").as("ks"),
+        count(lit(1)).as("n_h"))
+      .select($"event_type",
+        when($"n_h" < k, $"n_h".cast("double"))
+          .otherwise(scale / element_at($"ks", k).cast("double"))
+          .as("kmv_estimate"))
+    exact.join(sketch, "event_type").orderBy($"event_type")
+  }
+
+  val qKmvDistinctSql: String =
+    """WITH d1 AS (SELECT DISTINCT event_type, user_id FROM events),
+      |ex AS (SELECT event_type, COUNT(*) AS n_exact FROM d1 GROUP BY 1),
+      |d2 AS (SELECT DISTINCT event_type,
+      |  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 10))
+      |    AS BIGINT) AS h FROM d1),
+      |r AS (SELECT event_type, h,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n_h FROM d2),
+      |sk AS (SELECT event_type,
+      |  CASE WHEN max(n_h) < 64 THEN CAST(max(n_h) AS DOUBLE)
+      |       ELSE (63.0 * 1099511627776.0) /
+      |            CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+      |  END AS kmv_estimate FROM r GROUP BY 1)
+      |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact, kmv_estimate
+      |FROM ex JOIN sk USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   /** MULTIPLE exact count-distincts in one aggregation — the shape that
     * forces Catalyst's Expand-based rewrite: the input is replicated once
@@ -148,6 +198,7 @@ object AggQueries {
     "q_percentile"      -> (qPercentile _),
     "q_collect_list"    -> (qCollectList _),
     "q_multi_distinct"  -> (qMultiDistinct _),
+    "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
@@ -155,5 +206,6 @@ object AggQueries {
     "q_cube"           -> qCubeSql,
     "q_percentile"     -> qPercentileSql,
     "q_collect_list"   -> qCollectListSql,
-    "q_multi_distinct" -> qMultiDistinctSql)
+    "q_multi_distinct" -> qMultiDistinctSql,
+    "q_kmv_distinct"   -> qKmvDistinctSql)
 }

