@@ -171,15 +171,50 @@ object LayoutQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Sorted-write data skipping: orders range-partitioned AND sorted on
+    * o_totalprice, written with deliberately small (512 KiB) parquet row
+    * groups — so the 100k–110k price filter prunes at TWO layout levels
+    * the flat copy can't offer: whole files (range partitioning makes
+    * each file a disjoint price slice) and row groups within the one
+    * overlapping file (min/max stats vs the pushed predicate). The scan
+    * reads a small multiple of the matching rows instead of the table —
+    * asserted via scan metrics in LayoutQueriesSpec. Oracle = same
+    * filter+agg on the original flat parquet. */
+  def qSortedSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "orders_sorted")
+    Tables.orders(spark, sfDir)
+      .repartitionByRange(8, $"o_totalprice")
+      .sortWithinPartitions($"o_totalprice")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 512 * 1024)
+      .parquet(dir)
+    spark.read.parquet(dir)
+      .filter($"o_totalprice" >= 100000.0 && $"o_totalprice" < 110000.0)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qSortedSkipSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  ${Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |WHERE o_totalprice >= 100000.0 AND o_totalprice < 110000.0
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
     "q_salted_join"     -> (qSaltedJoin _),
-    "q_compaction"      -> (qCompaction _))
+    "q_compaction"      -> (qCompaction _),
+    "q_sorted_skip"     -> (qSortedSkip _))
 
   val oracle: Map[String, String] = Map(
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,
     "q_salted_join"     -> qSaltedJoinSql,
-    "q_compaction"      -> qCompactionSql)
+    "q_compaction"      -> qCompactionSql,
+    "q_sorted_skip"     -> qSortedSkipSql)
 }

@@ -80,6 +80,32 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("sorted-write layout skips most of the table at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sf0.1 so the sorted copy spans many 512 KiB row groups
+    val df = LayoutQueries.qSortedSkip(spark, "/root/testdata/sf0.1")
+    df.collect()
+    // QueryStageExec nodes are leaves to collect(); descend explicitly
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    val total = 150000L // orders rows at sf0.1
+    val matching = pystreamsspark.io.Tables.orders(spark, "/root/testdata/sf0.1")
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 110000.0)
+      .count()
+    // file-level range partitioning + row-group min/max: the scan must
+    // surface a small multiple of the true matches, nowhere near the table
+    assert(scanned < total / 4,
+      s"scan surfaced $scanned of $total rows — layout not skipping")
+    assert(scanned >= matching, s"scan lost rows: $scanned < $matching")
+  }
+
   test("compaction hits the target file count and preserves every row") {
     val s = spark
     import s.implicits._
