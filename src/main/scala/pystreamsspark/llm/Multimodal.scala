@@ -64,9 +64,13 @@ object Multimodal {
         if (u8(i) != 0xff) return None // marker desync: not a JPEG stream
         var m = u8(i + 1)
         while (m == 0xff && i + 2 < p.length) { i += 1; m = u8(i + 1) } // fill bytes
+        if (m == 0xff) return None // payload ends inside marker fill bytes
         if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
         if (m >= 0xd0 && m <= 0xd7) i += 2 // RSTn: standalone, no length
         else {
+          // the fill-byte walk may have consumed the outer loop's i+3
+          // headroom — re-check before reading the 2-byte length field
+          if (i + 3 >= p.length) return None
           val len = u16(i + 2)
           val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (isSof) {

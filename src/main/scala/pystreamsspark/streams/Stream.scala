@@ -67,15 +67,29 @@ final class Stream[T](val ds: Dataset[T]) {
   def skip(n: Long): Stream[T] =
     new Stream(zipWithIndex.ds.filter(_._2 >= n).map(_._1)(ds.encoder))
 
+  /** Indexed elements PERSISTED before use, so the cut-finding job and
+    * the downstream filter job of [[takeWhile]]/[[dropWhile]] see the
+    * SAME index assignment: after a shuffle the upstream's encounter
+    * order is not guaranteed stable across job re-executions, so
+    * comparing indices computed in two independent jobs over the raw
+    * lineage could mis-cut. MEMORY_AND_DISK spills instead of evicting;
+    * the ContextCleaner unpersists when the RDD becomes unreachable. */
+  private def idxedStable: (org.apache.spark.rdd.RDD[(T, Long)], Dataset[(T, Long)]) = {
+    val rdd = ds.rdd.zipWithIndex()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (rdd, ds.sparkSession.createDataset(rdd)(org.apache.spark.sql.Encoders.tuple(
+      ds.encoder, org.apache.spark.sql.Encoders.scalaLong)))
+  }
+
   /** Longest prefix on which `p` holds (ordered takeWhile). Distributed
-    * form: stamp encounter indices, find the first failing index with
-    * one tiny aggregate (min over failures — `fold`, so an all-pass
-    * stream yields the identity and keeps everything), keep rows below
-    * it. Two jobs at build time; never materializes data on the
-    * driver. */
+    * form: stamp encounter indices once (persisted — see [[idxedStable]]),
+    * find the first failing index with one tiny aggregate (min over
+    * failures — `fold`, so an all-pass stream yields the identity and
+    * keeps everything), keep rows below it. Two jobs at build time;
+    * never materializes data on the driver. */
   def takeWhile(p: T => Boolean): Stream[T] = {
-    val idxed = zipWithIndex.ds
-    val cut = idxed.rdd.filter(x => !p(x._1)).map(_._2)
+    val (rdd, idxed) = idxedStable
+    val cut = rdd.filter(x => !p(x._1)).map(_._2)
       .fold(Long.MaxValue)(math.min)
     new Stream(idxed.filter(_._2 < cut).map(_._1)(ds.encoder))
   }
@@ -83,8 +97,8 @@ final class Stream[T](val ds: Dataset[T]) {
   /** Complement of [[takeWhile]]: drop the longest all-pass prefix, keep
     * the rest (ordered dropWhile). Same two-job shape. */
   def dropWhile(p: T => Boolean): Stream[T] = {
-    val idxed = zipWithIndex.ds
-    val cut = idxed.rdd.filter(x => !p(x._1)).map(_._2)
+    val (rdd, idxed) = idxedStable
+    val cut = rdd.filter(x => !p(x._1)).map(_._2)
       .fold(Long.MaxValue)(math.min)
     new Stream(idxed.filter(_._2 >= cut).map(_._1)(ds.encoder))
   }

@@ -90,6 +90,16 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(Array[Byte]()) === None)
     assert(Multimodal.decodeHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
     assert(Multimodal.decodeHeader("plain text".getBytes) === None)
+    // payload ending inside marker FILL bytes (FF FF...) must return
+    // None, not read past the array: the fill-byte walk consumes the
+    // outer loop's bounds headroom before the length-field read
+    assert(Multimodal.decodeHeader(
+      Array[Int](0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)) === None)
+    assert(Multimodal.decodeHeader(
+      Array[Int](0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0).map(_.toByte)) === None)
+    // truncated right after a non-standalone marker code (no length field)
+    assert(Multimodal.decodeHeader(
+      Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)) === None)
   }
 
   test("payload binary column is pruned when only metadata is selected") {

@@ -139,6 +139,43 @@ class LayoutQueriesSpec extends SparkSpec {
     }
   }
 
+  test("compaction sizes Hive-partitioned layouts recursively") {
+    val s = spark
+    import s.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_part_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      // k=v subdirectories: the parquet files live one level down, so a
+      // flat listing would see 0 bytes and collapse everything to 1 file
+      Tables.documents(spark, sf).repartition(8)
+        .write.partitionBy("lang").mode("overwrite").parquet(s"$base/frag")
+      var totalBytes = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) totalBytes += f.length
+      walk(new java.io.File(s"$base/frag"))
+      assert(totalBytes > 0)
+      val target = totalBytes / 4
+      val nOut = pystreamsspark.operators.Compaction.compactParquet(
+        spark, s"$base/frag", s"$base/comp", target)
+      assert(nOut == math.ceil(totalBytes.toDouble / target).toInt)
+      assert(nOut > 1, "partitioned layout sized as zero bytes")
+      // partition column survives as a data column with correct values
+      val orig = Tables.documents(spark, sf)
+        .select($"doc_id", $"lang").as[(Long, String)].collect().sortBy(_._1)
+      val comp = spark.read.parquet(s"$base/comp")
+        .select($"doc_id", $"lang".cast("string")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      assert(comp.sameElements(orig))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("joinSkewed spreads the hot key over all salt buckets") {
     val s = spark
     import s.implicits._

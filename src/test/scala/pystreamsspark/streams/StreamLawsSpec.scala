@@ -143,6 +143,23 @@ class StreamLawsSpec extends SparkSpec {
     }
   }
 
+  test("takeWhile after a shuffle: kept set is a consistent prefix") {
+    // upstream with a shuffle has no stable encounter order across job
+    // re-executions; the persisted index (idxedStable) must make the
+    // cut-finding and filter jobs agree. Invariants that hold for ANY
+    // observed order: every kept element passes p, take ∪ drop = input.
+    val data = (1 to 500).toList
+    val p = (x: Int) => x % 7 != 0
+    val shuffled = Stream(spark.createDataset(data)(
+      org.apache.spark.sql.Encoders.scalaInt).repartition(13))
+    val kept = shuffled.takeWhile(p).collect()
+    assert(kept.forall(p), "takeWhile kept an element failing the predicate")
+    val dropped = Stream(spark.createDataset(data)(
+      org.apache.spark.sql.Encoders.scalaInt).repartition(13)).dropWhile(p).collect()
+    assert(dropped.nonEmpty && !p(dropped.head),
+      "dropWhile head must be the first failing element")
+  }
+
   test("skip law (encounter order)") {
     check(smallLists) { data =>
       assert(Stream(spark, data).skip(7).collect().toList === data.drop(7))
