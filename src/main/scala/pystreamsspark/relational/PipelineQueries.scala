@@ -72,6 +72,95 @@ object PipelineQueries {
        |GROUP BY 1
        |ORDER BY split""".stripMargin
 
+  /** Deterministic global shuffle + shard — the write pattern every
+    * training-data loader consumes: each document lands in one of 16
+    * shards by md5(doc_id), and WITHIN a shard the order is a second,
+    * independent md5 ("s:"-salted), so the permutation is a pure
+    * function of the keys — reproducible on any cluster size and
+    * replayable by the oracle. The output fingerprint xors
+    * POSITION-KEYED hashes (md5 of "pos:doc_id"), so a green row proves
+    * the exact within-shard permutation, not just shard membership.
+    *
+    * Scale shape: the window partitions by shard (one hash exchange);
+    * the following groupBy is on the SAME key, so it reuses that
+    * partitioning — one full-width shuffle total, matching the
+    * repartition(shard) + sortWithinPartitions write a real sharded
+    * export would use. */
+  def qShuffleShard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 10), 16, 10).cast("long")
+    val sharded = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        pmod(h($"doc_id".cast("string")), lit(16L)).as("shard"),
+        h(concat(lit("s:"), $"doc_id".cast("string"))).as("h2"))
+    val w = Window.partitionBy($"shard").orderBy($"h2", $"doc_id")
+    sharded.withColumn("pos", row_number().over(w))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        bit_xor(h(concat($"pos".cast("string"), lit(":"),
+          $"doc_id".cast("string")))).as("order_fp"))
+      .orderBy($"shard")
+  }
+
+  val qShuffleShardSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 16 AS shard,
+      |    CAST(concat('0x', substring(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS h2
+      |  FROM documents),
+      |p AS (
+      |  SELECT shard, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+      |  FROM s)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  bit_xor(CAST(concat('0x', substring(md5(CAST(pos AS VARCHAR) || ':' ||
+      |    CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)) AS order_fp
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Quality-weighted epoch repetition — the published data-recipe
+    * practice of running extra epochs over curated subsets (Gopher,
+    * Rae et al. 2021 §A3.1; LLaMA, Touvron et al. 2023 Table 1 repeat
+    * heuristic paraphrased): longer documents (the quality proxy this
+    * corpus offers) get 2-3 copies, each copy tagged with a distinct
+    * replica id so downstream shuffling treats them independently. The
+    * per-lang fingerprint xors md5("doc_id#rep"), so the oracle verifies
+    * exact copy MULTIPLICITY, not just totals.
+    *
+    * Scale shape: the repeat factor is a projection and the copies come
+    * from `explode(sequence(...))` — a generator BEFORE the single
+    * aggregation shuffle, so the expansion is map-side and linear in
+    * output copies (bounded ≤3× input). */
+  def qEpochUpsample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 10), 16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        when($"n_chars" >= 800, 3).when($"n_chars" >= 400, 2)
+          .otherwise(1).as("reps"))
+      .withColumn("rep", explode(sequence(lit(1), $"reps")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"),
+        bit_xor(h(concat($"doc_id".cast("string"), lit("#"),
+          $"rep".cast("string")))).as("copy_fp"))
+      .orderBy($"lang")
+  }
+
+  val qEpochUpsampleSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN n_chars >= 800 THEN 3
+      |         WHEN n_chars >= 400 THEN 2 ELSE 1 END AS reps
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, unnest(generate_series(1, reps)) AS rep FROM r)
+      |SELECT lang, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
+      |  bit_xor(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '#' ||
+      |    CAST(rep AS VARCHAR)), 1, 10)) AS BIGINT)) AS copy_fp
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Time-series densify: every (event_type × hour) slot in the data's
     * span, zero-filled where no events landed. The hour spine is
     * `sequence()` over the global min/max (one tiny agg, broadcast), so
@@ -1106,7 +1195,9 @@ object PipelineQueries {
     "q_subword_stats"    -> (qSubwordStats _),
     "q_mad_outliers"     -> (qMadOutliers _),
     "q_cooc"             -> (qCooc _),
-    "q_encode_ids"       -> (qEncodeIds _))
+    "q_encode_ids"       -> (qEncodeIds _),
+    "q_shuffle_shard"    -> (qShuffleShard _),
+    "q_epoch_upsample"   -> (qEpochUpsample _))
 
   val oracle: Map[String, String] = Map(
     "q_chunk_overlap"    -> qChunkOverlapSql,
@@ -1139,5 +1230,7 @@ object PipelineQueries {
     "q_subword_stats"    -> qSubwordStatsSql,
     "q_mad_outliers"     -> qMadOutliersSql,
     "q_cooc"             -> qCoocSql,
-    "q_encode_ids"       -> qEncodeIdsSql)
+    "q_encode_ids"       -> qEncodeIdsSql,
+    "q_shuffle_shard"    -> qShuffleShardSql,
+    "q_epoch_upsample"   -> qEpochUpsampleSql)
 }

@@ -335,4 +335,24 @@ class PlanSpec extends SparkSpec {
     assert(pc.contains("Window"), pc)
     assert(countOf(pc, "HashAggregate") >= 2, pc)
   }
+
+  test("q_shuffle_shard: groupBy reuses the window's shard partitioning — one data shuffle") {
+    val p = plan(graft.SparkEntry.queries("q_shuffle_shard")(spark, sf))
+    // one hashpartitioning(shard) exchange feeds BOTH the window and the
+    // aggregate; the only other exchange is the final orderBy's range
+    // partitioning — a second hash exchange means the reuse broke
+    assert(countOf(p, "hashpartitioning") == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_epoch_upsample: copies explode BEFORE the aggregation shuffle") {
+    val p = plan(graft.SparkEntry.queries("q_epoch_upsample")(spark, sf))
+    // Generate (the sequence explode) must be the DEEPEST non-scan op:
+    // the tree prints parents first, so every Exchange must appear
+    // before it — an Exchange after it would be a pre-explode shuffle
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, p)
+    assert(p.lastIndexOf("Exchange") < gen, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
