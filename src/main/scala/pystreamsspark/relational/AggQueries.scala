@@ -162,6 +162,56 @@ object AggQueries {
       |FROM ex JOIN sk USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005): d=4 hash rows × w=64 counters, estimate = min over rows of
+    * the landed counter — always an OVERestimate, exact when no
+    * collision. The md5-derived hash family exists in both engines, so
+    * the whole sketch replays in DuckDB and the key compares the
+    * estimate against the exact count for the top-20 users.
+    *
+    * Scale shape: the counter build is the real sketch path — a ×4
+    * generator over the raw stream into a 256-cell aggregate whose
+    * partial agg collapses map-side (per-partition state is the 256
+    * cells, NOT per-key counts), so the build never shuffles per-key
+    * state and the counter table broadcasts to the probe join. The
+    * exact side exists only for the comparison (it is the oracle's
+    * ground truth, and the thing a production CMS avoids computing). */
+  def qCmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 10), 16, 10).cast("long")
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("d", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", pmod(h(concat($"d".cast("string"), lit(":"),
+        $"user_id".cast("string"))), lit(64L)))
+    val ev = Tables.events(spark, sfDir).select($"user_id")
+    val counters = bucketed(ev).groupBy($"d", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"user_id".asc).limit(20)
+    bucketed(top).join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy($"user_id", $"n_exact").agg(min($"cnt").as("cms_est"))
+      .orderBy($"n_exact".desc, $"user_id".asc)
+  }
+
+  val qCmsFreqSql: String =
+    """WITH ev AS (SELECT user_id FROM events),
+      |tag AS (SELECT user_id, unnest([0,1,2,3]) AS d FROM ev),
+      |tb AS (SELECT d, user_id,
+      |  CAST(concat('0x', substring(md5(CAST(d AS VARCHAR) || ':' ||
+      |    CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT) % 64 AS bucket FROM tag),
+      |counters AS (SELECT d, bucket, COUNT(*) AS cnt FROM tb GROUP BY d, bucket),
+      |top AS (SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY user_id
+      |        ORDER BY n_exact DESC, user_id LIMIT 20),
+      |pt AS (SELECT user_id, n_exact, unnest([0,1,2,3]) AS d FROM top),
+      |pb AS (SELECT user_id, n_exact, d,
+      |  CAST(concat('0x', substring(md5(CAST(d AS VARCHAR) || ':' ||
+      |    CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT) % 64 AS bucket FROM pt)
+      |SELECT pb.user_id, pb.n_exact, MIN(c.cnt) AS cms_est
+      |FROM pb JOIN counters c ON c.d = pb.d AND c.bucket = pb.bucket
+      |GROUP BY pb.user_id, pb.n_exact
+      |ORDER BY pb.n_exact DESC, pb.user_id""".stripMargin
+
   /** MULTIPLE exact count-distincts in one aggregation — the shape that
     * forces Catalyst's Expand-based rewrite: the input is replicated once
     * per distinct column (gid tagging), partial-aggregated per (key, gid,
@@ -199,6 +249,7 @@ object AggQueries {
     "q_collect_list"    -> (qCollectList _),
     "q_multi_distinct"  -> (qMultiDistinct _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
+    "q_cms_freq"        -> (qCmsFreq _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
@@ -207,5 +258,6 @@ object AggQueries {
     "q_percentile"     -> qPercentileSql,
     "q_collect_list"   -> qCollectListSql,
     "q_multi_distinct" -> qMultiDistinctSql,
-    "q_kmv_distinct"   -> qKmvDistinctSql)
+    "q_kmv_distinct"   -> qKmvDistinctSql,
+    "q_cms_freq"       -> qCmsFreqSql)
 }

@@ -367,6 +367,77 @@ object LlmQueries {
       |)
       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** LEAKAGE-SAFE train/val/test split — the near-dup-aware version of
+    * the plain hash split ([[PipelineQueries.qTrainTestSplit]]): split
+    * assignment is a function of the near-dup CLUSTER id (min doc_id of
+    * the connected component over exact-Jaccard ≥ 0.5 pairs; singletons
+    * are their own group), so two near-duplicate documents can never
+    * straddle train and test — the eval-set contamination published
+    * decontamination pipelines exist to prevent (GPT-3 appendix C,
+    * Gopher A3). The fingerprint hashes every doc WITH its split, so
+    * the oracle verifies each document's assignment, not just totals.
+    *
+    * Scale shape: composes the audited pieces — prefix/cost-dispatched
+    * pair gen + O(diameter) min-label CC — then one broadcast-joinable
+    * label map (clustered docs only, a tiny fraction of the corpus)
+    * left-joins back to the doc list; the split itself is a projection. */
+  def qLeakSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 10), 16, 10).cast("long")
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.5)
+    val labels = Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"label")
+    val hc = substring(md5($"group_id".cast("string").cast("binary")), 1, 1)
+    docs.select($"doc_id").join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce($"label", $"doc_id"))
+      .withColumn("split",
+        when(hc < "c", "train").when(hc < "e", "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(countDistinct($"group_id").as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        bit_xor(h(concat($"doc_id".cast("string"), lit("|"), $"split")))
+          .as("assign_fp"))
+      .orderBy($"split")
+  }
+
+  val qLeakSplitSql: String =
+    """WITH RECURSIVE reach AS (
+      |    SELECT s AS id, s AS r FROM und
+      |    UNION
+      |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
+      |), t AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |), lab AS (
+      |  SELECT id, MIN(r) AS label FROM reach GROUP BY id
+      |), g AS (
+      |  SELECT dd.doc_id, COALESCE(lab.label, dd.doc_id) AS group_id
+      |  FROM documents dd LEFT JOIN lab ON lab.id = dd.doc_id
+      |), s AS (
+      |  SELECT doc_id, group_id,
+      |    CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |         WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM g
+      |)
+      |SELECT split, CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+      |  COUNT(*) AS n_docs,
+      |  bit_xor(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |    split), 1, 10)) AS BIGINT)) AS assign_fp
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   /** Corpus BOILERPLATE detection — the CCNet/RefinedWeb-style pass
     * that scores each doc by how much of it is made of n-grams shared
     * with most of the corpus (navigation chrome, license headers,
@@ -1478,6 +1549,7 @@ object LlmQueries {
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_cc_clusters"   -> (qCcClusters _),
+    "q_leak_split"    -> (qLeakSplit _),
     "q_cc_chain"      -> (qCcChain _),
     "q_containment"   -> (qContainment _),
     "q_containment_prefix" -> (qContainmentPrefix _),
@@ -1516,6 +1588,7 @@ object LlmQueries {
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_cc_clusters"   -> qCcClustersSql,
+    "q_leak_split"    -> qLeakSplitSql,
     "q_cc_chain"      -> qCcChainSql,
     "q_containment"   -> qContainmentSql,
     "q_containment_prefix" -> qContainmentSql,

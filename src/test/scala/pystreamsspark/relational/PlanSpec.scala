@@ -355,4 +355,17 @@ class PlanSpec extends SparkSpec {
     assert(p.lastIndexOf("Exchange") < gen, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_cms_freq: counter table broadcasts; probe keys are TakeOrdered, not full sort") {
+    val p = plan(graft.SparkEntry.queries("q_cms_freq")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p) // 256-cell counters broadcast
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 probe keys
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_leak_split: cluster labels broadcast back to the doc list — no cartesian") {
+    val p = plan(graft.SparkEntry.queries("q_leak_split")(spark, sf))
+    assert(p.contains("LeftOuter"), p) // singleton docs are their own group
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
