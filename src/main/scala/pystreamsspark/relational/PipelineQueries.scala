@@ -161,6 +161,60 @@ object PipelineQueries {
       |    CAST(rep AS VARCHAR)), 1, 10)) AS BIGINT)) AS copy_fp
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic hard-negative pairing for contrastive training
+    * (in-domain negatives, the DPR/in-batch idiom — Karpukhin et al.
+    * 2020 §3.2, public work): within each (lang, bucket) RING — bucket
+    * an md5 of the doc id, ring order an independent "n:"-salted md5 —
+    * every document's negative is the next document on the ring (the
+    * ring's first for the last, via first_value). Same-language
+    * negatives are the useful kind (hard), and the whole pairing is a
+    * pure function of the keys: reproducible on any cluster, replayable
+    * by the oracle. The fingerprint hashes each doc WITH its negative,
+    * so a green row proves every individual pairing. A 1-doc ring pairs
+    * with itself (degenerate but well-defined; callers shrink the
+    * bucket count if rings run that small).
+    *
+    * Scale shape: the ring windows partition by (lang, bucket) — bucket
+    * count is the parallelism knob — and the following groupBy is on
+    * the same keys, so the whole key is ONE hash exchange plus the
+    * final orderBy (plan-guarded, same reuse as q_shuffle_shard). */
+  def qNegSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 10), 16, 10).cast("long")
+    val ring = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        pmod(h($"doc_id".cast("string")), lit(8L)).as("bucket"),
+        h(concat(lit("n:"), $"doc_id".cast("string"))).as("h2"))
+    val w = Window.partitionBy($"lang", $"bucket").orderBy($"h2", $"doc_id")
+    ring
+      .withColumn("neg",
+        coalesce(lead($"doc_id", 1).over(w), first($"doc_id").over(w)))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        bit_xor(h(concat($"doc_id".cast("string"), lit(">"),
+          $"neg".cast("string")))).as("pair_fp"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val qNegSampleSql: String =
+    """WITH ring AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 8 AS bucket,
+      |    CAST(concat('0x', substring(md5('n:' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS h2
+      |  FROM documents),
+      |paired AS (
+      |  SELECT lang, bucket, doc_id,
+      |    COALESCE(lead(doc_id) OVER w, first_value(doc_id) OVER w) AS neg
+      |  FROM ring
+      |  WINDOW w AS (PARTITION BY lang, bucket ORDER BY h2, doc_id))
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  bit_xor(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '>' ||
+      |    CAST(neg AS VARCHAR)), 1, 10)) AS BIGINT)) AS pair_fp
+      |FROM paired GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
   /** Time-series densify: every (event_type × hour) slot in the data's
     * span, zero-filled where no events landed. The hour spine is
     * `sequence()` over the global min/max (one tiny agg, broadcast), so
@@ -1197,7 +1251,8 @@ object PipelineQueries {
     "q_cooc"             -> (qCooc _),
     "q_encode_ids"       -> (qEncodeIds _),
     "q_shuffle_shard"    -> (qShuffleShard _),
-    "q_epoch_upsample"   -> (qEpochUpsample _))
+    "q_epoch_upsample"   -> (qEpochUpsample _),
+    "q_neg_sample"       -> (qNegSample _))
 
   val oracle: Map[String, String] = Map(
     "q_chunk_overlap"    -> qChunkOverlapSql,
@@ -1232,5 +1287,6 @@ object PipelineQueries {
     "q_cooc"             -> qCoocSql,
     "q_encode_ids"       -> qEncodeIdsSql,
     "q_shuffle_shard"    -> qShuffleShardSql,
-    "q_epoch_upsample"   -> qEpochUpsampleSql)
+    "q_epoch_upsample"   -> qEpochUpsampleSql,
+    "q_neg_sample"       -> qNegSampleSql)
 }

@@ -368,4 +368,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), p) // singleton docs are their own group
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_neg_sample: groupBy reuses the ring window's partitioning — one data shuffle") {
+    val p = plan(graft.SparkEntry.queries("q_neg_sample")(spark, sf))
+    assert(countOf(p, "hashpartitioning") == 1, p)
+    assert(p.contains("Window"), p)
+  }
 }
