@@ -215,6 +215,45 @@ object PipelineQueries {
       |FROM paired GROUP BY lang, bucket
       |ORDER BY lang, bucket""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view /
+    * daily-pipeline pattern: yesterday's stored aggregate merges
+    * ALGEBRAICALLY with the new partition's aggregate (counts add,
+    * decimal sums add) instead of rescanning history. Here the "stored"
+    * base is orders before 2001-01-01 and the delta is the rest; the
+    * ORACLE is the full recompute over everything, so a green row
+    * proves merge == recompute BIT-exactly. That exactness is why the
+    * partial sums stay DECIMAL through the merge (decimal addition is
+    * exact and order-independent; see [[Det]]) and only the merged
+    * total converts to double, via the same string route as `sqlSum`.
+    *
+    * Scale shape: at 100 TB the base aggregate is a tiny stored
+    * artifact (one row per group) — the per-day cost is one scan of the
+    * DELTA partition plus a broadcast-size merge join, independent of
+    * history length; both date filters push down to the scan here. */
+  def qIncrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val orders = Tables.orders(spark, sfDir)
+    def part(df: DataFrame, nc: String, sc: String): DataFrame =
+      df.groupBy($"o_orderpriority").agg(
+        count(lit(1)).as(nc),
+        sum($"o_totalprice".cast("decimal(38,6)")).as(sc))
+    val base  = part(orders.filter($"o_orderdate" < cutoff), "n_b", "s_b")
+    val delta = part(orders.filter($"o_orderdate" >= cutoff), "n_d", "s_d")
+    val zero = lit(0).cast("decimal(38,6)")
+    base.join(delta, Seq("o_orderpriority"), "full")
+      .select($"o_orderpriority",
+        (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_orders"),
+        d2d(coalesce($"s_b", zero) + coalesce($"s_d", zero)).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qIncrAggSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Time-series densify: every (event_type × hour) slot in the data's
     * span, zero-filled where no events landed. The hour spine is
     * `sequence()` over the global min/max (one tiny agg, broadcast), so
@@ -1252,7 +1291,8 @@ object PipelineQueries {
     "q_encode_ids"       -> (qEncodeIds _),
     "q_shuffle_shard"    -> (qShuffleShard _),
     "q_epoch_upsample"   -> (qEpochUpsample _),
-    "q_neg_sample"       -> (qNegSample _))
+    "q_neg_sample"       -> (qNegSample _),
+    "q_incr_agg"         -> (qIncrAgg _))
 
   val oracle: Map[String, String] = Map(
     "q_chunk_overlap"    -> qChunkOverlapSql,
@@ -1288,5 +1328,6 @@ object PipelineQueries {
     "q_encode_ids"       -> qEncodeIdsSql,
     "q_shuffle_shard"    -> qShuffleShardSql,
     "q_epoch_upsample"   -> qEpochUpsampleSql,
-    "q_neg_sample"       -> qNegSampleSql)
+    "q_neg_sample"       -> qNegSampleSql,
+    "q_incr_agg"         -> qIncrAggSql)
 }
