@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * right scan for any scale; at 100 TB the same call distributes across
   * executors with `spark.sql.files.maxPartitionBytes`-sized splits.
   *
-  * One genuine quirk (SURVEY.md §7.4): `events.ts` is parquet
-  * TIMESTAMP(NANOS), which Spark 4.x rejects by default. We read it as
-  * nanos-since-epoch (`nanosAsLong`) and truncate to microseconds with
-  * integer division — identical to DuckDB's native ns→µs truncation, so
-  * oracle hash-matches hold.
+  * One genuine quirk (SURVEY.md §7.4): historically `events.ts` was parquet
+  * TIMESTAMP(NANOS), which Spark 4.x rejects by default; newer drops of the
+  * test data write plain TIMESTAMP(MICROS). The loader adapts to whichever
+  * physical type it finds: we always read with `nanosAsLong=true` so a
+  * ns-typed file resolves (as LongType nanos-since-epoch) instead of
+  * throwing, then branch on the *resolved* Spark type of `ts` — LongType
+  * means the ns path (truncate to µs with integer division, identical to
+  * DuckDB's ns→µs truncation, so oracle hash-matches hold); any timestamp
+  * type passes through untouched. Hard-coding one file's physical layout is
+  * exactly the brittleness a 100 TB engine can't afford — schemas drift.
   */
 object Tables {
   val tableNames: Seq[String] = Seq(
@@ -37,11 +42,29 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** events with `ts` converted to TimestampType (µs), truncated from ns. */
+  /** events with `ts` guaranteed to be a timestamp type (µs precision),
+    * whether the file stores TIMESTAMP(NANOS) or TIMESTAMP(MICROS).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Runtime-settable in Spark 4.1; must be on before the read resolves.
+    // Harmless when the file is µs-typed; required when it is ns-typed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanosAsLong path: ns since epoch as int64 → truncate to µs.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Parquet timestamp[us] with isAdjustedToUTC=false resolves as NTZ.
+        // All sessions pin spark.sql.session.timeZone=UTC, so this cast
+        // reinterprets the wall clock as UTC — epoch micros are preserved
+        // bit-for-bit, matching both the ns path above and DuckDB's view
+        // of the same file.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        // Already TIMESTAMP (µs, UTC-adjusted) — use as-is.
+        raw
+    }
   }
 }

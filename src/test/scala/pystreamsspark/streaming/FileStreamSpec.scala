@@ -20,14 +20,20 @@ class FileStreamSpec extends SparkSpec {
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    // ns-timestamp handling, streaming edition: nanosAsLong + manual µs
-    // conversion — identical to Tables.events (the batch loader)
+    // Schema-adaptive ts handling, streaming edition: take the schema the
+    // batch reader resolves for this exact file (ns → LongType under
+    // nanosAsLong; µs → a timestamp type), feed it to readStream, then
+    // normalize exactly like Tables.events (the batch loader).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = s.read.parquet(dir.toString).schema
+    val stream = s.readStream.schema(fileSchema).parquet(dir.toString)
+    val raw = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts",
+          $"ts".cast(org.apache.spark.sql.types.TimestampType))
+    }
 
     val agg = raw
       .groupBy(window($"ts", "1 hour"), $"event_type")
