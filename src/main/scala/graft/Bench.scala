@@ -34,7 +34,10 @@ object Bench {
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Exclude -1.0 failure sentinels from the total: summing them in
+    // distorts cross-round comparisons by -1s per broken key.
+    val ran = results.map(_._2).filter(_ >= 0.0)
+    val total = if (ran.nonEmpty) ran.sum else 0.0
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

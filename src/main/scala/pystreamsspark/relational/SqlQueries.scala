@@ -13,8 +13,14 @@ import Det._
   */
 object SqlQueries {
 
-  private def views(spark: SparkSession, sfDir: String): Unit =
-    Tables.tableNames.foreach { t =>
+  /** Register ONLY the tables a query actually reads. Registering every
+    * table eagerly meant one broken loader took down all 8 SQL keys at
+    * once (round 4: the events remount failed Q5 even though Q5 never
+    * touches events). Per-query registration confines a loader fault to
+    * the keys that genuinely depend on that table.
+    */
+  private def views(spark: SparkSession, sfDir: String, tables: String*): Unit =
+    tables.foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
 
@@ -38,7 +44,7 @@ object SqlQueries {
        |ORDER BY n_name""".stripMargin
 
   def qSqlQ5(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     spark.sql(sqlQ5)
   }
 
@@ -66,7 +72,7 @@ object SqlQueries {
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
   def qSqlQ7(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "supplier", "lineitem", "orders", "customer", "nation")
     spark.sql(sqlQ7)
   }
 
@@ -89,7 +95,7 @@ object SqlQueries {
        |LIMIT 20""".stripMargin
 
   def qSqlQ10(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "customer", "orders", "lineitem", "nation")
     spark.sql(sqlQ10)
   }
 
@@ -104,7 +110,7 @@ object SqlQueries {
        |ORDER BY rf, ls""".stripMargin
 
   def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "lineitem")
     spark.sql(sqlGroupingSets)
   }
 
@@ -126,7 +132,7 @@ object SqlQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   def qSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "orders", "customer", "lineitem")
     spark.sql(sqlSubqueries)
   }
 
@@ -178,7 +184,7 @@ object SqlQueries {
       |ORDER BY depth""".stripMargin
 
   def qRecursive(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "customer")
     spark.sql(sqlRecursive)
   }
 
@@ -195,7 +201,7 @@ object SqlQueries {
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
   def qLateral(spark: SparkSession, sfDir: String): DataFrame = {
-    views(spark, sfDir)
+    views(spark, sfDir, "nation", "customer")
     spark.sql(sqlLateral)
   }
 
