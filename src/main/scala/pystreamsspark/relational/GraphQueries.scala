@@ -165,10 +165,10 @@ object GraphQueries {
   }
 
   val qBfsHopsSql: String =
-    """WITH RECURSIVE e0 AS (
+    """WITH RECURSIVE e0 AS MATERIALIZED (
       |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      |), dir AS (
+      |), dir AS MATERIALIZED (
       |  SELECT a AS src, b AS dst FROM e0
       |  UNION ALL
       |  SELECT b AS src, a AS dst FROM e0
@@ -200,7 +200,7 @@ object GraphQueries {
     """WITH e0 AS (
       |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      |), dir AS (
+      |), dir AS MATERIALIZED (
       |  SELECT a AS src, b AS dst FROM e0
       |  UNION ALL
       |  SELECT b AS src, a AS dst FROM e0

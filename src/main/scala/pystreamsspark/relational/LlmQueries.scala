@@ -279,7 +279,7 @@ object LlmQueries {
   }
 
   val qJaccardPairsSql: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents)
@@ -314,7 +314,7 @@ object LlmQueries {
   }
 
   val qJaccardPrefixSql: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents WHERE source IN ('src3', 'src7'))
@@ -352,17 +352,17 @@ object LlmQueries {
       |    SELECT s AS id, s AS r FROM und
       |    UNION
       |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents
-      |), e0 AS (
+      |), e0 AS MATERIALIZED (
       |  SELECT a.doc_id AS s, b.doc_id AS d
       |  FROM t a JOIN t b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
-      |), und AS (
+      |), und AS MATERIALIZED (
       |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
       |)
       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
@@ -408,17 +408,17 @@ object LlmQueries {
       |    SELECT s AS id, s AS r FROM und
       |    UNION
       |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents
-      |), e0 AS (
+      |), e0 AS MATERIALIZED (
       |  SELECT a.doc_id AS s, b.doc_id AS d
       |  FROM t a JOIN t b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
-      |), und AS (
+      |), und AS MATERIALIZED (
       |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
       |), lab AS (
       |  SELECT id, MIN(r) AS label FROM reach GROUP BY id
@@ -890,7 +890,7 @@ object LlmQueries {
   }
 
   val qContainmentSql: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents)
@@ -924,17 +924,17 @@ object LlmQueries {
       |    SELECT s AS id, s AS r FROM und
       |    UNION
       |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       |  FROM documents
-      |), e0 AS (
+      |), e0 AS MATERIALIZED (
       |  SELECT a.doc_id AS s, b.doc_id AS d
       |  FROM t a JOIN t b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
-      |), und AS (
+      |), und AS MATERIALIZED (
       |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
       |), labels AS (
       |  SELECT id, MIN(r) AS label FROM reach GROUP BY id
