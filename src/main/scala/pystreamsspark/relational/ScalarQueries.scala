@@ -182,19 +182,127 @@ object ScalarQueries {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** Spark 4 VARIANT path: serialize each order into a nested JSON
+    * document, parse it into an open `VariantType` value, and extract
+    * typed fields back out with `variant_get` paths (nested object,
+    * array index, double leaf) — the semi-structured access pattern a
+    * 100 TB telemetry/config column needs (binary variant encoding is
+    * read-efficient: field access doesn't re-parse text, and Catalyst
+    * pushes variant_get into the scan for shredded storage). The oracle
+    * is ground truth: the extracted values must equal the base columns
+    * they were built from, aggregated decimal-exact. */
+  def qVariantExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val doc = to_json(struct(
+      $"o_orderkey".as("id"),
+      struct($"o_custkey".as("key"), $"o_orderpriority".as("pri")).as("cust"),
+      $"o_totalprice".as("price"),
+      array($"o_orderstatus", $"o_orderpriority").as("tags")))
+    Tables.orders(spark, sfDir)
+      .select(parse_json(doc).as("v"))
+      .select(
+        variant_get($"v", "$.cust.pri", "string").as("pri"),
+        variant_get($"v", "$.price", "double").as("price"),
+        variant_get($"v", "$.tags[0]", "string").as("tag0"))
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum($"price").as("sum_price"),
+        max($"tag0").as("max_tag"))
+      .orderBy($"pri")
+  }
+
+  // ground truth: extraction must reproduce the source columns exactly
+  // (to_json renders doubles with Java's round-trip-exact shortest form,
+  // so price survives the text round trip bit-for-bit)
+  val qVariantExtractSql: String =
+    s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price,
+       |  MAX(o_orderstatus) AS max_tag
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY pri""".stripMargin
+
+  /** Built-in XML source functions (Spark 4): render each order as an
+    * XML fragment, parse it back with `from_xml` + an explicit schema,
+    * and aggregate the extracted fields. Numeric leaves are integers
+    * only — doubles are never round-tripped through XML text (no
+    * cross-engine float-format contract there). */
+  def qXmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val xml = concat(
+      lit("<order><id>"), $"o_orderkey".cast("string"),
+      lit("</id><status>"), $"o_orderstatus",
+      lit("</status><pri>"), $"o_orderpriority",
+      lit("</pri></order>"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("pri", StringType)))
+    Tables.orders(spark, sfDir)
+      .select(from_xml(xml, schema).as("x"))
+      .groupBy($"x.pri".as("pri"), $"x.status".as("status"))
+      .agg(count(lit(1)).as("n"),
+        min($"x.id").as("min_id"), max($"x.id").as("max_id"))
+      .orderBy($"pri", $"status")
+  }
+
+  val qXmlExtractSql: String =
+    """SELECT o_orderpriority AS pri, o_orderstatus AS status, COUNT(*) AS n,
+      |  MIN(o_orderkey) AS min_id, MAX(o_orderkey) AS max_id
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY pri, status""".stripMargin
+
+  /** URL parsing for web-corpus curation (domain-level dedup / source
+    * filtering): synthesize each document's canonical URL, then extract
+    * HOST / PATH / a QUERY parameter with `parse_url` and aggregate per
+    * host. Oracle = ground truth from the base columns. parse_url is a
+    * codegen'd expression — no UDF — so the extraction stays inside
+    * whole-stage codegen at any scale. */
+  def qUrlParse(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val url = concat(
+      lit("https://"), $"source", lit(".example.com/"), $"lang",
+      lit("/doc/"), $"doc_id".cast("string"),
+      lit("?ref=r"), ($"doc_id" % 7).cast("string"), lit("&utm=x"))
+    Tables.documents(spark, sfDir)
+      .select(
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+      .groupBy($"host", $"ref")
+      .agg(count(lit(1)).as("n"), min($"path").as("min_path"))
+      .orderBy($"host", $"ref")
+  }
+
+  val qUrlParseSql: String =
+    """SELECT source || '.example.com' AS host,
+      |  'r' || CAST(doc_id % 7 AS VARCHAR) AS ref,
+      |  COUNT(*) AS n,
+      |  MIN('/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)) AS min_path
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY host, ref""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_string_fns"   -> (qStringFns _),
-    "q_date_fns"     -> (qDateFns _),
-    "q_math_fns"     -> (qMathFns _),
-    "q_case_when"    -> (qCaseWhen _),
-    "q_json_extract" -> (qJsonExtract _),
-    "q_array_fns"    -> (qArrayFns _))
+    "q_string_fns"      -> (qStringFns _),
+    "q_date_fns"        -> (qDateFns _),
+    "q_math_fns"        -> (qMathFns _),
+    "q_case_when"       -> (qCaseWhen _),
+    "q_json_extract"    -> (qJsonExtract _),
+    "q_variant_extract" -> (qVariantExtract _),
+    "q_xml_extract"     -> (qXmlExtract _),
+    "q_url_parse"       -> (qUrlParse _),
+    "q_array_fns"       -> (qArrayFns _))
 
   val oracle: Map[String, String] = Map(
-    "q_string_fns"   -> qStringFnsSql,
-    "q_date_fns"     -> qDateFnsSql,
-    "q_math_fns"     -> qMathFnsSql,
-    "q_case_when"    -> qCaseWhenSql,
-    "q_json_extract" -> qJsonExtractSql,
-    "q_array_fns"    -> qArrayFnsSql)
+    "q_string_fns"      -> qStringFnsSql,
+    "q_date_fns"        -> qDateFnsSql,
+    "q_math_fns"        -> qMathFnsSql,
+    "q_case_when"       -> qCaseWhenSql,
+    "q_json_extract"    -> qJsonExtractSql,
+    "q_variant_extract" -> qVariantExtractSql,
+    "q_xml_extract"     -> qXmlExtractSql,
+    "q_url_parse"       -> qUrlParseSql,
+    "q_array_fns"       -> qArrayFnsSql)
 }

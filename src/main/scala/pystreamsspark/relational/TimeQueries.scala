@@ -218,12 +218,95 @@ object TimeQueries {
       |FROM days d
       |ORDER BY d.d""".stripMargin
 
+  /** Time-series RESAMPLE with linear interpolation — the gap-filling
+    * sibling of [[pystreamsspark.relational.PipelineQueries.qGapfill]]
+    * that reconstructs a VALUE (not a zero count) for missing slots:
+    * per event_type, the hourly series of max(value), with empty hours
+    * linearly interpolated between the nearest present neighbors
+    * (leading/trailing gaps stay NULL). The sensor-data resample every
+    * telemetry pipeline needs.
+    *
+    * Scale shape: the spine is types × hour sequence (tiny, broadcast);
+    * the series itself is one partial+final max-aggregate; prev/next
+    * neighbor discovery is two frame-bounded window passes partitioned
+    * by event_type — no self-join, no point lookup per gap. Float
+    * parity: max(double) is order-independent, and the interpolation
+    * formula is one fixed IEEE op sequence (sub, div, mul, add) on both
+    * engines — bit-identical without decimal casts.
+    */
+  def qInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min($"ts")).as("lo"),
+      date_trunc("hour", max($"ts")).as("hi"))
+    val hours = bounds.select(
+      explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+    val types = ev.select($"event_type").distinct()
+    val series = ev
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(max($"value").as("v"))
+    val spine = types.crossJoin(broadcast(hours))
+      .join(series, Seq("event_type", "hour"), "left")
+      .withColumn("idx", expr("unix_micros(hour) div 3600000000"))
+    val before = Window.partitionBy($"event_type").orderBy($"idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy($"event_type").orderBy($"idx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine
+      .withColumn("pv", last($"v", ignoreNulls = true).over(before))
+      .withColumn("pi", last(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(before))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(after))
+      .withColumn("ni", first(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(after))
+      .select($"event_type", $"hour",
+        $"v".isNull.as("filled"),
+        when($"v".isNotNull, $"v")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (($"idx" - $"pi").cast("double") / ($"ni" - $"pi").cast("double")))
+          .as("v_out"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val qInterpSql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |s AS (SELECT event_type, date_trunc('hour', ts) AS hour, MAX(value) AS v
+      |      FROM events GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT ty.event_type, h.hour, s.v,
+      |    epoch_us(h.hour) // 3600000000 AS idx
+      |  FROM ty CROSS JOIN h
+      |  LEFT JOIN s ON s.event_type = ty.event_type AND s.hour = h.hour
+      |), n AS (
+      |  SELECT event_type, hour, v, idx,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY idx
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY idx
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      |  FROM sp
+      |)
+      |SELECT event_type, hour, v IS NULL AS filled,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) *
+      |         (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) END AS v_out
+      |FROM n
+      |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_running_distinct" -> (qRunningDistinct _),
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_ewma"           -> (qEwma _),
+    "q_interp"         -> (qInterp _),
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
@@ -232,5 +315,6 @@ object TimeQueries {
     "q_sliding"        -> qSlidingSql,
     "q_session_window" -> qSessionWindowSql,
     "q_ewma"           -> qEwmaSql,
+    "q_interp"         -> qInterpSql,
     "q_funnel"         -> qFunnelSql)
 }
