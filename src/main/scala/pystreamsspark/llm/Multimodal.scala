@@ -86,6 +86,71 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed WAV (RIFF/WAVE) audio metadata. */
+  case class AudioMeta(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                       nSamples: Long)
+
+  /** Real, dependency-free WAV header parse (RIFF container, little-
+    * endian — deliberately the opposite byte order of the PNG/JPEG
+    * parsers above, so an endianness bug in either direction fails its
+    * oracle). Layout per the public RIFF/WAVE spec (Microsoft/IBM 1991,
+    * mirrored in RFC 2361): "RIFF" + u32le size + "WAVE", then a chunk
+    * walk ("fmt " carries channels/rate/bits/blockAlign at fixed
+    * offsets; "data" carries the payload size; chunks are word-aligned).
+    * nSamples = dataSize / blockAlign. Returns None for anything that
+    * is not a well-formed WAV. */
+  def decodeWavHeader(p: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (p.length < 12 ||
+        p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, blockAlign, bits
+    var dataSize = -1L
+    while (i + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
+      val sz = u32le(i + 4)
+      val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' &&
+        p(i + 3) == ' '
+      val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+        p(i + 3) == 'a'
+      if (isFmt && sz >= 16 && i + 8 + 16 <= p.length)
+        fmt = Some((u16le(i + 10), u32le(i + 12).toInt, u16le(i + 20),
+          u16le(i + 22)))
+      else if (isData) dataSize = sz
+      // a data chunk's payload bytes need not be present (header-only
+      // payloads) — but any FURTHER chunk walk needs the skip
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    fmt match {
+      case Some((ch, rate, ba, bits))
+          if dataSize >= 0 && ba > 0 && ch > 0 && rate > 0 =>
+        Some(AudioMeta(ch, rate, bits, dataSize / ba))
+      case _ => None
+    }
+  }
+
+  /** Attach decoded AUDIO metadata per row — same partition-wise batch
+    * decode shape as [[withMeta]]; non-WAV payloads yield zero rows
+    * (flatMap), the filter-on-decode shape a mixed-modality corpus
+    * needs. duration_ms is exact integer math: nSamples·1000 div rate. */
+  def withAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeWavHeader(bytes).map(m =>
+          (id, m.channels, m.sampleRate, m.bitsPerSample, m.nSamples,
+            m.nSamples * 1000L / m.sampleRate))
+      }
+      .toDF(idCol, "channels", "sample_rate", "bits", "n_samples",
+        "duration_ms")
+  }
+
   /** STUB decoder — deterministic fake metadata derived from the payload
     * bytes; the fallback for payloads with no recognized real header. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {

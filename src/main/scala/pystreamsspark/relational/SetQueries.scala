@@ -110,6 +110,55 @@ object SetQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL WAV (RIFF) header decode, oracle-checked differentially —
+    * the AUDIO companion of [[qMediaHeader]]: Spark synthesizes
+    * spec-correct little-endian WAV headers (RIFF + fmt + data chunks)
+    * byte-for-byte from each doc's id, parses them back with
+    * [[pystreamsspark.llm.Multimodal.decodeWavHeader]] inside the
+    * flatMap decode path, and the oracle recomputes channels / sample
+    * rate / sample count / duration arithmetically. Endianness, chunk
+    * offsets and the blockAlign division all break the hash on any
+    * parser bug. */
+  def qAudioMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ch = (pmod($"doc_id", lit(2)) + 1).cast("int")          // 1..2
+    val rate = ((pmod($"doc_id", lit(5)) + 1) * 8000).cast("int") // 8k..40k
+    val blockAlign = (ch * 2).cast("int")                        // 16-bit PCM
+    val nSamples = (pmod($"doc_id" * 31, lit(48000)) + 1).cast("int")
+    val dataSize = (nSamples * blockAlign).cast("int")
+    def u32le(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def u16le(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val wav = unhex(concat(
+      lit("52494646"), u32le(dataSize + 36), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), u32le(lit(16)),                        // fmt , len 16
+      u16le(lit(1)), u16le(ch),                               // PCM, channels
+      u32le(rate), u32le(rate * blockAlign),                  // rate, byteRate
+      u16le(blockAlign), u16le(lit(16)),                      // align, bits
+      lit("64617461"), u32le(dataSize)))                      // data header
+    val payloads = Tables.documents(spark, sfDir)
+      .select($"doc_id", wav.as("payload"))
+    pystreamsspark.llm.Multimodal.withAudioMeta(payloads, "doc_id", "payload")
+      .orderBy($"doc_id")
+  }
+
+  val qAudioMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |  CAST((doc_id % 5 + 1) * 8000 AS INT) AS sample_rate,
+      |  16 AS bits,
+      |  CAST((doc_id * 31) % 48000 + 1 AS BIGINT) AS n_samples,
+      |  ((doc_id * 31) % 48000 + 1) * 1000
+      |    // ((doc_id % 5 + 1) * 8000) AS duration_ms
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val qMediaHeaderSql: String =
     """SELECT doc_id,
       |  CAST(doc_id % 4096 + 1 AS INT) AS width,
@@ -133,11 +182,13 @@ object SetQueries {
     "q_union"            -> (qUnion _),
     "q_intersect_except" -> (qIntersectExcept _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
-    "q_media_header"     -> (qMediaHeader _))
+    "q_media_header"     -> (qMediaHeader _),
+    "q_audio_meta"       -> (qAudioMeta _))
 
   val oracle: Map[String, String] = Map(
     "q_union"            -> qUnionSql,
     "q_intersect_except" -> qIntersectExceptSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
-    "q_media_header"     -> qMediaHeaderSql)
+    "q_media_header"     -> qMediaHeaderSql,
+    "q_audio_meta"       -> qAudioMetaSql)
 }

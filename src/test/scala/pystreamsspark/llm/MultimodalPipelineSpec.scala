@@ -102,6 +102,33 @@ class MultimodalPipelineSpec extends SparkSpec {
       Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)) === None)
   }
 
+  test("real WAV RIFF header parse: genuine little-endian bytes decode; malformed reject") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built 2-channel 16-bit 16 kHz WAV with a LIST chunk BEFORE
+    // fmt (chunk-walk exercise) and a 400-byte data chunk -> 100 samples
+    def wav(withData: Boolean): Array[Byte] = {
+      val bb = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(120); bb.put("WAVE".getBytes)
+      bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(2); bb.putInt(16000); bb.putInt(64000)
+      bb.putShort(4); bb.putShort(16)
+      if (withData) { bb.put("data".getBytes); bb.putInt(400) }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val m = Multimodal.decodeWavHeader(wav(withData = true))
+    assert(m === Some(Multimodal.AudioMeta(2, 16000, 16, 100L)))
+    // no data chunk -> not a playable WAV
+    assert(Multimodal.decodeWavHeader(wav(withData = false)) === None)
+    // wrong magic
+    assert(Multimodal.decodeWavHeader("RIFX1234WAVE".getBytes) === None)
+    // truncated before the fmt payload
+    assert(Multimodal.decodeWavHeader(
+      "RIFF\u0000\u0000\u0000\u0000WAVEfmt ".getBytes("ISO-8859-1")) === None)
+    // JPEG/PNG parsers must NOT claim a WAV and vice versa
+    assert(Multimodal.decodeHeader(wav(withData = true)) === None)
+  }
+
   test("payload binary column is pruned when only metadata is selected") {
     val s = spark
     import s.implicits._
