@@ -586,6 +586,42 @@ object Dedup {
     definitelyNew.unionByName(candidates)
   }
 
+  /** Incremental NEAR-dup detection: which docs of an `incoming` batch
+    * are near-duplicates (exact Jaccard >= threshold, within
+    * `blockCols` blocks) of ANY doc already in `existing` — the
+    * cross-corpus companion of [[deltaWithBloom]] (exact-key delta) and
+    * the production shape of continuous corpus ingestion: the existing
+    * 100 TB corpus is scanned ONCE, the batch's token sets ride along
+    * as the broadcast build side of a block equi-join, and the exact
+    * verify is candidate-local. Never batch×batch, never corpus×corpus.
+    *
+    * Output: one row per flagged incoming doc — (id, n_matches,
+    * min_match, max_jaccard) — deterministic: counts and ids are exact,
+    * and max over exactly-computed division results is
+    * order-independent.
+    */
+  def neardupDelta(existing: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val e = hashedTokenSets(existing, idCol, textCol, blockCols)
+      .select((col("id").as("id_e") +: col("toks").as("toks_e")
+        +: blockCols.map(col)): _*)
+    val i = hashedTokenSets(incoming, idCol, textCol, blockCols)
+      .select((col("id").as("id_i") +: col("toks").as("toks_i")
+        +: blockCols.map(col)): _*)
+    // a delta batch is small by definition relative to the corpus —
+    // broadcast it so the corpus never shuffles
+    e.join(broadcast(i), blockCols)
+      .select(col("id_i"), col("id_e"),
+        size(array_intersect(col("toks_i"), col("toks_e"))).as("n_inter"),
+        size(array_union(col("toks_i"), col("toks_e"))).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_i").as("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("id_e")).as("min_match"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** 64-bit SimHash over the token multiset: bit j is the sign of the
     * sum of (+1/-1) votes from each token hash's bit j. Expressed as one
     * SQL expression tree (bit ops need column-typed shift amounts, which

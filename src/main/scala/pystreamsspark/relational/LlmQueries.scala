@@ -57,6 +57,41 @@ object LlmQueries {
       |      AND lower(trim(e.text)) = lower(trim(n.text)))
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup delta ([[Dedup.neardupDelta]]): which docs of
+    * a 20% incoming batch (doc_id % 5 == 0) are exact-Jaccard-0.5
+    * near-duplicates of the 80% existing corpus, within (lang, source)
+    * blocks. The continuous-ingestion shape: existing corpus scanned
+    * once, batch broadcast, verify candidate-local — never batch×batch
+    * or corpus×corpus. Oracle is the quadratic cross join in DuckDB
+    * (MATERIALIZED token CTE). */
+  def qNeardupDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.neardupDelta(
+        docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+        "doc_id", "text", Seq("lang", "source"), threshold = 0.5)
+      .orderBy($"id")
+  }
+
+  val qNeardupDeltaSql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT i.doc_id AS id, e.doc_id AS eid,
+      |    CAST(len(list_intersect(i.toks, e.toks)) AS DOUBLE) /
+      |      (len(i.toks) + len(e.toks) - len(list_intersect(i.toks, e.toks)))
+      |      AS jaccard
+      |  FROM t i JOIN t e
+      |    ON i.lang = e.lang AND i.source = e.source
+      |   AND i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
+      |)
+      |SELECT id, COUNT(*) AS n_matches, MIN(eid) AS min_match,
+      |  MAX(jaccard) AS max_jaccard
+      |FROM p WHERE jaccard >= 0.5
+      |GROUP BY id ORDER BY id""".stripMargin
+
   /** Global top-20 tokens by frequency (explode → partial agg → final →
     * TakeOrderedAndProject: only (token, count) partials shuffle). */
   def qTokensTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1538,6 +1573,7 @@ object LlmQueries {
     "q_ann_multiband_oracle" -> (qAnnMultibandOracle _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_delta"   -> (qDedupDelta _),
+    "q_neardup_delta" -> (qNeardupDelta _),
     "q_tokens_topk"   -> (qTokensTopk _),
     "q_tfidf"         -> (qTfidf _),
     "q_lang_stats"    -> (qLangStats _),
@@ -1577,6 +1613,7 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_delta"   -> qDedupDeltaSql,
+    "q_neardup_delta" -> qNeardupDeltaSql,
     "q_tokens_topk"   -> qTokensTopkSql,
     "q_tfidf"         -> qTfidfSql,
     "q_lang_stats"    -> qLangStatsSql,

@@ -71,4 +71,31 @@ class BloomDeltaSpec extends SparkSpec {
     assert(candidates >= 500)   // all true dups are candidates
     assert(candidates < 2000, s"candidates=$candidates — prefilter not selective")
   }
+
+  test("neardupDelta flags planted cross-split near-dups and nothing else") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq(
+      (10L, "alpha beta gamma delta epsilon", "en", "web"),
+      (11L, "one two three four five six", "en", "web"),
+      (12L, "alpha beta gamma delta epsilon", "en", "books") // other block
+    ).toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      // 4/6 token overlap with doc 10 -> jaccard 4/7 >= 0.5, same block
+      (100L, "alpha beta gamma delta zeta eta", "en", "web"),
+      // identical text but different block (books vs web): matches 12 only
+      (101L, "alpha beta gamma delta epsilon", "en", "books"),
+      // disjoint tokens: never flagged
+      (102L, "seven eight nine ten", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = pystreamsspark.llm.Dedup
+      .neardupDelta(existing, incoming, "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.5)
+      .orderBy($"id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      (100L, 1L, 10L, 4.0 / 7.0),
+      (101L, 1L, 12L, 1.0)))
+  }
 }
