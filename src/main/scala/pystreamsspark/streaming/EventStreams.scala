@@ -99,6 +99,31 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream join — same watermarked interval
+    * condition as [[purchaseClickJoin]], but purchases with NO
+    * preceding click still emit (click columns null) once the
+    * watermark passes their join window and the runtime can prove no
+    * match can arrive. The attribution-with-unattributed-remainder
+    * shape: inner drops cold-start purchases, left outer keeps them,
+    * and the watermark bound is what keeps the join state finite on an
+    * endless stream. */
+  def purchaseClickJoinOuter(purchases: DataFrame,
+                             clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Stream-static enrichment join: each streaming event joined to a
     * static dimension table. The static side is planned per micro-batch
     * (broadcast when small — the common dimension-enrichment shape);

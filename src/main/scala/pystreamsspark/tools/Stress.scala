@@ -286,6 +286,58 @@ object Stress {
           .groupBy($"k").agg(count(lit(1)), sum($"l_extendedprice")).count()
       }
     }
+    // incremental near-dup delta probe: a FIXED-size incoming batch
+    // (one sf0.1 replica, ids offset clear of the corpus) against the
+    // xN-amplified existing corpus — measures that the corpus side
+    // scans linearly while the broadcast batch stays constant. Batch
+    // tokens carry replica-0's perturbation, so it near-dups exactly
+    // one corpus slice (a realistic ingest: some of the batch is old
+    // news, most of the corpus is unrelated).
+    time(s"neardup_delta x$mult") {
+      val incoming = pystreamsspark.io.Tables.documents(spark, sfDir)
+        .withColumn("doc_id", $"doc_id" + lit(900000000L))
+        .withColumn("text", array_join(
+          transform(split($"text", " "), t => concat(t, lit("_0"))), " "))
+      pystreamsspark.llm.Dedup.neardupDelta(
+        docsPerturbed, incoming, "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.5).count()
+    }
+
+    // interpolation resample probe: xN events (same time span, so the
+    // hour spine is CONSTANT) — the hourly max agg must absorb the
+    // extra rows map-side and the window passes run over the fixed-size
+    // spine, so wall clock should track the scan, not the row count.
+    time(s"interp x$mult") {
+      val evx = amplified(pystreamsspark.io.Tables.events(spark, sfDir),
+        Seq("event_id", "user_id"), 100000000L)
+      val bounds = evx.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val hours = bounds.select(
+        explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+      val types = evx.select($"event_type").distinct()
+      val series = evx
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(max($"value").as("v"))
+      val spine = types.crossJoin(broadcast(hours))
+        .join(series, Seq("event_type", "hour"), "left")
+        .withColumn("idx", expr("unix_micros(hour) div 3600000000"))
+      import org.apache.spark.sql.expressions.Window
+      val before = Window.partitionBy($"event_type").orderBy($"idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val after = Window.partitionBy($"event_type").orderBy($"idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine
+        .withColumn("pv", last($"v", ignoreNulls = true).over(before))
+        .withColumn("pi", last(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(before))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(after))
+        .withColumn("ni", first(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(after))
+        .select(when($"v".isNotNull, $"v")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (($"idx" - $"pi").cast("double") / ($"ni" - $"pi").cast("double")))
+          .as("v_out"))
+        .agg(count($"v_out")).count()
+    }
     spark.stop()
   }
 }

@@ -139,6 +139,32 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchase emits nulls after watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.purchaseClickJoinOuter(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 purchase WITH a click; user 3 purchase with NO click ever
+      clicks.addData(ev(10, 5, 1, "click", 0.0))
+      purchases.addData(ev(1, 9, 1, "purchase", 5.0), ev(2, 9, 3, "purchase", 7.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase 2's join window so the
+      // runtime can prove no matching click can still arrive
+      clicks.addData(ev(90, 120, 9, "click", 0.0))
+      purchases.addData(ev(91, 120, 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT purchase_id, click_id FROM ssjoin_outer_out WHERE purchase_id IN (1, 2)")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(rows === Set((1L, Some(10L)), (2L, None)))
+    } finally q.stop()
+  }
+
   test("arbitrary state: running per-user totals") {
     val s = spark
     import s.implicits._
