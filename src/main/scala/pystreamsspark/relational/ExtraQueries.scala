@@ -168,11 +168,42 @@ object ExtraQueries {
       |  WHERE q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
       |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
 
+  /** `DataFrameStatFunctions.crosstab` — the contingency-table API:
+    * event_type × ISO day-of-week counts. Crosstab pivots distinct
+    * right-column values into columns (here the fixed 1..7 weekday set,
+    * so the schema is static); under the hood it is one partial+final
+    * count aggregate + a pivot on the aggregated (|types|·7)-row table —
+    * the same scale shape as q_pivot. Output rows ordered by the key
+    * column; the oracle is a FILTER-based manual pivot. */
+  def qCrosstab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type",
+        // ISO weekday (Mon=1..Sun=7): dayofweek is Sun=1, shift it
+        (pmod(dayofweek($"ts") + lit(5), lit(7)) + 1).as("dow"))
+      .stat.crosstab("event_type", "dow")
+      .orderBy($"event_type_dow")
+  }
+
+  val qCrosstabSql: String =
+    """SELECT event_type AS event_type_dow,
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 1) AS "1",
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 2) AS "2",
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 3) AS "3",
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 4) AS "4",
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 5) AS "5",
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 6) AS "6",
+      |  COUNT(*) FILTER (WHERE isodow(ts) = 7) AS "7"
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type_dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_map_fns"      -> (qMapFns _),
     "q_except_all"   -> (qExceptAll _),
     "q_minmax_by"    -> (qMinmaxBy _),
     "q_skyline"      -> (qSkyline _),
+    "q_crosstab"     -> (qCrosstab _),
     "q_stats_manual" -> (qStatsManual _))
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +211,6 @@ object ExtraQueries {
     "q_except_all"   -> qExceptAllSql,
     "q_minmax_by"    -> qMinmaxBySql,
     "q_skyline"      -> qSkylineSql,
+    "q_crosstab"     -> qCrosstabSql,
     "q_stats_manual" -> qStatsManualSql)
 }

@@ -205,7 +205,36 @@ object SqlQueries {
     spark.sql(sqlLateral)
   }
 
+  /** VARIANT as a GENERATOR (Spark 4): `LATERAL variant_explode` turns
+    * each order's variant array into (pos, value) rows — the
+    * semi-structured flatten every telemetry pipeline needs (the scalar
+    * variant path is `q_variant_extract`). Per-row generate then one
+    * partial+final count agg; the oracle is the positional ground truth
+    * (pos 0 = status, pos 1 = priority) as a UNION ALL. */
+  val sqlVariantExplode: String =
+    """SELECT v.pos, CAST(v.value AS STRING) AS val, COUNT(*) AS n
+      |FROM orders o,
+      |  LATERAL variant_explode(parse_json(
+      |    concat('["', o_orderstatus, '","', o_orderpriority, '"]'))) v
+      |GROUP BY v.pos, CAST(v.value AS STRING)
+      |ORDER BY pos, val""".stripMargin
+
+  def qVariantExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders")
+    spark.sql(sqlVariantExplode)
+  }
+
+  val qVariantExplodeOracleSql: String =
+    """SELECT pos, val, n FROM (
+      |  SELECT 0 AS pos, o_orderstatus AS val, COUNT(*) AS n
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1 AS pos, o_orderpriority AS val, COUNT(*) AS n
+      |  FROM orders GROUP BY 2)
+      |ORDER BY pos, val""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_explode" -> (qVariantExplode _),
     "q_lateral_topn"  -> (qLateral _),
     "q_sql_q5"        -> (qSqlQ5 _),
     "q_sql_q7"        -> (qSqlQ7 _),
@@ -216,6 +245,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_variant_explode" -> qVariantExplodeOracleSql,
     "q_lateral_topn"  -> sqlLateral,
     "q_sql_q5"        -> sqlQ5,
     "q_sql_q7"        -> sqlQ7,
