@@ -1,6 +1,6 @@
 package pystreamsspark.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
 
@@ -93,13 +93,99 @@ object StorageQueries {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  /** Plain-text source round-trip: one LINE per region rendered as a
+    * pipe-delimited record, written through the `text` format, read back
+    * as raw lines and re-parsed with codegen'd split/cast — the
+    * log-file-ingestion shape (at 100 TB the text scan splits by line
+    * ranges exactly like any other file source, and the parse is per-row
+    * projection work). Oracle reads the original parquet. */
+  def qTextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, sfDir)
+    val dir = scratch(sfDir, "text")
+    region
+      .select(concat_ws("|", $"r_regionkey", $"r_name").as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    spark.read.text(dir)
+      .select(split($"value", "\\|").as("f"))
+      .select(element_at($"f", 1).cast("int").as("r_regionkey"),
+        element_at($"f", 2).as("r_name"),
+        length(element_at($"f", 2)).as("name_len"))
+      .orderBy($"r_regionkey")
+  }
+
+  val qTextRoundtripSql: String =
+    """SELECT r_regionkey, r_name, len(r_name) AS name_len
+      |FROM region
+      |ORDER BY r_regionkey""".stripMargin
+
+  /** `binaryFile` source — the multimodal INGESTION path: opaque files
+    * on disk become (path, length, content) rows. Spark synthesizes one
+    * real PNG per nation (spec-correct IHDR bytes, written as loose
+    * files via the text-free binary write below), reads the directory
+    * back through format("binaryFile"), and runs the REAL header parser
+    * over the content column. The oracle recomputes the expected
+    * dimensions arithmetically from the ids encoded in the file names.
+    * At 100 TB this is how a crawl of image/audio files enters the
+    * engine: file-granular splits, no pre-conversion pass. */
+  def qBinaryfileScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "binfiles")
+    val w = (k: Column) => pmod(k, lit(4096)) + 1
+    val h = (k: Column) => pmod(k * 13, lit(2160)) + 1
+    val png = (k: Column) => unhex(concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w(k)), 8, "0"), lpad(hex(h(k)), 8, "0"),
+      lit("0806000000")))
+    // write each payload as its own loose file (binaryFile is a
+    // directory-of-files source, not a table format); 25 dimension rows
+    // — the driver-side write is fixture setup, not a data path
+    new java.io.File(dir).mkdirs()
+    Tables.nation(spark, sfDir)
+      .select($"n_nationkey".cast("long").as("k"), png($"n_nationkey").as("p"))
+      .as[(Long, Array[Byte])].collect()
+      .foreach { case (k, bytes) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/img_$k.png"), bytes)
+      }
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(element_at(split($"path", "/"), -1),
+          "img_(\\d+)\\.png", 1).cast("long").as("k"),
+        $"length", $"content")
+      .as[(Long, Long, Array[Byte])]
+      .map { case (k, len, bytes) =>
+        val m = pystreamsspark.llm.Multimodal.decodeHeader(bytes)
+          .getOrElse(MediaMetaMissing)
+        (k, len, m.width, m.height, m.format)
+      }
+      .toDF("k", "n_bytes", "width", "height", "format")
+      .orderBy($"k")
+  }
+
+  private val MediaMetaMissing =
+    pystreamsspark.llm.MediaMeta(-1, -1, -1, "none")
+
+  val qBinaryfileScanSql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS k,
+      |  CAST(29 AS BIGINT) AS n_bytes,
+      |  CAST(n_nationkey % 4096 + 1 AS INT) AS width,
+      |  CAST((n_nationkey * 13) % 2160 + 1 AS INT) AS height,
+      |  'png' AS format
+      |FROM nation
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_text_roundtrip" -> (qTextRoundtrip _),
+    "q_binaryfile_scan" -> (qBinaryfileScan _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,
+    "q_text_roundtrip" -> qTextRoundtripSql,
+    "q_binaryfile_scan" -> qBinaryfileScanSql,
     "q_orc_roundtrip"  -> qOrcRoundtripSql)
 }

@@ -374,4 +374,19 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "hashpartitioning") == 1, p)
     assert(p.contains("Window"), p)
   }
+
+  test("join strategy hints are honored: merge/shuffle_hash/broadcast pick their joins") {
+    val s2 = spark
+    import s2.implicits._
+    val a = pystreamsspark.io.Tables.orders(s2, sf).select($"o_orderkey", $"o_custkey")
+    val b = pystreamsspark.io.Tables.customer(s2, sf).select($"c_custkey")
+    def joined(hint: String) =
+      a.join(b.hint(hint), $"o_custkey" === $"c_custkey").select(count(lit(1)).as("n"))
+    val merge = plan(joined("merge"))
+    assert(merge.contains("SortMergeJoin"), merge)
+    val sh = plan(joined("shuffle_hash"))
+    assert(sh.contains("ShuffledHashJoin"), sh)
+    val bc = plan(joined("broadcast"))
+    assert(bc.contains("BroadcastHashJoin"), bc)
+  }
 }
