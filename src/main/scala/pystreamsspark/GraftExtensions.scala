@@ -11,9 +11,13 @@ import pystreamsspark.functions.{BloomFunctions, VectorExpressions}
   * injectFunction API (no Catalyst fork).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (VectorExpressions.functions ++ BloomFunctions.entries).foreach {
       case (name, info, builder) =>
         ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the range-join strategy Spark lacks (no-op until
+    // spark.graft.rangeJoin.binWidth is set positive)
+    ext.injectOptimizerRule(_ => pystreamsspark.plans.RangeJoinBinRule)
+  }
 }
