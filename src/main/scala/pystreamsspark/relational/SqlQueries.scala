@@ -233,7 +233,39 @@ object SqlQueries {
       |  FROM orders GROUP BY 2)
       |ORDER BY pos, val""".stripMargin
 
+  /** SQL scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`): a
+    * declarative user function whose BODY is an expression, so Catalyst
+    * inlines it into the plan — codegen'd like any built-in, none of a
+    * JVM closure UDF's serialization wall (the repo's zero-UDF rule is
+    * about opaque closures; a SQL UDF is transparent to the optimizer).
+    * Oracle inlines the same CASE by hand. */
+  def qSqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_band(p DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN p >= 300000 THEN 'high'
+        |            WHEN p >= 100000 THEN 'mid'
+        |            ELSE 'low' END""".stripMargin)
+    spark.sql(
+      """SELECT graft_band(o_totalprice) AS band, COUNT(*) AS n,
+        |  MIN(o_orderkey) AS min_key
+        |FROM orders
+        |GROUP BY graft_band(o_totalprice)
+        |ORDER BY band""".stripMargin)
+  }
+
+  val qSqlUdfOracleSql: String =
+    """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+      |            WHEN o_totalprice >= 100000 THEN 'mid'
+      |            ELSE 'low' END AS band,
+      |  COUNT(*) AS n, MIN(o_orderkey) AS min_key
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_udf"       -> (qSqlUdf _),
     "q_variant_explode" -> (qVariantExplode _),
     "q_lateral_topn"  -> (qLateral _),
     "q_sql_q5"        -> (qSqlQ5 _),
@@ -245,6 +277,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_udf"       -> qSqlUdfOracleSql,
     "q_variant_explode" -> qVariantExplodeOracleSql,
     "q_lateral_topn"  -> sqlLateral,
     "q_sql_q5"        -> sqlQ5,
