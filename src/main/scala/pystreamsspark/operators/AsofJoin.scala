@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * nearest right row for the same keys — `direction = "backward"`
   * (default) takes the most recent right row with `rightTime <=
   * leftTime`; `direction = "forward"` the earliest right row with
-  * `rightTime >= leftTime`.
+  * `rightTime >= leftTime`; `direction = "nearest"` whichever of the
+  * two is closer in time (equal distances go backward).
   *
   * Spark has no native as-of join, so this rewrites it as union + one
   * window pass — the scalable formulation:
@@ -63,11 +64,47 @@ object AsofJoin {
     // oracle in any engine can reproduce verbatim (a hash-based tie-break
     // would be engine-private). Without SOME tie order, `last()` over such
     // ties picks a partition-order-dependent winner.
+    if (direction == "nearest") {
+      // nearest = backward + forward carries over ONE asc sort (still a
+      // single shuffle), then an integer-exact distance chooser per left
+      // row. Ties at equal distance go backward (deterministic); among
+      // right rows sharing the nearest time, backward carries the
+      // GREATEST value tuple (last over value-asc) and forward the
+      // SMALLEST (first over value-asc) — both rules an oracle replays
+      // verbatim from the same window order.
+      val ord = (Seq(col("__t").asc, col("__side").asc) ++
+        valueCols.map(c => col(s"__v_$c").asc))
+      val base = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
+      val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def micros(c: org.apache.spark.sql.Column) =
+        if (unioned.schema("__t").dataType ==
+            org.apache.spark.sql.types.TimestampType) unix_micros(c)
+        else c.cast("double")
+      val rt = when(col("__side") === 0, col("__t"))
+      val carried = valueCols.foldLeft(
+        unioned
+          .withColumn("__bt", last(rt, ignoreNulls = true).over(back))
+          .withColumn("__ft", first(rt, ignoreNulls = true).over(fwd))) {
+        (df, c) =>
+          df.withColumn(s"__b_$c", last(col(s"__v_$c"), ignoreNulls = true).over(back))
+            .withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(fwd))
+      }
+      val takeBack = col("__ft").isNull || (col("__bt").isNotNull &&
+        (micros(col("__t")) - micros(col("__bt"))) <=
+          (micros(col("__ft")) - micros(col("__t"))))
+      val chosen = valueCols.foldLeft(carried)((df, c) =>
+        df.withColumn(s"$prefix$c",
+          when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+      return chosen
+        .filter(col("__side") === 1)
+        .select((leftCols ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
+    }
     val timeOrd = direction match {
       case "backward" => col("__t").asc
       case "forward"  => col("__t").desc
       case other => throw new IllegalArgumentException(
-        s"direction must be backward|forward, got $other")
+        s"direction must be backward|forward|nearest, got $other")
     }
     val w = Window
       .partitionBy(by.map(col): _*)

@@ -293,6 +293,53 @@ object JoinQueries {
       |  FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** NEAREST as-of: each event picks the purchase closest in time per
+    * user, either direction, equal distances going backward (pandas
+    * merge_asof direction='nearest') — still ONE shuffle: backward and
+    * forward carries run as two frame-bounded windows over the same
+    * sort, then an integer-exact µs-distance chooser per row. */
+  def qJoinAsofNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    AsofJoin.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        direction = "nearest")
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  val qJoinAsofNearSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN ft IS NULL THEN bv
+      |       WHEN bt IS NULL THEN fv
+      |       WHEN (epoch_us(ts) - epoch_us(bt)) <= (epoch_us(ft) - epoch_us(ts))
+      |         THEN bv ELSE fv END AS asof_value
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    last(pv IGNORE NULLS) OVER wback AS bv,
+      |    last(pt IGNORE NULLS) OVER wback AS bt,
+      |    first_value(pv IGNORE NULLS) OVER wfwd AS fv,
+      |    first_value(pt IGNORE NULLS) OVER wfwd AS ft
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      CASE WHEN event_type = 'purchase' THEN value END AS pv,
+      |      CASE WHEN event_type = 'purchase' THEN ts END AS pt,
+      |      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      |    FROM events)
+      |  WINDOW
+      |    wback AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, pv ASC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wfwd AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, pv ASC
+      |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |ORDER BY event_id""".stripMargin
+
   /** Full outer join: per-nation customer counts ⟗ supplier counts —
     * nations missing on either side survive with NULL-coalesced zeros
     * (at small SF some nations have no suppliers, exercising the null
@@ -390,6 +437,7 @@ object JoinQueries {
     "q_overlap_join" -> (qOverlapJoin _),
     "q_join_asof"  -> (qJoinAsof _),
     "q_join_asof_fwd" -> (qJoinAsofFwd _),
+    "q_join_asof_near" -> (qJoinAsofNear _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -405,6 +453,7 @@ object JoinQueries {
     "q_overlap_join" -> qOverlapJoinSql,
     "q_join_asof"  -> qJoinAsofSql,
     "q_join_asof_fwd" -> qJoinAsofFwdSql,
+    "q_join_asof_near" -> qJoinAsofNearSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)
