@@ -689,6 +689,68 @@ object LlmQueries {
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney smoothed bigram probabilities (Kneser &
+    * Ney 1995; Chen & Goodman 1998 — the standard n-gram LM smoothing):
+    *
+    *   P_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *               + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/T
+    *
+    * with absolute discount D = 0.75, continuation counts N1+ and total
+    * bigram-type count T. The corpus is touched ONCE (the bigram
+    * count); every other aggregate runs over the vocabulary²-bounded
+    * bigram-type table — corpus-size-independent, the same scale shape
+    * as [[PipelineQueries.qBpeMerges]]. All inputs are exact integers
+    * and the closing formula is one fixed IEEE op tree (sub, div, mul,
+    * add — no libm), so probabilities are bit-identical cross-engine:
+    * top-50 by (P_KN desc, w1, w2). */
+  def qKneserNey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(filter(split($"text", " "), t => t =!= "").as("toks"))
+      .filter(size($"toks") >= 2)
+    val bg = toks.select(explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("b"))
+      .select($"b.w1", $"b.w2")
+    val c = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val left = c.groupBy($"w1")
+      .agg(sum($"c").as("c1"), count(lit(1)).as("n1f"))
+    val rightC = c.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val types = c.agg(count(lit(1)).as("T"))
+    c.join(left, "w1").join(rightC, "w2").crossJoin(broadcast(types))
+      .withColumn("pkn",
+        (greatest($"c" - lit(0.75), lit(0.0)) / $"c1") +
+          ((lit(0.75) * $"n1f" / $"c1") * ($"n1b" / $"T")))
+      .select($"w1", $"w2", $"c", $"c1", $"n1f", $"n1b", $"pkn")
+      .orderBy($"pkn".desc, $"w1".asc, $"w2".asc)
+      .limit(50)
+  }
+
+  val qKneserNeySql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w2
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 2)
+      |), c AS (
+      |  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+      |), l AS (
+      |  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1, COUNT(*) AS n1f
+      |  FROM c GROUP BY w1
+      |), r AS (
+      |  SELECT w2, COUNT(*) AS n1b FROM c GROUP BY w2
+      |), ty AS (
+      |  SELECT COUNT(*) AS T FROM c
+      |)
+      |SELECT w1, w2, c, c1, n1f, n1b,
+      |  (greatest(c - 0.75, 0.0) / c1) + ((0.75 * n1f / c1) * (n1b / T)) AS pkn
+      |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
+      |ORDER BY pkn DESC, w1 ASC, w2 ASC
+      |LIMIT 50""".stripMargin
+
   /** Cross-document duplicated-span detection — the ExactSubstr signal
     * from the "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al., ACL 2022) methodology at 8-token span
@@ -1574,6 +1636,7 @@ object LlmQueries {
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_delta"   -> (qDedupDelta _),
     "q_neardup_delta" -> (qNeardupDelta _),
+    "q_kneser_ney"    -> (qKneserNey _),
     "q_tokens_topk"   -> (qTokensTopk _),
     "q_tfidf"         -> (qTfidf _),
     "q_lang_stats"    -> (qLangStats _),
@@ -1614,6 +1677,7 @@ object LlmQueries {
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_delta"   -> qDedupDeltaSql,
     "q_neardup_delta" -> qNeardupDeltaSql,
+    "q_kneser_ney"    -> qKneserNeySql,
     "q_tokens_topk"   -> qTokensTopkSql,
     "q_tfidf"         -> qTfidfSql,
     "q_lang_stats"    -> qLangStatsSql,
