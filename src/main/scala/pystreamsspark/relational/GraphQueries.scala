@@ -398,15 +398,93 @@ object GraphQueries {
       |GROUP BY id
       |ORDER BY id""".stripMargin
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007 —
+    * the near-linear community-detection baseline), made fully
+    * deterministic: every node starts labeled with its own id; each
+    * round it adopts the most frequent label among its NEIGHBORS, ties
+    * to the smallest label; isolated update order doesn't exist because
+    * updates are synchronous. A fixed 3 rounds (the published algorithm
+    * stops at convergence; fixed rounds keep the oracle replay finite)
+    * — each round is one edge⋈labels join + a per-node arg-max
+    * aggregate, all partial+final, O(rounds) shuffles like PageRank/BFS.
+    * The deterministic arg-max is max(struct(cnt, −label)) — an oracle
+    * replays it as arg_max over the same ordering tuple. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+    val nodes = und.select($"src".as("id")).distinct()
+    var labels = nodes.select($"id", $"id".as("label"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy($"src", $"label")
+        .agg(count(lit(1)).as("cnt"))
+      val winner = counts
+        .groupBy($"src")
+        .agg(max(struct($"cnt", (-$"label").as("neg"), $"label".as("lab")))
+          .getField("lab").as("new_label"))
+      labels = nodes
+        .join(winner.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select($"id", coalesce($"new_label", $"id").as("label"))
+    }
+    labels
+  }
+
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    labelPropagation(neardupEdges(spark, sfDir), iters = 3).orderBy($"id")
+  }
+
+  // oracle: 3 unrolled synchronous rounds; arg_max over the encoded
+  // ordering cnt*1e9 - label replays max(struct(cnt, -label)) exactly
+  // (labels are doc_ids << 1e9 at every SF, so the encoding is a
+  // strict order-embedding of the (cnt, -label) tuple)
+  val qLabelPropSql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS MATERIALIZED (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS MATERIALIZED (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |), nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM und),
+      |l0 AS (SELECT id, id AS label FROM nodes),
+      |c1 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l0 l ON u.d = l.id GROUP BY 1, 2),
+      |a1 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c1 GROUP BY id),
+      |l1 AS (SELECT n.id, COALESCE(a1.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a1 ON a1.id = n.id),
+      |c2 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l1 l ON u.d = l.id GROUP BY 1, 2),
+      |a2 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c2 GROUP BY id),
+      |l2 AS (SELECT n.id, COALESCE(a2.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a2 ON a2.id = n.id),
+      |c3 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l2 l ON u.d = l.id GROUP BY 1, 2),
+      |a3 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c3 GROUP BY id),
+      |l3 AS (SELECT n.id, COALESCE(a3.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a3 ON a3.id = n.id)
+      |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
     "q_pagerank"  -> (qPageRank _),
     "q_bfs_hops"  -> (qBfsHops _),
+    "q_labelprop" -> (qLabelProp _),
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_degree_corr"     -> (qDegreeCorr _))
 
   val oracle: Map[String, String] = Map(
     "q_triangles" -> qTrianglesSql,
+    "q_labelprop" -> qLabelPropSql,
     "q_pagerank"  -> qPageRankSql,
     "q_bfs_hops"  -> qBfsHopsSql,
     "q_clustering_coef" -> qClusteringCoefSql,
