@@ -185,13 +185,22 @@ object Similarity {
     * full assign→update→assign pipeline without comparing float arrays
     * structurally). */
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int): DataFrame = {
+                  k: Int, iters: Int): DataFrame =
+    kmeansAssign(emb, idCol, vecCol, k, iters)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-point cell assignment of a k-means fit: (id, cell) — the
+    * joinable surface of [[kmeansFit]] (lets downstream keys cross
+    * assignments with row attributes, e.g. cluster-purity vs a label
+    * column, without re-deriving the fit). Same deterministic pipeline
+    * as [[kmeansCells]]; only the terminal agg differs. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
     val e = emb.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val fitted = kmeansFit(emb, idCol, vecCol, k, iters)
-    assignMin(e, fitted)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"))
+    assignMin(e, fitted).select(col("__id").as("id"), col("cell"))
   }
 
   /** OR-amplified sign-LSH near-dup pairs: `bands` independent bands of

@@ -242,7 +242,82 @@ object AggQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Quantile estimation from a bottom-k-by-hash sample — the third
+    * replayable sketch in the family (KMV = distinct counts, CMS =
+    * frequencies, this = quantiles). Bottom-k sampling (Cohen & Kaplan,
+    * "Summarizing data using bottom-k sketches", PODC 2007): the k rows
+    * with the smallest uniform hash are a uniform-without-replacement
+    * sample of the group, and — unlike Bernoulli sampling — the sample
+    * size is EXACTLY k, a pure function of the data (no RNG state, same
+    * sample on any cluster layout). The group median estimated from the
+    * 128-row sample sits next to the exact percentile for comparison,
+    * the same exact-vs-sketch surface as q_kmv_distinct.
+    *
+    * The 40-bit md5 hash and the sampled VALUE are packed into one long
+    * (h·64 + qty, qty < 64), so the bounded min-k UDAF carries both:
+    * ordering by the packed long IS ordering by (h, qty) — total,
+    * deterministic, and replayable in DuckDB with the same md5-derived
+    * hash family. Only n_groups × k longs cross the shuffle (the
+    * window-rank formulation the oracle uses would shuffle every row);
+    * the unpack + median over 128 values is per-group scalar work.
+    * At 100 TB this is THE quantile shape: map-side bounded state,
+    * mergeable on a combine tree, answer-sized traffic. */
+  def qQuantileSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 128
+    val key = concat($"l_orderkey".cast("string"), lit(":"),
+      $"l_linenumber".cast("string"))
+    val h = conv(substring(md5(key.cast("binary")), 1, 10), 16, 10).cast("long")
+    val comb = h * 64L + $"l_quantity".cast("long")
+    val g = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity", comb.as("comb"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        pystreamsspark.operators.TopKAgg.smallestK(k)($"comb").as("ks"))
+    val vs = array_sort(transform($"ks", x => x % lit(64L)))
+    val m = size(vs)
+    val lo = ((m + lit(1)) / lit(2)).cast("int")
+    val hi = (m / lit(2)).cast("int") + lit(1)
+    g.select($"l_returnflag", $"n", $"exact_p50",
+        ((element_at(vs, lo) + element_at(vs, hi)).cast("double") / 2.0)
+          .as("sample_p50"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qQuantileSampleSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    CAST(concat('0x', substring(md5(concat(CAST(l_orderkey AS VARCHAR),
+      |      ':', CAST(l_linenumber AS VARCHAR))), 1, 10)) AS BIGINT) * 64
+      |      + CAST(l_quantity AS BIGINT) AS comb
+      |  FROM lineitem),
+      |ex AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    quantile_cont(l_quantity, 0.5) AS exact_p50
+      |  FROM li GROUP BY l_returnflag),
+      |r AS (
+      |  SELECT l_returnflag, comb % 64 AS val,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY comb) AS rn
+      |  FROM li),
+      |s AS (
+      |  SELECT l_returnflag, val,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY val) AS rv,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+      |  FROM r WHERE rn <= 128),
+      |med AS (
+      |  SELECT l_returnflag,
+      |    (CAST(SUM(CASE WHEN rv = (m + 1) // 2 THEN val ELSE 0 END) AS DOUBLE)
+      |     + CAST(SUM(CASE WHEN rv = m // 2 + 1 THEN val ELSE 0 END) AS DOUBLE))
+      |      / 2.0 AS sample_p50
+      |  FROM s GROUP BY l_returnflag)
+      |SELECT ex.l_returnflag, CAST(ex.n AS BIGINT) AS n, ex.exact_p50,
+      |  med.sample_p50
+      |FROM ex JOIN med USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_sample" -> (qQuantileSample _),
     "q_rollup"          -> (qRollup _),
     "q_cube"            -> (qCube _),
     "q_percentile"      -> (qPercentile _),
@@ -253,6 +328,7 @@ object AggQueries {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_sample" -> qQuantileSampleSql,
     "q_rollup"         -> qRollupSql,
     "q_cube"           -> qCubeSql,
     "q_percentile"     -> qPercentileSql,

@@ -1006,7 +1006,124 @@ object AnalyticsQueries {
       |  END AS z
       |FROM r""".stripMargin
 
+  /** Wilson score lower bound (Wilson 1927; the "sort by lower bound of
+    * the confidence interval" ranking popularized for rating systems) on
+    * the per-event-type high-value rate: k = events with value > 50,
+    * n = total. Raw k/n over-ranks tiny-n groups; the Wilson bound
+    * shrinks toward 0 with uncertainty, making the ranking
+    * sample-size-aware — the same correction a data-quality dashboard
+    * needs before trusting a per-source defect rate.
+    *
+    * Determinism: k and n are integer aggregates; everything after is a
+    * fixed-shape composition of correctly-rounded IEEE ops (+ − × ÷
+    * sqrt) on doubles, written with IDENTICAL parenthesization in both
+    * engines, so the bound is bit-identical with no Det machinery (the
+    * q_ab_test precedent). z enters as CAST(1.96 AS DOUBLE) — an exact
+    * 196/100 division in both engines — never as a bare literal DuckDB
+    * would type DECIMAL and double-round on conversion.
+    *
+    * Shape: one partial+final agg over events (5 groups out), then
+    * per-group scalar math — the 100 TB cost is the single scan. */
+  def qWilson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val z = lit(1.96).cast("double")
+    val nD = $"n".cast("double")
+    val p = $"k".cast("double") / nD
+    val z2 = z * z
+    val center = p + z2 / (lit(2.0) * nD)
+    val rad = z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)
+    val denom = lit(1.0) + z2 / nD
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" > 50.0, 1L).otherwise(0L)).as("k"))
+      .select($"event_type", $"n", $"k",
+        ((center - rad) / denom).as("wilson_lb"))
+      .orderBy($"wilson_lb".desc, $"event_type")
+  }
+
+  val qWilsonSql: String =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS k
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  (((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |     + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE)))
+      |   - (CAST(1.96 AS DOUBLE) *
+      |      sqrt((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |              * (1.0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))))
+      |             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n AS DOUBLE)))
+      |            / CAST(n AS DOUBLE))))
+      |  / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE))
+      |  AS wilson_lb
+      |FROM g
+      |ORDER BY wilson_lb DESC, event_type""".stripMargin
+
+  /** Per-label embedding outliers — the mislabeled-example detector a
+    * training-data QA pass runs over an embedded corpus: distance of
+    * each vector to its OWN label's centroid, top-20 farthest. A vector
+    * far from its class center is a labeling error, an out-of-
+    * distribution sample, or a poisoned row — exactly what gets pulled
+    * for human review at curation time.
+    *
+    * Exact cross-engine arithmetic with zero Det machinery: floats are
+    * quantized q_i = floor(1024·x_i) (the q_embed_quant-proven exact
+    * path), the centroid division is ELIMINATED by scaling — comparing
+    * n²·d² = Σ_i (n·q_i − S_i)² where S_i is the label's integer
+    * dimension sum — so the score is pure BIGINT arithmetic until one
+    * final division by n²·1024² (both operands < 2^53, so the double
+    * quotient is correctly rounded in both engines).
+    *
+    * Shape: posexplode → per-(label,dim) partial+final agg (the
+    * centroid table is labels×dims rows — tiny), BROADCAST back to the
+    * exploded stream, per-row integer math, global top-k
+    * (TakeOrderedAndProject). At 100 TB the only shuffle is the
+    * centroid agg; the score pass is map-side. */
+  def qEmbedOutlier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label",
+        posexplode(transform($"embedding",
+          x => floor(x.cast("double") * lit(1024.0)).cast("long"))))
+      .withColumnRenamed("col", "q")
+    val cent = q.groupBy($"label", $"pos")
+      .agg(sum($"q").as("s"), count(lit(1)).as("n"))
+    q.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy($"vec_id", $"label", $"n")
+      .agg(sum(($"n" * $"q" - $"s") * ($"n" * $"q" - $"s")).as("d2n2"))
+      .select($"vec_id", $"label".cast("long").as("label"),
+        ($"d2n2".cast("double") /
+          ($"n" * $"n" * lit(1048576L)).cast("double")).as("dist2"))
+      .orderBy($"dist2".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val qEmbedOutlierSql: String =
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |q AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN dims),
+      |cent AS (
+      |  SELECT label, i, CAST(SUM(q) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM q GROUP BY label, i),
+      |d AS (
+      |  SELECT q.vec_id, q.label, cent.n,
+      |    CAST(SUM((cent.n * q.q - cent.s) * (cent.n * q.q - cent.s)) AS BIGINT)
+      |      AS d2n2
+      |  FROM q JOIN cent ON q.label = cent.label AND q.i = cent.i
+      |  GROUP BY q.vec_id, q.label, cent.n)
+      |SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  CAST(d2n2 AS DOUBLE) / CAST(n * n * 1048576 AS DOUBLE) AS dist2
+      |FROM d
+      |ORDER BY dist2 DESC, vec_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wilson"          -> (qWilson _),
+    "q_embed_outlier"   -> (qEmbedOutlier _),
     "q_ab_test"         -> (qAbTest _),
     "q_seasonality"     -> (qSeasonality _),
     "q_revenue_conc"    -> (qRevenueConc _),
@@ -1030,6 +1147,8 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_wilson"          -> qWilsonSql,
+    "q_embed_outlier"   -> qEmbedOutlierSql,
     "q_ab_test"         -> qAbTestSql,
     "q_seasonality"     -> qSeasonalitySql,
     "q_revenue_conc"    -> qRevenueConcSql,

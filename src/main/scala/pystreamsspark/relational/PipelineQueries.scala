@@ -522,7 +522,10 @@ object PipelineQueries {
       .orderBy($"cell")
   }
 
-  val qKmeansCellsSql: String =
+  /** Shared DuckDB replay of the 1-iteration Lloyd fit (seed → assign →
+    * Det-exact means → re-assign), ending at `a2(id, cid)` — the common
+    * prefix of the q_kmeans_cells and q_cluster_purity oracles. */
+  private val kmeansReplayPrefix: String =
     """WITH e AS (
       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ranked AS (
@@ -560,9 +563,59 @@ object PipelineQueries {
       |  SELECT id, cid FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id
       |                                 ORDER BY sim DESC, cid ASC) AS rn
-      |    FROM s2) WHERE rn = 1)
+      |    FROM s2) WHERE rn = 1)""".stripMargin
+
+  val qKmeansCellsSql: String = kmeansReplayPrefix +
+    """
       |SELECT CAST(cid AS BIGINT) AS cell, COUNT(*) AS n
       |FROM a2 GROUP BY cid ORDER BY cell""".stripMargin
+
+  /** Cluster purity of the fitted k-means cells against the embedding
+    * table's `label` column — the index-quality / label-coherence eval a
+    * curation pipeline runs after clustering an embedded corpus: a cell
+    * whose members mostly share one label is semantically tight; a
+    * low-purity cell flags either a bad fit or genuinely mixed data.
+    * Purity per cell = majority-label count / cell size (integer counts
+    * + one correctly-rounded division — exact cross-engine), majority
+    * tie-broken by smallest label for a total order. The fit itself is
+    * the bit-identical [[Similarity.kmeansFit]] pipeline q_kmeans_cells
+    * already hash-verifies; this key crosses its assignment with a row
+    * attribute, the join every real eval needs. Shape: the assignment
+    * stream aggregates to cells×labels rows (tiny) before the window. */
+  def qClusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val assign = Similarity.kmeansAssign(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", k = 8, iters = 1)
+    val lab = Tables.embeddings(spark, sfDir).select($"vec_id".as("id"), $"label")
+    val cl = assign.join(lab, "id")
+      .groupBy($"cell", $"label").agg(count(lit(1)).as("cnt"))
+    cl.withColumn("rn", row_number().over(
+        Window.partitionBy($"cell").orderBy($"cnt".desc, $"label".asc)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"cell")))
+      .filter($"rn" === 1)
+      .select($"cell".cast("long").as("cell"), $"n",
+        $"label".cast("long").as("top_label"), $"cnt".as("top_n"),
+        ($"cnt".cast("double") / $"n".cast("double")).as("purity"))
+      .orderBy($"cell")
+  }
+
+  val qClusterPuritySql: String = kmeansReplayPrefix +
+    """,
+      |lab AS (SELECT vec_id AS id, label FROM embeddings),
+      |cl AS (
+      |  SELECT a2.cid AS cell, lab.label, COUNT(*) AS cnt
+      |  FROM a2 JOIN lab ON a2.id = lab.id GROUP BY 1, 2),
+      |t AS (
+      |  SELECT cell, label, cnt,
+      |    row_number() OVER (PARTITION BY cell
+      |                       ORDER BY cnt DESC, label ASC) AS rn,
+      |    SUM(cnt) OVER (PARTITION BY cell) AS n
+      |  FROM cl)
+      |SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n,
+      |  CAST(label AS BIGINT) AS top_label, CAST(cnt AS BIGINT) AS top_n,
+      |  CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+      |FROM t WHERE rn = 1 ORDER BY cell""".stripMargin
 
   /** Weighted sampling WITHOUT replacement (k=100, weight = text
     * length) via the Efraimidis–Spirakis A-ES key (u^(1/w) ranking —
@@ -1257,7 +1310,72 @@ object PipelineQueries {
       |ORDER BY zkey, p_partkey
       |LIMIT 200""".stripMargin
 
+  /** T5-style span corruption (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…", §3.1.4): mask one contiguous
+    * 5-token span per document with a sentinel, emit (masked input,
+    * target span) — the denoising-objective pair generator of a
+    * text-to-text pretraining pipeline. The span START is an
+    * md5-derived uniform over valid offsets — deterministic, seedless,
+    * identical on any cluster layout (the q_sample_hash philosophy:
+    * randomness as a pure function of the data). Docs shorter than the
+    * span mask fully (whole text becomes the target), the standard
+    * degenerate case.
+    *
+    * Per-row array slicing only — zero shuffles, scan-speed at 100 TB;
+    * the oracle replays the identical slice arithmetic with DuckDB
+    * list_slice (string-exact comparison, no float anywhere). */
+  def qSpanMask(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val span = 5
+    val h = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 10),
+      16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= "").as("toks"), h.as("h"))
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("start", // 1-based span start in [1, n-span+1]
+        when($"n" > span, pmod($"h", $"n" - (span - 1)) + 1L).otherwise(1L))
+      .select($"doc_id", $"n",
+        concat_ws(" ",
+          concat(
+            slice($"toks", lit(1), ($"start" - 1).cast("int")),
+            array(lit("<extra_id_0>")),
+            when($"n" > span,
+              slice($"toks", ($"start" + span).cast("int"),
+                ($"n" - $"start" - (span - 1)).cast("int")))
+              .otherwise(array().cast("array<string>"))))
+          .as("masked_text"),
+        concat_ws(" ",
+          slice($"toks", $"start".cast("int"),
+            least(lit(span.toLong), $"n").cast("int"))).as("target_text"))
+      .orderBy($"doc_id")
+  }
+
+  val qSpanMaskSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+      |    CASE WHEN len(toks) > 5 THEN h % (len(toks) - 4) + 1 ELSE 1 END
+      |      AS start
+      |  FROM t)
+      |SELECT doc_id, n,
+      |  array_to_string(list_concat(list_concat(
+      |    list_slice(toks, 1, start - 1), ['<extra_id_0>']),
+      |    CASE WHEN n > 5 THEN list_slice(toks, start + 5, n) ELSE [] END),
+      |    ' ') AS masked_text,
+      |  array_to_string(list_slice(toks, start, start + 4), ' ')
+      |    AS target_text
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_mask"        -> (qSpanMask _),
+    "q_cluster_purity"   -> (qClusterPurity _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
     "q_scd2"             -> (qScd2 _),
     "q_zorder"           -> (qZorder _),
@@ -1295,6 +1413,8 @@ object PipelineQueries {
     "q_incr_agg"         -> (qIncrAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_span_mask"        -> qSpanMaskSql,
+    "q_cluster_purity"   -> qClusterPuritySql,
     "q_chunk_overlap"    -> qChunkOverlapSql,
     "q_scd2"             -> qScd2Sql,
     "q_zorder"           -> qZorderSql,
