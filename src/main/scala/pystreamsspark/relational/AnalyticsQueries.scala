@@ -1121,7 +1121,182 @@ object AnalyticsQueries {
       |ORDER BY dist2 DESC, vec_id
       |LIMIT 20""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event types — the distribution-drift monitor
+    * a data pipeline runs between corpus slices (yesterday vs today,
+    * source A vs source B) before concluding the data changed. D =
+    * max_x |F_click(x) − F_view(x)| over observed values, reported with
+    * the location where the gap peaks.
+    *
+    * Determinism: ECDF steps are integer cumulative counts divided by
+    * integer totals (each division correctly rounded, operands < 2^53),
+    * the gap is one IEEE subtraction, and the argmax is tie-broken by
+    * smallest value — bit-identical cross-engine with no Det casts.
+    *
+    * Scale shape: aggregate to DISTINCT values first (the `value`
+    * domain is 2-decimal and therefore BOUNDED — ~49 k cells at any
+    * corpus size), then one window cumsum over that bounded domain.
+    * The raw stream never enters a window; at 100 TB the same plan
+    * holds because the windowed relation stays ~49 k rows. */
+  def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byVal = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"value")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w))
+      .withColumn("n1", sum($"c1").over(Window.partitionBy()))
+      .withColumn("n2", sum($"c2").over(Window.partitionBy()))
+      .select($"n1", $"n2", $"value",
+        abs($"cum1".cast("double") / $"n1".cast("double")
+          - $"cum2".cast("double") / $"n2".cast("double")).as("gap"))
+      .orderBy($"gap".desc, $"value".asc)
+      .limit(1)
+      .select($"n1", $"n2", $"gap".as("d_stat"), $"value".as("at_value"))
+  }
+
+  val qKsTestSql: String =
+    """WITH bv AS (
+      |  SELECT value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value),
+      |cum AS (
+      |  SELECT value,
+      |    SUM(c1) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(c2) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      |  FROM bv)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS d_stat,
+      |  value AS at_value
+      |FROM cum
+      |ORDER BY d_stat DESC, value ASC
+      |LIMIT 1""".stripMargin
+
+  /** AUC of `value` as a ranking signal for purchases, via the
+    * Mann–Whitney U rank-sum identity (AUC = P(score_pos > score_neg)
+    * + ½·P(tie)) — the eval every learned quality-scorer or reranker
+    * gets before it filters a corpus. Tied scores take AVERAGE ranks
+    * (the standard U treatment), which stays exact: the average rank of
+    * a tied block is cum_before + (cnt+1)/2 — a half-integer, exactly
+    * representable in doubles, and the rank-sum stays < 2^53, so EVERY
+    * intermediate is exact regardless of addend order; the only
+    * rounding is the final division. No Det machinery needed.
+    *
+    * Scale shape: same bounded-domain trick as q_ks_test — aggregate
+    * per distinct score (≤ ~49 k 2-decimal cells) BEFORE the window, so
+    * the cumsum never sees the raw stream; the rank-sum then collapses
+    * in one final agg. */
+  def qAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byVal = Tables.events(spark, sfDir)
+      .groupBy($"value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"))
+    byVal
+      .withColumn("cumBefore", coalesce(sum($"cnt").over(
+        Window.orderBy($"value")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pos", $"cnt", $"cumBefore")
+      .agg(sum($"pos").as("np"),
+        (sum($"cnt") - sum($"pos")).as("nn"),
+        sum($"pos".cast("double") *
+          ($"cumBefore".cast("double") + ($"cnt" + 1L).cast("double") / 2.0))
+          .as("rank_sum"))
+      .select($"np", $"nn",
+        (($"rank_sum" - $"np".cast("double") * ($"np" + 1L).cast("double") / 2.0)
+          / ($"np".cast("double") * $"nn".cast("double"))).as("auc"))
+  }
+
+  val qAucSql: String =
+    """WITH bv AS (
+      |  SELECT value, COUNT(*) AS cnt,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      |  FROM events GROUP BY value),
+      |r AS (
+      |  SELECT pos, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumBefore
+      |  FROM bv),
+      |s AS (
+      |  SELECT CAST(SUM(pos) AS BIGINT) AS np,
+      |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nn,
+      |    SUM(CAST(pos AS DOUBLE) *
+      |      (CAST(cumBefore AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0))
+      |      AS rank_sum
+      |  FROM r)
+      |SELECT np, nn,
+      |  (rank_sum - CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0)
+      |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+      |FROM s""".stripMargin
+
+  /** Gini coefficient of per-customer revenue — the standard inequality
+    * summary of a concentration curve (complements q_revenue_conc's
+    * top-decile share): G = (2·Σ r·m_r − (n+1)·Σm) / (n·Σm) over
+    * revenues m sorted ascending with rank r.
+    *
+    * Exactness: per-customer revenue is an order-independent DECIMAL
+    * sum, the rank weight r·m stays in exact decimal (integer ×
+    * decimal), and both totals exit through the Det string-cast
+    * decimal→double route, so the one final IEEE expression is
+    * bit-identical cross-engine. Ranks are tie-broken by custkey for a
+    * total order.
+    *
+    * Scale note: the ranking is a true global sort of n_customers rows
+    * (already reduced from the raw orders stream by the group-by) —
+    * the same range-partitioned sort Spark uses for any global ORDER
+    * BY; the windowed relation is customers-sized, not orders-sized. */
+  def qGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // DECIMAL(18,6) × DECIMAL(10,0) → DECIMAL(29,6): exact in BOTH
+    // engines (a (38,6) operand would push DuckDB past precision 38 and
+    // silently promote the product to double, losing exactness)
+    val DM = org.apache.spark.sql.types.DecimalType(18, 6)
+    val DR = org.apache.spark.sql.types.DecimalType(10, 0)
+    val per = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DM)).cast(DM).as("m"))
+    val ranked = per.withColumn("r",
+      row_number().over(Window.orderBy($"m", $"o_custkey")).cast(DR))
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      Det.d2d(sum($"m" * $"r")).as("w"), Det.d2d(sum($"m")).as("t"))
+    tot.select($"n",
+      ((lit(2.0) * $"w" - ($"n" + 1L).cast("double") * $"t")
+        / ($"n".cast("double") * $"t")).as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT m, CAST(row_number() OVER (ORDER BY m, o_custkey)
+      |    AS DECIMAL(10,0)) AS r FROM per),
+      |tot AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(CAST(SUM(m * r) AS STRING) AS DOUBLE) AS w,
+      |    CAST(CAST(SUM(m) AS STRING) AS DOUBLE) AS t
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  (2.0 * w - CAST(n + 1 AS DOUBLE) * t) / (CAST(n AS DOUBLE) * t)
+      |    AS gini
+      |FROM tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test"         -> (qKsTest _),
+    "q_auc"             -> (qAuc _),
+    "q_gini"            -> (qGini _),
     "q_wilson"          -> (qWilson _),
     "q_embed_outlier"   -> (qEmbedOutlier _),
     "q_ab_test"         -> (qAbTest _),
@@ -1147,6 +1322,9 @@ object AnalyticsQueries {
     "q_concurrency"     -> (qConcurrency _))
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test"         -> qKsTestSql,
+    "q_auc"             -> qAucSql,
+    "q_gini"            -> qGiniSql,
     "q_wilson"          -> qWilsonSql,
     "q_embed_outlier"   -> qEmbedOutlierSql,
     "q_ab_test"         -> qAbTestSql,

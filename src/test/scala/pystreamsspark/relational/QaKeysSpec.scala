@@ -111,6 +111,74 @@ class QaKeysSpec extends SparkSpec {
     }
   }
 
+  test("q_ks_test: the windowed D statistic equals a direct two-ECDF recomputation") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qKsTest(spark, sf).head
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    // independent recomputation: collect both samples, walk the merged
+    // value set in plain Scala
+    val ev = pystreamsspark.io.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_type", $"value").collect()
+    val a = ev.filter(_.getString(0) == "click").map(_.getDouble(1)).sorted
+    val b = ev.filter(_.getString(0) == "view").map(_.getDouble(1)).sorted
+    val dRef = (a ++ b).distinct.map { x =>
+      val fa = a.count(_ <= x).toDouble / a.length
+      val fb = b.count(_ <= x).toDouble / b.length
+      math.abs(fa - fb)
+    }.max
+    assert(math.abs(d - dRef) < 1e-12, s"key=$d ref=$dRef")
+  }
+
+  test("q_auc: rank-sum AUC equals the direct pairwise probability") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qAuc(spark, sf).head
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    val ev = pystreamsspark.io.Tables.events(spark, sf)
+      .select(($"event_type" === "purchase").as("p"), $"value").collect()
+    val pos = ev.filter(_.getBoolean(0)).map(_.getDouble(1)).sorted
+    val neg = ev.filterNot(_.getBoolean(0)).map(_.getDouble(1)).sorted
+    // P(score_pos > score_neg) + 0.5 P(tie), via binary search on the
+    // sorted negative side — O(n log n), no 16M-pair loop
+    def lower(xs: Array[Double], x: Double): Int = {
+      var lo = 0; var hi = xs.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (xs(m) < x) lo = m + 1 else hi = m }
+      lo
+    }
+    def upper(xs: Array[Double], x: Double): Int = {
+      var lo = 0; var hi = xs.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (xs(m) <= x) lo = m + 1 else hi = m }
+      lo
+    }
+    val num = pos.map { x =>
+      lower(neg, x).toDouble + 0.5 * (upper(neg, x) - lower(neg, x))
+    }.sum
+    val ref = num / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(auc - ref) < 1e-12, s"key=$auc ref=$ref")
+  }
+
+  test("q_gini: coefficient matches a plain sorted-array recomputation") {
+    val s = spark
+    import s.implicits._
+    val r = AnalyticsQueries.qGini(spark, sf).head
+    val g = r.getAs[Double]("gini")
+    assert(g > 0.0 && g < 1.0)
+    val per = pystreamsspark.io.Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions.sum($"o_totalprice").as("m"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+      .sortBy { case (ck, m) => (m, ck) }.map(_._2)
+    val n = per.length
+    val t = per.sum
+    val w = per.zipWithIndex.map { case (m, i) => (i + 1).toDouble * m }.sum
+    val ref = (2.0 * w - (n + 1).toDouble * t) / (n.toDouble * t)
+    assert(math.abs(g - ref) < 1e-9, s"key=$g ref=$ref")
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
