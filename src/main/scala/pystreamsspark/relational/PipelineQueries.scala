@@ -617,6 +617,98 @@ object PipelineQueries {
       |  CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS purity
       |FROM t WHERE rn = 1 ORDER BY cell""".stripMargin
 
+  /** Recall@10 of IVF nearest-cell-only search against exact brute
+    * force — the eval that decides whether an ANN index is good enough
+    * to gate a 100 TB dedup/retrieval funnel (an index you haven't
+    * measured recall on is a guess). Five md5-free deterministic probes
+    * (vec_id < 5): ground truth = exact top-10 by cosine over the whole
+    * table; IVF answer = top-10 within the probe's OWN k-means cell
+    * only (nprobe=1, the harshest setting); recall = |overlap| / 10.
+    *
+    * Everything replays in DuckDB: the cell assignment is the
+    * bit-identical Lloyd fit q_kmeans_cells verifies (shared oracle
+    * prefix), both rankings use the same per-row IEEE cosine sequence
+    * as q_knn_batch, and ties break on vec_id — so even the overlap
+    * COUNTS are cross-engine exact. Output is integers + one division.
+    *
+    * Scale shape: ground truth is the brute-force pass you only run on
+    * an eval SAMPLE (5 probes × broadcast, TakeOrdered-style bounded
+    * top-k); the IVF side joins probes to their cell's members on the
+    * cell key — the candidate-funnel join whose fan-in is cell-sized,
+    * never corpus-sized. */
+  def qIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    val gt = Similarity.knnBatch(emb, "vec_id", "embedding", probes, 10)
+      .select($"pid", $"vec_id")
+    val members = emb.select($"vec_id".as("mid"), $"embedding".as("mv"))
+      .join(assign.withColumnRenamed("id", "mid"), "mid")
+    val pc = probes.join(assign.withColumnRenamed("id", "pid"), "pid")
+    val ivf = pc.join(members, "cell")
+      .select($"pid",
+        Similarity.cosineNative($"mv", $"probe").as("cosine"), $"mid")
+      .groupBy($"pid")
+      .agg(pystreamsspark.operators.TopKAgg.topK(10)($"cosine", $"mid")
+        .as("top"))
+      .select($"pid", explode($"top").as("t"))
+      .select($"pid", $"t._2".as("vec_id"))
+    val ncell = pc.join(
+      members.groupBy($"cell").agg(count(lit(1)).as("n_cell")), "cell")
+      .select($"pid", $"n_cell")
+    val hits = gt.join(ivf, Seq("pid", "vec_id"))
+      .groupBy($"pid").agg(count(lit(1)).as("hits"))
+    ncell.join(hits, Seq("pid"), "left")
+      .select($"pid", $"n_cell",
+        coalesce($"hits", lit(0L)).as("hits"),
+        (coalesce($"hits", lit(0L)).cast("double") / 10.0).as("recall_at10"))
+      .orderBy($"pid")
+  }
+
+  val qIvfRecallSql: String = kmeansReplayPrefix +
+    """,
+      |pr AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+      |       FROM embeddings WHERE vec_id < 5),
+      |gt AS (
+      |  SELECT pid, vec_id FROM (
+      |    SELECT pr.pid, e.vec_id,
+      |      row_number() OVER (PARTITION BY pr.pid ORDER BY
+      |        list_dot_product(CAST(e.embedding AS DOUBLE[]), pr.pe) /
+      |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(pr.pe, pr.pe))) DESC,
+      |        e.vec_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN pr) WHERE rn <= 10),
+      |mem AS (
+      |  SELECT a2.cid, a2.id AS mid, CAST(e.embedding AS DOUBLE[]) AS mv
+      |  FROM a2 JOIN embeddings e ON e.vec_id = a2.id),
+      |pc AS (SELECT pr.pid, pr.pe, a2.cid FROM pr JOIN a2 ON a2.id = pr.pid),
+      |iv AS (
+      |  SELECT pid, mid AS vec_id FROM (
+      |    SELECT pc.pid, mem.mid,
+      |      row_number() OVER (PARTITION BY pc.pid ORDER BY
+      |        list_dot_product(mem.mv, pc.pe) /
+      |          (sqrt(list_dot_product(mem.mv, mem.mv)) *
+      |           sqrt(list_dot_product(pc.pe, pc.pe))) DESC,
+      |        mem.mid ASC) AS rn
+      |    FROM pc JOIN mem ON mem.cid = pc.cid) WHERE rn <= 10),
+      |nc AS (
+      |  SELECT pc.pid, COUNT(*) AS n_cell
+      |  FROM pc JOIN mem ON mem.cid = pc.cid GROUP BY pc.pid),
+      |o AS (
+      |  SELECT gt.pid, COUNT(*) AS hits
+      |  FROM gt JOIN iv ON iv.pid = gt.pid AND iv.vec_id = gt.vec_id
+      |  GROUP BY gt.pid)
+      |SELECT nc.pid, CAST(nc.n_cell AS BIGINT) AS n_cell,
+      |  CAST(COALESCE(o.hits, 0) AS BIGINT) AS hits,
+      |  CAST(COALESCE(o.hits, 0) AS DOUBLE) / 10.0 AS recall_at10
+      |FROM nc LEFT JOIN o ON o.pid = nc.pid
+      |ORDER BY nc.pid""".stripMargin
+
   /** Weighted sampling WITHOUT replacement (k=100, weight = text
     * length) via the Efraimidis–Spirakis A-ES key (u^(1/w) ranking —
     * "Weighted random sampling with a reservoir", IPL 2006; public
@@ -1375,6 +1467,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_mask"        -> (qSpanMask _),
+    "q_ivf_recall"       -> (qIvfRecall _),
     "q_cluster_purity"   -> (qClusterPurity _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
     "q_scd2"             -> (qScd2 _),
@@ -1414,6 +1507,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_span_mask"        -> qSpanMaskSql,
+    "q_ivf_recall"       -> qIvfRecallSql,
     "q_cluster_purity"   -> qClusterPuritySql,
     "q_chunk_overlap"    -> qChunkOverlapSql,
     "q_scd2"             -> qScd2Sql,

@@ -179,6 +179,22 @@ class QaKeysSpec extends SparkSpec {
     assert(math.abs(g - ref) < 1e-9, s"key=$g ref=$ref")
   }
 
+  test("q_ivf_recall: hits are bounded by the cell and the answer set, recall is hits/10") {
+    val rows = PipelineQueries.qIvfRecall(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nCell = r.getAs[Long]("n_cell")
+      val hits = r.getAs[Long]("hits")
+      val rec = r.getAs[Double]("recall_at10")
+      assert(hits >= 1L, "the probe itself is in its own cell and in gt")
+      assert(hits <= 10L && hits <= nCell)
+      assert(rec == hits.toDouble / 10.0)
+    }
+    // nprobe=1 on a diffuse synthetic cloud must lose SOME neighbors —
+    // if recall were 1.0 everywhere the harsh setting isn't being tested
+    assert(rows.map(_.getAs[Long]("hits")).sum < 50L)
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
