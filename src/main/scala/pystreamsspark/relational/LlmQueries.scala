@@ -1159,32 +1159,47 @@ object LlmQueries {
     * IEEE division). The xxhash64 family ([[qMinhashDedup]]) stays the
     * production path — this key exists so the signature/band/bucket-join
     * LOGIC is value-verified end-to-end, not just property-tested. */
-  def qMinhashOracle(spark: SparkSession, sfDir: String): DataFrame = {
+  /** md5-family MinHash signatures over word 3-shingles: (doc_id,
+    * sig[nH]). RELATIONAL build — explode the (already-distinct)
+    * shingle array, md5 each gram ONCE in a flat projection
+    * (whole-stage codegen + subexpression elimination, which lambda
+    * bodies never get), then nH partial-aggregated MINs per doc.
+    * Measured 30x faster than the nested-HOF formulation (interpreted
+    * md5 per lambda element). Shared by [[qMinhashOracle]] and
+    * [[qLshEval]]; the oracle replay is the `ab`/`s` CTE pair. */
+  private def md5Sigs(spark: SparkSession, sfDir: String, nH: Int): DataFrame = {
     import spark.implicits._
-    val nH = 16
-    val bands = 4
-    val rows = nH / bands
     val M = 1099511627776L // 2^40
-    // RELATIONAL signature build — explode the (already-distinct) shingle
-    // array, md5 each gram ONCE in a flat projection (whole-stage codegen
-    // + subexpression elimination, which lambda bodies never get), then
-    // 16 partial-aggregated MINs per doc. Measured 30x faster than the
-    // nested-HOF formulation (interpreted md5 per lambda element).
     val hashed = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 3)).as("g"))
       .select($"doc_id",
         conv(substring(md5($"g".cast("binary")), 1, 10), 16, 10).cast("long").as("a"),
         conv(substring(md5($"g".cast("binary")), 11, 10), 16, 10).cast("long").as("b"))
     val minCols = (0 until nH).map(i => min(($"a" + $"b" * i) % M).as(s"m$i"))
-    val sigs = hashed.groupBy($"doc_id")
+    hashed.groupBy($"doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select($"doc_id", array((0 until nH).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sigs
-      .select($"doc_id", $"sig", posexplode(transform(
+  }
+
+  /** Band keys for an nH-wide signature split into `bands` bands of
+    * `rows`: (doc_id, sig, bnd, bkey). */
+  private def bandKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    sigs
+      .select(c("doc_id"), c("sig"), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", transform(slice($"sig", b * rows + 1, lit(rows)),
+        b => concat_ws(",", transform(slice(c("sig"), b * rows + 1, lit(rows)),
           v => v.cast("string"))))))
-      .select($"doc_id", $"sig", $"pos".as("bnd"), $"col".as("bkey"))
+      .select(c("doc_id"), c("sig"), c("pos").as("bnd"), c("col").as("bkey"))
+  }
+
+  def qMinhashOracle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nH = 16
+    val bands = 4
+    val rows = nH / bands
+    val sigs = md5Sigs(spark, sfDir, nH)
+    val banded = bandKeys(sigs, bands, rows)
     val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"), $"sig".as("sig_a"))
     val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"), $"sig".as("sig_b"))
     a.join(b, Seq("bnd", "bkey"))
@@ -1231,6 +1246,113 @@ object LlmQueries {
       |FROM p
       |WHERE CAST(len([i FOR i IN range(0,16) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/16.0 >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Precision/recall of MinHash-LSH candidate generation against exact
+    * shingle-Jaccard ground truth at τ=0.8 — the dedup twin of
+    * [[PipelineQueries.qIvfRecall]]: before trusting a banding scheme to
+    * prune a 100 TB corpus, measure what it surfaces and what it misses.
+    * Deliberately uses WEAK bands (8 bands × 2 rows over the same
+    * 16-hash md5 signature as q_minhash_oracle) so false candidates
+    * actually occur and precision is exercised; at J≈1 (the planted
+    * dups) every band matches, so recall stays 1.0 — both facts are
+    * pinned in the spec.
+    *
+    * All counts are integers (candidate pairs, truth pairs, overlap),
+    * divisions are single correctly-rounded ops, and both the signature
+    * family and the exact-Jaccard side replay in DuckDB — the whole
+    * eval is hash-exact cross-engine.
+    *
+    * Scale shape: candidates come from the band-bucket equi-join (never
+    * doc×doc); ground truth is gram-keyed intersection counting — the
+    * contamination funnel shape — which on a real run you'd restrict to
+    * an eval sample; the synthetic corpus is small enough to measure
+    * exactly. */
+  def qLshEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = 8
+    val rows = 2
+    val tau = 0.8
+    val cand = {
+      val banded = bandKeys(md5Sigs(spark, sfDir, bands * rows), bands, rows)
+      val ca = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"))
+      val cb = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"))
+      ca.join(cb, Seq("bnd", "bkey")).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b").distinct()
+    }
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 3)).as("g"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val truth = grams.select($"g", $"doc_id".as("id_a"))
+      .join(grams.select($"g", $"doc_id".as("id_b")), "g")
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sza")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"sz".as("szb")), "id_b")
+      .filter($"inter".cast("double") /
+        ($"sza" + $"szb" - $"inter").cast("double") >= tau)
+      .select($"id_a", $"id_b")
+    val hits = truth.join(cand, Seq("id_a", "id_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select($"n_truth", $"n_cand", $"n_hit",
+        ($"n_hit".cast("double") / $"n_cand".cast("double")).as("precision"),
+        ($"n_hit".cast("double") / $"n_truth".cast("double")).as("recall"))
+  }
+
+  val qLshEvalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), ab AS (
+      |  SELECT doc_id,
+      |    [ { a: CAST(concat('0x', substring(md5(g),1,10)) AS BIGINT),
+      |        b: CAST(concat('0x', substring(md5(g),11,10)) AS BIGINT) }
+      |      FOR g IN grams ] AS ab
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id,
+      |    [ list_min([ (x.a + i*x.b) % 1099511627776 FOR x IN ab ])
+      |      FOR i IN range(0,16) ] AS sig
+      |  FROM ab
+      |), b AS (
+      |  SELECT doc_id, bnd,
+      |    array_to_string(sig[bnd*2+1:bnd*2+2], ',') AS bkey
+      |  FROM s, UNNEST(range(0,8)) AS u(bnd)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bkey = b2.bkey
+      |                    AND a.doc_id < b2.doc_id
+      |), g AS (SELECT doc_id, unnest(grams) AS g FROM t),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+      |pi AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), tr AS (
+      |  SELECT id_a, id_b
+      |  FROM pi
+      |  JOIN sz sa ON sa.doc_id = pi.id_a
+      |  JOIN sz sb ON sb.doc_id = pi.id_b
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+      |        >= 0.8
+      |), h AS (
+      |  SELECT COUNT(*) AS n_hit
+      |  FROM tr JOIN cand ON cand.id_a = tr.id_a AND cand.id_b = tr.id_b)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth,
+      |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+      |  CAST(h.n_hit AS BIGINT) AS n_hit,
+      |  CAST(h.n_hit AS DOUBLE) /
+      |    CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS precision,
+      |  CAST(h.n_hit AS DOUBLE) /
+      |    CAST((SELECT COUNT(*) FROM tr) AS DOUBLE) AS recall
+      |FROM h""".stripMargin
 
   /** Train/test contamination detection ([[Contamination]]): eval docs
     * (md5-split, first hex digit < '2' ≈ 12.5%) that share >= 2 distinct
@@ -1664,6 +1786,7 @@ object LlmQueries {
     "q_neardup_prune" -> (qNeardupPrune _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
+    "q_lsh_eval" -> (qLshEval _),
     "q_contamination" -> (qContamination _),
     "q_bm25"          -> (qBm25 _),
     "q_simhash_oracle" -> (qSimhashOracle _),
@@ -1705,6 +1828,7 @@ object LlmQueries {
     "q_neardup_prune" -> qNeardupPruneSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
+    "q_lsh_eval" -> qLshEvalSql,
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,
     "q_simhash_oracle" -> qSimhashOracleSql,

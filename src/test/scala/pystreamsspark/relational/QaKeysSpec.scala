@@ -195,6 +195,20 @@ class QaKeysSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("hits")).sum < 50L)
   }
 
+  test("q_lsh_eval: weak bands trade precision for recall, metrics are consistent") {
+    val r = LlmQueries.qLshEval(spark, sf).head
+    val (nT, nC, nH) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_hit"))
+    assert(nT > 0L && nC > 0L)
+    assert(nH <= nT && nH <= nC)
+    assert(r.getAs[Double]("precision") == nH.toDouble / nC)
+    assert(r.getAs[Double]("recall") == nH.toDouble / nT)
+    // the planted near-exact dups agree on every band => full recall,
+    // and 2-row bands must also admit SOME false candidates
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(nC > nH, "weak banding should surface false candidates")
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
