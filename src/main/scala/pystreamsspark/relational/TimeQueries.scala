@@ -300,7 +300,55 @@ object TimeQueries {
       |FROM n
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Time-weighted average of `value` per event type — the metric a
+    * billing/monitoring pipeline needs when samples arrive at IRREGULAR
+    * intervals and a plain mean over-weights bursts: each reading is
+    * weighted by how long it was current (Δt to the next event in the
+    * same group), TWA = Σ v·Δt / Σ Δt. The last reading per group has
+    * no successor and is dropped (standard right-open treatment).
+    *
+    * Exactness: v is 2-decimal → DECIMAL(12,2) exact; Δt is integer µs;
+    * the product stays DECIMAL(31,2) — inside precision 38 in BOTH
+    * engines (wider operands would silently promote to double in
+    * DuckDB) — so both sums are order-independent exact, exit through
+    * the Det string route, and the single division is correctly
+    * rounded. Shape: one lead() window partitioned by type (never
+    * SinglePartition), one partial+final agg. */
+  def qTwa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DV = org.apache.spark.sql.types.DecimalType(12, 2)
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("nxt", lead($"ts", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"event_type",
+        (unix_micros($"nxt") - unix_micros($"ts")).as("dt"),
+        $"value".cast(DV).as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        d2d(sum($"v" * $"dt")).as("wsum"), sum($"dt").as("tsum"))
+      .select($"event_type", $"n",
+        ($"wsum" / $"tsum".cast("double")).as("twa"))
+      .orderBy($"event_type")
+  }
+
+  val qTwaSql: String =
+    """WITH d AS (
+      |  SELECT event_type, ts, CAST(value AS DECIMAL(12,2)) AS v,
+      |    lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      |      AS nxt
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type, epoch_us(nxt) - epoch_us(ts) AS dt, v
+      |  FROM d WHERE nxt IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(v * dt) AS STRING) AS DOUBLE)
+      |    / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) AS twa
+      |FROM f GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twa"            -> (qTwa _),
     "q_running_distinct" -> (qRunningDistinct _),
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
@@ -310,6 +358,7 @@ object TimeQueries {
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "q_twa"            -> qTwaSql,
     "q_running_distinct" -> qRunningDistinctSql,
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,

@@ -209,6 +209,30 @@ class QaKeysSpec extends SparkSpec {
     assert(nC > nH, "weak banding should surface false candidates")
   }
 
+  test("q_twa: time-weighted mean matches a plain-Scala replay and stays in range") {
+    val s = spark
+    import s.implicits._
+    val rows = TimeQueries.qTwa(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = pystreamsspark.io.Tables.events(spark, sf)
+      .select($"event_type", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getDouble(3)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val twa = r.getAs[Double]("twa")
+      val series = ev.filter(_._1 == et).sortBy(t => (t._2, t._3))
+      val vals = series.map(_._4)
+      assert(twa >= vals.min && twa <= vals.max)
+      val (wsum, tsum) = series.zip(series.tail).map { case (a, b) =>
+        (a._4 * (b._2 - a._2), b._2 - a._2)
+      }.foldLeft((0.0, 0L)) { case ((w, t), (dw, dt)) => (w + dw, t + dt) }
+      assert(math.abs(twa - wsum / tsum.toDouble) < 1e-9,
+        s"$et: key=$twa ref=${wsum / tsum.toDouble}")
+      assert(r.getAs[Long]("n") == series.length - 1L)
+    }
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
