@@ -338,6 +338,50 @@ object Stress {
           .as("v_out"))
         .agg(count($"v_out")).count()
     }
+
+    // bounded-domain window probe (q_ks_test/q_auc claim): value is
+    // 2-decimal, so xN amplification multiplies ROWS but not distinct
+    // cells — the per-value agg must absorb the extra rows map-side and
+    // the cumulative window runs over the (fixed) domain. Wall clock
+    // should track the scan, not N x window cost.
+    time(s"ks_bounded_domain x$mult") {
+      import org.apache.spark.sql.expressions.Window
+      val byVal = ev.filter($"event_type".isin("click", "view"))
+        .groupBy($"value")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("cum2", sum($"c2").over(w))
+        .withColumn("n1", sum($"c1").over(Window.partitionBy()))
+        .withColumn("n2", sum($"c2").over(Window.partitionBy()))
+        .select(abs($"cum1".cast("double") / $"n1".cast("double")
+          - $"cum2".cast("double") / $"n2".cast("double")).as("gap"))
+        .agg(max($"gap")).count()
+    }
+
+    // LSH-eval ground-truth probe (the banded CANDIDATE side is the
+    // minhash_lsh probe above): exact shingle-Jaccard pair generation
+    // must stay gram-keyed — each replica's texts carry a replica tag so
+    // cross-replica grams never match and the pair count grows linearly
+    // in replicas (intra-replica only), not quadratically.
+    time(s"lsh_eval_truth x$mult") {
+      val docsTagged = (0 until mult).map { r =>
+        pystreamsspark.io.Tables.documents(spark, sfDir)
+          .withColumn("doc_id", $"doc_id" + lit(r * 10000000L))
+          .withColumn("text", array_join(
+            transform(split($"text", " "), t => concat(t, lit(s"_$r"))), " "))
+      }.reduce(_ unionByName _)
+      val grams = docsTagged.select($"doc_id",
+        explode(pystreamsspark.llm.Dedup.shinglesNative(spark, $"text", 3)).as("g"))
+      grams.select($"g", $"doc_id".as("id_a"))
+        .join(grams.select($"g", $"doc_id".as("id_b")), "g")
+        .filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+        .count()
+    }
     spark.stop()
   }
 }
