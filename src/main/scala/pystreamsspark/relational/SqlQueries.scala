@@ -264,7 +264,36 @@ object SqlQueries {
       |GROUP BY 1
       |ORDER BY band""".stripMargin
 
+  /** Adapted TPC-H Q18 (large-volume customers): the
+    * aggregate-IN-subquery shape — a HAVING-filtered aggregate feeds an
+    * IN predicate over the fact table, then a 3-table join re-aggregates
+    * the survivors. Spark plans the IN as a LeftSemi join against the
+    * aggregated subquery (no correlated re-execution); the qualifying-
+    * order set is small (HAVING prunes hard) so it broadcasts — the
+    * classic "filter the fact by an aggregate of itself" pattern at
+    * 100 TB. Threshold 250 qualifies ~1% of orders at every SF.
+    * l_quantity is integer-valued, so SUM(double) is exact at any
+    * reduction order and the shared SQL text is its own oracle. */
+  val sqlQ18: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+      |  AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def qSqlQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "customer", "orders", "lineitem")
+    spark.sql(sqlQ18)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q18"       -> (qSqlQ18 _),
     "q_sql_udf"       -> (qSqlUdf _),
     "q_variant_explode" -> (qVariantExplode _),
     "q_lateral_topn"  -> (qLateral _),
@@ -277,6 +306,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_q18"       -> sqlQ18,
     "q_sql_udf"       -> qSqlUdfOracleSql,
     "q_variant_explode" -> qVariantExplodeOracleSql,
     "q_lateral_topn"  -> sqlLateral,

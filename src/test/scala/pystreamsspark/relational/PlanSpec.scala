@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_sql_q18: aggregate-IN plans as a broadcast LeftSemi, top-100 is TakeOrdered") {
+    val p = plan(graft.SparkEntry.queries("q_sql_q18")(spark, sf))
+    assert(p.contains("LeftSemi"), p)        // IN-subquery never re-executes per row
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("q_lateral_topn: correlated LATERAL decorrelates to WindowGroupLimit") {
     val p = plan(graft.SparkEntry.queries("q_lateral_topn")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
