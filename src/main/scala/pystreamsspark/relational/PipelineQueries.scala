@@ -709,6 +709,56 @@ object PipelineQueries {
       |FROM nc LEFT JOIN o ON o.pid = nc.pid
       |ORDER BY nc.pid""".stripMargin
 
+  /** Per-group feature scaling — min-max normalization and z-score in
+    * one pass, the standard preprocessing step before features feed a
+    * trainer. Group stats (min/max/count and decimal-exact Σx, Σx²)
+    * aggregate once and BROADCAST back onto the stream; the per-row
+    * math is a fixed IEEE sequence. The sample variance comes from the
+    * exact-sum identity s² = (n·Σx² − (Σx)²)/(n·(n−1)) — both sums are
+    * order-independent decimals (x is 2-decimal so x² is 4-decimal
+    * exact), exit through the Det string route, and sqrt is
+    * correctly-rounded IEEE, so the z-scores are bit-identical
+    * cross-engine. Shape: one partial+final agg (5 rows) + a map-side
+    * broadcast join — the scan dominates at any scale. */
+  def qScaleNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DV = org.apache.spark.sql.types.DecimalType(12, 2)
+    val stats = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("mn"), max($"value").as("mx"),
+        Det.d2d(sum($"value".cast(DV))).as("sx"),
+        Det.d2d(sum($"value".cast(DV) * $"value".cast(DV))).as("sxx"))
+    val nD = $"n".cast("double")
+    val mean = $"sx" / nD
+    val sd = sqrt((nD * $"sxx" - $"sx" * $"sx") / (nD * (nD - lit(1.0))))
+    Tables.events(spark, sfDir)
+      .join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type", $"value",
+        (($"value" - $"mn") / ($"mx" - $"mn")).as("minmax"),
+        (($"value" - mean) / sd).as("zscore"))
+      .orderBy($"event_id")
+  }
+
+  val qScaleNormSql: String =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    MIN(value) AS mn, MAX(value) AS mx,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+      |      AS sx,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))
+      |                  * CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+      |      AS sxx
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - st.mn) / (st.mx - st.mn) AS minmax,
+      |  (e.value - (st.sx / CAST(st.n AS DOUBLE))) /
+      |    sqrt((CAST(st.n AS DOUBLE) * st.sxx - st.sx * st.sx)
+      |         / (CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) - 1.0)))
+      |    AS zscore
+      |FROM events e JOIN st USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
   /** Weighted sampling WITHOUT replacement (k=100, weight = text
     * length) via the Efraimidis–Spirakis A-ES key (u^(1/w) ranking —
     * "Weighted random sampling with a reservoir", IPL 2006; public
@@ -1467,6 +1517,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_mask"        -> (qSpanMask _),
+    "q_scale_norm"       -> (qScaleNorm _),
     "q_ivf_recall"       -> (qIvfRecall _),
     "q_cluster_purity"   -> (qClusterPurity _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
@@ -1507,6 +1558,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_span_mask"        -> qSpanMaskSql,
+    "q_scale_norm"       -> qScaleNormSql,
     "q_ivf_recall"       -> qIvfRecallSql,
     "q_cluster_purity"   -> qClusterPuritySql,
     "q_chunk_overlap"    -> qChunkOverlapSql,

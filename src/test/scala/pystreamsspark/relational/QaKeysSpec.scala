@@ -233,6 +233,22 @@ class QaKeysSpec extends SparkSpec {
     }
   }
 
+  test("q_scale_norm: minmax lands in [0,1], z-scores have zero mean and unit variance") {
+    val rows = PipelineQueries.qScaleNorm(spark, sf).collect()
+    assert(rows.length == 10000)
+    val byType = rows.groupBy(_.getString(1))
+    assert(byType.size == 5)
+    byType.foreach { case (et, rs) =>
+      val mm = rs.map(_.getAs[Double]("minmax"))
+      assert(mm.min == 0.0 && mm.max == 1.0, s"$et minmax range")
+      val z = rs.map(_.getAs[Double]("zscore"))
+      val mz = z.sum / z.length
+      val vz = z.map(x => (x - mz) * (x - mz)).sum / (z.length - 1)
+      assert(math.abs(mz) < 1e-9, s"$et z mean $mz")
+      assert(math.abs(vz - 1.0) < 1e-9, s"$et z var $vz")
+    }
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
