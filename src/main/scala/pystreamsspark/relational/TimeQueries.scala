@@ -347,7 +347,85 @@ object TimeQueries {
       |FROM f GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Rolling 24-point correlation between the hourly click and view
+    * revenue series — the co-movement monitor a metrics pipeline runs
+    * to catch decoupling (a tracking bug on one surface shows up as a
+    * correlation collapse long before either series alone alarms).
+    *
+    * Exactness discipline: the hourly values stay DECIMAL through the
+    * rolling frame — per-hour sums, the frame sums Σx Σy Σxy Σx² Σy²
+    * (products are DECIMAL(29,4), inside precision 38 in both engines)
+    * — every input to the closing Pearson formula is order-independent
+    * exact, exits via the Det string route, and the formula itself is
+    * one fixed IEEE tree (sub/mul/div/sqrt). Frames with fewer than 24
+    * observed hours or a zero-variance side are excluded rather than
+    * emitting engine-dependent NaN.
+    *
+    * Scale: the windowed relation is HOURS (bounded by the time span,
+    * not the corpus size) after one partial+final agg over the raw
+    * stream — same bounded-domain argument as q_ks_test. */
+  def qRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DV = org.apache.spark.sql.types.DecimalType(14, 2)
+    val hourly = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(
+        coalesce(sum(when($"event_type" === "click", $"value".cast(DV))),
+          lit(0).cast(DV)).cast(DV).as("x"),
+        coalesce(sum(when($"event_type" === "view", $"value".cast(DV))),
+          lit(0).cast(DV)).cast(DV).as("y"))
+    val w = Window.orderBy($"hour").rowsBetween(-23, 0)
+    val framed = hourly
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("sx", d2d(sum($"x").over(w)))
+      .withColumn("sy", d2d(sum($"y").over(w)))
+      .withColumn("sxy", d2d(sum($"x" * $"y").over(w)))
+      .withColumn("sxx", d2d(sum($"x" * $"x").over(w)))
+      .withColumn("syy", d2d(sum($"y" * $"y").over(w)))
+      .filter($"m" === 24)
+    val nD = lit(24.0)
+    val vx = nD * $"sxx" - $"sx" * $"sx"
+    val vy = nD * $"syy" - $"sy" * $"sy"
+    framed
+      .filter(vx > 0.0 && vy > 0.0)
+      .select($"hour", d2d($"x").as("x"), d2d($"y").as("y"),
+        ((nD * $"sxy" - $"sx" * $"sy") / (sqrt(vx) * sqrt(vy)))
+          .as("corr24"))
+      .orderBy($"hour")
+  }
+
+  val qRollingCorrSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DECIMAL(14,2)) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+      |      THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DECIMAL(14,2)) AS y
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT hour, x, y,
+      |    COUNT(*) OVER w AS m,
+      |    CAST(CAST(SUM(x) OVER w AS STRING) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) OVER w AS STRING) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(x * y) OVER w AS STRING) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(x * x) OVER w AS STRING) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(y * y) OVER w AS STRING) AS DOUBLE) AS syy
+      |  FROM hourly
+      |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT hour,
+      |  CAST(CAST(x AS STRING) AS DOUBLE) AS x,
+      |  CAST(CAST(y AS STRING) AS DOUBLE) AS y,
+      |  (24.0 * sxy - sx * sy) /
+      |    (sqrt(24.0 * sxx - sx * sx) * sqrt(24.0 * syy - sy * sy)) AS corr24
+      |FROM f
+      |WHERE m = 24
+      |  AND (24.0 * sxx - sx * sx) > 0.0 AND (24.0 * syy - sy * sy) > 0.0
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_corr"   -> (qRollingCorr _),
     "q_twa"            -> (qTwa _),
     "q_running_distinct" -> (qRunningDistinct _),
     "q_tumbling"       -> (qTumbling _),
@@ -358,6 +436,7 @@ object TimeQueries {
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_corr"   -> qRollingCorrSql,
     "q_twa"            -> qTwaSql,
     "q_running_distinct" -> qRunningDistinctSql,
     "q_tumbling"       -> qTumblingSql,

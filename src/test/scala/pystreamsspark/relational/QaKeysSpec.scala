@@ -249,6 +249,33 @@ class QaKeysSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_corr: coefficients stay in [-1,1] and match a plain-Scala frame replay") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = TimeQueries.qRollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("corr24")) <= 1.0 + 1e-12))
+    // replay the last frame in plain Scala from the hourly series
+    val hourly = pystreamsspark.io.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(coalesce(sum(when($"event_type" === "click", $"value")), lit(0.0)).as("x"),
+        coalesce(sum(when($"event_type" === "view", $"value")), lit(0.0)).as("y"))
+      .orderBy($"hour").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val frame = hourly.takeRight(24)
+    val n = frame.length.toDouble
+    val (sx, sy) = (frame.map(_._1).sum, frame.map(_._2).sum)
+    val sxy = frame.map(t => t._1 * t._2).sum
+    val sxx = frame.map(t => t._1 * t._1).sum
+    val syy = frame.map(t => t._2 * t._2).sum
+    val ref = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rows.last.getAs[Double]("corr24") - ref) < 1e-9,
+      s"key=${rows.last.getAs[Double]("corr24")} ref=$ref")
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
