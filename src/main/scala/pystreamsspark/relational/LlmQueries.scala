@@ -1354,6 +1354,59 @@ object LlmQueries {
       |    CAST((SELECT COUNT(*) FROM tr) AS DOUBLE) AS recall
       |FROM h""".stripMargin
 
+  /** One-row dataset card — the corpus summary a curation pipeline
+    * publishes with every training-data release (docs, languages,
+    * sources, token volume, vocabulary, mean length, exact-dup rate,
+    * empties). Composes only exact aggregates: counts, distincts over
+    * normalized text, and two correctly-rounded divisions — the whole
+    * card is hash-exact cross-engine. Shape: one scan for doc-level
+    * stats + one exploded scan for token stats (each a partial+final
+    * agg to a single row), crossed driver-free; at 100 TB the cost is
+    * two reads of the corpus and nothing else. */
+  def qDatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"lang").as("n_langs"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct(lower(trim($"text"))).as("n_uniq"),
+      sum(when(length(trim($"text")) === 0, 1L).otherwise(0L)).as("n_empty"))
+    val t = docs
+      .select(explode(filter(split($"text", " "), x => x =!= "")).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct($"tok").as("n_vocab"))
+    d.crossJoin(t).select(
+      $"n_docs", $"n_langs", $"n_sources", $"n_tokens", $"n_vocab",
+      ($"n_tokens".cast("double") / $"n_docs".cast("double"))
+        .as("mean_doc_tokens"),
+      (lit(1.0) - $"n_uniq".cast("double") / $"n_docs".cast("double"))
+        .as("dup_rate"),
+      $"n_empty")
+  }
+
+  val qDatasetCardSql: String =
+    """WITH d AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT lower(trim(text))) AS n_uniq,
+      |    SUM(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_empty
+      |  FROM documents),
+      |t AS (
+      |  SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_vocab
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |                x -> x <> '')) AS tok
+      |        FROM documents))
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_langs AS BIGINT) AS n_langs,
+      |  CAST(n_sources AS BIGINT) AS n_sources,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_vocab AS BIGINT) AS n_vocab,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens,
+      |  1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+      |  CAST(n_empty AS BIGINT) AS n_empty
+      |FROM d CROSS JOIN t""".stripMargin
+
   /** Train/test contamination detection ([[Contamination]]): eval docs
     * (md5-split, first hex digit < '2' ≈ 12.5%) that share >= 2 distinct
     * word 3-grams with a training doc, with the standard heavy-hitter df
@@ -1787,6 +1840,7 @@ object LlmQueries {
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_lsh_eval" -> (qLshEval _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_contamination" -> (qContamination _),
     "q_bm25"          -> (qBm25 _),
     "q_simhash_oracle" -> (qSimhashOracle _),
@@ -1829,6 +1883,7 @@ object LlmQueries {
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_lsh_eval" -> qLshEvalSql,
+    "q_dataset_card" -> qDatasetCardSql,
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,
     "q_simhash_oracle" -> qSimhashOracleSql,

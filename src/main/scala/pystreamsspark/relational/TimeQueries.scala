@@ -347,6 +347,71 @@ object TimeQueries {
       |FROM f GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Multi-level time-constrained funnel (the windowFunnel shape): how
+    * far each user gets through view → click → purchase when every NEXT
+    * step must land within 1 hour of the PREVIOUS step's time — not one
+    * global window like [[qFunnel]], but a per-step chain, which is
+    * what separates "engaged then converted" from coincidental events a
+    * day apart. Levels are chained per-user min-aggregates: t1 = first
+    * view, t2 = first qualifying click after t1, t3 = first qualifying
+    * purchase after t2; each stage is a user-keyed join against a
+    * user-keyed aggregate (co-partitioned, no windows, no theta
+    * explosion). Output: users per reached level, level 0 = active
+    * users who never viewed. Timestamps are µs integers, so every
+    * comparison is exact cross-engine. */
+  def qWindowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val hour = expr("INTERVAL 1 HOUR")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = ev.filter($"event_type" === "click")
+      .join(t1, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + hour)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t2" + hour)
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    ev.select($"user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+        .when($"t1".isNotNull, 1L).otherwise(0L).as("level"))
+      .groupBy($"level").agg(count(lit(1)).as("n_users"))
+      .orderBy($"level")
+  }
+
+  val qWindowFunnelSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+      |  SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+      |              WHEN t2.t2 IS NOT NULL THEN 2
+      |              WHEN t1.t1 IS NOT NULL THEN 1
+      |              ELSE 0 END AS level
+      |  FROM u
+      |  LEFT JOIN t1 ON t1.user_id = u.user_id
+      |  LEFT JOIN t2 ON t2.user_id = u.user_id
+      |  LEFT JOIN t3 ON t3.user_id = u.user_id)
+      |GROUP BY level
+      |ORDER BY level""".stripMargin
+
   /** Rolling 24-point correlation between the hourly click and view
     * revenue series — the co-movement monitor a metrics pipeline runs
     * to catch decoupling (a tracking bug on one surface shows up as a
@@ -425,6 +490,7 @@ object TimeQueries {
       |ORDER BY hour""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funnel"  -> (qWindowFunnel _),
     "q_rolling_corr"   -> (qRollingCorr _),
     "q_twa"            -> (qTwa _),
     "q_running_distinct" -> (qRunningDistinct _),
@@ -436,6 +502,7 @@ object TimeQueries {
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "q_window_funnel"  -> qWindowFunnelSql,
     "q_rolling_corr"   -> qRollingCorrSql,
     "q_twa"            -> qTwaSql,
     "q_running_distinct" -> qRunningDistinctSql,

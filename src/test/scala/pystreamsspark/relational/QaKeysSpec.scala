@@ -276,6 +276,35 @@ class QaKeysSpec extends SparkSpec {
       s"key=${rows.last.getAs[Double]("corr24")} ref=$ref")
   }
 
+  test("q_window_funnel: levels partition the active users, chain is consistent") {
+    val s = spark
+    import s.implicits._
+    val rows = TimeQueries.qWindowFunnel(spark, sf).collect()
+    val levels = rows.map(r => r.getAs[Long]("level") -> r.getAs[Long]("n_users")).toMap
+    assert(levels.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val total = pystreamsspark.io.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(levels.values.sum == total, s"levels $levels must partition $total users")
+    // a level-k user had a qualifying step k, so some users must reach 1+
+    assert(levels.collect { case (k, n) if k >= 1L => n }.sum > 0L)
+  }
+
+  test("q_dataset_card: the card's counts match independent recomputation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val r = LlmQueries.qDatasetCard(spark, sf).head
+    val docs = pystreamsspark.io.Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    val nTok = docs.select(explode(filter(split($"text", " "), x => x =!= "")))
+      .count()
+    assert(r.getAs[Long]("n_tokens") == nTok)
+    assert(r.getAs[Double]("mean_doc_tokens") ==
+      nTok.toDouble / r.getAs[Long]("n_docs"))
+    val dr = r.getAs[Double]("dup_rate")
+    assert(dr >= 0.0 && dr < 1.0)
+  }
+
   test("q_cluster_purity: purity algebra holds and every point is accounted for") {
     val rows = PipelineQueries.qClusterPurity(spark, sf).collect()
     assert(rows.length == 8) // k=8, empty-cell guard keeps all seeds
