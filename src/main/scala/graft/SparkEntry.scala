@@ -18,7 +18,8 @@ object SparkEntry {
       ScalarQueries.queries ++ WindowQueries.queries ++ TimeQueries.queries ++
       LlmQueries.queries ++ SetQueries.queries ++ SqlQueries.queries ++
       ExtraQueries.queries ++ PipelineQueries.queries ++ StorageQueries.queries ++
-      GraphQueries.queries ++ AnalyticsQueries.queries ++ LayoutQueries.queries
+      GraphQueries.queries ++ AnalyticsQueries.queries ++ LayoutQueries.queries ++
+      DriftQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       ScalarQueries.oracle ++ WindowQueries.oracle ++ TimeQueries.oracle ++
       LlmQueries.oracle ++ SetQueries.oracle ++ SqlQueries.oracle ++
       ExtraQueries.oracle ++ PipelineQueries.oracle ++ StorageQueries.oracle ++
-      GraphQueries.oracle ++ AnalyticsQueries.oracle ++ LayoutQueries.oracle
+      GraphQueries.oracle ++ AnalyticsQueries.oracle ++ LayoutQueries.oracle ++
+      DriftQueries.oracle
 }

@@ -474,7 +474,86 @@ object GraphQueries {
       |       FROM nodes n LEFT JOIN a3 ON a3.id = n.id)
       |SELECT id, label FROM l3 ORDER BY id""".stripMargin
 
+  /** Bounded-round k-core peeling (k=3, 3 synchronous rounds) over the
+    * customer–supplier trade graph: repeatedly delete nodes of degree
+    * < k; what survives (here: after 3 fixed rounds — the bounded-round
+    * discipline of pageRank/labelProp, so the oracle can unroll it) is
+    * the dense "core" a fraud/abuse pipeline inspects first. Peeling is
+    * the standard distributed k-core algorithm (Montresor et al.,
+    * "Distributed k-Core Decomposition", PODC 2011 — public work):
+    * each round is one degree agg plus two semi joins on the edge list,
+    * O(rounds) shuffles, no driver materialization; survivors' final
+    * in-core degrees are integer-exact.
+    *
+    * The edge list is materialized once up front (Lineage.truncate) —
+    * every round references it twice and re-deriving the orders ⋈
+    * lineitem distinct per reference would dominate the cost. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pystreamsspark.operators.Lineage.truncate(
+      edges.select(col("a"), col("b")))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      e = e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+      // each round shrinks the edge list; re-materialize so the next
+      // round's two degree references (and the semi joins) reuse the
+      // pruned set instead of replaying the whole peel history
+      e = pystreamsspark.operators.Lineage.truncate(e.select(col("a"), col("b")))
+    }
+    e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    kCore(edges, k = 3, rounds = 3).orderBy($"id")
+  }
+
+  // oracle: the same 3 peel rounds unrolled — degree, keep-set, filter —
+  // then the survivors' final degrees; all integer counts
+  val qKcoreSql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), d1 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+      |  GROUP BY id),
+      |k1 AS (SELECT id FROM d1 WHERE deg >= 3),
+      |e1 AS MATERIALIZED (
+      |  SELECT a, b FROM e0
+      |  WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
+      |d2 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT a AS id FROM e1 UNION ALL SELECT b AS id FROM e1)
+      |  GROUP BY id),
+      |k2 AS (SELECT id FROM d2 WHERE deg >= 3),
+      |e2 AS MATERIALIZED (
+      |  SELECT a, b FROM e1
+      |  WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
+      |d3 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT a AS id FROM e2 UNION ALL SELECT b AS id FROM e2)
+      |  GROUP BY id),
+      |k3 AS (SELECT id FROM d3 WHERE deg >= 3),
+      |e3 AS (
+      |  SELECT a, b FROM e2
+      |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3))
+      |SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |  SELECT a AS id FROM e3 UNION ALL SELECT b AS id FROM e3)
+      |GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore"     -> (qKcore _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank"  -> (qPageRank _),
     "q_bfs_hops"  -> (qBfsHops _),
@@ -483,6 +562,7 @@ object GraphQueries {
     "q_degree_corr"     -> (qDegreeCorr _))
 
   val oracle: Map[String, String] = Map(
+    "q_kcore"     -> qKcoreSql,
     "q_triangles" -> qTrianglesSql,
     "q_labelprop" -> qLabelPropSql,
     "q_pagerank"  -> qPageRankSql,

@@ -292,7 +292,91 @@ object SqlQueries {
     spark.sql(sqlQ18)
   }
 
+  /** Adapted TPC-H Q16 (no partsupp table in this schema, so lineitem is
+    * the part↔supplier bridge): distinct-supplier counts per brand/type,
+    * excluding one brand and a NOT IN ban list of suppliers. The NOT IN
+    * subquery is the *null-aware* anti-join shape — semantically stricter
+    * than NOT EXISTS (one NULL in the list empties the result), and Spark
+    * plans it as LeftAnti(null-aware) against the broadcast ban list.
+    * COUNT(DISTINCT) rides a two-phase partial/final agg. s_suppkey is
+    * never NULL here so both engines agree; the text is its own oracle. */
+  val sqlQ16: String =
+    """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  def qSqlQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "part", "lineitem", "supplier")
+    spark.sql(sqlQ16)
+  }
+
+  /** Adapted TPC-H Q21 (suppliers who kept orders waiting — here: the
+    * only supplier with returns on a shared finished order): correlated
+    * EXISTS **and** NOT EXISTS against the same fact table, the classic
+    * double-decorrelation stress. Spark rewrites them into a LeftSemi
+    * then LeftAnti join on l_orderkey — two shuffles on the fact's join
+    * key, no per-row re-execution, which is the only shape that survives
+    * 100 TB. Counts are integers → exact; text is its own oracle. */
+  val sqlQ21: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  def qSqlQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "supplier", "lineitem", "orders")
+    spark.sql(sqlQ21)
+  }
+
+  /** Adapted TPC-H Q22 (dormant high-balance customers; this schema has
+    * no c_phone, so "country code" is c_nationkey mod 10): a scalar
+    * subquery computes the positive-balance mean (decimal-exact via the
+    * §7.5 route so the threshold is bit-identical in both engines), and
+    * NOT EXISTS prunes customers with any recent order — an anti join
+    * against a date-filtered fact slice that Spark broadcasts when
+    * small. sqlSum keeps the balance total order-independent. */
+  val sqlQ22: String =
+    s"""SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+       |  COUNT(*) AS numcust, ${sqlSum("c_acctbal")} AS totacctbal
+       |FROM customer c
+       |WHERE c_acctbal > (
+       |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       |    FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c.c_custkey
+       |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY CAST(c_nationkey % 10 AS INT)
+       |ORDER BY cntrycode""".stripMargin
+
+  def qSqlQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "customer", "orders")
+    spark.sql(sqlQ22)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q16"       -> (qSqlQ16 _),
+    "q_sql_q21"       -> (qSqlQ21 _),
+    "q_sql_q22"       -> (qSqlQ22 _),
     "q_sql_q18"       -> (qSqlQ18 _),
     "q_sql_udf"       -> (qSqlUdf _),
     "q_variant_explode" -> (qVariantExplode _),
@@ -306,6 +390,9 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_q16"       -> sqlQ16,
+    "q_sql_q21"       -> sqlQ21,
+    "q_sql_q22"       -> sqlQ22,
     "q_sql_q18"       -> sqlQ18,
     "q_sql_udf"       -> qSqlUdfOracleSql,
     "q_variant_explode" -> qVariantExplodeOracleSql,
