@@ -316,7 +316,177 @@ object AggQueries {
       |FROM ex JOIN med USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** KMV sketch SET OPERATIONS (Beyer et al., "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007
+    * — public work): estimate |A∪B| and |A∩B| between audience sets
+    * (distinct users per event_type) from their per-group KMV sketches
+    * alone — the mergeable-sketch algebra that lets a 100 TB pipeline
+    * answer arbitrary pairwise overlap questions from one
+    * sketch-per-segment pass instead of a quadratic pairwise rescan.
+    *
+    * Mechanics: ks(A∪B) = the k smallest of sorted-merge(ks(A), ks(B));
+    * the union estimate is the usual (k−1)·2^40/h_k; ρ = |{h ∈ ks(A∪B):
+    * h ∈ ks(A) ∧ h ∈ ks(B)}| is a Binomial(k, J) draw, so
+    * |A∩B| ≈ (ρ/k)·|A∪B|. When the merged sketch holds fewer than k
+    * hashes both input sketches were complete, so ρ and the sizes are
+    * exact. The md5-derived 40-bit hash family exists in both engines
+    * (the q_kmv_distinct idiom), so estimator AND exact ground truth
+    * replay bit-identically in DuckDB.
+    *
+    * Shape: one distinct + one bounded-k UDAF agg per group (k·groups
+    * rows cross the shuffle), then a 3-row broadcast pair table joined
+    * against the 5-row sketch table; the exact intersection side is one
+    * user-keyed equi-join and exists only as the oracle's ground truth. */
+  def qSketchOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val scale = lit((k - 1).toDouble * 1099511627776.0) // (k−1)·2^40, exact
+    val pairsDf = broadcast(Seq(
+      ("click", "purchase"), ("click", "view"), ("signup", "view"))
+      .toDF("a_type", "b_type"))
+    // high-value audiences (value > 150): at the small SFs the sets sit
+    // below k (exact branch); at sf0.1 they are ~10×k (true estimation)
+    val d1 = Tables.events(spark, sfDir)
+      .filter($"value" > 150.0)
+      .select($"event_type", $"user_id").distinct()
+    val exact = d1.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    val hd = d1.select($"event_type",
+      conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 10),
+        16, 10).cast("long").as("h")).distinct()
+    val sk = hd.groupBy($"event_type")
+      .agg(pystreamsspark.operators.TopKAgg.smallestK(k)($"h").as("ks"))
+    val interExact = pairsDf
+      .join(d1.select($"event_type".as("a_type"), $"user_id"), Seq("a_type"))
+      .join(d1.select($"event_type".as("b_type"), $"user_id"),
+        Seq("b_type", "user_id"))
+      .groupBy($"a_type", $"b_type").agg(count(lit(1)).as("n_inter"))
+    val j = pairsDf
+      .join(broadcast(sk).select($"event_type".as("a_type"), $"ks".as("ka")),
+        Seq("a_type"))
+      .join(broadcast(sk).select($"event_type".as("b_type"), $"ks".as("kb")),
+        Seq("b_type"))
+      .join(broadcast(exact).select($"event_type".as("a_type"),
+        $"n_exact".as("n_a")), Seq("a_type"))
+      .join(broadcast(exact).select($"event_type".as("b_type"),
+        $"n_exact".as("n_b")), Seq("b_type"))
+      .withColumn("u", array_sort(array_union($"ka", $"kb")))
+      .withColumn("nu", size($"u"))
+      .withColumn("u64", slice($"u", 1, k))
+      .withColumn("rho",
+        size(array_intersect(array_intersect($"u64", $"ka"), $"kb")))
+      .withColumn("union_est",
+        when($"nu" < k, $"nu".cast("double"))
+          .otherwise(scale / element_at($"u", k).cast("double")))
+      .withColumn("inter_est",
+        when($"nu" < k, $"rho".cast("double"))
+          .otherwise(($"rho".cast("double") / lit(k.toDouble)) * $"union_est"))
+    j.join(interExact, Seq("a_type", "b_type"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select($"a_type", $"b_type", $"n_a", $"n_b", $"n_inter",
+        $"rho", $"union_est", $"inter_est")
+      .orderBy($"a_type", $"b_type")
+  }
+
+  val qSketchOverlapSql: String =
+    """WITH p(a_type, b_type) AS (
+      |  VALUES ('click', 'purchase'), ('click', 'view'), ('signup', 'view')),
+      |d1 AS (SELECT DISTINCT event_type, user_id FROM events
+      |       WHERE value > 150.0),
+      |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |       FROM d1 GROUP BY 1),
+      |hd AS (SELECT DISTINCT event_type,
+      |  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 10))
+      |    AS BIGINT) AS h FROM d1),
+      |r AS (SELECT event_type, h,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hd),
+      |sk AS (SELECT event_type, list(h ORDER BY h) AS ks
+      |       FROM r WHERE rn <= 64 GROUP BY event_type),
+      |ie AS (
+      |  SELECT p.a_type, p.b_type, CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM p
+      |  JOIN d1 a ON a.event_type = p.a_type
+      |  JOIN d1 b ON b.event_type = p.b_type AND b.user_id = a.user_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT p.a_type, p.b_type, ea.n_exact AS n_a, eb.n_exact AS n_b,
+      |    sa.ks AS ka, sb.ks AS kb,
+      |    list_sort(list_distinct(list_concat(sa.ks, sb.ks))) AS u
+      |  FROM p
+      |  JOIN sk sa ON sa.event_type = p.a_type
+      |  JOIN sk sb ON sb.event_type = p.b_type
+      |  JOIN ex ea ON ea.event_type = p.a_type
+      |  JOIN ex eb ON eb.event_type = p.b_type),
+      |j2 AS (
+      |  SELECT a_type, b_type, n_a, n_b, ka, kb,
+      |    len(u) AS nu, u[1:64] AS u64, u
+      |  FROM j),
+      |j3 AS (
+      |  SELECT a_type, b_type, n_a, n_b, nu,
+      |    CAST(len(list_intersect(list_intersect(u64, ka), kb)) AS INT)
+      |      AS rho,
+      |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+      |         ELSE (63.0 * 1099511627776.0) / CAST(u[64] AS DOUBLE)
+      |    END AS union_est
+      |  FROM j2)
+      |SELECT j3.a_type, j3.b_type, n_a, n_b,
+      |  CAST(COALESCE(ie.n_inter, 0) AS BIGINT) AS n_inter, rho, union_est,
+      |  CASE WHEN nu < 64 THEN CAST(rho AS DOUBLE)
+      |       ELSE (CAST(rho AS DOUBLE) / 64.0) * union_est
+      |  END AS inter_est
+      |FROM j3 LEFT JOIN ie
+      |  ON ie.a_type = j3.a_type AND ie.b_type = j3.b_type
+      |ORDER BY j3.a_type, j3.b_type""".stripMargin
+
+  /** Equi-depth (equal-count) histogram of o_totalprice in two
+    * scale-true passes: pass 1 computes the 9 interior decile boundaries
+    * with the exact distributed `percentile` aggregate (the
+    * quantile_cont-parity path proven by q_percentile — NO global sort,
+    * no single-partition ntile window); pass 2 bins every row against
+    * the broadcast boundary array with map-side comparisons and
+    * aggregates per bin. This is the optimizer-statistics histogram
+    * build at 100 TB: two scans, both fully parallel.
+    *
+    * Bin index = Σ_i [x > b_i] — integer; per-bin count/min/max are
+    * exact (min/max of doubles are selections, not arithmetic). */
+  def qEqdepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5," +
+        "0.6,0.7,0.8,0.9))").as("bs"))
+    Tables.orders(spark, sfDir)
+      .crossJoin(broadcast(bounds))
+      .select($"o_totalprice",
+        aggregate(transform($"bs",
+            b => when($"o_totalprice" > b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      .orderBy($"bin")
+  }
+
+  val qEqdepthHistSql: String =
+    """WITH b AS (
+      |  SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+      |          quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+      |          quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+      |          quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+      |          quantile_cont(o_totalprice, 0.9)] AS bs
+      |  FROM orders),
+      |binned AS (
+      |  SELECT o_totalprice,
+      |    CAST(len(list_filter(bs, x -> o_totalprice > x)) AS INT) AS bin
+      |  FROM orders CROSS JOIN b)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM binned
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_overlap"  -> (qSketchOverlap _),
+    "q_eqdepth_hist"    -> (qEqdepthHist _),
     "q_quantile_sample" -> (qQuantileSample _),
     "q_rollup"          -> (qRollup _),
     "q_cube"            -> (qCube _),
@@ -328,6 +498,8 @@ object AggQueries {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_overlap" -> qSketchOverlapSql,
+    "q_eqdepth_hist"   -> qEqdepthHistSql,
     "q_quantile_sample" -> qQuantileSampleSql,
     "q_rollup"         -> qRollupSql,
     "q_cube"           -> qCubeSql,

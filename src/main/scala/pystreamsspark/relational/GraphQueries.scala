@@ -552,7 +552,85 @@ object GraphQueries {
       |  SELECT a AS id FROM e3 UNION ALL SELECT b AS id FROM e3)
       |GROUP BY id ORDER BY id""".stripMargin
 
+  /** Bounded-round single-source shortest paths (Bellman-Ford, 3
+    * synchronous relaxation rounds — the distributed SSSP primitive;
+    * with integer edge weights every distance is exact and the oracle
+    * can unroll the rounds). Each round is one join of the (small)
+    * distance table against the materialized adjacency plus a min
+    * partial+final agg — the same O(rounds)-shuffles shape as
+    * [[bfsHops]], which is the unit-weight special case. */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val dir = pystreamsspark.operators.Lineage.truncate(
+      edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(dir, dist("id") === dir("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** Weighted SSSP over the trade graph: edge weight = the pair's
+    * minimum traded quantity (integer-valued), seeds = every 10th
+    * supplier at distance 0, 3 relaxation rounds. */
+  def qSssp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir)
+          .select($"l_orderkey", $"l_suppkey", $"l_quantity"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .agg(min($"l_quantity").cast("long").as("w"))
+    val seeds = Tables.supplier(spark, sfDir)
+      .filter($"s_suppkey" % 10 === 0)
+      .select(($"s_suppkey" * 2 + 1).as("id"))
+    ssspBounded(edges, seeds, rounds = 3).orderBy($"id")
+  }
+
+  // oracle: 3 unrolled relaxation rounds over the same weighted
+  // adjacency; min over exact BIGINT path sums
+  val qSsspSql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+      |    CAST(MIN(l.l_quantity) AS BIGINT) AS w
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2
+      |), dir AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst, w FROM e0
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst, w FROM e0
+      |), d0 AS (
+      |  SELECT s_suppkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS dist
+      |  FROM supplier WHERE s_suppkey % 10 = 0
+      |), d1 AS (
+      |  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+      |    SELECT id, dist FROM d0
+      |    UNION ALL
+      |    SELECT dir.dst AS id, d0.dist + dir.w AS dist
+      |    FROM d0 JOIN dir ON d0.id = dir.src)
+      |  GROUP BY id
+      |), d2 AS (
+      |  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+      |    SELECT id, dist FROM d1
+      |    UNION ALL
+      |    SELECT dir.dst AS id, d1.dist + dir.w AS dist
+      |    FROM d1 JOIN dir ON d1.id = dir.src)
+      |  GROUP BY id
+      |), d3 AS (
+      |  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+      |    SELECT id, dist FROM d2
+      |    UNION ALL
+      |    SELECT dir.dst AS id, d2.dist + dir.w AS dist
+      |    FROM d2 JOIN dir ON d2.id = dir.src)
+      |  GROUP BY id
+      |)
+      |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp"      -> (qSssp _),
     "q_kcore"     -> (qKcore _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank"  -> (qPageRank _),
@@ -562,6 +640,7 @@ object GraphQueries {
     "q_degree_corr"     -> (qDegreeCorr _))
 
   val oracle: Map[String, String] = Map(
+    "q_sssp"      -> qSsspSql,
     "q_kcore"     -> qKcoreSql,
     "q_triangles" -> qTrianglesSql,
     "q_labelprop" -> qLabelPropSql,
