@@ -1040,6 +1040,66 @@ object LlmQueries {
       |WHERE doc_id NOT IN (SELECT id FROM labels WHERE label <> id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Near-dup dedup with a QUALITY-BASED canonical policy: instead of
+    * keeping each duplicate cluster's min-id doc (q_neardup_prune), keep
+    * the doc that maximizes a quality signal (here n_chars, ties to the
+    * smaller id) — the policy real curation uses, where the longest /
+    * highest-scoring variant of a near-dup family survives and the rest
+    * are dropped. Cluster ids come from the same banded-pair + star-CC
+    * funnel; the canonical pick is one min_by struct aggregate per
+    * cluster (map-side partial, no window over the corpus).
+    * Output: one row per cluster with the kept doc, its quality, and
+    * the cluster size — integer-exact. */
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.5)
+    val labels = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"label", $"doc_id"))
+      .groupBy($"cluster")
+      .agg(min_by($"doc_id", struct((-$"n_chars").as("neg"), $"doc_id"))
+          .as("keep_id"),
+        max($"n_chars").as("best_chars"),
+        count(lit(1)).as("cluster_size"))
+      .orderBy($"cluster")
+  }
+
+  val qDedupKeepBestSql: String =
+    """WITH RECURSIVE reach AS (
+      |    SELECT s AS id, s AS r FROM und
+      |    UNION
+      |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
+      |), t AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS MATERIALIZED (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS MATERIALIZED (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |), labels AS (
+      |  SELECT id, MIN(r) AS label FROM reach GROUP BY id
+      |), lab2 AS (
+      |  SELECT d.doc_id, d.n_chars, COALESCE(l.label, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+      |), r2 AS (
+      |  SELECT cluster, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM lab2)
+      |SELECT cluster,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+      |  CAST(MAX(n_chars) AS BIGINT) AS best_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |FROM r2 GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** Batched BM25 retrieval: top-10 docs PER QUERY for a 3-query set,
     * selected with the bounded map-side top-k UDAF
     * ([[pystreamsspark.operators.TopKAgg]]) — |queries|·k rows per task
@@ -1837,6 +1897,7 @@ object LlmQueries {
     "q_pmi_lift"      -> (qPmiLift _),
     "q_oov_rate"      -> (qOovRate _),
     "q_neardup_prune" -> (qNeardupPrune _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_lsh_eval" -> (qLshEval _),
@@ -1880,6 +1941,7 @@ object LlmQueries {
     "q_pmi_lift"      -> qPmiLiftSql,
     "q_oov_rate"      -> qOovRateSql,
     "q_neardup_prune" -> qNeardupPruneSql,
+    "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_lsh_eval" -> qLshEvalSql,

@@ -373,7 +373,35 @@ object SqlQueries {
     spark.sql(sqlQ22)
   }
 
+  /** CTE referenced twice (revenue share per nation): the
+    * common-table-expression REUSE shape — `nat_rev` feeds both the
+    * per-nation rows and the grand total, so the optimizer can compute
+    * the aggregation once and reuse the exchange instead of rescanning
+    * the join. The decimal sum stays DECIMAL through both references
+    * and exits via the §7.5 string route on each side of the share
+    * division (one fixed IEEE division per row). Dialect-shared text =
+    * its own oracle. */
+  val sqlCte: String =
+    """WITH nat_rev AS (
+      |  SELECT c_nationkey AS nk,
+      |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_d,
+      |    COUNT(*) AS n_orders
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_nationkey),
+      |tot AS (SELECT SUM(rev_d) AS tot_d FROM nat_rev)
+      |SELECT nk, CAST(CAST(rev_d AS STRING) AS DOUBLE) AS revenue, n_orders,
+      |  CAST(CAST(rev_d AS STRING) AS DOUBLE)
+      |    / CAST(CAST(tot_d AS STRING) AS DOUBLE) AS share
+      |FROM nat_rev CROSS JOIN tot
+      |ORDER BY nk""".stripMargin
+
+  def qSqlCte(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "customer", "orders")
+    spark.sql(sqlCte)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_cte"       -> (qSqlCte _),
     "q_sql_q16"       -> (qSqlQ16 _),
     "q_sql_q21"       -> (qSqlQ21 _),
     "q_sql_q22"       -> (qSqlQ22 _),
@@ -390,6 +418,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_cte"       -> sqlCte,
     "q_sql_q16"       -> sqlQ16,
     "q_sql_q21"       -> sqlQ21,
     "q_sql_q22"       -> sqlQ22,

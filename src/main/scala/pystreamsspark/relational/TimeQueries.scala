@@ -489,7 +489,48 @@ object TimeQueries {
       |  AND (24.0 * sxx - sx * sx) > 0.0 AND (24.0 * syy - sy * sy) > 0.0
       |ORDER BY hour""".stripMargin
 
+  /** Inter-event dwell time: for each event TYPE, the distribution of
+    * seconds until the same user's next event (any type) — the
+    * time-on-step metric a product-analytics pipeline derives from a
+    * raw event stream. Gaps are exact integer seconds (µs difference
+    * with integer division — timestamps are stored values, never
+    * arithmetic); the median/p90 ride the q_percentile-proven
+    * percentile ↔ quantile_cont parity (interpolation on exact integer
+    * inputs). Shape: one per-user window (partitioned — scales across
+    * users), then one partial+final agg into the 5-type domain. */
+  def qDwell(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .filter($"next_ts".isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_s, 0.5)").as("p50_s"),
+        expr("percentile(gap_s, 0.9)").as("p90_s"),
+        max($"gap_s").as("max_s"))
+      .orderBy($"event_type")
+  }
+
+  val qDwellSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+      |       ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000 AS gap_s
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  quantile_cont(gap_s, 0.5) AS p50_s,
+      |  quantile_cont(gap_s, 0.9) AS p90_s,
+      |  CAST(MAX(gap_s) AS BIGINT) AS max_s
+      |FROM g
+      |WHERE gap_s IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dwell"          -> (qDwell _),
     "q_window_funnel"  -> (qWindowFunnel _),
     "q_rolling_corr"   -> (qRollingCorr _),
     "q_twa"            -> (qTwa _),
@@ -502,6 +543,7 @@ object TimeQueries {
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "q_dwell"          -> qDwellSql,
     "q_window_funnel"  -> qWindowFunnelSql,
     "q_rolling_corr"   -> qRollingCorrSql,
     "q_twa"            -> qTwaSql,
