@@ -345,10 +345,15 @@ object AggQueries {
       ("click", "purchase"), ("click", "view"), ("signup", "view"))
       .toDF("a_type", "b_type"))
     // high-value audiences (value > 150): at the small SFs the sets sit
-    // below k (exact branch); at sf0.1 they are ~10×k (true estimation)
-    val d1 = Tables.events(spark, sfDir)
-      .filter($"value" > 150.0)
-      .select($"event_type", $"user_id").distinct()
+    // below k (exact branch); at sf0.1 they are ~10×k (true estimation).
+    // The distinct audience table feeds four consumers (exact counts,
+    // hashes, and both sides of the ground-truth intersection) —
+    // materialize it once so the events scan and the distinct shuffle
+    // run once, not per reference.
+    val d1 = pystreamsspark.operators.Lineage.truncate(
+      Tables.events(spark, sfDir)
+        .filter($"value" > 150.0)
+        .select($"event_type", $"user_id").distinct())
     val exact = d1.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
     val hd = d1.select($"event_type",
       conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 10),

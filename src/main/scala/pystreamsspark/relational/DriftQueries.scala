@@ -120,11 +120,15 @@ object DriftQueries {
     * scan; everything after is bounded by the category domain. */
   def qChisqCells(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.events(spark, sfDir)
-      .select($"event_type",
-        pmod(datediff($"ts", lit("1995-01-02")), lit(7)).as("dow"))
-      .groupBy($"event_type", $"dow")
-      .agg(count(lit(1)).as("o"))
+    // the 35-row cell table is referenced four times (cells + three
+    // marginals) — materialize it once so the events scan runs ONCE,
+    // not once per reference (at 100 TB the scan IS the query's cost)
+    val cells = pystreamsspark.operators.Lineage.truncate(
+      Tables.events(spark, sfDir)
+        .select($"event_type",
+          pmod(datediff($"ts", lit("1995-01-02")), lit(7)).as("dow"))
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("o")))
     val rowT = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
     val colT = cells.groupBy($"dow").agg(sum($"o").as("ct"))
     val tot = cells.agg(sum($"o").as("n"))
@@ -175,14 +179,17 @@ object DriftQueries {
     * the bin edges are fixed so the output schema is static. */
   def qPsiBins(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bins = Tables.orders(spark, sfDir)
-      .filter(year($"o_orderdate").isin(1996, 1999))
-      .select(least(floor($"o_totalprice" / 50000.0), lit(8.0))
-        .cast("int").as("bin"),
-        year($"o_orderdate").as("y"))
-      .groupBy($"bin")
-      .agg(sum(when($"y" === 1996, 1L).otherwise(0L)).as("n1"),
-        sum(when($"y" === 1999, 1L).otherwise(0L)).as("n2"))
+    // the 9-row bin table feeds three consumers (rows, totals, TVD
+    // numerator) — materialize it so the orders scan runs once
+    val bins = pystreamsspark.operators.Lineage.truncate(
+      Tables.orders(spark, sfDir)
+        .filter(year($"o_orderdate").isin(1996, 1999))
+        .select(least(floor($"o_totalprice" / 50000.0), lit(8.0))
+          .cast("int").as("bin"),
+          year($"o_orderdate").as("y"))
+        .groupBy($"bin")
+        .agg(sum(when($"y" === 1996, 1L).otherwise(0L)).as("n1"),
+          sum(when($"y" === 1999, 1L).otherwise(0L)).as("n2")))
     val tot = bins.agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
     val num = bins.crossJoin(broadcast(tot))
       .agg(sum(abs($"n1" * $"t2" - $"n2" * $"t1")).as("numer"))
@@ -273,18 +280,19 @@ object DriftQueries {
     * two models' credit counts per touchpoint, side by side — the
     * comparison every marketing-analytics pipeline ships.
     *
-    * Shape: per-user min-struct agg to find the first purchase (one
-    * partial+final agg), join back (shuffle on user_id), per-user
-    * min_by/max_by on the prior slice, then a bounded credit agg.
-    * Integer counts — exact. */
+    * Shape: ONE scan — the first-purchase key is a conditional min over
+    * a user-partitioned window (no self-join back onto the stream),
+    * then per-user min_by/max_by on the prior slice and a bounded
+    * credit agg: one window shuffle + one agg shuffle total, both on
+    * user_id (AQE coalesces them). Integer counts — exact. */
   def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, sfDir)
+    val uw = Window.partitionBy($"user_id")
+    val prior = Tables.events(spark, sfDir)
       .select($"user_id", $"event_type", struct($"ts", $"event_id").as("k"))
-    val firstPurchase = ev.filter($"event_type" === "purchase")
-      .groupBy($"user_id").agg(min($"k").as("pk"))
-    val prior = ev.join(firstPurchase, "user_id")
-      .filter($"k" < $"pk")
+      .withColumn("pk",
+        min(when($"event_type" === "purchase", $"k")).over(uw))
+      .filter($"pk".isNotNull && $"k" < $"pk")
     val perUser = prior.groupBy($"user_id")
       .agg(min_by($"event_type", $"k").as("first_touch"),
         max_by($"event_type", $"k").as("last_touch"))

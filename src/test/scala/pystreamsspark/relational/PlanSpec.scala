@@ -383,6 +383,58 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q_sql_q16: NOT IN plans as an anti join against the broadcast ban list") {
+    // sf0.01: the ban list (s_acctbal < 0) is EMPTY at sf0.001 and AQE's
+    // empty-relation propagation erases the anti join from the executed
+    // plan (the round-3 documented behavior) — assert on populated data
+    val p = plan(graft.SparkEntry.queries("q_sql_q16")(spark, "/root/testdata/sf0.01"))
+    assert(p.contains("LeftAnti"), p)   // null-aware NOT IN, never re-executed per row
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_q21: double correlation decorrelates to one semi + one anti join") {
+    val p = plan(graft.SparkEntry.queries("q_sql_q21")(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_eqdepth_hist: two-pass percentile binning — no global-sort window") {
+    val p = plan(graft.SparkEntry.queries("q_eqdepth_hist")(spark, sf))
+    assert(!p.contains("Window"), p)  // the single-partition ntile trap
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_chisq_cells: marginals derive from the materialized cell table — one events scan") {
+    val df = graft.SparkEntry.queries("q_chisq_cells")(spark, sf)
+    val p = plan(df)
+    // post-materialization the plan reads the checkpointed 35-row cells;
+    // the events parquet appears at most once in the executed plan
+    assert(countOf(p, "Scan parquet") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_attribution: single-scan conditional-window form — no self-join on events") {
+    val p = plan(graft.SparkEntry.queries("q_attribution")(spark, sf))
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_kcore / q_sssp: bounded-round peeling/relaxation — no cartesian, no window") {
+    val pk = plan(graft.SparkEntry.queries("q_kcore")(spark, sf))
+    assert(!pk.contains("CartesianProduct") && !pk.contains("Window"), pk)
+    val ps = plan(graft.SparkEntry.queries("q_sssp")(spark, sf))
+    assert(!ps.contains("CartesianProduct") && !ps.contains("Window"), ps)
+  }
+
+  test("q_sketch_overlap: bounded-k sketch agg over the materialized audience table") {
+    val p = plan(graft.SparkEntry.queries("q_sketch_overlap")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p) // smallestK UDAF path
+    assert(countOf(p, "Scan parquet") <= 1, p)   // d1 materialized once
+  }
+
   test("join strategy hints are honored: merge/shuffle_hash/broadcast pick their joins") {
     val s2 = spark
     import s2.implicits._
