@@ -426,7 +426,42 @@ object JoinQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): year-over-year
+    * comparison of order counts per priority band where one band is
+    * deliberately mapped to NULL (nullif) — under plain `=` the NULL
+    * rows silently drop; under null-safe equality they pair up, which
+    * is the semantics every slowly-changing-dimension diff needs.
+    * EqualNullSafe is a first-class hash-join key in Spark (no nested
+    * loop): the plan is the same broadcast/shuffled hash join as `=`. */
+  def qNullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def side(yr: Int, n: String) = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === yr)
+      .groupBy(nullif($"o_orderpriority", lit("3-MEDIUM")).as(s"k_$n"))
+      .agg(count(lit(1)).as(s"n_$n"))
+    side(1996, "a").join(side(1999, "b"), $"k_a" <=> $"k_b")
+      .select($"k_a".as("prio"), $"n_a", $"n_b",
+        ($"n_b" - $"n_a").as("delta"))
+      // explicit NULLS LAST: Spark's asc default is nulls-first,
+      // DuckDB's is nulls-last — pin the shared order
+      .orderBy($"prio".asc_nulls_last)
+  }
+
+  val qNullSafeJoinSql: String =
+    """WITH a AS (
+      |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS k_a,
+      |    CAST(COUNT(*) AS BIGINT) AS n_a
+      |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+      |b AS (
+      |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS k_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_b
+      |  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1)
+      |SELECT a.k_a AS prio, a.n_a, b.n_b, b.n_b - a.n_a AS delta
+      |FROM a JOIN b ON a.k_a IS NOT DISTINCT FROM b.k_b
+      |ORDER BY prio NULLS LAST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_safe_join" -> (qNullSafeJoin _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q_join_large" -> (qJoinLarge _),
     "q_join_outer" -> (qJoinOuter _),
@@ -443,6 +478,7 @@ object JoinQueries {
     "q_bloom_semijoin" -> (qBloomSemijoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_null_safe_join" -> qNullSafeJoinSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q_join_large" -> qJoinLargeSql,
     "q_join_outer" -> qJoinOuterSql,

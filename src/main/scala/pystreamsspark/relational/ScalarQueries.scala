@@ -284,7 +284,35 @@ object ScalarQueries {
       |GROUP BY 1, 2
       |ORDER BY host, ref""".stripMargin
 
+  /** regexp_extract_all + generator: pull every digit run out of the
+    * semi-structured props payload, explode to one row per match, and
+    * aggregate the value distribution — the "mine numbers out of messy
+    * strings" primitive (log scraping, malformed-JSON salvage). The
+    * extraction is codegen'd; the explode is a generator before the
+    * aggregation shuffle, so only matches move. */
+  def qRegexAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("num"))
+      .groupBy(length($"num").as("n_digits"))
+      .agg(count(lit(1)).as("n"),
+        min($"num".cast("long")).as("min_val"),
+        max($"num".cast("long")).as("max_val"))
+      .orderBy($"n_digits")
+  }
+
+  val qRegexAllSql: String =
+    """SELECT length(num) AS n_digits, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(CAST(num AS BIGINT)) AS BIGINT) AS min_val,
+      |  CAST(MAX(CAST(num AS BIGINT)) AS BIGINT) AS max_val
+      |FROM (
+      |  SELECT unnest(regexp_extract_all(props, '[0-9]+')) AS num
+      |  FROM events)
+      |GROUP BY 1
+      |ORDER BY n_digits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regex_all"       -> (qRegexAll _),
     "q_string_fns"      -> (qStringFns _),
     "q_date_fns"        -> (qDateFns _),
     "q_math_fns"        -> (qMathFns _),
@@ -296,6 +324,7 @@ object ScalarQueries {
     "q_array_fns"       -> (qArrayFns _))
 
   val oracle: Map[String, String] = Map(
+    "q_regex_all"       -> qRegexAllSql,
     "q_string_fns"      -> qStringFnsSql,
     "q_date_fns"        -> qDateFnsSql,
     "q_math_fns"        -> qMathFnsSql,

@@ -92,6 +92,59 @@ object TimeQueries {
        |GROUP BY user_id, sid
        |ORDER BY user_id, s_start""".stripMargin
 
+  /** DYNAMIC-GAP session windows (Spark 3.2+ feature: the gap is a
+    * per-event EXPRESSION, not a constant — here engagement-dependent:
+    * 'view' events only hold a session open 10 minutes, everything else
+    * 30) — the adaptive sessionization a product-analytics pipeline
+    * actually wants. Semantics are interval-union: each event
+    * contributes [ts, ts+gap); a session's end is the RUNNING MAX of
+    * contributed ends, and a new session starts when an event's ts
+    * clears it. The oracle replays exactly that with a cumulative-max
+    * window + gaps-and-islands cumsum. Exactness: all boundaries are
+    * integer µs; the value sum exits via the §7.5 route. */
+  def qSessionDyngap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // gap must resolve to CalendarIntervalType: string durations do
+    // (DayTimeIntervalType literals are rejected by the generator)
+    val gap = when($"event_type" === "view", lit("10 minutes"))
+      .otherwise(lit("30 minutes"))
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"n", $"sum_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  val qSessionDyngapSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'view' THEN 600000000
+       |         ELSE 1800000000 END AS gap_us
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts, value, gap_us,
+       |    MAX(epoch_us(ts) + gap_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM g
+       |), marked AS (
+       |  SELECT user_id, ts, value, gap_us,
+       |    CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, ts, value, gap_us,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked)
+       |SELECT user_id, MIN(ts) AS s_start,
+       |  make_timestamp(MAX(epoch_us(ts) + gap_us)) AS s_end,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, s_start""".stripMargin
+
   /** Conversion funnel: per user, first 'view' and the earliest
     * 'purchase' within 1 hour of it. The per-user range join shuffles
     * both sides once on user_id (sort-merge with the range as a join
@@ -531,6 +584,7 @@ object TimeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dwell"          -> (qDwell _),
+    "q_session_dyngap" -> (qSessionDyngap _),
     "q_window_funnel"  -> (qWindowFunnel _),
     "q_rolling_corr"   -> (qRollingCorr _),
     "q_twa"            -> (qTwa _),
@@ -544,6 +598,7 @@ object TimeQueries {
 
   val oracle: Map[String, String] = Map(
     "q_dwell"          -> qDwellSql,
+    "q_session_dyngap" -> qSessionDyngapSql,
     "q_window_funnel"  -> qWindowFunnelSql,
     "q_rolling_corr"   -> qRollingCorrSql,
     "q_twa"            -> qTwaSql,
