@@ -382,6 +382,32 @@ object Stress {
         .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
         .count()
     }
+    // Bounded-round graph primitives over a ×N trade graph: both
+    // endpoints offset per replica, so the graph is N disjoint copies —
+    // rounds stay constant, per-round cost should track |E| linearly.
+    def tradeEdgesAmplified(): DataFrame = {
+      val o = amplified(pystreamsspark.io.Tables.orders(spark, sfDir),
+        Seq("o_orderkey", "o_custkey"), 100000000L)
+      val l = amplified(pystreamsspark.io.Tables.lineitem(spark, sfDir),
+        Seq("l_orderkey", "l_suppkey"), 100000000L)
+      o.select($"o_orderkey", $"o_custkey")
+        .join(l.select($"l_orderkey", $"l_suppkey", $"l_quantity"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .agg(min($"l_quantity").cast("long").as("w"))
+    }
+    time(s"kcore_peel x$mult") {
+      pystreamsspark.relational.GraphQueries
+        .kCore(tradeEdgesAmplified(), k = 3, rounds = 3).count()
+    }
+    time(s"sssp_bellman x$mult") {
+      val seeds = amplified(pystreamsspark.io.Tables.supplier(spark, sfDir),
+          Seq("s_suppkey"), 100000000L)
+        .filter($"s_suppkey" % 10 === 0)
+        .select(($"s_suppkey" * 2 + 1).as("id"))
+      pystreamsspark.relational.GraphQueries
+        .ssspBounded(tradeEdgesAmplified(), seeds, rounds = 3).count()
+    }
     spark.stop()
   }
 }

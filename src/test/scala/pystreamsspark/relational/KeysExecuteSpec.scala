@@ -21,7 +21,7 @@ class KeysExecuteSpec extends SparkSpec {
     }
     assert(failures.isEmpty, s"${failures.size} keys failed:\n" +
       failures.mkString("\n"))
-    assert(graft.SparkEntry.queries.size >= 188)
+    assert(graft.SparkEntry.queries.size >= 220)
   }
 
   test("every oracle entry has a matching query registration") {
