@@ -629,7 +629,94 @@ object GraphQueries {
       |)
       |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
 
+  /** Community-quality eval: CONDUCTANCE of each label-propagation
+    * community over the near-dup graph — cut(c) / min(vol(c), 2m−vol(c)),
+    * the standard "how leaky is this cluster" score (low = well-
+    * separated). Connected components would trivially score 0 (no cut
+    * edges cross components); labelprop can split a component, so its
+    * conductance is the honest eval of the community structure, the same
+    * way q_cluster_purity audits k-means and q_lsh_eval audits banding.
+    * vol and cut are integer aggregates over the label-stamped directed
+    * edge list; one correctly-rounded division per community. */
+  def qConductance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = pystreamsspark.operators.Lineage.truncate(
+      neardupEdges(spark, sfDir))
+    val labels = labelPropagation(edges, iters = 3)
+    val und = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+    val withLab = und
+      .join(labels.select($"id".as("src"), $"label".as("ls")), "src")
+      .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
+    val byCom = withLab.groupBy($"ls".as("label"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when($"ls" =!= $"ld", 1L).otherwise(0L)).as("cut"))
+    val nNodes = labels.groupBy($"label").agg(count(lit(1)).as("n_nodes"))
+    val m2 = und.agg(count(lit(1)).as("m2"))
+    byCom.join(nNodes, "label").crossJoin(broadcast(m2))
+      .filter($"n_nodes" >= 2)
+      .select($"label", $"n_nodes", $"vol", $"cut",
+        when(least($"vol", $"m2" - $"vol") > 0,
+          $"cut".cast("double") / least($"vol", $"m2" - $"vol").cast("double"))
+          .otherwise(lit(0.0)).as("conductance"))
+      .orderBy($"label")
+  }
+
+  // oracle: the labelprop 3-round replay (same CTE chain as
+  // qLabelPropSql) extended with the label-stamped edge aggregates
+  val qConductanceSql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS MATERIALIZED (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS MATERIALIZED (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |), nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM und),
+      |l0 AS (SELECT id, id AS label FROM nodes),
+      |c1 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l0 l ON u.d = l.id GROUP BY 1, 2),
+      |a1 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c1 GROUP BY id),
+      |l1 AS (SELECT n.id, COALESCE(a1.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a1 ON a1.id = n.id),
+      |c2 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l1 l ON u.d = l.id GROUP BY 1, 2),
+      |a2 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c2 GROUP BY id),
+      |l2 AS (SELECT n.id, COALESCE(a2.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a2 ON a2.id = n.id),
+      |c3 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l2 l ON u.d = l.id GROUP BY 1, 2),
+      |a3 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c3 GROUP BY id),
+      |l3 AS (SELECT n.id, COALESCE(a3.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a3 ON a3.id = n.id),
+      |wl AS (
+      |  SELECT la.label AS ls, lb.label AS ld
+      |  FROM und u
+      |  JOIN l3 la ON la.id = u.s
+      |  JOIN l3 lb ON lb.id = u.d),
+      |bc AS (
+      |  SELECT ls AS label, CAST(COUNT(*) AS BIGINT) AS vol,
+      |    CAST(SUM(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT) AS cut
+      |  FROM wl GROUP BY 1),
+      |nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |       FROM l3 GROUP BY 1),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und)
+      |SELECT bc.label, nn.n_nodes, bc.vol, bc.cut,
+      |  CASE WHEN LEAST(vol, m2 - vol) > 0
+      |       THEN CAST(cut AS DOUBLE) / CAST(LEAST(vol, m2 - vol) AS DOUBLE)
+      |       ELSE 0.0 END AS conductance
+      |FROM bc JOIN nn ON nn.label = bc.label CROSS JOIN mm
+      |WHERE nn.n_nodes >= 2
+      |ORDER BY bc.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conductance" -> (qConductance _),
     "q_sssp"      -> (qSssp _),
     "q_kcore"     -> (qKcore _),
     "q_triangles" -> (qTriangles _),
@@ -640,6 +727,7 @@ object GraphQueries {
     "q_degree_corr"     -> (qDegreeCorr _))
 
   val oracle: Map[String, String] = Map(
+    "q_conductance" -> qConductanceSql,
     "q_sssp"      -> qSsspSql,
     "q_kcore"     -> qKcoreSql,
     "q_triangles" -> qTrianglesSql,

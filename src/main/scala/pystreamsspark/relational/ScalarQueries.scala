@@ -311,7 +311,46 @@ object ScalarQueries {
       |GROUP BY 1
       |ORDER BY n_digits""".stripMargin
 
+  /** Higher-order-function breadth over the embedding arrays: filter /
+    * exists / forall / transform∘aggregate / position — the lambda
+    * surface §2.3's array row promises, all codegen-friendly built-ins
+    * (no Scala closures). The only numeric reduction (L1 norm) runs in
+    * floor(1024·x) integer space, so the left-fold is order-proof and
+    * DuckDB's list_sum replays it exactly; everything else is counting
+    * and comparison on identical float→double promotions. */
+  def qHofFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size(filter($"embedding", x => x > lit(0.0f))).as("n_pos"),
+        exists($"embedding", x => x > lit(0.25)).as("any_gt"),
+        forall($"embedding", x => abs(x) < lit(0.45)).as("all_small"),
+        aggregate(
+          transform($"embedding",
+            x => abs(floor(x.cast("double") * 1024.0).cast("long"))),
+          lit(0L), (acc, x) => acc + x).as("l1_q"),
+        array_position($"embedding", array_max($"embedding"))
+          .cast("int").as("argmax_idx"))
+      .orderBy($"vec_id")
+  }
+
+  val qHofFnsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+      |  len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_gt,
+      |  len(list_filter(embedding, x -> abs(x) < 0.45)) = len(embedding)
+      |    AS all_small,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> abs(CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))))
+      |    AS BIGINT) AS l1_q,
+      |  CAST(list_position(embedding, list_max(embedding)) AS INT)
+      |    AS argmax_idx
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hof_fns"         -> (qHofFns _),
     "q_regex_all"       -> (qRegexAll _),
     "q_string_fns"      -> (qStringFns _),
     "q_date_fns"        -> (qDateFns _),
@@ -324,6 +363,7 @@ object ScalarQueries {
     "q_array_fns"       -> (qArrayFns _))
 
   val oracle: Map[String, String] = Map(
+    "q_hof_fns"         -> qHofFnsSql,
     "q_regex_all"       -> qRegexAllSql,
     "q_string_fns"      -> qStringFnsSql,
     "q_date_fns"        -> qDateFnsSql,
