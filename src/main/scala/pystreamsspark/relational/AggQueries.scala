@@ -489,7 +489,46 @@ object AggQueries {
       |GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** Winsorized statistics: clamp o_totalprice to its own [p5, p95]
+    * band, then aggregate — outlier-robust mean/extremes without
+    * dropping rows, the standard pre-step before fitting anything to a
+    * heavy-tailed metric. Two scale-true passes (the q_eqdepth_hist
+    * shape): exact distributed percentile bounds → 1-row broadcast →
+    * map-side clamp + partial/final agg. The clamped mean exits via the
+    * §7.5 decimal route; min/max/bounds are stored-value selections. */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    Tables.orders(spark, sfDir)
+      .crossJoin(broadcast(bounds))
+      .select(least(greatest($"o_totalprice", $"p05"), $"p95").as("w"),
+        $"p05", $"p95")
+      .groupBy($"p05", $"p95")
+      .agg(count(lit(1)).as("n"),
+        davg($"w").as("mean_w"),
+        min($"w").as("min_w"),
+        max($"w").as("max_w"))
+      .select($"n", $"p05", $"p95", $"mean_w", $"min_w", $"max_w")
+  }
+
+  val qWinsorizeSql: String =
+    s"""WITH b AS (
+       |  SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+       |         quantile_cont(o_totalprice, 0.95) AS p95
+       |  FROM orders),
+       |c AS (
+       |  SELECT LEAST(GREATEST(o_totalprice, p05), p95) AS w, p05, p95
+       |  FROM orders CROSS JOIN b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n, p05, p95,
+       |  ${sqlAvg("w")} AS mean_w,
+       |  MIN(w) AS min_w, MAX(w) AS max_w
+       |FROM c
+       |GROUP BY p05, p95""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize"       -> (qWinsorize _),
     "q_sketch_overlap"  -> (qSketchOverlap _),
     "q_eqdepth_hist"    -> (qEqdepthHist _),
     "q_quantile_sample" -> (qQuantileSample _),
@@ -503,6 +542,7 @@ object AggQueries {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize"      -> qWinsorizeSql,
     "q_sketch_overlap" -> qSketchOverlapSql,
     "q_eqdepth_hist"   -> qEqdepthHistSql,
     "q_quantile_sample" -> qQuantileSampleSql,

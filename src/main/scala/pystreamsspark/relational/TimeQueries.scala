@@ -582,7 +582,52 @@ object TimeQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Rolling 24-hour MEDIAN (and IQR edges) of the hourly revenue
+    * series — the robust-trend monitor that ignores the spikes a
+    * rolling MEAN chases. Spark 4 allows the exact `percentile`
+    * aggregate as a WINDOW function, so this is declarative on both
+    * engines (quantile_cont OVER in DuckDB). Inputs are decimal-exact
+    * hourly sums exported through the §7.5 string route; interpolation
+    * on identical sorted doubles is bit-identical cross-engine (the
+    * q_percentile-proven parity). The windowed relation is HOURS —
+    * bounded by the time span, not corpus size (q_rolling_corr's
+    * bounded-domain argument). */
+  def qRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DV = org.apache.spark.sql.types.DecimalType(14, 2)
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(d2d(sum($"value".cast(DV))).as("x"))
+      .selectExpr("hour", "x",
+        "count(*) OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS m",
+        "percentile(x, 0.25) OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS p25_24h",
+        "percentile(x, 0.5) OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS med_24h",
+        "percentile(x, 0.75) OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS p75_24h")
+      .filter($"m" === 24)
+      .select($"hour", $"x", $"p25_24h", $"med_24h", $"p75_24h")
+      .orderBy($"hour")
+  }
+
+  val qRollingMedianSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
+      |      AS x
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT hour, x,
+      |    COUNT(*) OVER w AS m,
+      |    quantile_cont(x, 0.25) OVER w AS p25_24h,
+      |    quantile_cont(x, 0.5) OVER w AS med_24h,
+      |    quantile_cont(x, 0.75) OVER w AS p75_24h
+      |  FROM hourly
+      |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT hour, x, p25_24h, med_24h, p75_24h
+      |FROM f WHERE m = 24
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (qRollingMedian _),
     "q_dwell"          -> (qDwell _),
     "q_session_dyngap" -> (qSessionDyngap _),
     "q_window_funnel"  -> (qWindowFunnel _),
@@ -597,6 +642,7 @@ object TimeQueries {
     "q_funnel"         -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" -> qRollingMedianSql,
     "q_dwell"          -> qDwellSql,
     "q_session_dyngap" -> qSessionDyngapSql,
     "q_window_funnel"  -> qWindowFunnelSql,
