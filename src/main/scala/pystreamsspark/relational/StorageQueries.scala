@@ -175,7 +175,40 @@ object StorageQueries {
       |FROM nation
       |ORDER BY k""".stripMargin
 
+  /** Custom DataSource V2 scan (`sources/SynthSource.scala`): read the
+    * deterministic generated table through the connector API with an
+    * id-range filter (pushed down — the scan GENERATES only the
+    * surviving range; plan- and spec-asserted) and aggregate per id mod
+    * 10. The oracle regenerates the identical table from the same LCG
+    * arithmetic over `generate_series` — so a green row proves the
+    * whole V2 read path (provider → scan builder → pushdown → partition
+    * planning → readers) delivers exactly the declared relation. */
+  def qDsv2Scan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter($"id" >= 25000L && $"id" < 75000L)
+      .groupBy(($"id" % 10).as("m10"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value").as("sum_v"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"),
+        countDistinct($"bucket").as("n_buckets"))
+      .orderBy($"m10")
+  }
+
+  val qDsv2ScanSql: String =
+    """SELECT id % 10 AS m10, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM((id * 1103515245 + 12345) % 1000000) AS BIGINT) AS sum_v,
+      |  CAST(MIN((id * 1103515245 + 12345) % 1000000) AS BIGINT) AS min_v,
+      |  CAST(MAX((id * 1103515245 + 12345) % 1000000) AS BIGINT) AS max_v,
+      |  CAST(COUNT(DISTINCT id % 32) AS BIGINT) AS n_buckets
+      |FROM generate_series(25000, 74999) t(id)
+      |GROUP BY 1
+      |ORDER BY m10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_scan"      -> (qDsv2Scan _),
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_text_roundtrip" -> (qTextRoundtrip _),
@@ -183,6 +216,7 @@ object StorageQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_dsv2_scan"      -> qDsv2ScanSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,
     "q_text_roundtrip" -> qTextRoundtripSql,

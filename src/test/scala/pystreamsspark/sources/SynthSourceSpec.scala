@@ -1,0 +1,84 @@
+package pystreamsspark.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+
+/** The custom DataSource V2 contract, asserted end to end: correct
+  * relation, filter pushdown that narrows the GENERATED range, and
+  * source-side column pruning.
+  */
+class SynthSourceSpec extends SparkSpec {
+
+  private def synth(rows: Long, parts: Int = 4): DataFrame =
+    spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+      .load()
+
+  private def scanOf(df: DataFrame): SynthScan = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    // AQE wraps finished stages in QueryStageExec whose children are not
+    // visible to plain collect — recurse through them explicitly
+    def scans(p: SparkPlan): Seq[SynthScan] = {
+      val here = p match {
+        case b: BatchScanExec => b.scan match {
+          case s: SynthScan => Seq(s)
+          case _            => Nil
+        }
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case other                    => other.children.flatMap(scans)
+      }
+      here ++ below
+    }
+    scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no SynthScan in plan:\n" +
+        df.queryExecution.executedPlan.toString))
+  }
+
+  test("full scan delivers exactly the declared relation") {
+    val df = synth(1000)
+    assert(df.count() === 1000)
+    val row = df.filter(col("id") === 7L).collect().head
+    assert(row.getLong(1) === SynthTable.valueOf(7L))
+    assert(row.getInt(2) === (7 % 32))
+  }
+
+  test("id-range filters push down and narrow the generated range") {
+    val df = synth(100000, parts = 8)
+      .filter(col("id") >= 25000L && col("id") < 75000L)
+    assert(df.count() === 50000)
+    val scan = scanOf(df)
+    assert(scan.lo === 25000L && scan.hi === 74999L, scan.description())
+    // partition planning happens AFTER pushdown: 8 splits of the
+    // narrowed range, not of the full table
+    assert(scan.planInputPartitions().length === 8)
+  }
+
+  test("equality filter collapses the range to one row") {
+    val df = synth(100000).filter(col("id") === 42L)
+    assert(df.count() === 1)
+    val scan = scanOf(df)
+    assert(scan.lo === 42L && scan.hi === 42L)
+  }
+
+  test("column pruning reaches the reader (source-side projection)") {
+    val df = synth(1000).agg(sum(col("value")).as("s"))
+    val expected = (0L until 1000L).map(SynthTable.valueOf).sum
+    assert(df.collect().head.getLong(0) === expected)
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq === Seq("value"),
+      scan.description())
+  }
+
+  test("contradictory range yields an empty scan with zero partitions") {
+    val df = synth(1000).filter(col("id") > 500L && col("id") < 100L)
+    assert(df.count() === 0)
+  }
+}
