@@ -400,7 +400,51 @@ object SqlQueries {
     spark.sql(sqlCte)
   }
 
+  /** SQL TABLE function (Spark 4 `CREATE FUNCTION … RETURNS TABLE`):
+    * a parameterized relation — the body is a query with the argument
+    * inlined, so Catalyst plans each invocation like a view (full
+    * pushdown through it; nothing opaque). Two invocations at
+    * different thresholds are unioned and aggregated; the oracle
+    * inlines the same bodies by hand. */
+  def qSqlTvf(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(thresh DOUBLE)
+        |RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE, band STRING)
+        |RETURN SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_totalprice > 2 * thresh THEN 'xl' ELSE 'l' END
+        |FROM orders WHERE o_totalprice > thresh""".stripMargin)
+    spark.sql(
+      """SELECT src, band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_orderkey) AS min_key
+        |FROM (
+        |  SELECT 'hi' AS src, band, o_orderkey
+        |  FROM graft_big_orders(400000.0)
+        |  UNION ALL
+        |  SELECT 'lo' AS src, band, o_orderkey
+        |  FROM graft_big_orders(250000.0))
+        |GROUP BY src, band
+        |ORDER BY src, band""".stripMargin)
+  }
+
+  val qSqlTvfOracleSql: String =
+    """SELECT src, band, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      |FROM (
+      |  SELECT 'hi' AS src,
+      |    CASE WHEN o_totalprice > 800000.0 THEN 'xl' ELSE 'l' END AS band,
+      |    o_orderkey
+      |  FROM orders WHERE o_totalprice > 400000.0
+      |  UNION ALL
+      |  SELECT 'lo' AS src,
+      |    CASE WHEN o_totalprice > 500000.0 THEN 'xl' ELSE 'l' END AS band,
+      |    o_orderkey
+      |  FROM orders WHERE o_totalprice > 250000.0)
+      |GROUP BY src, band
+      |ORDER BY src, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tvf"       -> (qSqlTvf _),
     "q_sql_cte"       -> (qSqlCte _),
     "q_sql_q16"       -> (qSqlQ16 _),
     "q_sql_q21"       -> (qSqlQ21 _),
@@ -418,6 +462,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tvf"       -> qSqlTvfOracleSql,
     "q_sql_cte"       -> sqlCte,
     "q_sql_q16"       -> sqlQ16,
     "q_sql_q21"       -> sqlQ21,
