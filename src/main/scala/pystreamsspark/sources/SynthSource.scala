@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -43,7 +44,8 @@ class SynthSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4)
-    new SynthTable(rows, parts)
+    val batchRows = Option(properties.get("batchrows")).map(_.toLong).getOrElse(100L)
+    new SynthTable(rows, parts, batchRows)
   }
 }
 
@@ -59,16 +61,60 @@ object SynthTable {
   def bucketOf(id: Long): Int = (id % 32L).toInt
 }
 
-class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class SynthTable(rows: Long, parts: Int, batchRows: Long = 100L)
+  extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts, batchRows)
 }
 
-class SynthScanBuilder(rows: Long, parts: Int)
+/** Streaming offset = how many ids have been emitted so far. */
+case class SynthOffset(emitted: Long) extends Offset {
+  override def json(): String = emitted.toString
+}
+
+/** The custom MICRO-BATCH stream over the same generated relation: each
+  * trigger advances the offset by `batchRows` ids (capped at `rows`),
+  * the planner splits the [start, end) id range into partitions, and
+  * the engine checkpoints the offsets — restart-exactly-once comes from
+  * the offset log, not from the source (the source only needs
+  * deterministic replay of a given range, which a generator has by
+  * construction; a real system-backed source replays from its log the
+  * same way). */
+class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
+                            required: StructType) extends MicroBatchStream {
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def latestOffset(): Offset =
+    SynthOffset(math.min(rows, ledger() + batchRows))
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    committed = end.asInstanceOf[SynthOffset].emitted
+  @volatile private var committed = 0L
+  @volatile private var planned = 0L
+  private def ledger(): Long = math.max(committed, planned)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SynthOffset].emitted
+    val hi = end.asInstanceOf[SynthOffset].emitted - 1
+    planned = math.max(planned, hi + 1)
+    if (hi < lo) Array.empty
+    else {
+      val per = math.max(1L, (hi - lo + 1 + parts - 1) / parts)
+      Iterator.iterate(lo)(_ + per).takeWhile(_ <= hi)
+        .map(s => SynthPartition(s, math.min(hi, s + per - 1)): InputPartition)
+        .toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+  override def stop(): Unit = ()
+}
+
+class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -100,15 +146,18 @@ class SynthScanBuilder(rows: Long, parts: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(lo, hi, parts, required)
+  override def build(): Scan = new SynthScan(lo, hi, parts, required, batchRows)
 }
 
 class SynthScan(val lo: Long, val hi: Long, parts: Int,
-                required: StructType) extends Scan with Batch {
+                required: StructType, batchRows: Long = 100L)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"SynthScan range=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(hi - lo + 1, parts, batchRows, required)
 
   override def planInputPartitions(): Array[InputPartition] =
     if (hi < lo) Array.empty

@@ -81,4 +81,27 @@ class SynthSourceSpec extends SparkSpec {
     val df = synth(1000).filter(col("id") > 500L && col("id") < 100L)
     assert(df.count() === 0)
   }
+
+  test("micro-batch stream: offsets advance by batchRows and drain the table") {
+    val dir = java.nio.file.Files.createTempDirectory("synthstream").toString
+    val stream = spark.readStream
+      .format("pystreamsspark.sources.SynthSource")
+      .option("rows", "250").option("partitions", "4")
+      .option("batchrows", "100")
+      .load()
+    val q = stream.writeStream
+      .format("memory").queryName("synth_sink")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    try {
+      // 250 rows at 100/batch = 3 micro-batches (100, 100, 50)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM synth_sink").collect()
+      assert(got.length === 250)
+      assert(got.map(_.getLong(0)).sorted.toSeq === (0L until 250L))
+      val r7 = got.find(_.getLong(0) == 7L).get
+      assert(r7.getLong(1) === SynthTable.valueOf(7L))
+      assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 100)
+    } finally q.stop()
+  }
 }
