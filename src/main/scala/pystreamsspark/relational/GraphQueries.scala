@@ -715,7 +715,99 @@ object GraphQueries {
       |WHERE nn.n_nodes >= 2
       |ORDER BY bc.label""".stripMargin
 
+  /** Newman MODULARITY of the label-propagation communities (Newman &
+    * Girvan 2004) — conductance's global sibling: Q = Σ_c [intra_c/2m −
+    * (vol_c/2m)²], how much denser the communities are than a random
+    * rewiring with the same degrees. Exactness: the global score is
+    * carried as the INTEGER numerator Q·(2m)² = Σ(intra_c·2m − vol_c²)
+    * (exact while 2m < ~3e9 — far beyond this graph; flip to decimal
+    * beyond that), and each community's float contribution is one fixed
+    * IEEE tree over its own integer counts. Same one-labeled-edge-list
+    * shape as q_conductance: tiny per-community aggregate, broadcast
+    * totals. */
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = pystreamsspark.operators.Lineage.truncate(
+      neardupEdges(spark, sfDir))
+    val labels = labelPropagation(edges, iters = 3)
+    val und = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+    val withLab = und
+      .join(labels.select($"id".as("src"), $"label".as("ls")), "src")
+      .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
+    val byCom = pystreamsspark.operators.Lineage.truncate(
+      withLab.groupBy($"ls".as("label"))
+        .agg(count(lit(1)).as("vol"),
+          sum(when($"ls" === $"ld", 1L).otherwise(0L)).as("intra")))
+    val m2 = byCom.agg(sum($"vol").as("m2"))
+    val qnum = byCom.crossJoin(broadcast(m2))
+      .agg(sum($"intra" * $"m2" - $"vol" * $"vol").as("q_scaled"))
+    val m2d = $"m2".cast("double")
+    byCom.crossJoin(broadcast(m2)).crossJoin(broadcast(qnum))
+      .select($"label", $"vol", $"intra",
+        ($"intra".cast("double") / m2d -
+          ($"vol".cast("double") / m2d) * ($"vol".cast("double") / m2d))
+          .as("contrib"),
+        $"q_scaled", $"m2")
+      .orderBy($"label")
+  }
+
+  // oracle: labelprop replay + per-community edge aggregates; the global
+  // numerator is an exact BIGINT sum
+  val qModularitySql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents
+      |), e0 AS MATERIALIZED (
+      |  SELECT a.doc_id AS s, b.doc_id AS d
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      |), und AS MATERIALIZED (
+      |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+      |), nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM und),
+      |l0 AS (SELECT id, id AS label FROM nodes),
+      |c1 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l0 l ON u.d = l.id GROUP BY 1, 2),
+      |a1 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c1 GROUP BY id),
+      |l1 AS (SELECT n.id, COALESCE(a1.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a1 ON a1.id = n.id),
+      |c2 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l1 l ON u.d = l.id GROUP BY 1, 2),
+      |a2 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c2 GROUP BY id),
+      |l2 AS (SELECT n.id, COALESCE(a2.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a2 ON a2.id = n.id),
+      |c3 AS (SELECT u.s AS id, l.label, COUNT(*) AS cnt
+      |       FROM und u JOIN l2 l ON u.d = l.id GROUP BY 1, 2),
+      |a3 AS (SELECT id, arg_max(label, cnt * 1000000000 - label) AS lab FROM c3 GROUP BY id),
+      |l3 AS (SELECT n.id, COALESCE(a3.lab, n.id) AS label
+      |       FROM nodes n LEFT JOIN a3 ON a3.id = n.id),
+      |wl AS (
+      |  SELECT la.label AS ls, lb.label AS ld
+      |  FROM und u
+      |  JOIN l3 la ON la.id = u.s
+      |  JOIN l3 lb ON lb.id = u.d),
+      |bc AS (
+      |  SELECT ls AS label, CAST(COUNT(*) AS BIGINT) AS vol,
+      |    CAST(SUM(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS intra
+      |  FROM wl GROUP BY 1),
+      |mm AS (SELECT CAST(SUM(vol) AS BIGINT) AS m2 FROM bc),
+      |qn AS (
+      |  SELECT CAST(SUM(intra * m2 - vol * vol) AS BIGINT) AS q_scaled
+      |  FROM bc CROSS JOIN mm)
+      |SELECT label, vol, intra,
+      |  CAST(intra AS DOUBLE) / CAST(m2 AS DOUBLE)
+      |    - (CAST(vol AS DOUBLE) / CAST(m2 AS DOUBLE))
+      |      * (CAST(vol AS DOUBLE) / CAST(m2 AS DOUBLE)) AS contrib,
+      |  q_scaled, m2
+      |FROM bc CROSS JOIN mm CROSS JOIN qn
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity"  -> (qModularity _),
     "q_conductance" -> (qConductance _),
     "q_sssp"      -> (qSssp _),
     "q_kcore"     -> (qKcore _),
@@ -727,6 +819,7 @@ object GraphQueries {
     "q_degree_corr"     -> (qDegreeCorr _))
 
   val oracle: Map[String, String] = Map(
+    "q_modularity"  -> qModularitySql,
     "q_conductance" -> qConductanceSql,
     "q_sssp"      -> qSsspSql,
     "q_kcore"     -> qKcoreSql,
