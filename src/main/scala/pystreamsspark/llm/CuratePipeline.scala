@@ -42,15 +42,20 @@ object CuratePipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              eval: DataFrame, langs: Seq[String] = Seq("en"),
              neardupThreshold: Double = 0.8,
-             tokenBudget: Long = 4096): DataFrame =
+             tokenBudget: Long = 4096,
+             keepBest: Boolean = false): DataFrame =
     curateWithStats(docs, idCol, textCol, eval, langs,
-      neardupThreshold, tokenBudget)._1
+      neardupThreshold, tokenBudget, keepBest)._1
 
-  /** [[curate]] plus the per-stage survivor counts (stage, n_docs). */
+  /** [[curate]] plus the per-stage survivor counts (stage, n_docs).
+    * `keepBest = true` switches the near-dup canonical policy from
+    * min-id to highest-token-count (ties to smaller id) — the
+    * keep-the-richest-variant rule ([[Dedup.neardupPruneBest]]). */
   def curateWithStats(docs: DataFrame, idCol: String, textCol: String,
                       eval: DataFrame, langs: Seq[String] = Seq("en"),
                       neardupThreshold: Double = 0.8,
-                      tokenBudget: Long = 4096): (DataFrame, Seq[(String, Long)]) = {
+                      tokenBudget: Long = 4096,
+                      keepBest: Boolean = false): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def stage(name: String, df: DataFrame): DataFrame = {
       stats += name -> df.count(); df
@@ -69,9 +74,15 @@ object CuratePipeline {
           .partitionBy(col("__h"), col(textCol)).orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__h", "__rk")
     val neardup = stage("4_exact_dedup", exact.cache())
-    val pruned = Dedup.neardupPrune(neardup, idCol, textCol,
-      blockCols = Seq.empty[String] ++ (if (neardup.columns.contains("lang"))
-        Seq("lang") else Nil), threshold = neardupThreshold)
+    val blockCols = Seq.empty[String] ++
+      (if (neardup.columns.contains("lang")) Seq("lang") else Nil)
+    val pruned =
+      if (keepBest)
+        Dedup.neardupPruneBest(neardup, idCol, textCol, blockCols,
+          threshold = neardupThreshold,
+          qualityCol = TextOps.tokenCount(col(textCol)))
+      else Dedup.neardupPrune(neardup, idCol, textCol, blockCols,
+        threshold = neardupThreshold)
     val clean = stage("5_neardup_prune", pruned.cache())
     val decontaminated =
       if (eval.isEmpty) clean

@@ -400,6 +400,27 @@ object Dedup {
       .drop("label")
   }
 
+  /** [[neardupPrune]] with a QUALITY-BASED canonical policy: per
+    * near-dup cluster keep the doc maximizing `qualityCol` (ties to the
+    * smaller id) instead of the min-id representative — the selection
+    * rule real curation applies (keep the longest / highest-scoring
+    * variant). One min_by struct aggregate per cluster over the CC
+    * labels; no corpus-wide window. (Query-key twin: q_dedup_keep_best.) */
+  def neardupPruneBest(docs: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], threshold: Double,
+                       qualityCol: Column): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, blockCols, threshold)
+    val labels = connectedComponents(pairs)
+    val lab = docs.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("label"), col(idCol)))
+    val keep = lab.groupBy(col("__cluster"))
+      .agg(min_by(col(idCol),
+        struct((-qualityCol).as("negq"), col(idCol))).as("__keep"))
+    lab.join(keep, Seq("__cluster"))
+      .filter(col(idCol) === col("__keep"))
+      .drop("label", "__cluster", "__keep")
+  }
+
   /** Lineage truncation for the iterative CC loops — reliable
     * `checkpoint` when a checkpoint dir is configured (survives executor
     * loss on a real cluster), `localCheckpoint` otherwise. See

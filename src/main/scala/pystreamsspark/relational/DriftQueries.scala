@@ -334,7 +334,63 @@ object DriftQueries {
       |GROUP BY model, touchpoint
       |ORDER BY model, touchpoint""".stripMargin
 
+  /** Delete-one-block JACKKNIFE of the mean (Quenouille/Tukey; the
+    * block form is the standard distributed-data variant): hash rows
+    * into G=32 blocks, then each block's leave-one-out mean and
+    * pseudovalue G·x̄ − (G−1)·x̄₍₋g₎ — the resampling machinery for
+    * bias/variance estimation that, unlike the bootstrap, is fully
+    * deterministic and relational (no with-replacement sampling).
+    *
+    * Exactness: block sums stay DECIMAL; every leave-one-out mean is
+    * (S − s_g) exact-decimal → string-route double → ONE division;
+    * pseudovalues are fixed IEEE trees over those. The per-block rows
+    * ARE the deliverable (a variance of the pseudovalues would be a
+    * float-sum order hazard — left to the consumer, who has exact
+    * inputs). Shape: one partial+final agg into 32 blocks, broadcast
+    * totals — the scan is the whole cost at any scale. */
+  def qJackknife(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val D = DecimalType(38, 6)
+    val blocks = Tables.orders(spark, sfDir)
+      .select(
+        pmod(conv(substring(md5($"o_orderkey".cast("string").cast("binary")),
+          1, 10), 16, 10).cast("long"), lit(32)).as("block"),
+        $"o_totalprice")
+      .groupBy($"block")
+      .agg(count(lit(1)).as("n_b"),
+        sum($"o_totalprice".cast(D)).as("s_b"))
+    val tot = blocks.agg(sum($"n_b").as("n"), sum($"s_b").as("s"))
+    val g = lit(32.0)
+    val meanAll = d2d($"s") / $"n".cast("double")
+    val meanLoo = d2d($"s" - $"s_b") / ($"n" - $"n_b").cast("double")
+    blocks.crossJoin(broadcast(tot))
+      .select($"block", $"n_b",
+        meanAll.as("mean_all"),
+        meanLoo.as("mean_loo"),
+        (g * meanAll - (g - lit(1.0)) * meanLoo).as("pseudovalue"))
+      .orderBy($"block")
+  }
+
+  val qJackknifeSql: String =
+    """WITH b AS (
+      |  SELECT CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),
+      |      1, 10)) AS BIGINT) % 32 AS block,
+      |    CAST(COUNT(*) AS BIGINT) AS n_b,
+      |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s_b
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n, SUM(s_b) AS s FROM b)
+      |SELECT block, n_b,
+      |  CAST(CAST(s AS STRING) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_all,
+      |  CAST(CAST(s - s_b AS STRING) AS DOUBLE) / CAST(n - n_b AS DOUBLE)
+      |    AS mean_loo,
+      |  32.0 * (CAST(CAST(s AS STRING) AS DOUBLE) / CAST(n AS DOUBLE))
+      |    - (32.0 - 1.0) * (CAST(CAST(s - s_b AS STRING) AS DOUBLE)
+      |        / CAST(n - n_b AS DOUBLE)) AS pseudovalue
+      |FROM b CROSS JOIN tot
+      |ORDER BY block""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jackknife"   -> (qJackknife _),
     "q_autocorr"    -> (qAutocorr _),
     "q_chisq_cells" -> (qChisqCells _),
     "q_psi_bins"    -> (qPsiBins _),
@@ -342,6 +398,7 @@ object DriftQueries {
     "q_attribution" -> (qAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_jackknife"   -> qJackknifeSql,
     "q_autocorr"    -> qAutocorrSql,
     "q_chisq_cells" -> qChisqCellsSql,
     "q_psi_bins"    -> qPsiBinsSql,

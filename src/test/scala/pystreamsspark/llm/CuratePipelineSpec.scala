@@ -59,4 +59,29 @@ class CuratePipelineSpec extends SparkSpec {
       neardupThreshold = 0.8, tokenBudget = 512)
     assert(packed.filter($"text" === leakText).count() == 0)
   }
+
+  test("curate keepBest: the RICHEST near-dup variant survives, not the min-id one") {
+    val s = spark
+    import s.implicits._
+    // a planted 3-doc near-dup family: same 11-distinct-token base (with
+    // 'the' twice so the langid gate reads them as en), the LAST id
+    // carries 3 extra tokens (highest token count). Jaccard(base, rich)
+    // = 11/14 = 0.786 >= 0.75; every pair clears the threshold.
+    val base = "the " + (1 to 10).map(i => s"tok$i").mkString(" ") + " the"
+    val rich = base + " extra1 extra2 extra3"
+    val docs = Seq(
+      (1L, base, "en"), (2L, base + " extra1", "en"), (3L, rich, "en"),
+      (50L, "the completely different words entirely here now the", "en"))
+      .toDF("doc_id", "text", "lang")
+    val emptyEval = docs.filter(lit(false))
+    val minId = CuratePipeline.curate(docs, "doc_id", "text", emptyEval,
+      langs = Seq("en"), neardupThreshold = 0.75, tokenBudget = 512)
+    assert(minId.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 50L)) // default policy keeps the min id
+    val best = CuratePipeline.curate(docs, "doc_id", "text", emptyEval,
+      langs = Seq("en"), neardupThreshold = 0.75, tokenBudget = 512,
+      keepBest = true)
+    assert(best.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 50L)) // keepBest keeps the highest-token-count variant
+  }
 }
