@@ -389,7 +389,91 @@ object DriftQueries {
       |FROM b CROSS JOIN tot
       |ORDER BY block""".stripMargin
 
+  /** Cumulative GAINS / LIFT table — the model-eval classic: rank users
+    * by a propensity score (here the deterministic click share
+    * n_click/n_events), cut into score deciles, and report how much of
+    * the positive class (purchasers) the top deciles capture vs random.
+    *
+    * Scale-true decile assignment: score decile BOUNDS come from one
+    * exact distributed `percentile` aggregate and broadcast back — the
+    * q_eqdepth_hist two-pass shape, NO global sort/ntile over users.
+    * The cumulative walk runs over the ≤10 bin rows (bounded domain).
+    * Exactness: counts are integers; capture and lift are single
+    * divisions of exact integer products ((cum_pos·N)/(cum_n·P) — both
+    * < 2^53), score is one division per user with identical IEEE
+    * semantics in both engines. */
+  def qGains(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_click"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"))
+      .select($"user_id", $"pos",
+        ($"n_click".cast("double") / $"n_ev".cast("double")).as("score"))
+    val mat = pystreamsspark.operators.Lineage.truncate(users)
+    val bounds = mat.agg(expr("percentile(score, array(0.1,0.2,0.3,0.4," +
+      "0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    val binned = mat.crossJoin(broadcast(bounds))
+      .select($"pos",
+        aggregate(transform($"bs",
+            b => when($"score" > b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_users"), sum($"pos").as("n_pos"))
+    val tot = binned.agg(sum($"n_users").as("nt"), sum($"n_pos").as("pt"))
+    val w = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum($"n_users").over(w))
+      .withColumn("cum_pos", sum($"n_pos").over(w))
+      .select($"bin", $"n_users", $"n_pos", $"cum_users", $"cum_pos",
+        (($"cum_pos" * $"nt").cast("double") /
+          ($"cum_users" * $"pt").cast("double")).as("lift"),
+        ($"cum_pos".cast("double") / $"pt".cast("double")).as("capture"))
+      .orderBy($"bin".desc)
+  }
+
+  val qGainsSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT [quantile_cont(score, 0.1), quantile_cont(score, 0.2),
+      |          quantile_cont(score, 0.3), quantile_cont(score, 0.4),
+      |          quantile_cont(score, 0.5), quantile_cont(score, 0.6),
+      |          quantile_cont(score, 0.7), quantile_cont(score, 0.8),
+      |          quantile_cont(score, 0.9)] AS bs
+      |  FROM u),
+      |binned AS (
+      |  SELECT CAST(len(list_filter(bs, x -> score > x)) AS INT) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos
+      |  FROM u CROSS JOIN b
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+      |               CAST(SUM(n_pos) AS BIGINT) AS pt FROM binned),
+      |c AS (
+      |  SELECT bin, n_users, n_pos,
+      |    CAST(SUM(n_users) OVER w AS BIGINT) AS cum_users,
+      |    CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+      |    nt, pt
+      |  FROM binned CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY bin DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT bin, n_users, n_pos, cum_users, cum_pos,
+      |  CAST(cum_pos * nt AS DOUBLE) / CAST(cum_users * pt AS DOUBLE)
+      |    AS lift,
+      |  CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE) AS capture
+      |FROM c
+      |ORDER BY bin DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gains"       -> (qGains _),
     "q_jackknife"   -> (qJackknife _),
     "q_autocorr"    -> (qAutocorr _),
     "q_chisq_cells" -> (qChisqCells _),
@@ -398,6 +482,7 @@ object DriftQueries {
     "q_attribution" -> (qAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_gains"       -> qGainsSql,
     "q_jackknife"   -> qJackknifeSql,
     "q_autocorr"    -> qAutocorrSql,
     "q_chisq_cells" -> qChisqCellsSql,
