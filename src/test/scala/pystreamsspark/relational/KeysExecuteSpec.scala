@@ -24,6 +24,10 @@ class KeysExecuteSpec extends SparkSpec {
     assert(graft.SparkEntry.queries.size >= 220)
   }
 
+  test("the driver's flagship entry() returns rows (smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every oracle entry has a matching query registration") {
     val orphaned = graft.SparkEntry.oracleSql.keySet --
       graft.SparkEntry.queries.keySet
