@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: the range-join strategy Spark lacks.
   *
@@ -32,10 +32,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *  - fires only when the condition has NO equi conjunct already
   *    (hash-joinable joins don't need it; also makes the rule
   *    idempotent — its own output contains the bin equi-conjunct);
-  *  - numeric types only, cast to double for binning (binning only
+  *  - numeric keys (cast to double, binWidth in value units) and
+  *    TIMESTAMP keys (epoch-µs via UnixMicros, binWidth in µs — the
+  *    commonest real-world range join is a time-BETWEEN); binning only
   *    GROUPS candidates — the residual predicate re-checks exact
   *    bounds, so float rounding in the bin id cannot change results,
-  *    only bucket boundaries);
+  *    only bucket boundaries;
   *  - enabled by setting `spark.graft.rangeJoin.binWidth` to a
   *    positive double (pick it near the typical interval width:
   *    replication stays O(1) per interval). Unset/<= 0 disables.
@@ -57,6 +59,18 @@ object RangeJoinBinRule extends Rule[LogicalPlan] {
     case _: org.apache.spark.sql.types.NumericType => true
     case _ => false
   }
+
+  private def isTimestamp(e: Expression): Boolean =
+    e.dataType == TimestampType
+
+  /** All three range expressions must share one binnable category —
+    * numeric (binWidth in value units) or timestamp (binWidth in
+    * MICROSECONDS, the epoch-µs binning every time-BETWEEN join wants).
+    * Mixed categories never type-check in a real range predicate, but
+    * guard anyway. */
+  private def binnable(p: Expression, lo: Expression, hi: Expression): Boolean =
+    (isNumeric(p) && isNumeric(lo) && isNumeric(hi)) ||
+      (isTimestamp(p) && isTimestamp(lo) && isTimestamp(hi))
 
   /** Split a conjunction into its conjuncts. */
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -100,7 +114,7 @@ object RangeJoinBinRule extends Rule[LogicalPlan] {
     val all = lowers.toSeq
     for ((lo, p1) <- all; (p2, hi) <- all if p1.semanticEquals(p2)) {
       val p = p1
-      if (isNumeric(p) && isNumeric(lo) && isNumeric(hi)) {
+      if (binnable(p, lo, hi)) {
         (sideOf(p), sideOf(lo), sideOf(hi)) match {
           case (Some(pl), Some(ll), Some(hl)) if ll == hl && pl != ll =>
             // every OTHER conjunct must be single-sided (stays residual)
@@ -130,8 +144,15 @@ object RangeJoinBinRule extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         extractRange(conjuncts(cond), left, right) match {
           case Some((p, lo, hi, pointOnLeft)) =>
-            def binOf(e: Expression): Expression =
-              Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType)))
+            // timestamps bin on epoch-µs (UnixMicros — ANSI-safe, no
+            // timestamp→numeric cast); epoch-µs ≈ 1.7e15 < 2^53 so the
+            // double division is exact enough to only move BUCKET
+            // boundaries — the residual predicate re-checks exact bounds
+            def binOf(e: Expression): Expression = {
+              val num = if (isTimestamp(e)) Cast(UnixMicros(e), DoubleType)
+                        else Cast(e, DoubleType)
+              Floor(Divide(num, Literal(w, DoubleType)))
+            }
             val (pointSide, intervalSide) =
               if (pointOnLeft) (left, right) else (right, left)
             // point side: stamp the single bin id

@@ -1227,10 +1227,16 @@ object LlmQueries {
     * Measured 30x faster than the nested-HOF formulation (interpreted
     * md5 per lambda element). Shared by [[qMinhashOracle]] and
     * [[qLshEval]]; the oracle replay is the `ab`/`s` CTE pair. */
-  private def md5Sigs(spark: SparkSession, sfDir: String, nH: Int): DataFrame = {
+  private def md5Sigs(spark: SparkSession, sfDir: String, nH: Int): DataFrame =
+    md5SigsOf(Tables.documents(spark, sfDir), spark, nH)
+
+  /** [[md5Sigs]] over an arbitrary (doc_id, text) relation — the
+    * mutant-unioned corpora of the dedup-pipeline keys need signatures
+    * too. */
+  private def md5SigsOf(docs: DataFrame, spark: SparkSession, nH: Int): DataFrame = {
     import spark.implicits._
     val M = 1099511627776L // 2^40
-    val hashed = Tables.documents(spark, sfDir)
+    val hashed = docs
       .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 3)).as("g"))
       .select($"doc_id",
         conv(substring(md5($"g".cast("binary")), 1, 10), 16, 10).cast("long").as("a"),
@@ -1672,7 +1678,18 @@ object LlmQueries {
 
   /** Full dedup pipeline: MinHash-LSH pairs → connected components →
     * cluster labels. Every planted mutant must land in its original's
-    * cluster; output = one row per clustered doc (id, canonical label). */
+    * cluster; output = one row per clustered doc (id, canonical label).
+    *
+    * ORACLE-CHECKED end to end since round 6: signatures come from the
+    * md5-derived hash family of [[qMinhashOracle]] (16 hashes, 4 bands
+    * of 4, est >= 0.5), so the whole chain — shingle → signature → band
+    * bucket join → distributed min-label connected components — is
+    * value-verified against DuckDB, whose side replays the closure with
+    * a recursive CTE (clusters are small, so the transitive closure is
+    * cheap in the oracle; the Spark side stays the O(log d) iterative
+    * label propagation that scales). [[Dedup.minHashLsh]] with the
+    * xxhash64 family remains the production path, exercised by
+    * [[qMinhashDedup]] and property-tested in SketchesSpec. */
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
@@ -1680,12 +1697,75 @@ object LlmQueries {
       ($"doc_id" + 10000000L).as("doc_id"),
       expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
         "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
-    val pairs = Dedup.minHashLsh(docs.unionByName(mutated), "doc_id", "text",
-      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    val banded = bandKeys(md5SigsOf(docs.unionByName(mutated), spark, 16), 4, 4)
+    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"), $"sig".as("sig_a"))
+    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+    val pairs = a.join(b, Seq("bnd", "bkey"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sig_a", $"sig_b").distinct()
+      .filter(aggregate(zip_with($"sig_a", $"sig_b",
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+        lit(0), (acc, v) => acc + v).cast("double") / 16 >= 0.5)
+      .select($"id_a", $"id_b")
     Dedup.connectedComponents(pairs)
       .select($"id", $"label")
       .orderBy($"id")
   }
+
+  /** DuckDB replay of [[qDedupClusters]]: the md5 signature/band CTEs of
+    * [[qMinhashOracleSql]] over the mutant-unioned corpus, then
+    * connected components as a recursive-CTE transitive closure over the
+    * symmetric edge list (exact because near-dup clusters are tiny;
+    * min(reachable ∪ self) = the component's canonical label). */
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id,
+      |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |), t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM e)
+      |  WHERE len(toks) > 0
+      |), ab AS (
+      |  SELECT doc_id,
+      |    [ { a: CAST(concat('0x', substring(md5(g),1,10)) AS BIGINT),
+      |        b: CAST(concat('0x', substring(md5(g),11,10)) AS BIGINT) }
+      |      FOR g IN grams ] AS ab
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id,
+      |    [ list_min([ (x.a + i*x.b) % 1099511627776 FOR x IN ab ])
+      |      FOR i IN range(0,16) ] AS sig
+      |  FROM ab
+      |), b AS (
+      |  SELECT doc_id, sig, bnd,
+      |    array_to_string(sig[bnd*4+1:bnd*4+4], ',') AS bkey
+      |  FROM s, UNNEST(range(0,4)) AS u(bnd)
+      |), p AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sig_a, b2.sig AS sig_b
+      |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |), pe AS (
+      |  SELECT id_a, id_b FROM p
+      |  WHERE CAST(len([i FOR i IN range(0,16) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/16.0 >= 0.5
+      |), ed AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pe
+      |  UNION SELECT id_b, id_a FROM pe
+      |), rc AS (
+      |  SELECT src, dst FROM ed
+      |  UNION
+      |  SELECT rc.src, ed.dst FROM rc JOIN ed ON rc.dst = ed.src
+      |)
+      |SELECT src AS id, least(src, min(dst)) AS label
+      |FROM rc GROUP BY src
+      |ORDER BY id""".stripMargin
 
   /** SimHash sketch per document (+ pairs within hamming<=6 would be the
     * join step; the sketch itself is the verifiable artifact here). */
@@ -1717,15 +1797,16 @@ object LlmQueries {
 
   /** LSH-bucketed ANN pairs on embeddings + planted exact duplicates
     * (vec_id + 10_000_000): every planted pair shares all buckets and
-    * must be found with cosine 1.0. */
-  def qSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
-    val planted = emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
-    Similarity.annPairs(emb.unionByName(planted), "vec_id", "embedding",
-        planes = 8, threshold = 0.9)
-      .orderBy($"id_a".asc, $"id_b".asc)
-  }
+    * must be found with cosine 1.0. ORACLE-CHECKED since round 6 via
+    * [[annMd5Pairs]] with a SINGLE 8-plane band — exactly the bucket
+    * structure of [[Similarity.annPairs]] (one signature, candidates =
+    * exact signature match), with the md5 plane family and quantized
+    * integer verify so DuckDB replays every step. The xxhash64
+    * production path stays exercised in SketchesSpec. */
+  def qSimJoin(spark: SparkSession, sfDir: String): DataFrame =
+    annMd5Pairs(spark, sfDir, bands = 1, planes = 8, threshold = 0.9)
+
+  val qSimJoinSql: String = annMd5Sql(bands = 1, planes = 8, threshold = 0.9)
 
   /** OR-amplified multi-band sign-LSH near-dup pairs
     * ([[Similarity.annPairsMultiband]]) with planted duplicates — smoke
@@ -1760,10 +1841,20 @@ object LlmQueries {
     *    discipline), bit-exact in both engines.
     * Planted byte-identical copies (id+10M) guarantee non-vacuous
     * recall: identical vectors share every band chunk. */
-  def qAnnMultibandOracle(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAnnMultibandOracle(spark: SparkSession, sfDir: String): DataFrame =
+    annMd5Pairs(spark, sfDir, bands = 8, planes = 4, threshold = 0.9)
+
+  /** The md5-family sign-LSH ANN pair join, parameterized over banding —
+    * shared by [[qAnnMultibandOracle]] (8 bands × 4 planes, the
+    * OR-amplified recall shape) and [[qSimJoin]] (1 band × 8 planes, the
+    * single-signature bucket join [[Similarity.annPairs]] runs in
+    * production). Every step replays in DuckDB — see the
+    * [[qAnnMultibandOracle]] scaladoc for the exactness discipline. */
+  private def annMd5Pairs(spark: SparkSession, sfDir: String,
+                          bands: Int, planes: Int, threshold: Double): DataFrame = {
     import spark.implicits._
     pystreamsspark.functions.VectorExpressions.register(spark)
-    val bands = 8; val planes = 4; val dims = 64
+    val dims = 64
     val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     val both = emb.unionByName(
       emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
@@ -1820,12 +1911,15 @@ object LlmQueries {
         (call_function("vec_dot", $"qa", $"qb") /
           (sqrt($"na") * sqrt($"nb"))).as("qcos"))
       .distinct()
-      .filter($"qcos" >= 0.9)
+      .filter($"qcos" >= threshold)
       .orderBy($"id_a", $"id_b")
   }
 
-  val qAnnMultibandOracleSql: String =
-    """WITH e AS (
+  val qAnnMultibandOracleSql: String = annMd5Sql(bands = 8, planes = 4, threshold = 0.9)
+
+  /** DuckDB replay of [[annMd5Pairs]] for any banding. */
+  private def annMd5Sql(bands: Int, planes: Int, threshold: Double): String =
+    s"""WITH e AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 10000000, embedding FROM embeddings
@@ -1840,7 +1934,7 @@ object LlmQueries {
       |        substring(md5(concat(b.range, ':', p.range, ':', d.range)), 1, 10))
       |        AS BIGINT) % 2 = 0
       |      THEN 1 ELSE -1 END AS w
-      |  FROM range(0,8) b, range(0,4) p, range(0,64) d
+      |  FROM range(0,$bands) b, range(0,$planes) p, range(0,64) d
       |), v AS (
       |  SELECT q.vec_id, w.bnd, w.pl, SUM(w.w * qv[w.pos + 1]) AS s
       |  FROM q CROSS JOIN w GROUP BY 1, 2, 3
@@ -1862,7 +1956,7 @@ object LlmQueries {
       |)
       |SELECT id_a, id_b, qdot / (sqrt(na) * sqrt(nb)) AS qcos
       |FROM scored
-      |WHERE qdot / (sqrt(na) * sqrt(nb)) >= 0.9
+      |WHERE qdot / (sqrt(na) * sqrt(nb)) >= $threshold
       |ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1949,5 +2043,7 @@ object LlmQueries {
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,
     "q_simhash_oracle" -> qSimhashOracleSql,
-    "q_ann_multiband_oracle" -> qAnnMultibandOracleSql)
+    "q_ann_multiband_oracle" -> qAnnMultibandOracleSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_sim_join"      -> qSimJoinSql)
 }

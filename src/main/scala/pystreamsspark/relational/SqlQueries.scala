@@ -359,7 +359,7 @@ object SqlQueries {
        |  COUNT(*) AS numcust, ${sqlSum("c_acctbal")} AS totacctbal
        |FROM customer c
        |WHERE c_acctbal > (
-       |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / COUNT(*)
        |    FROM customer WHERE c_acctbal > 0)
        |  AND NOT EXISTS (
        |    SELECT 1 FROM orders o

@@ -74,7 +74,7 @@ object TimeQueries {
 
   val qSessionWindowSql: String =
     s"""WITH flagged AS (
-       |  SELECT user_id, ts, value,
+       |  SELECT user_id, ts, event_id, value,
        |    CASE WHEN lag(ts) OVER w IS NULL
        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
        |         THEN 1 ELSE 0 END AS new_session
@@ -82,7 +82,7 @@ object TimeQueries {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |), sess AS (
        |  SELECT user_id, ts, value,
-       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
        |  FROM flagged)
        |SELECT user_id, MIN(ts) AS s_start,
@@ -123,19 +123,19 @@ object TimeQueries {
        |         ELSE 1800000000 END AS gap_us
        |  FROM events
        |), flagged AS (
-       |  SELECT user_id, ts, value, gap_us,
+       |  SELECT user_id, ts, event_id, value, gap_us,
        |    MAX(epoch_us(ts) + gap_us) OVER (PARTITION BY user_id
        |      ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
        |  FROM g
        |), marked AS (
-       |  SELECT user_id, ts, value, gap_us,
+       |  SELECT user_id, ts, event_id, value, gap_us,
        |    CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
        |         THEN 1 ELSE 0 END AS new_session
        |  FROM flagged
        |), sess AS (
        |  SELECT user_id, ts, value, gap_us,
-       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
        |  FROM marked)
        |SELECT user_id, MIN(ts) AS s_start,
@@ -626,6 +626,49 @@ object TimeQueries {
       |FROM f WHERE m = 24
       |ORDER BY hour""".stripMargin
 
+  /** Timestamp BETWEEN range join — the commonest real-world range join
+    * (events falling inside per-entity time windows), planned as a
+    * bin-bucketed EQUI-join by [[pystreamsspark.plans.RangeJoinBinRule]]
+    * rather than the BroadcastNestedLoopJoin vanilla Spark would pick.
+    * Intervals are a 1/997 sample of events opened for 10 minutes; the
+    * point side is the full events table. binWidth = 6e8 µs (10 min),
+    * so each interval lands on ≤2 bins — bounded replication, and the
+    * whole join is one shuffle on the bin key instead of |iv|·|events|
+    * comparisons. At 100 TB the nested loop is quadratic death; the bin
+    * join scales with data volume. The rule is registered idempotently
+    * here (Verify's plain session has no extensions), and the rewrite
+    * is semantics-preserving, so conf leakage to later keys is benign —
+    * it only fires on closed two-sided BETWEEN joins with no equi
+    * conjunct. RangeJoinRuleSpec asserts the no-nested-loop plan shape.
+    */
+  def qTimeRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import pystreamsspark.plans.RangeJoinBinRule
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinBinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinBinRule
+    spark.conf.set(RangeJoinBinRule.BinWidthKey, 6e8.toString)
+    val ev = Tables.events(spark, sfDir)
+    val iv = ev.filter($"event_id" % 997 === 0)
+      .select($"event_id".as("iv_id"), $"ts".as("lo"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("hi"))
+    val pts = ev.select($"ts", $"value")
+    pts.join(iv, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .groupBy($"iv_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"iv_id")
+  }
+
+  val qTimeRangeJoinSql: String =
+    s"""WITH iv AS (
+       |  SELECT event_id AS iv_id, ts AS lo,
+       |    ts + INTERVAL 10 MINUTE AS hi
+       |  FROM events WHERE event_id % 997 = 0)
+       |SELECT iv_id, COUNT(*) AS n, ${sqlSum("e.value")} AS sum_value
+       |FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts <= iv.hi
+       |GROUP BY iv_id
+       |ORDER BY iv_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_median" -> (qRollingMedian _),
     "q_dwell"          -> (qDwell _),
@@ -639,7 +682,8 @@ object TimeQueries {
     "q_session_window" -> (qSessionWindow _),
     "q_ewma"           -> (qEwma _),
     "q_interp"         -> (qInterp _),
-    "q_funnel"         -> (qFunnel _))
+    "q_funnel"         -> (qFunnel _),
+    "q_time_range_join" -> (qTimeRangeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_rolling_median" -> qRollingMedianSql,
@@ -654,5 +698,6 @@ object TimeQueries {
     "q_session_window" -> qSessionWindowSql,
     "q_ewma"           -> qEwmaSql,
     "q_interp"         -> qInterpSql,
-    "q_funnel"         -> qFunnelSql)
+    "q_funnel"         -> qFunnelSql,
+    "q_time_range_join" -> qTimeRangeJoinSql)
 }

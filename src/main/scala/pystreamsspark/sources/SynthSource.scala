@@ -85,7 +85,7 @@ case class SynthOffset(emitted: Long) extends Offset {
   * construction; a real system-backed source replays from its log the
   * same way). */
 class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
-                            required: StructType) extends MicroBatchStream {
+                            required: StructType, base: Long = 0L) extends MicroBatchStream {
   override def initialOffset(): Offset = SynthOffset(0L)
   override def latestOffset(): Offset =
     SynthOffset(math.min(rows, ledger() + batchRows))
@@ -103,9 +103,13 @@ class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
     planned = math.max(planned, hi + 1)
     if (hi < lo) Array.empty
     else {
+      // offsets count EMITTED rows; the generated ids are base-shifted so
+      // a pushed-down id-range scan streams ids [base, base+rows-1], not
+      // [0, rows-1] — otherwise the post-scan re-evaluation of the same
+      // predicate would silently drop every row above rows-1
       val per = math.max(1L, (hi - lo + 1 + parts - 1) / parts)
       Iterator.iterate(lo)(_ + per).takeWhile(_ <= hi)
-        .map(s => SynthPartition(s, math.min(hi, s + per - 1)): InputPartition)
+        .map(s => SynthPartition(base + s, base + math.min(hi, s + per - 1)): InputPartition)
         .toArray
     }
   }
@@ -157,7 +161,7 @@ class SynthScan(val lo: Long, val hi: Long, parts: Int,
     s"SynthScan range=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SynthMicroBatchStream(hi - lo + 1, parts, batchRows, required)
+    new SynthMicroBatchStream(hi - lo + 1, parts, batchRows, required, base = lo)
 
   override def planInputPartitions(): Array[InputPartition] =
     if (hi < lo) Array.empty

@@ -86,4 +86,30 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(!executed(oneSided).contains("__graft_bin"))
     }
   }
+
+  private def timestampThetaJoin(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, sf)
+    val iv = ev.filter($"event_id" % 97 === 0)
+      .select($"event_id".as("iv_id"), $"ts".as("lo"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("hi"))
+    ev.select($"ts", $"value")
+      .join(iv, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .groupBy($"iv_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .orderBy($"iv_id")
+  }
+
+  test("timestamp BETWEEN join: rule bins on epoch-µs, no nested loop, same results") {
+    val expected = timestampThetaJoin().collect().toSeq
+    assert(expected.nonEmpty)
+    withRule(6e8) { // 10 minutes in µs — each interval on ≤2 bins
+      val df = timestampThetaJoin()
+      val p = executed(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("__graft_bin"), p)
+      assert(df.collect().toSeq === expected)
+    }
+  }
 }

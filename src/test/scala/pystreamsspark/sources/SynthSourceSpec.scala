@@ -104,4 +104,29 @@ class SynthSourceSpec extends SparkSpec {
       assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 100)
     } finally q.stop()
   }
+
+  test("micro-batch stream with pushed id-range filter emits base-shifted ids") {
+    // regression: toMicroBatchStream used to drop the pushed-down `lo`,
+    // generating ids [0, hi-lo] that the post-scan re-evaluation of the
+    // same predicate then silently discarded (missing data, no error)
+    val dir = java.nio.file.Files.createTempDirectory("synthstreamf").toString
+    val stream = spark.readStream
+      .format("pystreamsspark.sources.SynthSource")
+      .option("rows", "500").option("partitions", "4")
+      .option("batchrows", "100")
+      .load()
+      .filter(col("id") >= 200L && col("id") < 450L)
+    val q = stream.writeStream
+      .format("memory").queryName("synth_sink_filtered")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM synth_sink_filtered").collect()
+      assert(got.map(_.getLong(0)).sorted.toSeq === (200L until 450L))
+      val r300 = got.find(_.getLong(0) == 300L).get
+      assert(r300.getLong(1) === SynthTable.valueOf(300L))
+      assert(r300.getInt(2) === SynthTable.bucketOf(300L))
+    } finally q.stop()
+  }
 }
