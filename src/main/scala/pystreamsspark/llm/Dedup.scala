@@ -17,6 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bounded registry of PERSISTED self-join substrates. The pair
+    * funnels are self-joins over a derived relation (tokenized +
+    * df-stamped token sets); without an explicit persist, Spark's plan
+    * canonicalization does not reuse the aggregate exchange across the
+    * two (differently-projected) join sides and the documents table is
+    * tokenized 2-4x per funnel. Persisting the substrate is exactly
+    * what a 100 TB run does for any relation consumed by both sides of
+    * a self-join: MEMORY_AND_DISK (spills, never OOMs), computed once,
+    * read back by every consumer. The registry keeps at most 4 live
+    * substrates (distinct funnels within one composed pipeline, e.g.
+    * neardupPrune's pairs + CC) and evicts the oldest beyond that —
+    * eviction only drops cached blocks; any straggler consumer simply
+    * recomputes, so correctness never depends on the cache. */
+  private object SharedRelationCache {
+    private val live = new java.util.ArrayDeque[DataFrame]()
+    def apply(df: DataFrame): DataFrame = synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (!live.contains(p)) live.addLast(p)
+      while (live.size > 4) live.removeFirst().unpersist(false)
+      p
+    }
+  }
+
   /** Normalized-text key for exact dedup. At scale, group on
     * (xxhash64(norm), norm): the 8-byte hash leads the shuffle key so
     * comparisons short-circuit; the full text stays in the key to make
@@ -209,7 +232,7 @@ object Dedup {
   private[pystreamsspark] def jaccardPairsBlock(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    val base = SharedRelationCache(hashedTokenSets(docs, idCol, textCol, blockCols))
     val a = base.select(
       (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
     val b = base.select(
@@ -285,16 +308,20 @@ object Dedup {
     * fits — Spark picks), one groupBy(id) to re-sort each set. */
   private def dfSortedTokenSets(docs: DataFrame, idCol: String, textCol: String,
                                 blockCols: Seq[String]): DataFrame = {
-    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    // persist BOTH levels: `base` feeds the df aggregate AND the stamp
+    // join (tokenize once, not twice), and the sorted result feeds both
+    // sides of the caller's prefix self-join (sort/stamp once, not
+    // twice) — together this cuts the funnel from 4 documents scans to 1
+    val base = SharedRelationCache(hashedTokenSets(docs, idCol, textCol, blockCols))
     val tokDf = base.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    base
+    SharedRelationCache(base
       .select((col("id") +: blockCols.map(col) :+ explode(col("toks")).as("tok")): _*)
       .join(tokDf, "tok")
       .groupBy((col("id") +: blockCols.map(col)): _*)
       .agg(transform(
         sort_array(collect_list(struct(col("df"), col("tok")))),
-        s => s.getField("tok")).as("toks"))
+        s => s.getField("tok")).as("toks")))
   }
 
   /** ASYMMETRIC containment pairs: |toks(a) ∩ toks(b)| / |toks(a)| >=
@@ -329,7 +356,7 @@ object Dedup {
   private[pystreamsspark] def containmentPairsBlock(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = hashedTokenSets(docs, idCol, textCol, blockCols)
+    val base = SharedRelationCache(hashedTokenSets(docs, idCol, textCol, blockCols))
     val a = base.select(
       (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
     val b = base.select(
