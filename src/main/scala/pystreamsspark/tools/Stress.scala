@@ -408,6 +408,97 @@ object Stress {
       pystreamsspark.relational.GraphQueries
         .ssspBounded(tradeEdgesAmplified(), seeds, rounds = 3).count()
     }
+    // ---- round-6 probes: drift, sketch-agg and community families ----
+
+    // PSI/TVD bin table: xN rows into a FIXED 9-bin domain — the
+    // conditional aggregation must absorb the extra rows map-side
+    // (partial agg), leaving a constant-size bin/broadcast tail. Wall
+    // clock should track the scan.
+    time(s"psi_bins x$mult") {
+      val ox = amplified(pystreamsspark.io.Tables.orders(spark, sfDir),
+        Seq("o_orderkey"), 100000000L)
+      val bins = ox.filter(year($"o_orderdate").isin(1996, 1999))
+        .select(least(floor($"o_totalprice" / 50000.0), lit(8.0))
+          .cast("int").as("bin"), year($"o_orderdate").as("y"))
+        .groupBy($"bin")
+        .agg(sum(when($"y" === 1996, 1L).otherwise(0L)).as("n1"),
+          sum(when($"y" === 1999, 1L).otherwise(0L)).as("n2"))
+      val tot = bins.agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
+      bins.crossJoin(broadcast(tot))
+        .select(($"n1".cast("double") / $"t1" - $"n2".cast("double") / $"t2")
+          .as("drift"))
+        .count()
+    }
+
+    // equi-depth histogram: two fully-parallel passes (distributed exact
+    // percentile -> broadcast bounds -> map-side binning + partial agg).
+    // Both passes are scans + bounded aggregates; no sort, no window.
+    time(s"eqdepth_hist x$mult") {
+      val ox = amplified(pystreamsspark.io.Tables.orders(spark, sfDir),
+        Seq("o_orderkey"), 100000000L)
+      val bounds = ox.agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3," +
+        "0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      ox.crossJoin(broadcast(bounds))
+        .select(aggregate(transform($"bs",
+            b => when($"o_totalprice" > b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("n")).count()
+    }
+
+    // KMV sketch build: audiences grow xN (user_id offset per replica)
+    // but only k=64 hashes per group cross the final shuffle — the
+    // mergeable-sketch contract. Distinct is the dominant (linear) cost.
+    time(s"kmv_sketch x$mult") {
+      val d1 = ev.filter($"value" > 150.0)
+        .select($"event_type", $"user_id").distinct()
+      val hd = d1.select($"event_type",
+        conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 10),
+          16, 10).cast("long").as("h")).distinct()
+      hd.groupBy($"event_type")
+        .agg(pystreamsspark.operators.TopKAgg.smallestK(64)($"h").as("ks"))
+        .count()
+    }
+
+    // AUC rank aggregation over the BOUNDED 2-decimal value domain: xN
+    // rows collapse into the same distinct-value table map-side; the
+    // cumulative window runs over the fixed domain, so wall clock should
+    // track the scan, not N x window cost (q_auc's scale claim).
+    time(s"auc_bounded_domain x$mult") {
+      import org.apache.spark.sql.expressions.Window
+      val byVal = ev.filter($"event_type".isin("click", "view"))
+        .groupBy($"value")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("pos"),
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("neg"))
+      val w = Window.orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal.withColumn("cn", sum($"neg").over(w))
+        .agg(sum($"pos" * $"cn")).count()
+    }
+
+    // label propagation over the xN disjoint trade graph: 3 synchronous
+    // rounds, each one edge-labels join + arg-max agg — O(rounds)
+    // shuffles, per-round cost linear in |E|.
+    time(s"labelprop x$mult") {
+      pystreamsspark.relational.GraphQueries
+        .labelPropagation(tradeEdgesAmplified(), iters = 3).count()
+    }
+
+    // modularity tail on top of labelprop: one labeled-edge-list join +
+    // per-community aggregate; communities grow in COUNT (disjoint
+    // replicas), never in size, so the aggregate stays bounded per key.
+    time(s"modularity x$mult") {
+      val edges = tradeEdgesAmplified().select($"a", $"b")
+      val labels = pystreamsspark.relational.GraphQueries
+        .labelPropagation(edges, iters = 3)
+      val und = edges.select($"a".as("src"), $"b".as("dst"))
+        .union(edges.select($"b".as("src"), $"a".as("dst"))).distinct()
+      und.join(labels.select($"id".as("src"), $"label".as("ls")), "src")
+        .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
+        .groupBy($"ls")
+        .agg(count(lit(1)).as("vol"),
+          sum(when($"ls" === $"ld", 1L).otherwise(0L)).as("intra"))
+        .count()
+    }
     spark.stop()
   }
 }
