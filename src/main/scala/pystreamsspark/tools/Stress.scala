@@ -478,9 +478,13 @@ object Stress {
     // label propagation over the xN disjoint trade graph: 3 synchronous
     // rounds, each one edge-labels join + arg-max agg — O(rounds)
     // shuffles, per-round cost linear in |E|.
+    // NB: aggregate over the label column, not count() — count over the
+    // cardinality-preserving left joins lets Catalyst prune the whole
+    // loop away (measured 3.0 s "fake" vs 12.3 s real at x1)
     time(s"labelprop x$mult") {
       pystreamsspark.relational.GraphQueries
-        .labelPropagation(tradeEdgesAmplified(), iters = 3).count()
+        .labelPropagation(tradeEdgesAmplified(), iters = 3)
+        .agg(sum($"label")).count()
     }
 
     // modularity tail on top of labelprop: one labeled-edge-list join +
