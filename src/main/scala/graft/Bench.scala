@@ -20,7 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated key filter for targeted local perf work
+    // (e.g. SPARK_GRAFT_KEYS=q_containment,q_chunk_overlap). The driver
+    // never sets it, so per-round benches always cover the full surface.
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -38,12 +45,20 @@ object Bench {
     // distorts cross-round comparisons by -1s per broken key.
     val ran = results.map(_._2).filter(_ >= 0.0)
     val total = if (ran.nonEmpty) ran.sum else 0.0
+    // Stamp the run config (VERDICT r5 §wrong: cross-round per-key compares
+    // were config-confounded because the ledger didn't say which
+    // threads/partitions produced the numbers).
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":$cpus,"partitions":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also leave the JSON in a file next to the repo
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // (append mode lets a dual-config session record both runs as JSONL)
+    val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    if (sys.env.get("SPARK_GRAFT_BENCH_APPEND").contains("1"))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    else
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

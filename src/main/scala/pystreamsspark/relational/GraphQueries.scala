@@ -320,7 +320,12 @@ object GraphQueries {
     * cross-engine exact with zero Det machinery. One agg row out. */
   def qDegreeCorr(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val edges = neardupEdges(spark, sfDir)
+    // materialize the pair funnel ONCE — deg references the edge list
+    // twice and pts twice more; without truncation the whole jaccard
+    // funnel (tokenize + prefix join) re-executes per reference
+    // (round-5 plan snapshot showed 12 parquet scans for this key)
+    val edges = pystreamsspark.operators.Lineage.truncate(
+      neardupEdges(spark, sfDir))
     val deg = edges.select($"a".as("id")).unionAll(edges.select($"b".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))
     val both = edges.unionAll(edges.select($"b".as("a"), $"a".as("b")))

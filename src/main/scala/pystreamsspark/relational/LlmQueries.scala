@@ -1338,7 +1338,10 @@ object LlmQueries {
     val bands = 8
     val rows = 2
     val tau = 0.8
-    val cand = {
+    // both pair lists are referenced twice (the hit join + their own
+    // count); truncate so the signature funnel and the gram-intersection
+    // funnel each execute exactly once (r5 snapshot: 12 parquet scans)
+    val cand = pystreamsspark.operators.Lineage.truncate {
       val banded = bandKeys(md5Sigs(spark, sfDir, bands * rows), bands, rows)
       val ca = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"))
       val cb = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"))
@@ -1348,15 +1351,16 @@ object LlmQueries {
     val grams = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 3)).as("g"))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val truth = grams.select($"g", $"doc_id".as("id_a"))
-      .join(grams.select($"g", $"doc_id".as("id_b")), "g")
-      .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sza")), "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"sz".as("szb")), "id_b")
-      .filter($"inter".cast("double") /
-        ($"sza" + $"szb" - $"inter").cast("double") >= tau)
-      .select($"id_a", $"id_b")
+    val truth = pystreamsspark.operators.Lineage.truncate(
+      grams.select($"g", $"doc_id".as("id_a"))
+        .join(grams.select($"g", $"doc_id".as("id_b")), "g")
+        .filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sza")), "id_a")
+        .join(sizes.select($"doc_id".as("id_b"), $"sz".as("szb")), "id_b")
+        .filter($"inter".cast("double") /
+          ($"sza" + $"szb" - $"inter").cast("double") >= tau)
+        .select($"id_a", $"id_b"))
     val hits = truth.join(cand, Seq("id_a", "id_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
