@@ -449,4 +449,18 @@ class PlanSpec extends SparkSpec {
     val bc = plan(joined("broadcast"))
     assert(bc.contains("BroadcastHashJoin"), bc)
   }
+
+  test("q_degree_corr: pair funnel materialized once — final plan reads the checkpoint") {
+    // round-5 snapshot showed 12 parquet scans: the jaccard funnel
+    // re-executed for each of the 4 edge-list references; after the
+    // Lineage.truncate the executed plan touches no parquet at all
+    val p = plan(graft.SparkEntry.queries("q_degree_corr")(spark, sf))
+    assert(countOf(p, "Scan parquet") == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_lsh_eval: cand/truth pair lists materialized once each") {
+    val p = plan(graft.SparkEntry.queries("q_lsh_eval")(spark, sf))
+    assert(countOf(p, "Scan parquet") == 0, p)
+  }
 }
