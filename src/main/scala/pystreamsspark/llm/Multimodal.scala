@@ -151,6 +151,85 @@ object Multimodal {
         "duration_ms")
   }
 
+  /** Parsed MP4 (ISO base-media / ISO 14496-12) video metadata. */
+  case class VideoMeta(brand: String, timescale: Int, durationTicks: Long,
+                       nTracks: Int)
+
+  /** Real, dependency-free MP4/ISO-BMFF box walk (big-endian, the VIDEO
+    * companion of the PNG/JPEG and WAV parsers — the three cover both
+    * byte orders and both flat-chunk and nested-box container styles).
+    * Layout per the public ISO/IEC 14496-12 spec: a file is a sequence
+    * of boxes (u32be size incl. header + 4cc type); `ftyp` carries the
+    * major brand at offset 8; `moov` is a pure container whose children
+    * include exactly one `mvhd` FullBox (version 0: u32 creation/
+    * modification, u32 timescale, u32 duration at offsets 12/16/20/24;
+    * version 1: u64 creation/modification, u32 timescale, u64 duration
+    * at 12/20/28/32) and one `trak` container per track. Both mvhd
+    * versions are parsed — the differential key synthesizes v0 for even
+    * ids and v1 for odd ids so a version-offset bug fails the oracle.
+    * Returns None for truncated/inconsistent box sizes or a missing
+    * ftyp/moov/mvhd. */
+  def decodeMp4Header(p: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def u64(i: Int) = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Int) = new String(p, i, 4, "US-ASCII")
+    var i = 0
+    var brand: Option[String] = None
+    var ts = -1L; var dur = -1L; var tracks = 0; var sawMvhd = false
+    while (i + 8 <= p.length) {
+      val sz = u32(i)
+      if (sz < 8 || i + sz > p.length) return None // malformed box size
+      fourcc(i + 4) match {
+        case "ftyp" if sz >= 12 => brand = Some(fourcc(i + 8))
+        case "moov" =>
+          var j = i + 8
+          while (j + 8 <= i + sz) {
+            val csz = u32(j)
+            if (csz < 8 || j + csz > i + sz) return None
+            fourcc(j + 4) match {
+              case "mvhd" =>
+                val v = u8(j + 8)
+                if (v == 0 && csz >= 28) {
+                  ts = u32(j + 20); dur = u32(j + 24); sawMvhd = true
+                } else if (v == 1 && csz >= 40) {
+                  ts = u32(j + 28); dur = u64(j + 32); sawMvhd = true
+                }
+              case "trak" => tracks += 1
+              case _ => ()
+            }
+            j += csz.toInt
+          }
+        case _ => ()
+      }
+      i += sz.toInt
+    }
+    brand match {
+      case Some(b) if sawMvhd && ts > 0 && dur >= 0 =>
+        Some(VideoMeta(b, ts.toInt, dur, tracks))
+      case _ => None
+    }
+  }
+
+  /** Attach decoded VIDEO metadata per row — same partition-wise
+    * flatMap decode shape as [[withAudioMeta]]; non-MP4 payloads yield
+    * zero rows. duration_ms is exact integer math (ticks·1000 div
+    * timescale) so the DuckDB oracle replays it without float drift. */
+  def withVideoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeMp4Header(bytes).map(m =>
+          (id, m.brand, m.timescale, m.durationTicks, m.nTracks,
+            m.durationTicks * 1000L / m.timescale))
+      }
+      .toDF(idCol, "brand", "timescale", "duration_ticks", "n_tracks",
+        "duration_ms")
+  }
+
   /** STUB decoder — deterministic fake metadata derived from the payload
     * bytes; the fallback for payloads with no recognized real header. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {

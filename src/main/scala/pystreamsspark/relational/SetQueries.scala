@@ -148,6 +148,64 @@ object SetQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL MP4 (ISO-BMFF) box-walk decode, oracle-checked differentially
+    * — the VIDEO companion of [[qMediaHeader]] (image) and
+    * [[qAudioMeta]] (audio), completing the multimodal triple: Spark
+    * synthesizes spec-correct `ftyp` + `moov(mvhd, trak…)` box BYTES
+    * from each doc's id — mvhd **version 0** for even ids and
+    * **version 1** (64-bit times) for odd ids, so both spec layouts are
+    * exercised on every run — then parses them back with
+    * [[pystreamsspark.llm.Multimodal.decodeMp4Header]] inside the
+    * flatMap decode path. The oracle recomputes brand / timescale /
+    * duration / track count arithmetically; any box-size, offset or
+    * version-dispatch bug in the walk breaks the hash match. */
+  def qVideoMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val brandHex = when(pmod($"doc_id", lit(3)) === 0, "69736F6D") // isom
+      .when(pmod($"doc_id", lit(3)) === 1, "6D703432")             // mp42
+      .otherwise("61766331")                                       // avc1
+    val timescale = ((pmod($"doc_id", lit(4)) + 1) * 600).cast("int")
+    val durTicks = (pmod($"doc_id" * 13, lit(720000)) + 1).cast("long")
+    val nTracks = (pmod($"doc_id" * 11, lit(3)) + 1).cast("int")
+    def u32be(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def u64be(c: org.apache.spark.sql.Column) = lpad(hex(c), 16, "0")
+    val ftyp = concat(lit("00000014"), lit("66747970"), brandHex,
+      lit("00000000"), brandHex)                 // size 20, one compat brand
+    // the 80 bytes after duration, identical in v0/v1: rate 1.0, volume
+    // 1.0, reserved, unity matrix, 6x4 predefined, next_track_id
+    val tail80 = lit("00010000" + "0100" + "0000" + "0" * 16 +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" + "0" * 48 + "00000002")
+    val mvhdV0 = concat(u32be(lit(108)), lit("6D766864"), lit("00000000"),
+      u32be(lit(0)), u32be(lit(0)), u32be(timescale), u32be(durTicks), tail80)
+    val mvhdV1 = concat(u32be(lit(120)), lit("6D766864"), lit("01000000"),
+      u64be(lit(0)), u64be(lit(0)), u32be(timescale), u64be(durTicks), tail80)
+    val even = pmod($"doc_id", lit(2)) === 0
+    val mvhdSize = when(even, lit(108)).otherwise(lit(120))
+    val trakHex = "000000087472616B"             // minimal empty trak box
+    val traks = concat(lit(trakHex),
+      when(nTracks >= 2, lit(trakHex)).otherwise(lit("")),
+      when(nTracks >= 3, lit(trakHex)).otherwise(lit("")))
+    val moov = concat(u32be(mvhdSize + nTracks * 8 + 8), lit("6D6F6F76"),
+      when(even, mvhdV0).otherwise(mvhdV1), traks)
+    val payloads = Tables.documents(spark, sfDir)
+      .select($"doc_id", unhex(concat(ftyp, moov)).as("payload"))
+    pystreamsspark.llm.Multimodal.withVideoMeta(payloads, "doc_id", "payload")
+      .orderBy($"doc_id")
+  }
+
+  val qVideoMetaSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+      |    ELSE 'avc1' END AS brand,
+      |  CAST((doc_id % 4 + 1) * 600 AS INT) AS timescale,
+      |  CAST((doc_id * 13) % 720000 + 1 AS BIGINT) AS duration_ticks,
+      |  CAST((doc_id * 11) % 3 + 1 AS INT) AS n_tracks,
+      |  ((doc_id * 13) % 720000 + 1) * 1000
+      |    // ((doc_id % 4 + 1) * 600) AS duration_ms
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val qAudioMetaSql: String =
     """SELECT doc_id,
       |  CAST(doc_id % 2 + 1 AS INT) AS channels,
@@ -183,12 +241,14 @@ object SetQueries {
     "q_intersect_except" -> (qIntersectExcept _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_media_header"     -> (qMediaHeader _),
-    "q_audio_meta"       -> (qAudioMeta _))
+    "q_audio_meta"       -> (qAudioMeta _),
+    "q_video_meta"       -> (qVideoMeta _))
 
   val oracle: Map[String, String] = Map(
     "q_union"            -> qUnionSql,
     "q_intersect_except" -> qIntersectExceptSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_media_header"     -> qMediaHeaderSql,
-    "q_audio_meta"       -> qAudioMetaSql)
+    "q_audio_meta"       -> qAudioMetaSql,
+    "q_video_meta"       -> qVideoMetaSql)
 }

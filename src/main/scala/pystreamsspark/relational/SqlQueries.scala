@@ -443,7 +443,47 @@ object SqlQueries {
       |GROUP BY src, band
       |ORDER BY src, band""".stripMargin
 
+  /** SQL pipe syntax (Spark 4 `|>` operators, SPARK-49555 — the
+    * GoogleSQL-style linear query form): one chain exercising WHERE →
+    * JOIN → EXTEND → AGGREGATE…GROUP BY → post-agg WHERE (pipe's
+    * HAVING) → ORDER BY. Catalyst lowers each `|>` stage onto the same
+    * logical operators as the nested form — `EliminatePipeOperators`
+    * strips the markers before optimization, so pushdown/broadcast
+    * planning is unchanged and there is no scale cost to the linear
+    * style. DuckDB has no pipe dialect, so the oracle is the
+    * equivalent ANSI nesting (decimal-exact revenue both sides). */
+  val sqlPipe: String =
+    s"""FROM orders
+       ||> WHERE o_orderstatus = 'F'
+       ||> JOIN customer ON o_custkey = c_custkey
+       ||> EXTEND year(o_orderdate) AS o_year
+       ||> AGGREGATE ${sqlSum("o_totalprice")} AS revenue,
+       |     COUNT(*) AS n_orders
+       |   GROUP BY c_mktsegment, o_year
+       ||> WHERE n_orders > 5
+       ||> ORDER BY c_mktsegment, o_year""".stripMargin
+
+  def qSqlPipe(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders", "customer")
+    // runtime-settable; defaults on in Spark 4 but pin it so the key
+    // doesn't silently depend on the session's conf
+    spark.conf.set("spark.sql.operatorPipeSyntaxEnabled", "true")
+    spark.sql(sqlPipe)
+  }
+
+  val qSqlPipeOracleSql: String =
+    s"""SELECT c_mktsegment, o_year, revenue, n_orders FROM (
+       |  SELECT c_mktsegment, year(o_orderdate) AS o_year,
+       |    ${sqlSum("o_totalprice")} AS revenue,
+       |    COUNT(*) AS n_orders
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE o_orderstatus = 'F'
+       |  GROUP BY 1, 2) t
+       |WHERE n_orders > 5
+       |ORDER BY c_mktsegment, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_pipe"      -> (qSqlPipe _),
     "q_sql_tvf"       -> (qSqlTvf _),
     "q_sql_cte"       -> (qSqlCte _),
     "q_sql_q16"       -> (qSqlQ16 _),
@@ -462,6 +502,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_pipe"      -> qSqlPipeOracleSql,
     "q_sql_tvf"       -> qSqlTvfOracleSql,
     "q_sql_cte"       -> sqlCte,
     "q_sql_q16"       -> sqlQ16,

@@ -129,6 +129,52 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(wav(withData = true)) === None)
   }
 
+  test("real MP4 ISO-BMFF box walk: mvhd v0 and v1 decode; malformed reject") {
+    import java.nio.ByteBuffer // ISO-BMFF is big-endian (ByteBuffer default)
+    // hand-built minimal MP4: ftyp(isom) + free (walked over) + moov
+    // containing mvhd (v0 or v1, timescale 600, duration 3000 ticks)
+    // and two empty trak boxes
+    def mp4(v1: Boolean, corruptChildSize: Boolean = false): Array[Byte] = {
+      val bb = ByteBuffer.allocate(256)
+      bb.putInt(20); bb.put("ftyp".getBytes)
+      bb.put("isom".getBytes); bb.putInt(0); bb.put("mp42".getBytes)
+      bb.putInt(8); bb.put("free".getBytes) // unknown top-level box, skipped
+      val mvhdSz = if (v1) 120 else 108
+      bb.putInt(8 + mvhdSz + 16); bb.put("moov".getBytes)
+      bb.putInt(if (corruptChildSize) 4 else mvhdSz); bb.put("mvhd".getBytes)
+      if (v1) {
+        bb.putInt(0x01000000)                 // version 1 + flags
+        bb.putLong(0L); bb.putLong(0L)        // creation/modification u64
+        bb.putInt(600); bb.putLong(3000L)     // timescale u32, duration u64
+        (0 until (mvhdSz - 40) / 4).foreach(_ => bb.putInt(0))
+      } else {
+        bb.putInt(0)                          // version 0 + flags
+        bb.putInt(0); bb.putInt(0)            // creation/modification u32
+        bb.putInt(600); bb.putInt(3000)       // timescale, duration u32
+        (0 until (mvhdSz - 28) / 4).foreach(_ => bb.putInt(0))
+      }
+      bb.putInt(8); bb.put("trak".getBytes)
+      bb.putInt(8); bb.put("trak".getBytes)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    assert(Multimodal.decodeMp4Header(mp4(v1 = false)) ===
+      Some(Multimodal.VideoMeta("isom", 600, 3000L, 2)))
+    assert(Multimodal.decodeMp4Header(mp4(v1 = true)) ===
+      Some(Multimodal.VideoMeta("isom", 600, 3000L, 2)))
+    // child box size below the 8-byte header minimum -> malformed
+    assert(Multimodal.decodeMp4Header(mp4(v1 = false,
+      corruptChildSize = true)) === None)
+    // truncated mid-box: declared size runs past the payload
+    assert(Multimodal.decodeMp4Header(
+      mp4(v1 = false).take(40)) === None)
+    // no moov/mvhd -> not a movie
+    assert(Multimodal.decodeMp4Header(mp4(v1 = false).take(20)) === None)
+    // the image/audio parsers must not claim an MP4 and vice versa
+    assert(Multimodal.decodeHeader(mp4(v1 = false)) === None)
+    assert(Multimodal.decodeWavHeader(mp4(v1 = false)) === None)
+    assert(Multimodal.decodeMp4Header("RIFF0000WAVE".getBytes) === None)
+  }
+
   test("payload binary column is pruned when only metadata is selected") {
     val s = spark
     import s.implicits._
