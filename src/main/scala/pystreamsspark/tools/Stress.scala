@@ -487,6 +487,49 @@ object Stress {
         .agg(sum($"label")).count()
     }
 
+    // timestamp BETWEEN join at xN: replicas are shifted +35 days each
+    // (base spans 30), so intervals never match across replicas and the
+    // true output grows linearly. With RangeJoinBinRule on, the plan is
+    // a bin-bucketed hash join — cost ~ |points| + |pairs|; with it off
+    // (…_bnlj probe) Spark can only BroadcastNestedLoopJoin, cost
+    // |points| x |intervals| — quadratic in the amplification. Run the
+    // bnlj probe at small mult only; it exists to record the contrast.
+    def amplifiedEvents(): DataFrame = {
+      val ev = pystreamsspark.io.Tables.events(spark, sfDir)
+      (0 until mult).map { r =>
+        ev.withColumn("event_id", $"event_id" + lit(r * 100000000L))
+          .withColumn("ts", $"ts" + expr(s"INTERVAL ${r * 35} DAYS"))
+      }.reduce(_ unionByName _)
+    }
+    def timeRangeJoin(binRule: Boolean): Long = {
+      import pystreamsspark.plans.RangeJoinBinRule
+      if (binRule) {
+        if (!spark.experimental.extraOptimizations.contains(RangeJoinBinRule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ RangeJoinBinRule
+        spark.conf.set(RangeJoinBinRule.BinWidthKey, 6e8.toString)
+      } else {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == RangeJoinBinRule)
+      }
+      // denser intervals than the oracle key (1% of rows vs 0.1%): BNLJ
+      // cost is |points| x |intervals|, so density is the quadratic
+      // term's lever — at 0.1% the nested loop stays comparison-bound
+      // and cheap well past x10 (measured: 0.90 s x1, 4.81 s x10 vs bin
+      // 3.17/10.77 — fixed bin-join shuffle overhead dominates at toy
+      // scale), at 1% the flip lands inside the probe's range.
+      val ev = amplifiedEvents()
+      val iv = ev.filter($"event_id" % 97 === 0)
+        .select($"event_id".as("iv_id"), $"ts".as("lo"),
+          ($"ts" + expr("INTERVAL 10 MINUTES")).as("hi"))
+      ev.select($"ts", $"value")
+        .join(iv, $"ts" >= $"lo" && $"ts" <= $"hi")
+        .groupBy($"iv_id").agg(count(lit(1)).as("n"))
+        .agg(sum($"n")).count()
+    }
+    time(s"time_range_join x$mult") { timeRangeJoin(binRule = true) }
+    time(s"time_range_join_bnlj x$mult") { timeRangeJoin(binRule = false) }
+
     // modularity tail on top of labelprop: one labeled-edge-list join +
     // per-community aggregate; communities grow in COUNT (disjoint
     // replicas), never in size, so the aggregate stays bounded per key.
