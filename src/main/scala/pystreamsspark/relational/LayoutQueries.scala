@@ -204,7 +204,51 @@ object LayoutQueries {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  /** DYNAMIC partition pruning (runtime sibling of [[qPartitionPrune]]):
+    * the fact side is the lang-partitioned copy, but the langs to keep
+    * are only known at RUNTIME — they come from a filtered aggregate
+    * (langs holding ≥20% corpus share; 'en' at every SF), not a literal
+    * predicate, so static pruning can't fire. Spark's
+    * DynamicPartitionPruning rule turns the broadcast dim side into a
+    * `dynamicpruning#` subquery inside the fact scan's PartitionFilters:
+    * the non-qualifying langs' directories are never opened even though
+    * no literal filter names them. At 100 TB with date/tenant partition
+    * keys this is THE mechanism that keeps dim-driven fact scans from
+    * reading the whole table ("prune at runtime what you can't prune at
+    * plan time"). Plan shape (dynamicpruning in PartitionFilters +
+    * broadcast reuse) is asserted in PlanSpec; the oracle replays the
+    * same join over the flat parquet. */
+  def qDppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir, "doc_by_lang_dpp")
+    if (!new java.io.File(dir).exists())
+      Tables.documents(spark, sfDir)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("doc_part")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT d.lang, d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM doc_part d
+        |JOIN (SELECT lang FROM documents GROUP BY lang
+        |      HAVING COUNT(*) * 5 >= (SELECT COUNT(*) FROM documents)) dim
+        |  ON d.lang = dim.lang
+        |GROUP BY d.lang, d.source
+        |ORDER BY d.lang, d.source""".stripMargin)
+  }
+
+  val qDppJoinSql: String =
+    """SELECT d.lang, d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d
+      |JOIN (SELECT lang FROM documents GROUP BY lang
+      |      HAVING COUNT(*) * 5 >= (SELECT COUNT(*) FROM documents)) dim
+      |  ON d.lang = dim.lang
+      |GROUP BY d.lang, d.source
+      |ORDER BY d.lang, d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_join"        -> (qDppJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
     "q_salted_join"     -> (qSaltedJoin _),
@@ -212,6 +256,7 @@ object LayoutQueries {
     "q_sorted_skip"     -> (qSortedSkip _))
 
   val oracle: Map[String, String] = Map(
+    "q_dpp_join"        -> qDppJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,
     "q_salted_join"     -> qSaltedJoinSql,

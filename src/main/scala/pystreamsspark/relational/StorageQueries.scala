@@ -207,7 +207,31 @@ object StorageQueries {
       |GROUP BY 1
       |ORDER BY m10""".stripMargin
 
+  /** V2 AGGREGATE pushdown over the same custom source: a global
+    * COUNT/MIN/MAX is answered from one closed-form partial row per
+    * range split (`SynthAggScan`) — 8 rows reach Spark's merge
+    * aggregate instead of 100k (the connector analogue of answering
+    * from parquet footer stats). The executed plan's scan is asserted
+    * to be the agg scan in SynthSourceSpec; the oracle recomputes the
+    * same aggregates from the generated relation. */
+  def qDsv2Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .agg(count(lit(1)).as("n"),
+        min($"id").as("min_id"), max($"id").as("max_id"),
+        min($"bucket").as("min_b"), max($"bucket").as("max_b"))
+  }
+
+  val qDsv2AggSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(id) AS min_id, MAX(id) AS max_id,
+      |  CAST(MIN(id % 32) AS INT) AS min_b,
+      |  CAST(MAX(id % 32) AS INT) AS max_b
+      |FROM generate_series(0, 99999) t(id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_agg"       -> (qDsv2Agg _),
     "q_dsv2_scan"      -> (qDsv2Scan _),
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -216,6 +240,7 @@ object StorageQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_dsv2_agg"       -> qDsv2AggSql,
     "q_dsv2_scan"      -> qDsv2ScanSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,

@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -120,12 +121,46 @@ class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
 
 class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows - 1
   private var accepted = Array.empty[Filter]
   private var required: StructType = SynthTable.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  private def refName(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays at the
+    * default false): the source computes ONE partial row per range
+    * split in closed form — COUNT(*) is the range length, MIN/MAX(id)
+    * are the range endpoints, MIN/MAX(bucket) fall out of modular
+    * arithmetic — and Spark's final aggregate merges the per-partition
+    * partials. For a generated/range-keyed source this is the whole
+    * point of the API: an `agg` over 10^9 rows ships `partitions` rows
+    * to Spark instead of 10^9 (the connector analogue of parquet
+    * footer-stats aggregate pushdown). Anything the closed forms can't
+    * answer (SUM/AVG over the LCG value, grouped aggs) returns false
+    * and falls back to the full scan — pushdown must never change
+    * results, only row movement. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => refName(m.column).exists(c => c == "id" || c == "bucket")
+        case m: Max => refName(m.column).exists(c => c == "id" || c == "bucket")
+        case _ => false
+      }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def num(v: Any): Option[Long] = v match {
@@ -150,7 +185,86 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(lo, hi, parts, required, batchRows)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new SynthAggScan(lo, hi, parts, agg)
+    case None      => new SynthScan(lo, hi, parts, required, batchRows)
+  }
+}
+
+/** The post-aggregation-pushdown scan: emits one closed-form partial
+  * row per range split, in the order of `agg.aggregateExpressions`
+  * (Spark matches scan output to partial aggregates POSITIONALLY —
+  * names are cosmetic, types must be the agg inputs' types). */
+class SynthAggScan(lo: Long, hi: Long, parts: Int, agg: Aggregation)
+  extends Scan with Batch {
+
+  private def colName(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): String =
+    f match {
+      case m: Min => m.column.asInstanceOf[NamedReference].fieldNames()(0)
+      case m: Max => m.column.asInstanceOf[NamedReference].fieldNames()(0)
+      case _      => ""
+    }
+
+  override def readSchema(): StructType =
+    StructType(agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+      case (f, i) =>
+        val t = if (colName(f) == "bucket") IntegerType else LongType
+        StructField(s"agg$i", t, nullable = false)
+    })
+
+  override def description(): String =
+    s"SynthAggScan range=[$lo,$hi] pushedAggs=[${agg.aggregateExpressions.mkString(", ")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (hi < lo) Array.empty
+    else {
+      val n = hi - lo + 1
+      val per = math.max(1L, (n + parts - 1) / parts)
+      Iterator.iterate(lo)(_ + per).takeWhile(_ <= hi)
+        .map(s => SynthPartition(s, math.min(hi, s + per - 1)): InputPartition)
+        .toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthAggReaderFactory(agg)
+}
+
+class SynthAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthPartition]
+    val (s, e) = (sp.start, sp.end)
+    val len = e - s + 1
+    // closed-form per-split partials — no row in [s, e] is materialized
+    def bucketMin: Int =
+      if (len >= 32L || (s % 32) + len > 32L) 0 else (s % 32).toInt
+    def bucketMax: Int =
+      if (len >= 32L || (s % 32) + len > 32L) 31 else ((s % 32) + len - 1).toInt
+    def valueOf(
+        f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Any =
+      f match {
+        case _: CountStar => java.lang.Long.valueOf(len)
+        case m: Min =>
+          m.column.asInstanceOf[NamedReference].fieldNames()(0) match {
+            case "id"     => java.lang.Long.valueOf(s)
+            case "bucket" => java.lang.Integer.valueOf(bucketMin)
+          }
+        case m: Max =>
+          m.column.asInstanceOf[NamedReference].fieldNames()(0) match {
+            case "id"     => java.lang.Long.valueOf(e)
+            case "bucket" => java.lang.Integer.valueOf(bucketMax)
+          }
+      }
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(
+          agg.aggregateExpressions.toIndexedSeq.map(valueOf))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SynthScan(val lo: Long, val hi: Long, parts: Int,

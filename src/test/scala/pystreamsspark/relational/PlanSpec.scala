@@ -450,6 +450,16 @@ class PlanSpec extends SparkSpec {
     assert(bc.contains("BroadcastHashJoin"), bc)
   }
 
+  test("q_dpp_join: runtime-only dim filter prunes fact partitions via DPP") {
+    // the kept langs come from a filtered aggregate, not a literal, so
+    // static pruning CANNOT fire — the partitioned scan must carry a
+    // dynamicpruning subquery in its PartitionFilters instead
+    val df = graft.SparkEntry.queries("q_dpp_join")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("q_degree_corr: pair funnel materialized once — final plan reads the checkpoint") {
     // round-5 snapshot showed 12 parquet scans: the jaccard funnel
     // re-executed for each of the 4 edge-list references; after the

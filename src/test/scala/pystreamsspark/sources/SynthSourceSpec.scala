@@ -129,4 +129,48 @@ class SynthSourceSpec extends SparkSpec {
       assert(r300.getInt(2) === SynthTable.bucketOf(300L))
     } finally q.stop()
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered from closed-form partials") {
+    // rows=40 deliberately not a multiple of 32 or of the partition
+    // count: split [28,39] wraps the bucket ring (buckets 28..31,0..7),
+    // exercising the modular min/max closed form
+    val agg = synth(40L, parts = 3)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), min(col("bucket")).as("min_b"),
+        max(col("bucket")).as("max_b"))
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getInt(3), row.getInt(4)) === ((40L, 0L, 39L, 0, 31)))
+    // the executed plan must read the AGG scan (one partial row per
+    // split), not the row scan
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("SynthAggScan"), p)
+    assert(p.contains("pushedAggs="), p)
+
+    // narrow single split, no ring wrap: min/max(bucket) from offsets
+    val one = synth(10L, parts = 1)
+      .agg(min(col("bucket")).as("a"), max(col("bucket")).as("b"))
+      .collect().head
+    assert((one.getInt(0), one.getInt(1)) === ((0, 9)))
+  }
+
+  test("aggregate pushdown declines unsupported aggs and falls back to the row scan") {
+    // SUM over the LCG value has no closed form -> pushAggregation
+    // returns false and the normal scan + Spark aggregate answers
+    val df = synth(1000L, parts = 4)
+      .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+    val row = df.collect().head
+    val expected = (0L until 1000L).map(SynthTable.valueOf).sum
+    assert(row.getLong(0) === expected)
+    assert(row.getLong(1) === 1000L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SynthAggScan"), p)
+
+    // grouped aggregates are likewise not pushed (group-by non-empty)
+    val grouped = synth(100L, parts = 4)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(_.getLong(1)).sum === 100L)
+    assert(!grouped.queryExecution.executedPlan.toString.contains("SynthAggScan"))
+  }
 }
