@@ -65,6 +65,44 @@ object JoinQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** RUNTIME bloom-filter join pruning (Spark's InjectRuntimeFilter —
+    * the row-level sibling of dynamic partition pruning): the selective
+    * filter lives on the orders side, so vanilla sort-merge would still
+    * shuffle EVERY lineitem row; with runtime filtering Spark builds a
+    * bloom filter from the filtered orders keys as a subquery and
+    * applies `might_contain` to lineitem BEFORE its shuffle — at 100 TB
+    * this is the difference between shuffling the fact table and
+    * shuffling the ~selectivity fraction that can possibly join.
+    * Runs in its OWN `newSession()` so the thresholds this toy scale
+    * needs (application-side floor 0, broadcast off to keep the join
+    * sort-merge — broadcast joins don't need the filter) cannot leak
+    * into other keys' sessions. Plan shape asserted in PlanSpec. */
+  def qRuntimeFilter(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import spark.implicits._
+    val sel = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", $"o_orderstatus")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice")
+      .join(sel, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qRuntimeFilterSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > 400000.0
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   /** Left outer join keeping order-less customers (n_orders = 0). */
   def qJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -465,6 +503,7 @@ object JoinQueries {
     "q3_join_topk" -> (q3JoinTopk _),
     "q_join_large" -> (qJoinLarge _),
     "q_join_outer" -> (qJoinOuter _),
+    "q_runtime_filter" -> (qRuntimeFilter _),
     "q_join_anti"  -> (qJoinAnti _),
     "q_join_semi"  -> (qJoinSemi _),
     "q_join_range" -> (qJoinRange _),
@@ -482,6 +521,7 @@ object JoinQueries {
     "q3_join_topk" -> q3JoinTopkSql,
     "q_join_large" -> qJoinLargeSql,
     "q_join_outer" -> qJoinOuterSql,
+    "q_runtime_filter" -> qRuntimeFilterSql,
     "q_join_anti"  -> qJoinAntiSql,
     "q_join_semi"  -> qJoinSemiSql,
     "q_join_range" -> qJoinRangeSql,

@@ -460,6 +460,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("q_runtime_filter: bloom filter from the selective side gates the fact scan") {
+    // InjectRuntimeFilter: with broadcast disabled the join is
+    // sort-merge, and the filtered orders keys must appear as a
+    // might_contain(bloom subquery) condition on the LINEITEM side
+    // BEFORE its shuffle — the row-level sibling of DPP
+    val df = graft.SparkEntry.queries("q_runtime_filter")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_degree_corr: pair funnel materialized once — final plan reads the checkpoint") {
     // round-5 snapshot showed 12 parquet scans: the jaccard funnel
     // re-executed for each of the 4 edge-list references; after the
