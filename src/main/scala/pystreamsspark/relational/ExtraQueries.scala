@@ -198,7 +198,51 @@ object ExtraQueries {
       |GROUP BY event_type
       |ORDER BY event_type_dow""".stripMargin
 
+  /** Spark 4 `Dataset.transpose` (SPARK-47081): rows↔columns flip of a
+    * small aggregated table — the metric-summary presentation shape
+    * (one row per metric, one column per segment). Inputs are the
+    * 3-row per-status aggregate; transpose makes the index column's
+    * values (F/O/P) the new columns. All transposed cells must share a
+    * type, so the aggregates are all BIGINT. This is a driver-safe op
+    * ONLY on aggregated (segment-count-sized) relations — the engine
+    * applies it strictly post-aggregation, never to raw tables (the
+    * column count equals the row count of the input). The oracle
+    * hand-transposes with scalar subqueries. */
+  def qTranspose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        max($"o_orderkey").as("max_key"))
+      .transpose($"o_orderstatus")
+      .orderBy($"key")
+  }
+
+  val qTransposeSql: String =
+    """WITH s AS (
+      |  SELECT o_orderstatus AS st, COUNT(*) AS n1,
+      |    COUNT(DISTINCT o_custkey) AS n2, MAX(o_orderkey) AS n3
+      |  FROM orders GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'n_orders' AS key,
+      |    (SELECT n1 FROM s WHERE st='F') AS F,
+      |    (SELECT n1 FROM s WHERE st='O') AS O,
+      |    (SELECT n1 FROM s WHERE st='P') AS P
+      |  UNION ALL
+      |  SELECT 'n_custs',
+      |    (SELECT n2 FROM s WHERE st='F'),
+      |    (SELECT n2 FROM s WHERE st='O'),
+      |    (SELECT n2 FROM s WHERE st='P')
+      |  UNION ALL
+      |  SELECT 'max_key',
+      |    (SELECT n3 FROM s WHERE st='F'),
+      |    (SELECT n3 FROM s WHERE st='O'),
+      |    (SELECT n3 FROM s WHERE st='P'))
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transpose"    -> (qTranspose _),
     "q_map_fns"      -> (qMapFns _),
     "q_except_all"   -> (qExceptAll _),
     "q_minmax_by"    -> (qMinmaxBy _),
@@ -207,6 +251,7 @@ object ExtraQueries {
     "q_stats_manual" -> (qStatsManual _))
 
   val oracle: Map[String, String] = Map(
+    "q_transpose"    -> qTransposeSql,
     "q_map_fns"      -> qMapFnsSql,
     "q_except_all"   -> qExceptAllSql,
     "q_minmax_by"    -> qMinmaxBySql,

@@ -482,7 +482,26 @@ object SqlQueries {
        |WHERE n_orders > 5
        |ORDER BY c_mktsegment, o_year""".stripMargin
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` (the DuckDB-originated shorthand
+    * Spark 4 adopted): grouping keys inferred as every non-aggregate
+    * select item, ordering over the full select list. Dialect-shared —
+    * the SQL text IS the oracle, so both engines must infer the same
+    * keys from the same text. */
+  val sqlGroupAll: String =
+    s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |WHERE o_totalprice > 150000.0
+       |GROUP BY ALL
+       |ORDER BY ALL""".stripMargin
+
+  def qSqlGroupAll(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders")
+    spark.sql(sqlGroupAll)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_group_all" -> (qSqlGroupAll _),
     "q_sql_pipe"      -> (qSqlPipe _),
     "q_sql_tvf"       -> (qSqlTvf _),
     "q_sql_cte"       -> (qSqlCte _),
@@ -502,6 +521,7 @@ object SqlQueries {
     "q_pivot"         -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_group_all" -> sqlGroupAll,
     "q_sql_pipe"      -> qSqlPipeOracleSql,
     "q_sql_tvf"       -> qSqlTvfOracleSql,
     "q_sql_cte"       -> sqlCte,
