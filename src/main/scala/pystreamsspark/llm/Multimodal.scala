@@ -111,7 +111,8 @@ object Multimodal {
     var i = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, blockAlign, bits
     var dataSize = -1L
-    while (i + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
+    var malformed = false
+    while (!malformed && i + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
       val sz = u32le(i + 4)
       val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' &&
         p(i + 3) == ' '
@@ -122,8 +123,13 @@ object Multimodal {
           u16le(i + 22)))
       else if (isData) dataSize = sz
       // a data chunk's payload bytes need not be present (header-only
-      // payloads) — but any FURTHER chunk walk needs the skip
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      // payloads) — but any FURTHER chunk walk needs the skip. A
+      // declared size past Int.MaxValue-ish would overflow the cursor
+      // and walk BACKWARDS into a negative index (found by
+      // ParserFuzzSpec on adversarially mutated bytes) — stop the walk
+      // instead; whatever fmt/data was already parsed still stands.
+      if (sz > p.length.toLong) malformed = true
+      else i += 8 + sz.toInt + (sz.toInt & 1)
     }
     fmt match {
       case Some((ch, rate, ba, bits))
