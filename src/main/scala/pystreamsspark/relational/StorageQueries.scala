@@ -230,7 +230,31 @@ object StorageQueries {
       |  CAST(MAX(id % 32) AS INT) AS max_b
       |FROM generate_series(0, 99999) t(id)""".stripMargin
 
+  /** GROUPED V2 aggregate pushdown: GROUP BY bucket COUNT/MIN/MAX(id)
+    * is answered from ≤32 arithmetic-progression partial rows per range
+    * split (ids ≡ b mod 32 in a contiguous range have O(1) count and
+    * endpoints) — Spark's final aggregate merges `32 × partitions`
+    * rows instead of scanning the relation. */
+  def qDsv2Grouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"id").as("min_id"), max($"id").as("max_id"))
+      .orderBy($"bucket")
+  }
+
+  val qDsv2GroupedSql: String =
+    """SELECT CAST(id % 32 AS INT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM generate_series(0, 99999) t(id)
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_grouped"   -> (qDsv2Grouped _),
     "q_dsv2_agg"       -> (qDsv2Agg _),
     "q_dsv2_scan"      -> (qDsv2Scan _),
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
@@ -240,6 +264,7 @@ object StorageQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_dsv2_grouped"   -> qDsv2GroupedSql,
     "q_dsv2_agg"       -> qDsv2AggSql,
     "q_dsv2_scan"      -> qDsv2ScanSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,

@@ -150,14 +150,25 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
     * and falls back to the full scan — pushdown must never change
     * results, only row movement. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
+    val globalOk = agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => refName(m.column).exists(c => c == "id" || c == "bucket")
         case m: Max => refName(m.column).exists(c => c == "id" || c == "bucket")
         case _ => false
       }
+    // GROUP BY bucket: per-bucket COUNT/MIN(id)/MAX(id) also have O(1)
+    // closed forms over a contiguous id range (modular arithmetic) —
+    // each split emits ≤32 partial rows instead of its row count
+    val groupedOk = agg.groupByExpressions.toSeq.flatMap(refName) == Seq("bucket") &&
+      agg.groupByExpressions.length == 1 &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => refName(m.column).contains("id")
+        case m: Max => refName(m.column).contains("id")
+        case _ => false
+      }
+    val ok = agg.aggregateExpressions.nonEmpty && (globalOk || groupedOk)
     if (ok) pushedAgg = Some(agg)
     ok
   }
@@ -205,13 +216,19 @@ class SynthAggScan(lo: Long, hi: Long, parts: Int, agg: Aggregation)
       case _      => ""
     }
 
-  override def readSchema(): StructType =
-    StructType(agg.aggregateExpressions.zipWithIndex.map {
+  override def readSchema(): StructType = {
+    // Spark matches positionally: group-by columns FIRST, then one
+    // field per aggregate function
+    val groupFields = agg.groupByExpressions.toSeq.map(_ =>
+      StructField("bucket", IntegerType, nullable = false))
+    val aggFields = agg.aggregateExpressions.zipWithIndex.toSeq.map {
       case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
       case (f, i) =>
         val t = if (colName(f) == "bucket") IntegerType else LongType
         StructField(s"agg$i", t, nullable = false)
-    })
+    }
+    StructType(groupFields ++ aggFields)
+  }
 
   override def description(): String =
     s"SynthAggScan range=[$lo,$hi] pushedAggs=[${agg.aggregateExpressions.mkString(", ")}]"
@@ -241,7 +258,7 @@ class SynthAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
       if (len >= 32L || (s % 32) + len > 32L) 0 else (s % 32).toInt
     def bucketMax: Int =
       if (len >= 32L || (s % 32) + len > 32L) 31 else ((s % 32) + len - 1).toInt
-    def valueOf(
+    def globalValue(
         f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Any =
       f match {
         case _: CountStar => java.lang.Long.valueOf(len)
@@ -256,13 +273,43 @@ class SynthAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
             case "bucket" => java.lang.Integer.valueOf(bucketMax)
           }
       }
-    new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = { val r = !done; done = true; r }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(
-          agg.aggregateExpressions.toIndexedSeq.map(valueOf))
-      override def close(): Unit = ()
+    if (agg.groupByExpressions.isEmpty)
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = { val r = !done; done = true; r }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(
+            agg.aggregateExpressions.toIndexedSeq.map(globalValue))
+        override def close(): Unit = ()
+      }
+    else {
+      // GROUP BY bucket: for each residue b, the ids ≡ b (mod 32) in
+      // [s, e] form an arithmetic progression — count and endpoints in
+      // O(1), ≤32 rows out regardless of range size
+      val rows: IndexedSeq[InternalRow] = (0 until 32).flatMap { b =>
+        val first = s + (((b - s % 32) % 32 + 32) % 32)
+        if (first > e) None
+        else {
+          val last = first + ((e - first) / 32) * 32
+          val cnt = (last - first) / 32 + 1
+          def grpValue(
+              f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Any =
+            f match {
+              case _: CountStar => java.lang.Long.valueOf(cnt)
+              case _: Min       => java.lang.Long.valueOf(first)
+              case _: Max       => java.lang.Long.valueOf(last)
+            }
+          Some(InternalRow.fromSeq(
+            java.lang.Integer.valueOf(b) +:
+              agg.aggregateExpressions.toIndexedSeq.map(grpValue)))
+        }
+      }
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
     }
   }
 }

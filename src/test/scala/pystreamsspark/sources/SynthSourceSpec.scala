@@ -167,10 +167,27 @@ class SynthSourceSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("SynthAggScan"), p)
 
-    // grouped aggregates are likewise not pushed (group-by non-empty)
-    val grouped = synth(100L, parts = 4)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-    assert(grouped.collect().map(_.getLong(1)).sum === 100L)
-    assert(!grouped.queryExecution.executedPlan.toString.contains("SynthAggScan"))
+    // group-by on a non-bucket column has no closed form -> declined
+    val byId = synth(100L, parts = 4)
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    assert(byId.collect().length === 100)
+    assert(!byId.queryExecution.executedPlan.toString.contains("SynthAggScan"))
+  }
+
+  test("grouped aggregate pushdown: GROUP BY bucket from arithmetic-progression partials") {
+    // rows=100 over 3 splits: residues land unevenly across splits, so
+    // the per-split partial rows must merge correctly in Spark's final
+    // aggregate; cross-check against the row-scan (fallback) answer
+    val pushed = synth(100L, parts = 3)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"))
+      .orderBy(col("bucket"))
+    val rows = pushed.collect()
+    assert(pushed.queryExecution.executedPlan.toString.contains("SynthAggScan"))
+    val expected = (0L until 100L).groupBy(_ % 32).toSeq.sortBy(_._1)
+      .map { case (b, ids) => (b.toInt, ids.length.toLong, ids.min, ids.max) }
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === expected)
   }
 }
