@@ -48,8 +48,10 @@ object Bench {
     // Stamp the run config (VERDICT r5 §wrong: cross-round per-key compares
     // were config-confounded because the ledger didn't say which
     // threads/partitions produced the numbers).
+    // cpus may legitimately be non-numeric ("*" → local[*]); quoting it
+    // keeps the line valid JSON either way (json.loads accepts both).
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":$cpus,"partitions":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","partitions":"$cpus","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also leave the JSON in a file next to the repo
     // (append mode lets a dual-config session record both runs as JSONL)

@@ -129,7 +129,13 @@ object Multimodal {
       // ParserFuzzSpec on adversarially mutated bytes) — stop the walk
       // instead; whatever fmt/data was already parsed still stands.
       if (sz > p.length.toLong) malformed = true
-      else i += 8 + sz.toInt + (sz.toInt & 1)
+      else {
+        // advance in Long: for a near-2GB payload, i+8+sz can exceed
+        // Int.MaxValue even when sz <= p.length, wrapping the cursor
+        // negative and indexing out of bounds.
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        if (next > Int.MaxValue) malformed = true else i = next.toInt
+      }
     }
     fmt match {
       case Some((ch, rate, ba, bits))
@@ -195,7 +201,10 @@ object Multimodal {
             val csz = u32(j)
             if (csz < 8 || j + csz > i + sz) return None
             fourcc(j + 4) match {
-              case "mvhd" =>
+              // FullBox minimum is 12 bytes (size+type+version+flags); a
+              // bare 8-byte 'mvhd' ending at end-of-file must not read
+              // the version byte — that's one past the array.
+              case "mvhd" if csz >= 12 =>
                 val v = u8(j + 8)
                 if (v == 0 && csz >= 28) {
                   ts = u32(j + 20); dur = u32(j + 24); sawMvhd = true

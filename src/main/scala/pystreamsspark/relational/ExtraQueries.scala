@@ -210,11 +210,17 @@ object ExtraQueries {
     * hand-transposes with scalar subqueries. */
   def qTranspose(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, sfDir)
+    val agg = Tables.orders(spark, sfDir)
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         countDistinct($"o_custkey").as("n_custs"),
         max($"o_orderkey").as("max_key"))
+    // Left-join against the full status domain so the transposed column
+    // set is always {F,O,P} even at a scale factor where one status has
+    // zero orders — the oracle's scalar subqueries hard-code all three
+    // (yielding NULL for an absent status, which the join matches).
+    val statuses = Seq("F", "O", "P").toDF("o_orderstatus")
+    statuses.join(agg, Seq("o_orderstatus"), "left")
       .transpose($"o_orderstatus")
       .orderBy($"key")
   }

@@ -168,7 +168,11 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
         case m: Max => refName(m.column).contains("id")
         case _ => false
       }
-    val ok = agg.aggregateExpressions.nonEmpty && (globalOk || groupedOk)
+    // empty range → decline: a pushed global COUNT(*) over zero
+    // partitions would make Spark's final SUM of partials NULL, where
+    // the unpushed plan yields 0 — pushdown must never change results
+    val ok = agg.aggregateExpressions.nonEmpty && hi >= lo &&
+      (globalOk || groupedOk)
     if (ok) pushedAgg = Some(agg)
     ok
   }

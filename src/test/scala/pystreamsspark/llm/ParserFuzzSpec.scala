@@ -95,4 +95,19 @@ class ParserFuzzSpec extends AnyFunSuite {
       parsers.foreach { case (_, p) => p(cut) }
     }
   }
+
+  test("regression: bare 8-byte mvhd ending at end-of-file is total") {
+    // 36-byte payload single-byte fuzzing can't reach: ftyp(16) + a
+    // moov whose last child is a bare mvhd header (csz=8) ending at
+    // end-of-file. Reading the FullBox version byte at j+8 == length
+    // threw ArrayIndexOutOfBoundsException before the csz >= 12 guard.
+    val bb = java.nio.ByteBuffer.allocate(36)
+    bb.putInt(20); bb.put("ftyp".getBytes)
+    bb.put("isom".getBytes); bb.putInt(0); bb.put("mp42".getBytes)
+    bb.putInt(16); bb.put("moov".getBytes)
+    bb.putInt(8); bb.put("mvhd".getBytes)
+    val payload = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(payload.length == 36)
+    assert(Multimodal.decodeMp4Header(payload).isEmpty)
+  }
 }

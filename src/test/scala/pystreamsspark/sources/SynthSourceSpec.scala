@@ -174,6 +174,19 @@ class SynthSourceSpec extends SparkSpec {
     assert(!byId.queryExecution.executedPlan.toString.contains("SynthAggScan"))
   }
 
+  test("aggregate pushdown declines on an empty range: COUNT(*) stays 0, not NULL") {
+    // With hi < lo the agg scan would plan ZERO partitions, so Spark's
+    // final SUM over no partial rows yields NULL where the unpushed
+    // plan yields 0 — build() must fall back to the row scan
+    val df = synth(1000L, parts = 4)
+      .filter(col("id") > 500L && col("id") < 100L)
+      .agg(count(lit(1)).as("n"))
+    val row = df.collect().head
+    assert(!row.isNullAt(0), "pushed-down COUNT over empty range returned NULL")
+    assert(row.getLong(0) === 0L)
+    assert(!df.queryExecution.executedPlan.toString.contains("SynthAggScan"))
+  }
+
   test("grouped aggregate pushdown: GROUP BY bucket from arithmetic-progression partials") {
     // rows=100 over 3 splits: residues land unevenly across splits, so
     // the per-split partial rows must merge correctly in Spark's final
