@@ -1607,24 +1607,51 @@ object LlmQueries {
     * Relational build like [[Dedup.simHashBulk]]: explode tokens, md5
     * once per token in codegen, 32 partial-agg vote sums. Zero-token
     * docs are excluded symmetrically on both sides. */
-  def qSimhashOracle(spark: SparkSession, sfDir: String): DataFrame = {
+  def qSimhashOracle(spark: SparkSession, sfDir: String): DataFrame =
+    md5SimhashPairs(Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("text")), spark, nbits = 32, maxDist = 6)
+
+  /** md5-family SimHash sketch per doc: (doc_id, sk). `nbits` sign
+    * votes come from the top `nbits/4` hex chars of ONE md5 per token
+    * (nbits <= 60 keeps the sketch a positive BIGINT in both engines —
+    * no sign-bit edge case). Relational build like [[Dedup.simHashBulk]]
+    * — explode tokens, md5 once per token in codegen, nbits partial-agg
+    * vote sums. Zero-token docs drop (no rows to vote), matching the
+    * oracle's `len(toks) > 0` filter. Shared by [[qSimhash]],
+    * [[qSimhashOracle]] and [[qSimhashPairs]]. */
+  private def md5SimhashSketches(docs: DataFrame, spark: SparkSession,
+                                 nbits: Int): DataFrame = {
     import spark.implicits._
-    val votes = Tables.documents(spark, sfDir)
+    val votes = docs
       .select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
       .select($"doc_id",
-        conv(substring(md5($"t".cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
-    val sumCols = (0 until 32).map(j => sum(
+        conv(substring(md5($"t".cast("binary")), 1, nbits / 4), 16, 10)
+          .cast("long").as("h"))
+    val sumCols = (0 until nbits).map(j => sum(
       when(shiftrightunsigned($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$j"))
-    val sk = votes.groupBy($"doc_id")
+    votes.groupBy($"doc_id")
       .agg(sumCols.head, sumCols.tail: _*)
       .select($"doc_id",
-        (0 until 32).map(j =>
+        (0 until nbits).map(j =>
           when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("sk"))
+  }
+
+  /** Banded hamming-pairs over [[md5SimhashSketches]]: 4 chunks of
+    * nbits/4 bits, bucket-join candidates, exact hamming <= maxDist
+    * verify. At 60 bits the 15-bit buckets are selective on this
+    * corpus (~1k pairs at sf0.01); the 32-bit variant's 8-bit buckets
+    * are deliberately weak so false candidates exercise the verify. */
+  private def md5SimhashPairs(docs: DataFrame, spark: SparkSession,
+                              nbits: Int, maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val chunkBits = nbits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val sk = md5SimhashSketches(docs, spark, nbits)
     val banded = sk.select($"doc_id", $"sk",
         explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-          shiftrightunsigned($"sk", 8 * c).bitwiseAND(lit(255L)).as("ck"))): _*)).as("b"))
+          shiftrightunsigned($"sk", chunkBits * c).bitwiseAND(lit(chunkMask)).as("ck"))): _*)).as("b"))
       .select($"doc_id", $"sk", $"b.c".as("c"), $"b.ck".as("ck"))
     val a = banded.select($"c", $"ck", $"doc_id".as("id_a"), $"sk".as("sk_a"))
     val b = banded.select($"c", $"ck", $"doc_id".as("id_b"), $"sk".as("sk_b"))
@@ -1633,26 +1660,33 @@ object LlmQueries {
       .select($"id_a", $"id_b", $"sk_a", $"sk_b").distinct()
       .select($"id_a", $"id_b",
         bit_count($"sk_a".bitwiseXOR($"sk_b")).as("dist"))
-      .filter($"dist" <= 6)
+      .filter($"dist" <= maxDist)
       .orderBy($"id_a", $"id_b")
   }
 
-  val qSimhashOracleSql: String =
-    """WITH t AS (
+  /** The sketch/band/pair SQL shared by the simhash oracles — `src` is
+    * the corpus relation ("documents" or the mutant-union CTE `e`),
+    * `extraCte` an optional leading CTE definition (with trailing
+    * comma) prepended inside the WITH. */
+  private def simhashPairsSql(src: String, extraCte: String = "",
+                              nbits: Int = 32): String = {
+    val chunkBits = nbits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    s"""WITH $extraCte t AS (
       |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
-      |  FROM documents WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+      |  FROM $src WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
       |), h AS (
       |  SELECT doc_id,
-      |    [ CAST(concat('0x', substring(md5(tk),1,10)) AS BIGINT) FOR tk IN toks ] AS hs
+      |    [ CAST(concat('0x', substring(md5(tk),1,${nbits / 4})) AS BIGINT) FOR tk IN toks ] AS hs
       |  FROM t
       |), s AS (
       |  SELECT doc_id,
       |    CAST(list_sum([ CASE WHEN
       |        list_sum([ CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END FOR x IN hs ]) >= 0
-      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 32) ]) AS BIGINT) AS sk
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, $nbits) ]) AS BIGINT) AS sk
       |  FROM h
       |), b AS (
-      |  SELECT doc_id, sk, c, (sk >> (c*8)) & 255 AS ck
+      |  SELECT doc_id, sk, c, (sk >> (c*$chunkBits)) & $chunkMask AS ck
       |  FROM s, UNNEST(range(0,4)) AS u(c)
       |), p AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sk AS sk_a, b2.sk AS sk_b
@@ -1661,24 +1695,107 @@ object LlmQueries {
       |SELECT id_a, id_b, bit_count(xor(sk_a, sk_b)) AS dist
       |FROM p WHERE bit_count(xor(sk_a, sk_b)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
+  }
 
-  // ---- sketch-based ops: no DuckDB oracle (xxhash64), rows-only check ----
+  val qSimhashOracleSql: String = simhashPairsSql("documents")
 
-  /** MinHash-LSH near-dup detection, demonstrated on docs + engineered
-    * near-duplicates (each doc unioned with a copy missing its last
-    * token, id + 10_000_000): LSH must surface those planted pairs. */
-  def qMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    val mutated = docs.select(
-      ($"doc_id" + 10000000L).as("doc_id"),
+  /** docs ∪ deterministic near-duplicates: each doc re-emitted with its
+    * last token dropped under id + 10_000_000 — the planted-pair corpus
+    * the dedup keys demonstrate on (same construction the DuckDB oracles
+    * replay in their `e` CTE). */
+  private def withMutants(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
       // drop the last token: deterministic near-duplicate
       expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
-        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
-    Dedup.minHashLsh(docs.unionByName(mutated), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text")))
+
+  /** Shared DuckDB CTE: the mutant-unioned corpus (`e`) — replays
+    * [[withMutants]] exactly. */
+  private val mutantCteSql: String =
+    """e AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id,
+      |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |)""".stripMargin
+
+  /** MinHash-LSH near-dup detection, demonstrated on docs + engineered
+    * near-duplicates: LSH must surface those planted pairs.
+    *
+    * ORACLE-CHECKED since round 7: banding runs on the md5-derived hash
+    * family of [[qMinhashOracle]] (16 hashes, 4 bands of 4) and the
+    * verify is the EXACT word-3-shingle Jaccard over the candidate pairs
+    * (integer set-intersection/union counts, one IEEE division) — every
+    * step replays in DuckDB. [[Dedup.minHashLsh]] with the xxhash64
+    * family (and the fused native shingle_hash/minhash_sig expressions)
+    * stays the production fast path — ~4× cheaper per gram (see the
+    * BASELINE.md md5-vs-xxhash64 micro row) — and remains value-tested
+    * in SketchesSpec; this key pins the identical banded-LSH + verify
+    * LOGIC to the oracle. */
+  def qMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withMutants(Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+    // shingle_strings is per-row distinct, so array sizes are set counts
+    val grams = docs
+      .select($"doc_id", Dedup.shinglesNative(spark, $"text", 3).as("grams"))
+      .filter(size($"grams") > 0)
+    val banded = bandKeys(md5SigsOf(docs, spark, 16), 4, 4)
+      .join(grams, "doc_id")
+    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"), $"grams".as("g_a"))
+    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"), $"grams".as("g_b"))
+    a.join(b, Seq("bnd", "bkey"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"g_a", $"g_b").distinct()
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"g_a", $"g_b")).cast("double") /
+          size(array_union($"g_a", $"g_b"))).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
       .orderBy($"id_a".asc, $"id_b".asc)
   }
+
+  /** DuckDB replay of [[qMinhashDedup]]: mutant union, md5 signature and
+    * band CTEs of [[qMinhashOracleSql]], then exact gram-set Jaccard on
+    * the deduped candidate pairs. */
+  val qMinhashDedupSql: String =
+    s"""WITH $mutantCteSql, t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM e)
+      |  WHERE len(toks) > 0
+      |), ab AS (
+      |  SELECT doc_id,
+      |    [ { a: CAST(concat('0x', substring(md5(g),1,10)) AS BIGINT),
+      |        b: CAST(concat('0x', substring(md5(g),11,10)) AS BIGINT) }
+      |      FOR g IN grams ] AS ab
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id,
+      |    [ list_min([ (x.a + i*x.b) % 1099511627776 FOR x IN ab ])
+      |      FOR i IN range(0,16) ] AS sig
+      |  FROM ab
+      |), b AS (
+      |  SELECT s.doc_id, t.grams, bnd,
+      |    array_to_string(sig[bnd*4+1:bnd*4+4], ',') AS bkey
+      |  FROM s JOIN t USING (doc_id), UNNEST(range(0,4)) AS u(bnd)
+      |), p AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |    a.grams AS g_a, b2.grams AS g_b
+      |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(g_a, g_b))) AS jaccard
+      |FROM p
+      |WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(g_a, g_b))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Full dedup pipeline: MinHash-LSH pairs → connected components →
     * cluster labels. Every planted mutant must land in its original's
@@ -1772,32 +1889,57 @@ object LlmQueries {
       |ORDER BY id""".stripMargin
 
   /** SimHash sketch per document (+ pairs within hamming<=6 would be the
-    * join step; the sketch itself is the verifiable artifact here). */
+    * join step; the sketch itself is the verifiable artifact here).
+    *
+    * ORACLE-CHECKED since round 7 via the md5-derived hash family
+    * ([[md5SimhashSketches]] at the production 60-bit width — 64-bit
+    * is out of reach only because DuckDB's BIGINT sign bit would need
+    * a special case; 60 keeps the sketch positive in both engines).
+    * [[Dedup.simHash]]/[[Dedup.simHashBulk]] with the xxhash64 family
+    * stay the production fast path, value-tested in SketchesSpec. */
   def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select($"doc_id", Dedup.simHash("text").as("simhash"))
+    md5SimhashSketches(
+        Tables.documents(spark, sfDir).select($"doc_id", $"text"), spark, 60)
+      .select($"doc_id", $"sk".as("simhash"))
       .orderBy($"doc_id")
   }
 
+  val qSimhashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |  FROM documents WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+      |), h AS (
+      |  SELECT doc_id,
+      |    [ CAST(concat('0x', substring(md5(tk),1,15)) AS BIGINT) FOR tk IN toks ] AS hs
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(list_sum([ CASE WHEN
+      |      list_sum([ CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END FOR x IN hs ]) >= 0
+      |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60) ]) AS BIGINT) AS simhash
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   /** SimHash banded hamming-pairs (the join step [[qSimhash]] only
-    * sketches for): docs + planted near-duplicates (last token dropped,
-    * id + 10_000_000) → chunk-banded candidate join → hamming <= 6
-    * verify. Smoke key (xxhash64 sketch — no DuckDB oracle); the planted
-    * mutants guarantee a non-empty result, and SketchesSpec asserts
-    * recall on hamming-close plants. Sketches come from
-    * [[Dedup.simHashBulk]] (explode + 64 partial-agg vote sums — the
-    * codegen'd corpus-scale path). */
+    * sketches for): docs + planted near-duplicates → chunk-banded
+    * candidate join → hamming <= 6 verify.
+    *
+    * ORACLE-CHECKED since round 7: [[md5SimhashPairs]] over the
+    * mutant-unioned corpus at the 60-bit width (the 32-bit sketch goes
+    * quadratic-dense on this small-vocabulary corpus — 5.8M pairs at
+    * sf0.1; 15-bit band buckets keep candidates selective) — identical
+    * banding structure to [[Dedup.simHashPairs]], which stays the
+    * xxhash64 production path (SketchesSpec asserts recall on
+    * hamming-close plants there). */
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    val mutated = docs.select(
-      ($"doc_id" + 10000000L).as("doc_id"),
-      expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
-        "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
-    Dedup.simHashPairs(docs.unionByName(mutated), "doc_id", "text", maxDist = 6)
-      .orderBy($"id_a".asc, $"id_b".asc)
+    md5SimhashPairs(
+      withMutants(Tables.documents(spark, sfDir).select($"doc_id", $"text")),
+      spark, nbits = 60, maxDist = 6)
   }
+
+  val qSimhashPairsSql: String = simhashPairsSql("e", mutantCteSql + ",", nbits = 60)
 
   /** LSH-bucketed ANN pairs on embeddings + planted exact duplicates
     * (vec_id + 10_000_000): every planted pair shares all buckets and
@@ -2047,6 +2189,9 @@ object LlmQueries {
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,
     "q_simhash_oracle" -> qSimhashOracleSql,
+    "q_minhash_dedup" -> qMinhashDedupSql,
+    "q_simhash"       -> qSimhashSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ann_multiband_oracle" -> qAnnMultibandOracleSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sim_join"      -> qSimJoinSql)
