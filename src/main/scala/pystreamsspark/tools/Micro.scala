@@ -77,6 +77,35 @@ object Micro {
     }
     // crossover probe: TRADE-OFF data (price up, size up — the classic
     // skyline hard case for (min price, max size) dominance: no point
+    // hash-family cost contrast: the xxhash64 production path (native
+    // fused minhash_sig over 8-byte gram hashes) vs the md5-derived
+    // family the oracle-checked keys use (one md5 per gram STRING,
+    // split into two 40-bit halves, h_i = a + i*b mod 2^40, 16
+    // partial-agg mins). Records why the md5 form is verification-only:
+    // same banding logic, strictly more expensive hashing.
+    val nH = 16
+    time("minhash_xxhash64_native") {
+      docs.select($"doc_id",
+          call_function("minhash_sig",
+            array_distinct(call_function("shingle_hash",
+              pystreamsspark.llm.TextOps.tokens($"text"), lit(3))),
+            lit(nH)).as("sig"))
+        .select($"doc_id", explode($"sig").as("m"))
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    time("minhash_md5_family") {
+      val M = 1099511627776L // 2^40
+      val hashed = docs
+        .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 3)).as("g"))
+        .select($"doc_id",
+          conv(substring(md5($"g".cast("binary")), 1, 10), 16, 10).cast("long").as("a"),
+          conv(substring(md5($"g".cast("binary")), 11, 10), 16, 10).cast("long").as("b"))
+      val minCols = (0 until nH).map(i => min(($"a" + $"b" * i) % M).as(s"m$i"))
+      hashed.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+        .select($"doc_id", explode(array((0 until nH).map(i => col(s"m$i")): _*)).as("m"))
+        .agg(count(lit(1))).head.getLong(0)
+    }
+
     // dominates another, the whole set is the frontier, so the naive
     // anti-join's early-exit never fires and it degenerates to true
     // O(n^2); on dominated-heavy random data it short-circuits and
