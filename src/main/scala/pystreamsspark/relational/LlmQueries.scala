@@ -1333,7 +1333,25 @@ object LlmQueries {
     * contamination funnel shape — which on a real run you'd restrict to
     * an eval sample; the synthetic corpus is small enough to measure
     * exactly. */
-  def qLshEval(spark: SparkSession, sfDir: String): DataFrame = {
+  def qLshEval(spark: SparkSession, sfDir: String): DataFrame =
+    lshEval(Tables.documents(spark, sfDir), spark)
+
+  /** [[qLshEval]] restricted to a deterministic 25% document sample
+    * (md5(doc_id) first hex < '4' — the [[PipelineQueries.qSampleHash]]
+    * idiom: a pure function of the key, reproducible on any cluster
+    * layout, pushed to the scan). This is the 100 TB shape of the eval:
+    * the banded candidate funnel is linear, but exact ground truth is
+    * inherently quadratic in the matched-gram groups, so a full-corpus
+    * run can never scale — a production recall eval ALWAYS runs on a
+    * sample. StressSpec pins the linear-vs-quadratic contrast at ×10. */
+  def qLshEvalSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lshEval(Tables.documents(spark, sfDir)
+      .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) < "4"),
+      spark)
+  }
+
+  private[pystreamsspark] def lshEval(docs: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val bands = 8
     val rows = 2
@@ -1342,13 +1360,13 @@ object LlmQueries {
     // count); truncate so the signature funnel and the gram-intersection
     // funnel each execute exactly once (r5 snapshot: 12 parquet scans)
     val cand = pystreamsspark.operators.Lineage.truncate {
-      val banded = bandKeys(md5Sigs(spark, sfDir, bands * rows), bands, rows)
+      val banded = bandKeys(md5SigsOf(docs, spark, bands * rows), bands, rows)
       val ca = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"))
       val cb = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"))
       ca.join(cb, Seq("bnd", "bkey")).filter($"id_a" < $"id_b")
         .select($"id_a", $"id_b").distinct()
     }
-    val grams = Tables.documents(spark, sfDir)
+    val grams = docs
       .select($"doc_id", explode(Dedup.shinglesNative(spark, $"text", 3)).as("g"))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val truth = pystreamsspark.operators.Lineage.truncate(
@@ -1370,14 +1388,14 @@ object LlmQueries {
         ($"n_hit".cast("double") / $"n_truth".cast("double")).as("recall"))
   }
 
-  val qLshEvalSql: String =
-    """WITH t AS (
+  private def lshEvalSql(src: String): String =
+    s"""WITH t AS (
       |  SELECT doc_id,
       |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
       |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
       |  FROM (SELECT doc_id,
       |          list_filter(string_split(text,' '), x -> x <> '') AS toks
-      |        FROM documents)
+      |        FROM $src)
       |  WHERE len(toks) > 0
       |), ab AS (
       |  SELECT doc_id,
@@ -1423,6 +1441,12 @@ object LlmQueries {
       |  CAST(h.n_hit AS DOUBLE) /
       |    CAST((SELECT COUNT(*) FROM tr) AS DOUBLE) AS recall
       |FROM h""".stripMargin
+
+  val qLshEvalSql: String = lshEvalSql("documents")
+
+  val qLshEvalSampledSql: String = lshEvalSql(
+    "(SELECT doc_id, text FROM documents " +
+      "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4')")
 
   /** One-row dataset card — the corpus summary a curation pipeline
     * publishes with every training-data release (docs, languages,
@@ -2141,6 +2165,7 @@ object LlmQueries {
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
     "q_lsh_eval" -> (qLshEval _),
+    "q_lsh_eval_sampled" -> (qLshEvalSampled _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_contamination" -> (qContamination _),
     "q_bm25"          -> (qBm25 _),
@@ -2185,6 +2210,7 @@ object LlmQueries {
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
     "q_lsh_eval" -> qLshEvalSql,
+    "q_lsh_eval_sampled" -> qLshEvalSampledSql,
     "q_dataset_card" -> qDatasetCardSql,
     "q_contamination" -> qContaminationSql,
     "q_bm25"          -> qBm25Sql,

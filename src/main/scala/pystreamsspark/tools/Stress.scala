@@ -367,13 +367,13 @@ object Stress {
     // must stay gram-keyed — each replica's texts carry a replica tag so
     // cross-replica grams never match and the pair count grows linearly
     // in replicas (intra-replica only), not quadratically.
+    val docsTagged = (0 until mult).map { r =>
+      pystreamsspark.io.Tables.documents(spark, sfDir)
+        .withColumn("doc_id", $"doc_id" + lit(r * 10000000L))
+        .withColumn("text", array_join(
+          transform(split($"text", " "), t => concat(t, lit(s"_$r"))), " "))
+    }.reduce(_ unionByName _)
     time(s"lsh_eval_truth x$mult") {
-      val docsTagged = (0 until mult).map { r =>
-        pystreamsspark.io.Tables.documents(spark, sfDir)
-          .withColumn("doc_id", $"doc_id" + lit(r * 10000000L))
-          .withColumn("text", array_join(
-            transform(split($"text", " "), t => concat(t, lit(s"_$r"))), " "))
-      }.reduce(_ unionByName _)
       val grams = docsTagged.select($"doc_id",
         explode(pystreamsspark.llm.Dedup.shinglesNative(spark, $"text", 3)).as("g"))
       grams.select($"g", $"doc_id".as("id_a"))
@@ -381,6 +381,18 @@ object Stress {
         .filter($"id_a" < $"id_b")
         .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
         .count()
+    }
+    // the whole SAMPLED eval (candidates + exact truth + P/R) on the
+    // deterministic 25% md5 sample — the shape a 100 TB recall eval
+    // actually runs. The sample is a pure key function, so it pushes to
+    // the scan; x1 vs x10 measures that the end-to-end eval tracks the
+    // corpus scan linearly once the quadratic truth side is bounded to
+    // the sample.
+    time(s"lsh_eval_sampled x$mult") {
+      pystreamsspark.relational.LlmQueries.lshEval(
+        docsTagged.filter(
+          substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) < "4"),
+        spark).count()
     }
     // Bounded-round graph primitives over a ×N trade graph: both
     // endpoints offset per replica, so the graph is N disjoint copies —
