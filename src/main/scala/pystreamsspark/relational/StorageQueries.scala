@@ -253,7 +253,31 @@ object StorageQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** V2 TopN pushdown over the custom source: ORDER BY id DESC LIMIT 7
+    * is answered from range arithmetic in O(1) (`SynthTopNScan` —
+    * 7 generated rows, no Sort and no Limit in the executed plan; both
+    * asserted in SynthSourceSpec). The trailing ASC orderBy is the
+    * oracle presentation order and runs over the 7 surviving rows. */
+  def qDsv2Topn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter($"id" < 90000L)
+      .orderBy($"id".desc).limit(7)
+      .select($"id", $"value", $"bucket")
+      .orderBy($"id")
+  }
+
+  val qDsv2TopnSql: String =
+    """WITH topn AS (
+      |  SELECT id FROM generate_series(0, 99999) t(id)
+      |  WHERE id < 90000 ORDER BY id DESC LIMIT 7)
+      |SELECT id, (id * 1103515245 + 12345) % 1000000 AS value,
+      |  CAST(id % 32 AS INT) AS bucket
+      |FROM topn ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_topn"      -> (qDsv2Topn _),
     "q_dsv2_grouped"   -> (qDsv2Grouped _),
     "q_dsv2_agg"       -> (qDsv2Agg _),
     "q_dsv2_scan"      -> (qDsv2Scan _),
@@ -264,6 +288,7 @@ object StorageQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_dsv2_topn"      -> qDsv2TopnSql,
     "q_dsv2_grouped"   -> qDsv2GroupedSql,
     "q_dsv2_agg"       -> qDsv2AggSql,
     "q_dsv2_scan"      -> qDsv2ScanSql,

@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -121,13 +121,16 @@ class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
 
 class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows - 1
   private var accepted = Array.empty[Filter]
   private var required: StructType = SynthTable.schema
   private var pushedAgg: Option[Aggregation] = None
+  private var topNDesc: Option[Boolean] = None
+  private var limited = false
 
   private def refName(
       e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -191,18 +194,102 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
       case EqualTo("id", v)            => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n); true }
       case _ => false
     }
-    // conservative: hand EVERY filter back for post-scan evaluation —
-    // the pushdown narrows what is generated, it never claims to have
-    // fully satisfied a predicate
-    filters
+    // accepted id-range filters are FULLY satisfied by the narrowed
+    // generator range (the scan emits exactly [lo, hi] — there is no
+    // row the predicate could still reject), so only the unaccepted
+    // remainder goes back for post-scan evaluation. Full pushdown also
+    // matters structurally: a leftover post-scan Filter would sit
+    // between a Sort and the relation and block TopN pushdown.
+    filters.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = pushedAgg match {
-    case Some(agg) => new SynthAggScan(lo, hi, parts, agg)
-    case None      => new SynthScan(lo, hi, parts, required, batchRows)
+
+  /** LIMIT k over a contiguous id range is the range's first k ids —
+    * any k rows satisfy LIMIT semantics, and clamping the generated
+    * range means the scan emits EXACTLY min(k, n) rows, so the limit is
+    * FULLY pushed (`isPartiallyPushed` = false → Spark removes the
+    * Limit node; the 100 TB value is that a `LIMIT 10` probe reads 10
+    * rows, not one full partition per task). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (hi >= lo) hi = math.min(hi, lo + math.max(limit, 0) - 1)
+    limited = true
+    true
+  }
+
+  /** ORDER BY id [ASC|DESC] LIMIT k is answerable in O(1) from range
+    * arithmetic: ASC → [lo, lo+k-1], DESC → [hi-k+1, hi], emitted in
+    * the requested order from ONE partition (k rows by construction) —
+    * so the TopN is FULLY pushed and Spark removes BOTH the Sort and
+    * the Limit (the connector analogue of a JDBC ORDER BY..LIMIT; at
+    * scale this turns a full-relation sort into a constant-time seek).
+    * Any other sort key falls back (return false → Spark keeps its own
+    * Sort+Limit above the scan). */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val onId = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _                  => false
+    })
+    if (!onId || hi < lo) return false
+    val desc = orders(0).direction() == SortDirection.DESCENDING
+    val k = math.max(limit, 0).toLong
+    if (desc) lo = math.max(lo, hi - k + 1)
+    else hi = math.min(hi, lo + k - 1)
+    topNDesc = Some(desc)
+    true
+  }
+
+  // one override serves both SupportsPushDownLimit and
+  // SupportsPushDownTopN: the pushdowns above are always complete
+  override def isPartiallyPushed(): Boolean = false
+
+  override def build(): Scan = (pushedAgg, topNDesc) match {
+    case (Some(agg), _)    => new SynthAggScan(lo, hi, parts, agg)
+    case (None, Some(desc)) => new SynthTopNScan(lo, hi, desc, required)
+    case (None, None)       => new SynthScan(lo, hi, parts, required, batchRows)
+  }
+}
+
+/** Post-TopN-pushdown scan: the clamped range as a SINGLE partition in
+  * the requested order — the k result rows are tiny by construction, so
+  * one task both preserves the global order Spark no longer enforces
+  * (the Sort was removed) and avoids scheduling k tasks for k rows. */
+class SynthTopNScan(lo: Long, hi: Long, desc: Boolean, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"SynthTopNScan range=[$lo,$hi] order=${if (desc) "id DESC" else "id ASC"}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    if (hi < lo) Array.empty
+    else Array(SynthPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthTopNReaderFactory(required, desc)
+}
+
+class SynthTopNReaderFactory(required: StructType, desc: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthPartition]
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var cur = if (desc) sp.end + 1 else sp.start - 1
+      override def next(): Boolean = {
+        if (desc) { cur -= 1; cur >= sp.start }
+        else { cur += 1; cur <= sp.end }
+      }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = fields.map[Any] {
+          case "id"     => java.lang.Long.valueOf(cur)
+          case "value"  => java.lang.Long.valueOf(SynthTable.valueOf(cur))
+          case "bucket" => java.lang.Integer.valueOf(SynthTable.bucketOf(cur))
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

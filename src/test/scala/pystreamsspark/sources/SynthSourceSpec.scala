@@ -174,6 +174,44 @@ class SynthSourceSpec extends SparkSpec {
     assert(!byId.queryExecution.executedPlan.toString.contains("SynthAggScan"))
   }
 
+  test("TopN pushdown: ORDER BY id LIMIT answered from range arithmetic, no Sort/Limit above the scan") {
+    // DESC with a pushed filter: range narrows first, then the TopN
+    // clamps to the top of the range
+    val desc = synth(100000, parts = 8)
+      .filter(col("id") < 90000L)
+      .orderBy(col("id").desc).limit(7)
+    val got = desc.collect().map(_.getLong(0)).toSeq
+    assert(got === (89999L to 89993L by -1L).toSeq)
+    val p = desc.queryExecution.executedPlan.toString
+    assert(p.contains("SynthTopNScan"), p)
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Sort"), p)
+    assert(!p.contains("GlobalLimit"), p)
+
+    // ASC plain
+    val asc = synth(1000, parts = 4).orderBy(col("id")).limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq === (0L to 4L).toSeq)
+    assert(asc.queryExecution.executedPlan.toString.contains("SynthTopNScan"))
+
+    // k larger than the relation: all rows, still fully pushed
+    val all = synth(3, parts = 4).orderBy(col("id").desc).limit(10)
+    assert(all.collect().map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+
+    // sort on a non-id column must NOT push: Spark keeps its own TopN
+    val byValue = synth(1000, parts = 4).orderBy(col("value")).limit(5)
+    val pv = byValue.queryExecution.executedPlan.toString
+    assert(!pv.contains("SynthTopNScan"), pv)
+    assert(byValue.collect().length === 5)
+  }
+
+  test("Limit pushdown: bare LIMIT clamps the generated range, Limit node removed") {
+    val df = synth(100000, parts = 8).limit(9)
+    assert(df.collect().length === 9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("GlobalLimit"), p)
+    // the scan's surviving range is 9 rows — visible in the description
+    assert(p.contains("range=[0,8]"), p)
+  }
+
   test("aggregate pushdown declines on an empty range: COUNT(*) stays 0, not NULL") {
     // With hi < lo the agg scan would plan ZERO partitions, so Spark's
     // final SUM over no partial rows yields NULL where the unpushed
