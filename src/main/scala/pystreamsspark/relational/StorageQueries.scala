@@ -253,6 +253,52 @@ object StorageQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** STORAGE-PARTITIONED JOIN (SPARK-37375) over the custom source:
+    * both sides are read `keyedBy=bucket`, so each scan reports
+    * `KeyGroupedPartitioning(identity(bucket), 32)` and every input
+    * partition carries its bucket value via `HasPartitionKey`. With V2
+    * bucketing enabled Spark plans the bucket equi-join with ZERO
+    * shuffle exchanges — both sides are already grouped by the join
+    * key at the source, the exchange-free co-located join that
+    * `q_bucket_join`'s bucketed tables approximate on files. The
+    * per-bucket aggregate after the join also reuses the partitioning
+    * (no exchange until the 32-row presentation sort; asserted in
+    * SynthSourceSpec). The oracle regenerates both relations from LCG
+    * arithmetic and replays the join. */
+  def qSpjJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def keyedSynth(rows: Long) = spark.read
+      .format("pystreamsspark.sources.SynthSource")
+      .option("rows", rows.toString).option("keyedBy", "bucket").load()
+    val a = keyedSynth(6400L)
+      .select($"bucket", $"id".as("id_a"), $"value".as("v_a"))
+    val b = keyedSynth(3200L)
+      .select($"bucket", $"id".as("id_b"), $"value".as("v_b"))
+    a.hint("merge").join(b, Seq("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"v_a" + $"v_b").as("sum_v"),
+        max($"id_a" + $"id_b").as("max_ids"))
+      .orderBy($"bucket")
+  }
+
+  val qSpjJoinSql: String =
+    """WITH a AS (
+      |  SELECT CAST(id % 32 AS INT) AS bucket, id AS id_a,
+      |    (id * 1103515245 + 12345) % 1000000 AS v_a
+      |  FROM generate_series(0, 6399) t(id)),
+      |b AS (
+      |  SELECT CAST(id % 32 AS INT) AS bucket, id AS id_b,
+      |    (id * 1103515245 + 12345) % 1000000 AS v_b
+      |  FROM generate_series(0, 3199) t(id))
+      |SELECT a.bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(v_a + v_b) AS BIGINT) AS sum_v,
+      |  MAX(id_a + id_b) AS max_ids
+      |FROM a JOIN b ON a.bucket = b.bucket
+      |GROUP BY a.bucket
+      |ORDER BY a.bucket""".stripMargin
+
   /** V2 TopN pushdown over the custom source: ORDER BY id DESC LIMIT 7
     * is answered from range arithmetic in O(1) (`SynthTopNScan` —
     * 7 generated rows, no Sort and no Limit in the executed plan; both
@@ -277,6 +323,7 @@ object StorageQueries {
       |FROM topn ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spj_join"       -> (qSpjJoin _),
     "q_dsv2_topn"      -> (qDsv2Topn _),
     "q_dsv2_grouped"   -> (qDsv2Grouped _),
     "q_dsv2_agg"       -> (qDsv2Agg _),
@@ -288,6 +335,7 @@ object StorageQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_spj_join"       -> qSpjJoinSql,
     "q_dsv2_topn"      -> qDsv2TopnSql,
     "q_dsv2_grouped"   -> qDsv2GroupedSql,
     "q_dsv2_agg"       -> qDsv2AggSql,

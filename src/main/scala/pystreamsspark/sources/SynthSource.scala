@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -23,9 +24,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    GENERATED range — the scan never materializes filtered-out rows
   *    (the analogue of parquet row-group pruning / a KV range read; at
   *    100 TB this is the difference between reading a partition and
-  *    reading everything). Accepted filters are still returned to
-  *    Spark for re-evaluation — pushdown here is a bandwidth
-  *    optimization, never a correctness dependency;
+  *    reading everything). Accepted id-range filters are FULLY pushed
+  *    (the narrowed range emits exactly the surviving rows); anything
+  *    else goes back to Spark for post-scan evaluation;
   *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY
   *    the pruned schema (column projection at the source);
   *  - range splitting into `InputPartition`s — parallelism is decided
@@ -43,10 +44,14 @@ class SynthSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
-    val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4)
-    val batchRows = Option(properties.get("batchrows")).map(_.toLong).getOrElse(100L)
-    new SynthTable(rows, parts, batchRows)
+    // properties arrive in ORIGINAL case (asCaseSensitiveMap) — wrap so
+    // .option("keyedBy", …) and .option("keyedby", …) both resolve
+    val opts = new CaseInsensitiveStringMap(properties)
+    val rows = Option(opts.get("rows")).map(_.toLong).getOrElse(1000L)
+    val parts = Option(opts.get("partitions")).map(_.toInt).getOrElse(4)
+    val batchRows = Option(opts.get("batchrows")).map(_.toLong).getOrElse(100L)
+    val keyed = Option(opts.get("keyedby")).contains("bucket")
+    new SynthTable(rows, parts, batchRows, keyed)
   }
 }
 
@@ -62,14 +67,15 @@ object SynthTable {
   def bucketOf(id: Long): Int = (id % 32L).toInt
 }
 
-class SynthTable(rows: Long, parts: Int, batchRows: Long = 100L)
+class SynthTable(rows: Long, parts: Int, batchRows: Long = 100L,
+                 keyed: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts, batchRows)
+    new SynthScanBuilder(rows, parts, batchRows, keyed)
 }
 
 /** Streaming offset = how many ids have been emitted so far. */
@@ -119,7 +125,8 @@ class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
   override def stop(): Unit = ()
 }
 
-class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
+class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L,
+                       keyed: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -173,8 +180,9 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
       }
     // empty range → decline: a pushed global COUNT(*) over zero
     // partitions would make Spark's final SUM of partials NULL, where
-    // the unpushed plan yields 0 — pushdown must never change results
-    val ok = agg.aggregateExpressions.nonEmpty && hi >= lo &&
+    // the unpushed plan yields 0 — pushdown must never change results.
+    // keyed mode declines too: its contract is bucket-grouped ROWS.
+    val ok = !keyed && agg.aggregateExpressions.nonEmpty && hi >= lo &&
       (globalOk || groupedOk)
     if (ok) pushedAgg = Some(agg)
     ok
@@ -214,6 +222,7 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
     * Limit node; the 100 TB value is that a `LIMIT 10` probe reads 10
     * rows, not one full partition per task). */
   override def pushLimit(limit: Int): Boolean = {
+    if (keyed) return false // keyed mode keeps whole bucket groups intact
     if (hi >= lo) hi = math.min(hi, lo + math.max(limit, 0) - 1)
     limited = true
     true
@@ -228,6 +237,7 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
     * Any other sort key falls back (return false → Spark keeps its own
     * Sort+Limit above the scan). */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (keyed) return false
     val onId = orders.length == 1 && (orders(0).expression() match {
       case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
       case _                  => false
@@ -246,9 +256,64 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
   override def isPartiallyPushed(): Boolean = false
 
   override def build(): Scan = (pushedAgg, topNDesc) match {
-    case (Some(agg), _)    => new SynthAggScan(lo, hi, parts, agg)
+    case _ if keyed         => new SynthKeyedScan(lo, hi, required)
+    case (Some(agg), _)     => new SynthAggScan(lo, hi, parts, agg)
     case (None, Some(desc)) => new SynthTopNScan(lo, hi, desc, required)
     case (None, None)       => new SynthScan(lo, hi, parts, required, batchRows)
+  }
+}
+
+/** The KEY-GROUPED scan behind `option("keyedBy", "bucket")`: one input
+  * partition per bucket value (ids ≡ b mod 32 in the surviving range,
+  * an arithmetic progression), each reporting its key via
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]], the scan
+  * reporting `KeyGroupedPartitioning(identity(bucket), 32)`. Two such
+  * relations joined on `bucket` are STORAGE-PARTITIONED: with
+  * `spark.sql.sources.v2.bucketing.enabled` Spark plans the join with
+  * ZERO shuffle exchanges — the modern (SPARK-37375) exchange-free
+  * co-located join that bucketed tables approximate, asserted in
+  * SynthSourceSpec and exercised by q_spj_join. At 100 TB this is the
+  * difference between joining in place and re-shuffling both sides. */
+class SynthKeyedScan(lo: Long, hi: Long, required: StructType)
+  extends Scan with Batch with SupportsReportPartitioning {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"SynthKeyedScan range=[$lo,$hi] keyedBy=bucket"
+  override def toBatch: Batch = this
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("bucket")), 32)
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until 32).map(b => SynthBucketPartition(b, lo, hi): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthBucketReaderFactory(required)
+}
+
+case class SynthBucketPartition(bucket: Int, lo: Long, hi: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class SynthBucketReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[SynthBucketPartition]
+    val fields = required.fieldNames
+    // ids ≡ bucket (mod 32) within [lo, hi]: arithmetic progression
+    val first = bp.lo + (((bp.bucket - bp.lo % 32) % 32 + 32) % 32)
+    new PartitionReader[InternalRow] {
+      private var cur = first - 32
+      override def next(): Boolean = { cur += 32; cur <= bp.hi }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = fields.map[Any] {
+          case "id"     => java.lang.Long.valueOf(cur)
+          case "value"  => java.lang.Long.valueOf(SynthTable.valueOf(cur))
+          case "bucket" => java.lang.Integer.valueOf(bp.bucket)
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

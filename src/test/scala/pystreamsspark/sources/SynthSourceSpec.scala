@@ -203,6 +203,50 @@ class SynthSourceSpec extends SparkSpec {
     assert(byValue.collect().length === 5)
   }
 
+  test("storage-partitioned join: keyedBy=bucket scans join with ZERO shuffle exchanges") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def keyedSynth(rows: Long) = spark.read
+      .format("pystreamsspark.sources.SynthSource")
+      .option("rows", rows.toString).option("keyedBy", "bucket").load()
+    val a = keyedSynth(640L)
+      .select(col("bucket"), col("id").as("id_a"), col("value").as("v_a"))
+    val b = keyedSynth(320L)
+      .select(col("bucket"), col("id").as("id_b"), col("value").as("v_b"))
+    val joined = a.hint("merge").join(b, Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v_a") + col("v_b")).as("s"))
+    val rows = joined.collect()
+    // correctness vs a plain in-memory replay
+    val expected = (0 until 32).map { bkt =>
+      val as = (0L until 640L).filter(_ % 32 == bkt)
+      val bs = (0L until 320L).filter(_ % 32 == bkt)
+      bkt -> ((as.size.toLong * bs.size,
+        as.map(SynthTable.valueOf).sum * bs.size
+          + bs.map(SynthTable.valueOf).sum * as.size))
+    }.toMap
+    rows.foreach { r =>
+      val (n, s) = expected(r.getInt(0))
+      assert(r.getLong(1) === n, s"bucket ${r.getInt(0)}")
+      assert(r.getLong(2) === s, s"bucket ${r.getInt(0)}")
+    }
+    assert(rows.length === 32)
+    // THE point: no exchange anywhere — the join consumes the sources'
+    // KeyGroupedPartitioning, and the per-bucket agg reuses it
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("SynthKeyedScan"), p)
+  }
+
+  test("keyedBy=bucket composes with pushed id-range filters") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", "1000").option("keyedBy", "bucket").load()
+      .filter(col("id") >= 100L && col("id") < 200L)
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (100L until 200L).toSeq)
+    assert(df.queryExecution.executedPlan.toString.contains("SynthKeyedScan"))
+  }
+
   test("Limit pushdown: bare LIMIT clamps the generated range, Limit node removed") {
     val df = synth(100000, parts = 8).limit(9)
     assert(df.collect().length === 9)
