@@ -247,7 +247,101 @@ object LayoutQueries {
       |GROUP BY d.lang, d.source
       |ORDER BY d.lang, d.source""".stripMargin
 
+  /** MERGE through the snapshot-manifest table layer
+    * ([[pystreamsspark.io.SnapshotTable]]): base = orders with
+    * o_orderkey % 4 <> 3, updates = every % 10 == 0 order re-priced ×2
+    * (exact double op) with status 'U' — so updates both REPLACE
+    * matched keys and INSERT the % 4 == 3 ones absent from the base.
+    * The merge is file-granular copy-on-write (one semi-join finds the
+    * touched files; untouched files carried by reference — scale story
+    * in the SnapshotTable scaladoc). The oracle reconstructs the merged
+    * state relationally from the original parquet, so a green row
+    * proves create → manifest commit → CoW merge → snapshot read
+    * deliver exactly MERGE semantics. Fresh table dir per invocation
+    * (snapshots are immutable; re-running must not collide). */
+  def qAcidMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"acid_merge_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.create(spark, dir,
+      orders.filter($"o_orderkey" % 4 =!= 3), numFiles = 4)
+    val updates = orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+    pystreamsspark.io.SnapshotTable.merge(spark, dir, updates,
+      Seq("o_orderkey"))
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qAcidMergeSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 <> 3
+       |), upd AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |), merged AS (
+       |  SELECT * FROM base
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd
+       |)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM merged
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  /** TIME TRAVEL through the snapshot layer: v1 = the base orders
+    * subset, v2 = DELETE o_orderkey % 7 = 0 (copy-on-write — only the
+    * files containing matches are rewritten). The query reads BOTH
+    * versions of the SAME table directory and aggregates them side by
+    * side: data files are immutable, so the delete cannot disturb v1.
+    * The oracle recomputes each version's state relationally. */
+  def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"acid_tt_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.create(spark, dir,
+      orders.filter($"o_orderkey" % 4 =!= 3), numFiles = 4)
+    pystreamsspark.io.SnapshotTable.delete(spark, dir, "o_orderkey % 7 = 0")
+    val v1 = pystreamsspark.io.SnapshotTable.read(spark, dir, Some(1))
+      .select(lit(1).as("version"), $"o_orderkey", $"o_totalprice")
+    val v2 = pystreamsspark.io.SnapshotTable.read(spark, dir, Some(2))
+      .select(lit(2).as("version"), $"o_orderkey", $"o_totalprice")
+    v1.unionByName(v2)
+      .groupBy($"version")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"version")
+  }
+
+  val qTimeTravelSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 3
+       |), v AS (
+       |  SELECT 1 AS version, * FROM base
+       |  UNION ALL
+       |  SELECT 2 AS version, * FROM base WHERE o_orderkey % 7 <> 0
+       |)
+       |SELECT version, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM v
+       |GROUP BY version
+       |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acid_merge"      -> (qAcidMerge _),
+    "q_time_travel"     -> (qTimeTravel _),
     "q_dpp_join"        -> (qDppJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
@@ -256,6 +350,8 @@ object LayoutQueries {
     "q_sorted_skip"     -> (qSortedSkip _))
 
   val oracle: Map[String, String] = Map(
+    "q_acid_merge"      -> qAcidMergeSql,
+    "q_time_travel"     -> qTimeTravelSql,
     "q_dpp_join"        -> qDppJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,

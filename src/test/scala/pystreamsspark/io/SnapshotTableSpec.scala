@@ -1,0 +1,150 @@
+package pystreamsspark.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the snapshot-manifest table layer: every mutation is a new
+  * immutable snapshot, the CREATE_NEW manifest write is the atomic
+  * commit point, MERGE is file-granular copy-on-write, and old versions
+  * stay readable until vacuumed. */
+class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("snapshot-table-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshDir(): String =
+    Files.createTempDirectory("snaptable").toString
+
+  private def seed(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"name_$i", i * 10L))
+      .toDF("id", "name", "score")
+  }
+
+  test("create + read round-trip; history records the commit") {
+    val dir = freshDir()
+    assert(SnapshotTable.create(spark, dir, seed(100)) === 1)
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() === 100)
+    assert(back.agg(sum(col("score"))).head.getLong(0) === (0 until 100).map(_ * 10L).sum)
+    val h = SnapshotTable.history(spark, dir).collect()
+    assert(h.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "create")))
+  }
+
+  test("append carries prior files by reference") {
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(50), numFiles = 2)
+    val v2 = SnapshotTable.append(spark, dir,
+      seed(80).filter(col("id") >= 50), numFiles = 2)
+    assert(v2 === 2)
+    assert(SnapshotTable.read(spark, dir).count() === 80)
+    // v1 still reads the original 50
+    assert(SnapshotTable.read(spark, dir, Some(1)).count() === 50)
+  }
+
+  test("merge = upsert: updates replace matches, unmatched rows insert; untouched files survive by reference") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 4 files over ids 0..99; updates touch ids 3 and 7 (some files),
+    // and insert ids 1000, 1001
+    SnapshotTable.create(spark, dir, seed(100), numFiles = 4)
+    val updates = Seq(
+      (3L, "UPDATED_3", -1L), (7L, "UPDATED_7", -2L),
+      (1000L, "NEW_1000", 5L), (1001L, "NEW_1001", 6L))
+      .toDF("id", "name", "score")
+    val v2 = SnapshotTable.merge(spark, dir, updates, Seq("id"))
+    assert(v2 === 2)
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() === 102)
+    assert(now.filter($"id" === 3L).head.getString(1) === "UPDATED_3")
+    assert(now.filter($"id" === 7L).head.getLong(2) === -2L)
+    assert(now.filter($"id" >= 1000L).count() === 2)
+    // untouched rows intact
+    assert(now.filter($"id" === 42L).head.getString(1) === "name_42")
+    // time travel: v1 pre-merge state is unchanged
+    val v1 = SnapshotTable.read(spark, dir, Some(1))
+    assert(v1.count() === 100)
+    assert(v1.filter($"id" === 3L).head.getString(1) === "name_3")
+  }
+
+  test("merge with zero matches is a pure append") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(20), numFiles = 2)
+    val inserts = Seq((500L, "n", 1L)).toDF("id", "name", "score")
+    SnapshotTable.merge(spark, dir, inserts, Seq("id"))
+    assert(SnapshotTable.read(spark, dir).count() === 21)
+  }
+
+  test("delete is copy-on-write and time travel still sees deleted rows") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(100), numFiles = 4)
+    SnapshotTable.delete(spark, dir, "id % 10 = 0")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() === 90)
+    assert(now.filter($"id" % 10 === 0).count() === 0)
+    assert(SnapshotTable.read(spark, dir, Some(1)).count() === 100)
+  }
+
+  test("compact reduces file count, preserves content, and old versions keep their files") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(40), numFiles = 4)
+    SnapshotTable.append(spark, dir, seed(80).filter($"id" >= 40), numFiles = 4)
+    val before = SnapshotTable.history(spark, dir)
+      .filter($"version" === 2).head.getInt(3)
+    assert(before === 8)
+    val v3 = SnapshotTable.compact(spark, dir, target = 2)
+    val h = SnapshotTable.history(spark, dir).filter($"version" === v3).head
+    assert(h.getString(1) === "compact" && h.getInt(3) === 2)
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() === 80)
+    assert(now.agg(sum($"score")).head.getLong(0) ===
+      (0 until 80).map(_ * 10L).sum)
+    // snapshot isolation: v2 still reads its 8 pre-compaction files
+    assert(SnapshotTable.read(spark, dir, Some(2)).count() === 80)
+  }
+
+  test("concurrent commit: the loser throws and the table state is unchanged") {
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(10))
+    // this transaction read v1; a racing committer then wins version 2
+    val winner = Paths.get(dir, "_manifests", f"v${2}%08d.manifest")
+    Files.write(winner, "op=append\tparent=1\n".getBytes)
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.append(spark, dir, seed(5), fromVersion = Some(1))
+    }
+    // loser's data files are orphans; latest manifest is the winner's
+    assert(SnapshotTable.latestVersion(dir) === 2)
+  }
+
+  test("vacuum drops unreferenced files and truncates time travel") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(40), numFiles = 4)
+    SnapshotTable.delete(spark, dir, "id < 20")
+    SnapshotTable.compact(spark, dir, target = 1)
+    def dataFiles(): Long = {
+      val root = Paths.get(dir, "data")
+      Files.walk(root).filter(p => p.toString.endsWith(".parquet")).count()
+    }
+    val before = dataFiles()
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(dataFiles() < before)
+    // latest still reads
+    assert(SnapshotTable.read(spark, dir).count() === 20)
+    // vacuumed versions are gone
+    intercept[Exception] { SnapshotTable.read(spark, dir, Some(1)).count() }
+  }
+}
