@@ -113,6 +113,18 @@ object SnapshotTable {
     1
   }
 
+  /** Create PRESERVING the caller's partitioning — the key-clustered
+    * layout (`repartitionByRange` / z-order upstream) that makes
+    * file-granular copy-on-write effective: an update batch touching a
+    * narrow key range rewrites only the files covering that range,
+    * while [[create]]'s round-robin shaping smears every key range
+    * across all files (any merge then rewrites the whole table). */
+  def createClustered(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val files = writeBatch(df, dir, None)
+    commit(dir, 1, "create", 0, files)
+    1
+  }
+
   /** Snapshot read; `versionAsOf = Some(v)` time-travels. An empty file
     * list (everything deleted) still needs the schema — kept by always
     * carrying at least the latest batch's directory; callers with an

@@ -322,7 +322,61 @@ object StorageQueries {
       |  CAST(id % 32 AS INT) AS bucket
       |FROM topn ORDER BY id""".stripMargin
 
+  /** V2 OFFSET pushdown (pagination): `ORDER BY id LIMIT 10 OFFSET
+    * 5000` over the filtered range is answered from range arithmetic in
+    * O(1) — Spark pushes TopN(k+m) then Offset(m), the scan's surviving
+    * range is exactly result rows [m, m+k), and BOTH the Sort/Limit and
+    * the Offset nodes are removed from the executed plan (asserted in
+    * SynthSourceSpec). The 100 TB story: page N of a generated/
+    * range-keyed relation costs k rows, not a prefix scan. */
+  def qDsv2Offset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("pystreamsspark.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter($"id" >= 10000L)
+      .orderBy($"id").offset(5000).limit(10)
+      .select($"id", $"value", $"bucket")
+      .orderBy($"id")
+  }
+
+  val qDsv2OffsetSql: String =
+    """WITH page AS (
+      |  SELECT id FROM generate_series(0, 99999) t(id)
+      |  WHERE id >= 10000 ORDER BY id LIMIT 10 OFFSET 5000)
+      |SELECT id, (id * 1103515245 + 12345) % 1000000 AS value,
+      |  CAST(id % 32 AS INT) AS bucket
+      |FROM page ORDER BY id""".stripMargin
+
+  /** V2 RUNTIME (dynamic) filtering, SPARK-35779: the dim side's ~20
+    * surviving join keys are evaluated FIRST and delivered to the fact
+    * scan as an `In("id", …)` runtime filter, which the generator turns
+    * into exact point seeks — the executed plan's fact scan emits ~20
+    * rows, not the 10^6-row relation (both asserted in
+    * SynthSourceSpec). The dim filter is on `value`, so no static rule
+    * could push it onto `id`; only join-time filtering can. The oracle
+    * replays the identical join over `generate_series`. */
+  def qDsv2Runtime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val synth = () => spark.read
+      .format("pystreamsspark.sources.SynthSource")
+      .option("rows", "1000000").option("partitions", "16").load()
+    val dim = synth().filter($"value" < 20L)
+      .select($"id".as("k"), $"bucket".as("dim_bucket"))
+    synth().join(broadcast(dim), $"id" === $"k")
+      .select($"id", $"value", $"dim_bucket")
+      .orderBy($"id")
+  }
+
+  val qDsv2RuntimeSql: String =
+    """SELECT id, (id * 1103515245 + 12345) % 1000000 AS value,
+      |  CAST(id % 32 AS INT) AS dim_bucket
+      |FROM generate_series(0, 999999) t(id)
+      |WHERE (id * 1103515245 + 12345) % 1000000 < 20
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_offset"    -> (qDsv2Offset _),
+    "q_dsv2_runtime"   -> (qDsv2Runtime _),
     "q_spj_join"       -> (qSpjJoin _),
     "q_dsv2_topn"      -> (qDsv2Topn _),
     "q_dsv2_grouped"   -> (qDsv2Grouped _),
@@ -335,6 +389,8 @@ object StorageQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_dsv2_offset"    -> qDsv2OffsetSql,
+    "q_dsv2_runtime"   -> qDsv2RuntimeSql,
     "q_spj_join"       -> qSpjJoinSql,
     "q_dsv2_topn"      -> qDsv2TopnSql,
     "q_dsv2_grouped"   -> qDsv2GroupedSql,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -129,7 +129,8 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L,
                        keyed: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var lo = 0L
   private var hi = rows - 1
@@ -248,6 +249,23 @@ class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L,
     if (desc) lo = math.max(lo, hi - k + 1)
     else hi = math.min(hi, lo + k - 1)
     topNDesc = Some(desc)
+    true
+  }
+
+  /** OFFSET m drops the first m rows of the EMITTED order, in O(1)
+    * range arithmetic: ASC ranges (and bare LIMIT/OFFSET chains)
+    * advance `lo`; a pushed DESC TopN emits from `hi` downward, so the
+    * drop comes off the top instead. Spark pushes `LIMIT k OFFSET m`
+    * as pushLimit/pushTopN(k+m) followed by pushOffset(m), so the
+    * surviving range is exactly result rows [m, m+k) — fully pushed,
+    * the Offset node is removed (pagination over 10^9 generated rows
+    * reads k rows, not a prefix scan). */
+  override def pushOffset(offset: Int): Boolean = {
+    if (keyed) return false // keyed mode keeps whole bucket groups intact
+    val m = math.max(offset, 0).toLong
+    if (hi >= lo) {
+      if (topNDesc.contains(true)) hi -= m else lo += m
+    }
     true
   }
 
@@ -472,7 +490,7 @@ class SynthAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
 
 class SynthScan(val lo: Long, val hi: Long, parts: Int,
                 required: StructType, batchRows: Long = 100L)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String =
     s"SynthScan range=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
@@ -480,14 +498,54 @@ class SynthScan(val lo: Long, val hi: Long, parts: Int,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SynthMicroBatchStream(hi - lo + 1, parts, batchRows, required, base = lo)
 
+  // Join-time (DPP, SPARK-35779) narrowing — None until Spark delivers
+  // a runtime filter, then the exact surviving id set
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  /** RUNTIME (dynamic) filtering: when this scan is the probe side of a
+    * join whose build side is small, Spark evaluates the build side's
+    * join-key set FIRST and hands it here as `In("id", …)` before input
+    * partitions are planned. The generator answers with exact POINT
+    * SEEKS — only the ids that can survive the join are ever emitted
+    * (the connector analogue of dynamic partition pruning; at 100 TB
+    * it's the difference between scanning the fact relation and seeking
+    * the ~k dimension keys). Runtime filters are best-effort by
+    * contract — unhandled shapes are ignored and the join re-verifies
+    * every row, so narrowing can only remove rows the join would drop. */
+  override def filter(filters: Array[Filter]): Unit = {
+    val idSets = filters.collect {
+      case In("id", vs) => vs.iterator.collect {
+        case i: Int  => i.toLong
+        case l: Long => l
+      }.toArray
+      case EqualTo("id", v: Long) => Array(v)
+      case EqualTo("id", v: Int)  => Array(v.toLong)
+    }
+    if (idSets.nonEmpty) {
+      val conj = idSets.reduce(_ intersect _)
+      runtimeIds = Some(conj.filter(id => id >= lo && id <= hi).distinct.sorted)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    if (hi < lo) Array.empty
-    else {
-      val n = hi - lo + 1
-      val per = math.max(1L, (n + parts - 1) / parts)
-      Iterator.iterate(lo)(_ + per).takeWhile(_ <= hi)
-        .map(s => SynthPartition(s, math.min(hi, s + per - 1)): InputPartition)
-        .toArray
+    runtimeIds match {
+      case Some(ids) if ids.isEmpty => Array.empty
+      case Some(ids) =>
+        // point seeks, chunked so ≤ `parts` tasks share the key list
+        val per = math.max(1, (ids.length + parts - 1) / parts)
+        ids.grouped(per).map(g => SynthIdsPartition(g): InputPartition).toArray
+      case None =>
+        if (hi < lo) Array.empty
+        else {
+          val n = hi - lo + 1
+          val per = math.max(1L, (n + parts - 1) / parts)
+          Iterator.iterate(lo)(_ + per).takeWhile(_ <= hi)
+            .map(s => SynthPartition(s, math.min(hi, s + per - 1)): InputPartition)
+            .toArray
+        }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -496,27 +554,41 @@ class SynthScan(val lo: Long, val hi: Long, parts: Int,
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
 
+/** A runtime-filtered partition: an explicit (sorted) id list — the
+  * point-seek shape a DPP In-set produces. */
+case class SynthIdsPartition(ids: Array[Long]) extends InputPartition
+
 class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sp = p.asInstanceOf[SynthPartition]
     // project exactly the pruned columns — a column never requested is
     // never computed (source-side projection)
     val fields = required.fieldNames
-    new PartitionReader[InternalRow] {
-      private var cur = sp.start - 1
-      override def next(): Boolean = { cur += 1; cur <= sp.end }
-      override def get(): InternalRow = {
-        // explicit per-branch boxing: an unascribed match would WIDEN
-        // the Int branch to Long (weak conformance) and corrupt the
-        // IntegerType column
-        val vals: Array[Any] = fields.map[Any] {
-          case "id"     => java.lang.Long.valueOf(cur)
-          case "value"  => java.lang.Long.valueOf(SynthTable.valueOf(cur))
-          case "bucket" => java.lang.Integer.valueOf(SynthTable.bucketOf(cur))
-        }
-        InternalRow.fromSeq(vals.toIndexedSeq)
+    // explicit per-branch boxing: an unascribed match would WIDEN
+    // the Int branch to Long (weak conformance) and corrupt the
+    // IntegerType column
+    def rowFor(id: Long): InternalRow = {
+      val vals: Array[Any] = fields.map[Any] {
+        case "id"     => java.lang.Long.valueOf(id)
+        case "value"  => java.lang.Long.valueOf(SynthTable.valueOf(id))
+        case "bucket" => java.lang.Integer.valueOf(SynthTable.bucketOf(id))
       }
-      override def close(): Unit = ()
+      InternalRow.fromSeq(vals.toIndexedSeq)
+    }
+    p match {
+      case sp: SynthPartition =>
+        new PartitionReader[InternalRow] {
+          private var cur = sp.start - 1
+          override def next(): Boolean = { cur += 1; cur <= sp.end }
+          override def get(): InternalRow = rowFor(cur)
+          override def close(): Unit = ()
+        }
+      case SynthIdsPartition(ids) =>
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < ids.length }
+          override def get(): InternalRow = rowFor(ids(i))
+          override def close(): Unit = ()
+        }
     }
   }
 }

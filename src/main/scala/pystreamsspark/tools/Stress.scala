@@ -558,6 +558,40 @@ object Stress {
           sum(when($"ls" === $"ld", 1L).otherwise(0L)).as("intra"))
         .count()
     }
+    // ACID MERGE probe: an xN-row KEY-CLUSTERED snapshot table
+    // (8·N range files) takes a FIXED update batch over a narrow key
+    // range. File-granular copy-on-write must rewrite only the files
+    // covering that range — the linear parts are the create write and
+    // the one touched-file discovery semi-join scan; the rewrite itself
+    // is O(batch). x1 vs x10 wall clock should track the scan, and the
+    // carried-by-reference share printed below should RISE with N
+    // (8·N−1 of 8·N files untouched).
+    time(s"acid_merge x$mult") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_acid")
+      try {
+        val base = amplified(pystreamsspark.io.Tables.orders(spark, sfDir),
+          Seq("o_orderkey"), 100000000L)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+          .repartitionByRange(8 * mult, $"o_orderkey")
+        pystreamsspark.io.SnapshotTable.createClustered(spark, dir.toString, base)
+        val updates = pystreamsspark.io.Tables.orders(spark, sfDir)
+          .filter($"o_orderkey" < 1000)
+          .select($"o_orderkey", $"o_custkey",
+            lit(0.0).as("o_totalprice"), $"o_orderstatus")
+        pystreamsspark.io.SnapshotTable.merge(
+          spark, dir.toString, updates, Seq("o_orderkey"), numFiles = 2)
+        val h = pystreamsspark.io.SnapshotTable.history(spark, dir.toString)
+          .orderBy($"version").collect()
+        val created = h(0).getInt(3); val after = h(1).getInt(3)
+        println(s"STRESS   acid_merge: $created clustered files, " +
+          s"${created + 2 - after} rewritten (CoW), ${after - 2} carried by reference")
+        pystreamsspark.io.SnapshotTable.read(spark, dir.toString).count()
+      } finally {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     spark.stop()
   }
 }

@@ -77,6 +77,31 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1.filter($"id" === 3L).head.getString(1) === "name_3")
   }
 
+  test("clustered create: a narrow-range merge rewrites only the covering files") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 4 range-clustered files over ids 0..99 (≈25 ids each)
+    SnapshotTable.createClustered(spark, dir,
+      seed(100).repartitionByRange(4, col("id")))
+    def manifestFiles(v: Int): Set[String] =
+      Files.readAllLines(Paths.get(dir, "_manifests", f"v$v%08d.manifest"))
+        .toArray.map(_.toString).drop(1).filter(_.nonEmpty).toSet
+    val v1Files = manifestFiles(1)
+    assert(v1Files.size === 4)
+    // updates confined to ids 0..9 — one range file covers them all
+    val updates = (0 until 10).map(i => (i.toLong, "UPD", -1L))
+      .toDF("id", "name", "score")
+    SnapshotTable.merge(spark, dir, updates, Seq("id"), numFiles = 1)
+    val v2Files = manifestFiles(2)
+    // exactly 3 of the 4 clustered files are carried by reference;
+    // only the file covering ids 0..9 was rewritten
+    assert((v1Files intersect v2Files).size === 3)
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() === 100)
+    assert(now.filter($"id" < 10 && $"name" === "UPD").count() === 10)
+    assert(now.filter($"id" === 42L).head.getString(1) === "name_42")
+  }
+
   test("merge with zero matches is a pure append") {
     import spark.implicits._
     val dir = freshDir()

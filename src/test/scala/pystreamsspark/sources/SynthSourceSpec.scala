@@ -203,6 +203,68 @@ class SynthSourceSpec extends SparkSpec {
     assert(byValue.collect().length === 5)
   }
 
+  test("Offset pushdown: LIMIT k OFFSET m is answered from range arithmetic, no Offset/Limit nodes") {
+    // ASC with a pushed filter: TopN(k+m) clamps, then the offset
+    // advances lo — the surviving range is exactly result rows [m, m+k)
+    val page = synth(100000, parts = 8)
+      .filter(col("id") >= 10000L)
+      .orderBy(col("id")).offset(5000).limit(10)
+    assert(page.collect().map(_.getLong(0)).toSeq === (15000L to 15009L).toSeq)
+    val p = page.queryExecution.executedPlan.toString
+    assert(p.contains("SynthTopNScan"), p)
+    assert(p.contains("range=[15000,15009]"), p)
+    assert(!p.contains("GlobalLimit") && !p.contains("Offset"), p)
+
+    // DESC: the emitted order starts at hi, so the drop comes off the top
+    val desc = synth(100, parts = 4)
+      .orderBy(col("id").desc).offset(3).limit(4)
+    assert(desc.collect().map(_.getLong(0)).toSeq === Seq(96L, 95L, 94L, 93L))
+    assert(desc.queryExecution.executedPlan.toString.contains("range=[93,96]"))
+
+    // bare OFFSET with no sort: any n-m rows satisfy the semantics
+    val bare = synth(1000, parts = 4).offset(990)
+    assert(bare.count() === 10)
+    assert(!bare.queryExecution.executedPlan.toString.contains("Offset"))
+
+    // offset past the end of the range: empty, not an error
+    assert(synth(50, parts = 4).orderBy(col("id")).offset(60).limit(5)
+      .collect().isEmpty)
+  }
+
+  test("runtime (DPP) filtering: the build side's join-key set turns the scan into point seeks") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val big = synth(1000000, parts = 8)
+    // ~20 scattered ids — the filter is on `value`, so it is NOT a
+    // pushable id-range and cannot be statically inferred onto `id`
+    val dim = synth(1000000, parts = 4)
+      .filter(col("value") < 20L).select(col("id").as("k"))
+    val joined = big.join(dim.hint("broadcast"), col("id") === col("k"))
+      .select(col("id"), col("value"))
+    val got = joined.collect().map(_.getLong(0)).sorted.toSeq
+    val expected = (0L until 1000000L).filter(SynthTable.valueOf(_) < 20L)
+    assert(got === expected && got.nonEmpty)
+    // the big-side scan carries the runtime In filter in the executed plan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters: [dynamicpruningexpression(id"), p)
+    // and emitted ONLY the seeked ids, not the 1M-row relation
+    def bigScans(sp: SparkPlan): Seq[BatchScanExec] = {
+      val here = sp match {
+        case b: BatchScanExec if b.scan.isInstanceOf[SynthScan] &&
+          b.runtimeFilters.nonEmpty => Seq(b)
+        case _ => Nil
+      }
+      here ++ (sp match {
+        case a: AdaptiveSparkPlanExec => bigScans(a.executedPlan)
+        case q: QueryStageExec        => bigScans(q.plan)
+        case other                    => other.children.flatMap(bigScans)
+      })
+    }
+    val scans = bigScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, p)
+    assert(scans.head.metrics("numOutputRows").value === expected.length.toLong)
+  }
+
   test("storage-partitioned join: keyedBy=bucket scans join with ZERO shuffle exchanges") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     def keyedSynth(rows: Long) = spark.read
