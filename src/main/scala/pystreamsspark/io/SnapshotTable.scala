@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A minimal SNAPSHOT-MANIFEST table layer over parquet — the ACID
   * piece (MERGE / time travel / snapshot-isolated compaction) that
@@ -42,7 +43,15 @@ import org.apache.spark.sql.functions._
   *    [[vacuum]] drops the versions that reference them;
   *  - [[compact]] rewrites small files into `target` larger ones under
   *    a NEW snapshot: concurrent readers of older versions never see a
-  *    half-compacted state.
+  *    half-compacted state;
+  *  - SCHEMA EVOLUTION is a manifest property: each manifest records
+  *    the table schema (Spark schema JSON), so adding a column is pure
+  *    metadata — pre-evolution files are never rewritten and null-fill
+  *    through the recorded schema at read time, and snapshot reads are
+  *    O(1) metadata (no per-file footer merge);
+  *  - [[appendEpoch]] makes a `foreachBatch` streaming sink
+  *    EXACTLY-ONCE: commits are idempotent per epoch id, so a replayed
+  *    batch lands at most once.
   */
 object SnapshotTable {
 
@@ -65,7 +74,12 @@ object SnapshotTable {
   }
 
   private case class Manifest(version: Int, op: String, parent: Int,
-                              files: Seq[String])
+                              files: Seq[String],
+                              header: Map[String, String]) {
+    def schema: Option[StructType] =
+      header.get("schema").map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType])
+  }
 
   private def readManifest(dir: String, v: Int): Manifest = {
     val lines = Files.readAllLines(manifestPath(dir, v), StandardCharsets.UTF_8)
@@ -74,14 +88,24 @@ object SnapshotTable {
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
     Manifest(v, header("op"), header("parent").toInt,
-      lines.tail.filter(_.nonEmpty))
+      lines.tail.filter(_.nonEmpty), header)
   }
 
-  /** Atomic publish: CREATE_NEW is the commit point. */
+  /** Atomic publish: CREATE_NEW is the commit point. The manifest
+    * header records the table SCHEMA (as Spark's schema JSON) so a
+    * snapshot read is `O(1)` metadata — no per-file footer merge at
+    * 100 TB — and so SCHEMA EVOLUTION is a manifest property: files
+    * written before a column existed are simply read through the newer
+    * schema (missing columns null-fill). `extras` carries op-specific
+    * header fields (e.g. the streaming epoch id). */
   private def commit(dir: String, v: Int, op: String, parent: Int,
-                     files: Seq[String]): Unit = {
+                     files: Seq[String], schema: Option[StructType] = None,
+                     extras: Seq[(String, String)] = Nil): Unit = {
     Files.createDirectories(manifestDir(dir))
-    val body = (s"op=$op\tparent=$parent" +: files).mkString("\n")
+    val header = (Seq("op" -> op, "parent" -> parent.toString) ++ extras ++
+      schema.map(s => "schema" -> s.json)) // JSON escapes tabs/newlines
+      .map { case (k, value) => s"$k=$value" }.mkString("\t")
+    val body = (header +: files).mkString("\n")
     try
       Files.write(manifestPath(dir, v), body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW)
@@ -89,6 +113,22 @@ object SnapshotTable {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(v)
     }
+  }
+
+  /** Widest common schema after an evolution step: existing columns
+    * keep their position and type (a type CHANGE is refused — that
+    * would need a rewrite, not metadata), new columns append, and
+    * everything becomes nullable (pre-evolution files null-fill the
+    * new columns). */
+  private def unionSchema(a: StructType, b: StructType): StructType = {
+    a.fields.foreach { f =>
+      b.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution cannot change ${f.name}: ${f.dataType} -> ${g.dataType}")
+      }
+    }
+    val extra = b.fields.filterNot(f => a.fieldNames.contains(f.name))
+    StructType((a.fields ++ extra).map(_.copy(nullable = true)))
   }
 
   /** Write `df` as a fresh immutable file batch; returns the RELATIVE
@@ -109,7 +149,7 @@ object SnapshotTable {
   def create(spark: SparkSession, dir: String, df: DataFrame,
              numFiles: Int = 4): Int = {
     val files = writeBatch(df, dir, Some(numFiles))
-    commit(dir, 1, "create", 0, files)
+    commit(dir, 1, "create", 0, files, Some(df.schema))
     1
   }
 
@@ -121,7 +161,7 @@ object SnapshotTable {
     * across all files (any merge then rewrites the whole table). */
   def createClustered(spark: SparkSession, dir: String, df: DataFrame): Int = {
     val files = writeBatch(df, dir, None)
-    commit(dir, 1, "create", 0, files)
+    commit(dir, 1, "create", 0, files, Some(df.schema))
     1
   }
 
@@ -135,7 +175,9 @@ object SnapshotTable {
     require(v >= 1, s"no committed version at $dir")
     val m = readManifest(dir, v)
     val paths = m.files.map(f => Paths.get(dir, f).toString)
-    spark.read.parquet(paths: _*)
+    // the manifest-recorded schema makes the read O(1) metadata and
+    // null-fills columns a file predates (schema evolution)
+    m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
   }
 
   /** Append-only commit: prior files carried by reference.
@@ -146,11 +188,43 @@ object SnapshotTable {
   def append(spark: SparkSession, dir: String, df: DataFrame,
              numFiles: Int = 4, fromVersion: Option[Int] = None): Int = {
     val base = fromVersion.getOrElse(latestVersion(dir))
-    val prior = readManifest(dir, base).files
+    val m = readManifest(dir, base)
     val files = writeBatch(df, dir, Some(numFiles))
     val v = base + 1
-    commit(dir, v, "append", base, prior ++ files)
+    // appending a batch with NEW columns evolves the table schema as
+    // pure metadata: prior files are untouched and null-fill on read
+    val evolved = m.schema.map(unionSchema(_, df.schema)).getOrElse(df.schema)
+    commit(dir, v, "append", base, m.files ++ files, Some(evolved))
     v
+  }
+
+  /** EXACTLY-ONCE streaming ingestion: append `df` under `epochId`,
+    * SKIPPING the commit when any manifest already records this epoch.
+    * `foreachBatch` replays a failed epoch with the same batch id and
+    * (for replayable sources) the same data, so epoch-idempotent
+    * commits turn at-least-once delivery into an exactly-once table —
+    * the same discipline as RegistrySink's two-phase commit, at the
+    * table-format level. A racing replay of the SAME epoch is
+    * arbitrated by CREATE_NEW (the loser's batch becomes a vacuumable
+    * orphan). Returns the version holding the epoch. */
+  def appendEpoch(spark: SparkSession, dir: String, df: DataFrame,
+                  epochId: Long, numFiles: Int = 2): Int = {
+    val latest = latestVersion(dir)
+    val seen = (1 to latest).find(v =>
+      readManifest(dir, v).header.get("epoch").contains(epochId.toString))
+    seen.getOrElse {
+      val prior =
+        if (latest == 0) Seq.empty else readManifest(dir, latest).files
+      val evolved =
+        if (latest == 0) df.schema
+        else readManifest(dir, latest).schema
+          .map(unionSchema(_, df.schema)).getOrElse(df.schema)
+      val files = writeBatch(df, dir, Some(numFiles))
+      val v = latest + 1
+      commit(dir, v, "append", latest, prior ++ files, Some(evolved),
+        Seq("epoch" -> epochId.toString))
+      v
+    }
   }
 
   /** MERGE (upsert by `keyCols`): file-granular copy-on-write.
@@ -167,7 +241,8 @@ object SnapshotTable {
     val base = fromVersion.getOrElse(latestVersion(dir))
     val m = readManifest(dir, base)
     val abs = m.files.map(f => Paths.get(dir, f).toString)
-    val current = spark.read.parquet(abs: _*)
+    val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
+    val current = reader.parquet(abs: _*)
     val touchedAbs = current
       .withColumn("_src_file", input_file_name())
       .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
@@ -180,13 +255,18 @@ object SnapshotTable {
     val touchedDf =
       if (touchedRel.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], current.schema)
-      else spark.read.parquet(
+      else reader.parquet(
         touchedRel.map(f => Paths.get(dir, f).toString): _*)
+    // allowMissingColumns: updates may EVOLVE the schema (new columns
+    // null-fill in carried rows, and in carried FILES via the manifest
+    // schema) or omit columns (null-filled in the rewritten rows)
     val rewritten = touchedDf.join(updates, keyCols, "left_anti")
-      .unionByName(updates)
+      .unionByName(updates, allowMissingColumns = true)
     val files = writeBatch(rewritten, dir, Some(numFiles))
     val v = base + 1
-    commit(dir, v, "merge", base, untouched ++ files)
+    val evolved = m.schema.map(unionSchema(_, updates.schema))
+      .getOrElse(rewritten.schema)
+    commit(dir, v, "merge", base, untouched ++ files, Some(evolved))
     v
   }
 
@@ -197,7 +277,8 @@ object SnapshotTable {
     val base = fromVersion.getOrElse(latestVersion(dir))
     val m = readManifest(dir, base)
     val abs = m.files.map(f => Paths.get(dir, f).toString)
-    val current = spark.read.parquet(abs: _*)
+    val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
+    val current = reader.parquet(abs: _*)
     val touchedAbs = current
       .withColumn("_src_file", input_file_name())
       .filter(predicate)
@@ -208,11 +289,11 @@ object SnapshotTable {
     val files =
       if (touchedRel.isEmpty) Seq.empty
       else writeBatch(
-        spark.read.parquet(touchedRel.map(f => Paths.get(dir, f).toString): _*)
+        reader.parquet(touchedRel.map(f => Paths.get(dir, f).toString): _*)
           .filter(s"NOT ($predicate)"),
         dir, Some(numFiles))
     val v = base + 1
-    commit(dir, v, "delete", base, untouched ++ files)
+    commit(dir, v, "delete", base, untouched ++ files, m.schema)
     v
   }
 
@@ -221,9 +302,10 @@ object SnapshotTable {
     * keep reading their original files (snapshot isolation). */
   def compact(spark: SparkSession, dir: String, target: Int): Int = {
     val base = latestVersion(dir)
-    val files = writeBatch(read(spark, dir), dir, Some(target))
+    val snapshot = read(spark, dir)
+    val files = writeBatch(snapshot, dir, Some(target))
     val v = base + 1
-    commit(dir, v, "compact", base, files)
+    commit(dir, v, "compact", base, files, Some(snapshot.schema))
     v
   }
 
@@ -252,12 +334,14 @@ object SnapshotTable {
     }
   }
 
-  /** Commit history as a DataFrame: (version, op, parent, n_files). */
+  /** Commit history as a DataFrame:
+    * (version, op, parent, n_files, epoch). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     (1 to latestVersion(dir))
       .map(v => readManifest(dir, v))
-      .map(m => (m.version, m.op, m.parent, m.files.size))
-      .toDF("version", "op", "parent", "n_files")
+      .map(m => (m.version, m.op, m.parent, m.files.size,
+        m.header.get("epoch").map(_.toLong)))
+      .toDF("version", "op", "parent", "n_files", "epoch")
   }
 }

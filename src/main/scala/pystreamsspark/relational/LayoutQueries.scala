@@ -339,7 +339,53 @@ object LayoutQueries {
        |GROUP BY version
        |ORDER BY version""".stripMargin
 
+  /** SCHEMA EVOLUTION through the snapshot layer: v1 = 2-column orders
+    * subset, v2 = append of the complementary keys carrying a NEW
+    * `o_band` column. Evolution is pure metadata — v1's files are
+    * never rewritten; the manifest-recorded schema null-fills `o_band`
+    * for them at read time (and keeps the snapshot read O(1) metadata,
+    * no per-file footer merge). The aggregate groups on the evolved
+    * column with pre-evolution rows surfacing as 'none'; the oracle
+    * reconstructs the evolved union relationally. */
+  def qAcidEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"acid_evolve_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.create(spark, dir,
+      orders.filter($"o_orderkey" % 4 =!= 3), numFiles = 4)
+    val batch2 = Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 4 === 3)
+      .select($"o_orderkey", $"o_totalprice",
+        concat(lit("B"), ($"o_orderkey" % 3).cast("string")).as("o_band"))
+    pystreamsspark.io.SnapshotTable.append(spark, dir, batch2, numFiles = 2)
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .groupBy(coalesce($"o_band", lit("none")).as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"band")
+  }
+
+  val qAcidEvolveSql: String =
+    s"""WITH evolved AS (
+       |  SELECT o_orderkey, o_totalprice, NULL AS o_band
+       |  FROM orders WHERE o_orderkey % 4 <> 3
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice,
+       |    concat('B', CAST(o_orderkey % 3 AS VARCHAR)) AS o_band
+       |  FROM orders WHERE o_orderkey % 4 = 3
+       |)
+       |SELECT COALESCE(o_band, 'none') AS band, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM evolved
+       |GROUP BY 1
+       |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acid_evolve"     -> (qAcidEvolve _),
     "q_acid_merge"      -> (qAcidMerge _),
     "q_time_travel"     -> (qTimeTravel _),
     "q_dpp_join"        -> (qDppJoin _),
@@ -350,6 +396,7 @@ object LayoutQueries {
     "q_sorted_skip"     -> (qSortedSkip _))
 
   val oracle: Map[String, String] = Map(
+    "q_acid_evolve"     -> qAcidEvolveSql,
     "q_acid_merge"      -> qAcidMergeSql,
     "q_time_travel"     -> qTimeTravelSql,
     "q_dpp_join"        -> qDppJoinSql,

@@ -141,6 +141,72 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotTable.read(spark, dir, Some(2)).count() === 80)
   }
 
+  test("schema evolution: appending a batch with a new column is pure metadata") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(30), numFiles = 2)
+    // new column `grade` appears in v2's batch only
+    val evolved = (30 until 50)
+      .map(i => (i.toLong, s"name_$i", i * 10L, s"g${i % 3}"))
+      .toDF("id", "name", "score", "grade")
+    SnapshotTable.append(spark, dir, evolved, numFiles = 2)
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.schema.fieldNames.toSeq === Seq("id", "name", "score", "grade"))
+    assert(now.count() === 50)
+    // pre-evolution rows null-fill; post-evolution rows carry the value
+    assert(now.filter($"grade".isNull).count() === 30)
+    assert(now.filter($"id" === 31L).head.getString(3) === "g1")
+    // v1 time-travels with its ORIGINAL 3-column schema
+    assert(SnapshotTable.read(spark, dir, Some(1)).schema.fieldNames.toSeq
+      === Seq("id", "name", "score"))
+    // merge with the evolved schema updates old rows into the new shape
+    val upd = Seq((3L, "UPD", -1L, "gX")).toDF("id", "name", "score", "grade")
+    SnapshotTable.merge(spark, dir, upd, Seq("id"))
+    val merged = SnapshotTable.read(spark, dir)
+    assert(merged.filter($"id" === 3L).head.getString(3) === "gX")
+    assert(merged.count() === 50)
+    // a type CHANGE is refused — that is a rewrite, not evolution
+    val bad = Seq((1L, "x", "not-a-long")).toDF("id", "name", "score")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, dir, bad)
+    }
+  }
+
+  test("appendEpoch: replayed epochs commit at most once (exactly-once foreachBatch sink)") {
+    import spark.implicits._
+    val dir = freshDir()
+    def batch(e: Int) = (0 until 10)
+      .map(i => ((e * 10 + i).toLong, s"n$i", i.toLong))
+      .toDF("id", "name", "score")
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(0), epochId = 0L) === 1)
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(1), epochId = 1L) === 2)
+    // failure replay: epoch 1 delivered again — skipped, same version back
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(1), epochId = 1L) === 2)
+    assert(SnapshotTable.read(spark, dir).count() === 20)
+    assert(SnapshotTable.latestVersion(dir) === 2)
+    // epochs are recorded in the history
+    val eps = SnapshotTable.history(spark, dir).orderBy($"version")
+      .collect().map(r => r.getLong(4))
+    assert(eps.toSeq === Seq(0L, 1L))
+    // the real thing: a rate stream through foreachBatch lands each
+    // micro-batch exactly once even if the writer re-runs an epoch
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    mem.addData(100L, 101L, 102L)
+    val q = mem.toDF().select($"value".as("id"),
+        lit("s").as("name"), lit(0L).as("score"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        SnapshotTable.appendEpoch(spark, dir, df, 100L + epoch)
+        // simulate the at-least-once replay a crash produces
+        SnapshotTable.appendEpoch(spark, dir, df, 100L + epoch)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(SnapshotTable.read(spark, dir).count() === 23)
+  }
+
   test("concurrent commit: the loser throws and the table state is unchanged") {
     val dir = freshDir()
     SnapshotTable.create(spark, dir, seed(10))
