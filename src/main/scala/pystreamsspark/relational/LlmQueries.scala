@@ -189,6 +189,53 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Hashing-trick LINEAR CLASSIFIER scoring (the fastText-style
+    * quality-model shape): token → feature bucket (md5 mod 256) →
+    * integer weight → per-document score = bias + Σ w(bucket(t)),
+    * thresholded into keep/drop. The weights here are a DETERMINISTIC
+    * stand-in (LCG of the bucket id) so the whole pipeline is exact
+    * integer arithmetic the DuckDB oracle replays bit-for-bit; swapping
+    * in a trained vector changes ONE broadcast lookup, not the plan.
+    * Scale shape: explode → per-row arithmetic (no weight-table join at
+    * all with the hashing trick; a learned table would broadcast) →
+    * map-side partial sum per doc — shuffle payload is one row per doc,
+    * never the token stream. */
+  def qHashClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+    // md5→BIGINT idiom (10 hex chars = 40 bits, positive in both
+    // engines), bucketed to 256 features; weight ∈ [-20, 20]
+    val bucket =
+      conv(substring(md5($"t".cast("binary")), 1, 10), 16, 10)
+        .cast("long") % 256L
+    val w = (bucket * 1103515245L + 12345L) % 41L - 20L
+    toks.select($"doc_id", w.as("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), (sum($"w") - 3L).as("score"))
+      .withColumn("label",
+        when($"score" > 0L, lit("keep")).otherwise(lit("drop")))
+      .orderBy($"doc_id")
+  }
+
+  val qHashClassifierSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id,
+      |    ((CAST(concat('0x', substring(md5(t), 1, 10)) AS BIGINT) % 256)
+      |      * 1103515245 + 12345) % 41 - 20 AS w
+      |  FROM tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(w) - 3 AS BIGINT) AS score,
+      |  CASE WHEN SUM(w) - 3 > 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM w
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic vs the labeled lang column: confusion counts.
     * (Deterministic rule skeleton — see [[TextOps.langIdHeuristic]].) */
   def qLangid(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2140,6 +2187,7 @@ object LlmQueries {
     "q_tfidf"         -> (qTfidf _),
     "q_lang_stats"    -> (qLangStats _),
     "q_quality_score" -> (qQualityScore _),
+    "q_hash_classifier" -> (qHashClassifier _),
     "q_langid"        -> (qLangid _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_knn_cosine"    -> (qKnnCosine _),
@@ -2185,6 +2233,7 @@ object LlmQueries {
     "q_tfidf"         -> qTfidfSql,
     "q_lang_stats"    -> qLangStatsSql,
     "q_quality_score" -> qQualityScoreSql,
+    "q_hash_classifier" -> qHashClassifierSql,
     "q_langid"        -> qLangidSql,
     "q_fingerprint"   -> qFingerprintSql,
     "q_knn_cosine"    -> qKnnCosineSql,
