@@ -19,5 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the range-join strategy Spark lacks (no-op until
     // spark.graft.rangeJoin.binWidth is set positive)
     ext.injectOptimizerRule(_ => pystreamsspark.plans.RangeJoinBinRule)
+    // the native as-of join physical operator (plans AsofJoinPlan nodes
+    // built by operators.NativeAsof; inert for every other plan)
+    ext.injectPlannerStrategy(_ => pystreamsspark.plans.AsofJoinStrategy)
   }
 }

@@ -1,0 +1,64 @@
+package pystreamsspark.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+import pystreamsspark.plans.{AsofJoinPlan, AsofJoinStrategy}
+
+/** Facade over the native as-of join operator
+  * ([[pystreamsspark.plans.AsofJoinExec]]) with the same signature and
+  * byte-identical semantics as [[AsofJoin.asofJoin]]'s union+window
+  * formulation (directions backward/forward; `nearest` stays on the
+  * window path — it needs both carries at once, which the single-carry
+  * merge deliberately doesn't keep).
+  *
+  * The right side is re-projected through fresh aliases before the plan
+  * is built: that (a) mints new expression IDs so `left` and `right`
+  * may share a lineage (self-join safe), and (b) renames every right
+  * column into the `asof_`-prefixed output namespace so the plan's
+  * `left.output ++ right.output` can never collide.
+  */
+object NativeAsof {
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
+    require(by.nonEmpty, "native as-of join needs at least one by-key")
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"native as-of supports backward|forward, got $other")
+    }
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+    val r = right.select(
+      by.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col(rightTime).as("__r_time")) ++
+        valueCols.map(c => col(c).as(s"$prefix$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    val node = AsofJoinPlan(
+      lPlan, rPlan,
+      leftKeys = by.map(attr(lPlan, _)),
+      rightKeys = by.map(c => attr(rPlan, s"__r_$c")),
+      leftTime = attr(lPlan, leftTime),
+      rightTime = attr(rPlan, "__r_time"),
+      rightTieBreak = valueCols.map(c => attr(rPlan, s"$prefix$c")),
+      forward = forward)
+    PlanBridge.ofRows(spark, node)
+      .select((left.columns.toSeq ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
+  }
+}

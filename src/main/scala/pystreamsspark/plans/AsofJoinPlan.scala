@@ -1,0 +1,226 @@
+package pystreamsspark.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+/** Native as-of join — the whole-operator extension tier of SURVEY §2.9:
+  * a custom logical node, planned by [[AsofJoinStrategy]] into
+  * [[AsofJoinExec]], a true physical operator with its own distribution
+  * and ordering requirements (so EnsureRequirements inserts exactly the
+  * shuffles/sorts a sort-merge join would get) and a streaming
+  * per-partition merge in `doExecute`.
+  *
+  * Semantics (identical to [[pystreamsspark.operators.AsofJoin]]'s
+  * union+window formulation, which stays as the pure-DataFrame path):
+  * every left row is emitted exactly once, joined to the nearest right
+  * row with equal `by` keys and
+  *   - backward: the greatest `rightTime <= leftTime`;
+  *   - forward:  the smallest `rightTime >= leftTime`;
+  * or all-null right columns when no such row exists. Among right rows
+  * tied on (keys, time), the greatest `rightTieBreak` tuple wins — the
+  * same deterministic rule the window formulation and the DuckDB oracle
+  * replay, so all three produce byte-identical output. Nulls follow the
+  * window formulation's sort-defined behavior exactly: null keys group
+  * together (as PARTITION BY does) and a null time sorts as -infinity.
+  *
+  * Output = left.output ++ right.output (right side nullable) — the
+  * facade [[pystreamsspark.operators.NativeAsof]] pre-renames the right
+  * side to fresh, collision-free attributes (also making self-joins
+  * safe) and projects the user-facing columns on top.
+  *
+  * Scale: cost is one hash shuffle per side on the `by` keys plus one
+  * in-partition sort each — byte-for-byte the asymptotics of a
+  * sort-merge join. The merge itself is O(|L|+|R|) per partition with
+  * O(1) state (a single carried right row), so a 1000-executor cluster
+  * runs it exactly like SMJ: no broadcast, no windows, no per-key
+  * buffering, skew bounded by the key distribution itself.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    forward: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // keep every child column alive through column pruning: the exec
+  // re-emits whole child rows, so nothing upstream may be dropped
+  override def references: AttributeSet =
+    AttributeSet(left.output ++ right.output ++
+      (leftKeys ++ rightKeys ++ rightTieBreak :+ leftTime :+ rightTime)
+        .flatMap(_.references))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] → [[AsofJoinExec]]. Inject per-session via
+  * `spark.experimental.extraStrategies` (the facade does this lazily)
+  * or globally through [[pystreamsspark.GraftExtensions]].
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, fwd, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join.
+  *
+  * Requires both children clustered on the join keys (one shuffle per
+  * side, exactly like SortMergeJoinExec) and sorted by (keys ASC,
+  * time ASC|DESC, [right: tieBreak ASC]) — time DESCENDS for the
+  * forward direction so the merge below is direction-agnostic: in
+  * stream order, the carry always holds the latest right row at-or-
+  * before the current left row, which is the nearest-≤ (backward) or
+  * nearest-≥ (forward) match.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    forward: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def timeDir = if (forward) Descending else Ascending
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(k => SortOrder(k, Ascending)) :+ SortOrder(leftTime, timeDir),
+    rightKeys.map(k => SortOrder(k, Ascending)) ++
+      (SortOrder(rightTime, timeDir) +:
+        rightTieBreak.filter(e => RowOrdering.isOrderable(e.dataType))
+          .map(e => SortOrder(e, Ascending))))
+
+  // left rows pass through in order, so partitioning and ordering of
+  // the left child survive — a downstream agg/join on the same keys
+  // re-uses the exchange
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val fwd = forward
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      // bind the right half as NULLABLE regardless of the child schema:
+      // unmatched left rows are padded with an all-null right row, so the
+      // bound references must null-check even formerly non-null columns
+      val outProj =
+        UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single-row lookahead on the right + one carried candidate:
+        // O(1) state regardless of partition size. The carry is copied
+        // into a REUSED buffer (UnsafeRow.copyFrom), so the merge
+        // allocates nothing per row.
+        // copyFrom REQUIRES a byte[]-backed row (it asserts, but asserts
+        // are off at runtime and a bufferless row segfaults copyMemory),
+        // so seed a real buffer; copyFrom grows it as needed
+        private val carryBuf = new UnsafeRow(rOut.size)
+        carryBuf.pointTo(new Array[Byte](64), 64)
+        private var carry: InternalRow = null
+        private var prevLeftKey: UnsafeRow = null
+
+        // project the right head's key/time ONCE per advance, not once
+        // per left row it stalls in front of: each projection's result
+        // buffer stays valid exactly until its next invocation, which is
+        // the next advance
+        private var rHead: InternalRow = null
+        private var rKey: UnsafeRow = null
+        private var rTime: UnsafeRow = null
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rKey = rKeyProj(rHead)
+            rTime = rTimeProj(rHead)
+          } else rHead = null
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          numOutputRows += 1
+          val lKey = lKeyProj(l)
+          if (prevLeftKey == null || keyOrd.compare(lKey, prevLeftKey) != 0) {
+            carry = null // the carry belonged to the previous key group
+            prevLeftKey = lKey.copy()
+          }
+          val lT = lTimeProj(l)
+          // All comparisons go through the SAME null-aware natural
+          // orderings the sort used, so nulls behave exactly as in the
+          // window formulation: null keys group together (as PARTITION BY
+          // does) and a null time sorts as -infinity on both sides.
+          var stop = false
+          while (!stop && rHead != null) {
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc > 0) stop = true
+            else if (kc < 0) advanceRight() // right key already passed: drop
+            else {
+              val c0 = timeOrd.compare(rTime, lT)
+              if ((if (fwd) -c0 else c0) <= 0) {
+                // last consumed wins: ties resolve to the greatest
+                // tieBreak tuple
+                rHead match {
+                  case u: UnsafeRow => carryBuf.copyFrom(u); carry = carryBuf
+                  case other => carry = other.copy()
+                }
+                advanceRight()
+              } else stop = true
+            }
+          }
+          if (carry != null) { numMatched += 1; outProj(joined(l, carry)) }
+          else outProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -3,7 +3,7 @@ package pystreamsspark.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import pystreamsspark.io.Tables
-import pystreamsspark.operators.{AsofJoin, RangeJoin}
+import pystreamsspark.operators.{AsofJoin, NativeAsof, RangeJoin}
 import Det._
 
 /** Join surface (SURVEY.md §2.4). All equi-joins are declarative so
@@ -299,6 +299,46 @@ object JoinQueries {
       |  FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Same as-of query through the NATIVE physical operator
+    * ([[pystreamsspark.plans.AsofJoinExec]] via [[NativeAsof]]) instead
+    * of the union+window rewrite — shares [[qJoinAsofSql]]'s oracle, so
+    * a hash-match proves the custom exec's merge is byte-identical to
+    * the declarative formulation. */
+  def qJoinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    NativeAsof.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"))
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  /** Forward direction through the native operator (time-DESC sort,
+    * same single-carry merge); shares [[qJoinAsofFwdSql]]'s oracle. */
+  def qJoinAsofNativeFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    NativeAsof.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        direction = "forward")
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
   /** Forward as-of: each event picks up the EARLIEST purchase at-or-after
     * it per user — the "time to next conversion" primitive, same
     * union + one-window-pass shape as [[qJoinAsof]] with the scan
@@ -512,6 +552,8 @@ object JoinQueries {
     "q_join_asof"  -> (qJoinAsof _),
     "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_asof_near" -> (qJoinAsofNear _),
+    "q_join_asof_native" -> (qJoinAsofNative _),
+    "q_join_asof_native_fwd" -> (qJoinAsofNativeFwd _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -530,6 +572,8 @@ object JoinQueries {
     "q_join_asof"  -> qJoinAsofSql,
     "q_join_asof_fwd" -> qJoinAsofFwdSql,
     "q_join_asof_near" -> qJoinAsofNearSql,
+    "q_join_asof_native" -> qJoinAsofSql,
+    "q_join_asof_native_fwd" -> qJoinAsofFwdSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)

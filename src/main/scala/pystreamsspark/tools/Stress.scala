@@ -592,6 +592,37 @@ object Stress {
           .forEach(p => java.nio.file.Files.delete(p))
       }
     }
+    // AS-OF probe: native sort-merge exec vs the union+window rewrite on
+    // xN KEY-amplified events (user_id offsets → N disjoint key groups,
+    // per-key timelines stay constant — the realistic growth axis).
+    // Window pays one |L|+|R| shuffle of the UNIONED wide schema + one
+    // combined sort + WindowExec frame buffering; native pays two
+    // narrower per-side shuffles + smaller sorts + an O(1)-state merge.
+    // At toy scale the extra stage makes native LOSE (~0.4 vs ~0.3 s at
+    // x1); this probe records where the shuffled-bytes advantage takes
+    // over as rows grow.
+    def asofInputs(): (DataFrame, DataFrame) = {
+      val ev = (0 until mult).map { r =>
+        pystreamsspark.io.Tables.events(spark, sfDir)
+          .withColumn("event_id", $"event_id" + lit(r * 100000000L))
+          .withColumn("user_id", $"user_id" + lit(r * 100000000L))
+      }.reduce(_ unionByName _)
+      (ev.select($"event_id", $"user_id", $"ts"),
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"value"))
+    }
+    time(s"asof_window x$mult") {
+      val (l, r) = asofInputs()
+      pystreamsspark.operators.AsofJoin
+        .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+        .agg(sum($"asof_value")).count()
+    }
+    time(s"asof_native x$mult") {
+      val (l, r) = asofInputs()
+      pystreamsspark.operators.NativeAsof
+        .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+        .agg(sum($"asof_value")).count()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,130 @@
+package pystreamsspark.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+import pystreamsspark.io.Tables
+import pystreamsspark.operators.{AsofJoin, NativeAsof}
+
+/** The native as-of join operator (AsofJoinPlan → AsofJoinStrategy →
+  * AsofJoinExec) must be byte-identical to the union+window formulation
+  * on every input shape — ties on (key, time), duplicate right rows,
+  * keys missing on either side, null times — and its physical plan must
+  * be the sort-merge shape: the custom exec node, no Window, and one
+  * exchange per side.
+  */
+class NativeAsofSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def sameResult(native: DataFrame, window: DataFrame): Unit = {
+    val n = native.collect()
+    val w = window.collect()
+    assert(n.length == w.length, s"row counts differ: ${n.length} vs ${w.length}")
+    n.zip(w).foreach { case (a, b) => assert(a == b, s"row differs: $a vs $b") }
+  }
+
+  private def eventsAsof(direction: String): (DataFrame, DataFrame) = {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val left = ev.select($"event_id", $"user_id", $"ts")
+    def run(f: (DataFrame, DataFrame, Seq[String], String, String, Seq[String], String, String) => DataFrame) =
+      f(left, purchases, Seq("user_id"), "ts", "ts", Seq("value"), "asof_", direction)
+        .select($"event_id", $"user_id", $"ts", $"asof_value")
+        .orderBy($"event_id")
+    (run(NativeAsof.asofJoin), run(AsofJoin.asofJoin))
+  }
+
+  test("backward on events matches the window formulation") {
+    val (native, window) = eventsAsof("backward")
+    sameResult(native, window)
+  }
+
+  test("forward on events matches the window formulation") {
+    val (native, window) = eventsAsof("forward")
+    sameResult(native, window)
+  }
+
+  test("physical plan is the custom exec: no Window, one exchange per side") {
+    val (native, _) = eventsAsof("backward")
+    native.collect()
+    val plan = finalPlan(native.queryExecution.executedPlan).toString
+    assert(plan.contains("AsofJoin"), s"native exec missing from plan:\n$plan")
+    assert(!plan.contains("Window"), s"window op leaked into native plan:\n$plan")
+    // top-level orderBy adds one range exchange; the join itself must
+    // add exactly two hash exchanges (one per side), like SMJ
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+  }
+
+  test("adversarial shapes: ties, duplicates, missing keys, null times") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // left: 400 probes over 12 keys (keys 10/11 absent on the right),
+    // integer times in a tight range so (key, time) ties are common
+    val leftRows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(40).toLong))
+    }
+    val left = leftRows.toDF("probe_id", "k", "t")
+    // right: 300 quotes over keys 0..9 with heavy (key, time) duplication
+    // and distinct tie-break values, plus some null times
+    val rightRows = (1 to 300).map { i =>
+      (rnd.nextInt(10).toLong,
+        if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong),
+        i.toDouble)
+    }
+    val right = rightRows.toDF("k", "t", "v")
+    for (direction <- Seq("backward", "forward")) {
+      val native = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("v"), direction = direction)
+        .orderBy($"probe_id")
+      val window = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("v"), direction = direction)
+        .orderBy($"probe_id")
+      sameResult(native, window)
+    }
+  }
+
+  test("self-join lineage and multi-key, multi-value columns work") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "a", 1L, 10.0, "x"), (1L, "a", 3L, 30.0, "y"),
+      (1L, "b", 2L, 20.0, "z"), (2L, "a", 5L, 50.0, "w"),
+      (2L, "a", 5L, 60.0, "v")).toDF("k1", "k2", "t", "v1", "v2")
+    // same DataFrame on both sides: fresh right-side exprIds must keep
+    // the plan resolvable
+    val native = NativeAsof.asofJoin(base, base, Seq("k1", "k2"), "t", "t",
+        Seq("v1", "v2"))
+      .orderBy($"k1", $"k2", $"t", $"v1")
+    val window = AsofJoin.asofJoin(base, base, Seq("k1", "k2"), "t", "t",
+        Seq("v1", "v2"))
+      .orderBy($"k1", $"k2", $"t", $"v1")
+    sameResult(native, window)
+    // the (2, a, 5) tie must resolve to the greatest (v1, v2) tuple
+    val tied = native.filter($"k1" === 2).collect()
+    assert(tied.forall(r => r.getDouble(r.fieldIndex("asof_v1")) == 60.0))
+  }
+
+  test("every left row survives when the right side is empty") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1L, 1L), (2L, 1L, 2L)).toDF("id", "k", "t")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val out = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy($"id").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+  }
+}
