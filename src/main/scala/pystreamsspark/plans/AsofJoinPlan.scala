@@ -50,6 +50,13 @@ case class AsofJoinPlan(
     rightTieBreak: Seq[Expression],
     forward: Boolean) extends BinaryNode {
 
+  // the exec compares keys/time ACROSS sides through one shared row
+  // layout, so the types must line up exactly
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -134,15 +141,24 @@ case class AsofJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
 
+    val nKeys = leftKeys.size
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
-      val keyOrd =
-        RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
-      val timeOrd =
-        RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      // ONE combined [keys..., time] projection per side per row (jstack
+      // profiling showed separate key/time projections + per-row metric
+      // adds dominating the merge) and codegen'd orderings over BOUND
+      // references into the combined layout: keyOrd compares the key
+      // prefix, timeOrd the time slot — both null-aware exactly like the
+      // sort, so null keys group together (as PARTITION BY does) and a
+      // null time sorts as -infinity, matching the window formulation.
+      val lKtProj = UnsafeProjection.create(lKeyExprs :+ lTimeExpr, lOut)
+      val rKtProj = UnsafeProjection.create(rKeyExprs :+ rTimeExpr, rOut)
+      val ktTypes = (lKeyExprs :+ lTimeExpr).map(_.dataType)
+      val keyOrd = codegen.GenerateOrdering.generate(
+        (0 until nKeys).map(i =>
+          SortOrder(BoundReference(i, ktTypes(i), nullable = true), Ascending)))
+      val timeOrd = codegen.GenerateOrdering.generate(Seq(
+        SortOrder(BoundReference(nKeys, ktTypes(nKeys), nullable = true), Ascending)))
       // bind the right half as NULLABLE regardless of the child schema:
       // unmatched left rows are padded with an all-null right row, so the
       // bound references must null-check even formerly non-null columns
@@ -150,6 +166,13 @@ case class AsofJoinExec(
         UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      // batch the SQL metrics: per-row SQLMetric.+= measurably hot
+      var outRows = 0L
+      var matched = 0L
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          numOutputRows += outRows; numMatched += matched
+        })
 
       new Iterator[InternalRow] {
         // single-row lookahead on the right + one carried candidate:
@@ -162,21 +185,19 @@ case class AsofJoinExec(
         private val carryBuf = new UnsafeRow(rOut.size)
         carryBuf.pointTo(new Array[Byte](64), 64)
         private var carry: InternalRow = null
-        private var prevLeftKey: UnsafeRow = null
+        private var prevLeftKt: UnsafeRow = null
 
-        // project the right head's key/time ONCE per advance, not once
-        // per left row it stalls in front of: each projection's result
-        // buffer stays valid exactly until its next invocation, which is
-        // the next advance
+        // project the right head's [keys, time] ONCE per advance, not
+        // once per left row it stalls in front of: the projection's
+        // result buffer stays valid exactly until its next invocation,
+        // which is the next advance
         private var rHead: InternalRow = null
-        private var rKey: UnsafeRow = null
-        private var rTime: UnsafeRow = null
+        private var rKt: UnsafeRow = null
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
             rHead = rIter.next()
-            rKey = rKeyProj(rHead)
-            rTime = rTimeProj(rHead)
+            rKt = rKtProj(rHead)
           } else rHead = null
         advanceRight()
 
@@ -184,24 +205,19 @@ case class AsofJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          numOutputRows += 1
-          val lKey = lKeyProj(l)
-          if (prevLeftKey == null || keyOrd.compare(lKey, prevLeftKey) != 0) {
+          outRows += 1
+          val lKt = lKtProj(l)
+          if (prevLeftKt == null || keyOrd.compare(lKt, prevLeftKt) != 0) {
             carry = null // the carry belonged to the previous key group
-            prevLeftKey = lKey.copy()
+            prevLeftKt = lKt.copy()
           }
-          val lT = lTimeProj(l)
-          // All comparisons go through the SAME null-aware natural
-          // orderings the sort used, so nulls behave exactly as in the
-          // window formulation: null keys group together (as PARTITION BY
-          // does) and a null time sorts as -infinity on both sides.
           var stop = false
           while (!stop && rHead != null) {
-            val kc = keyOrd.compare(rKey, lKey)
+            val kc = keyOrd.compare(rKt, lKt)
             if (kc > 0) stop = true
             else if (kc < 0) advanceRight() // right key already passed: drop
             else {
-              val c0 = timeOrd.compare(rTime, lT)
+              val c0 = timeOrd.compare(rKt, lKt)
               if ((if (fwd) -c0 else c0) <= 0) {
                 // last consumed wins: ties resolve to the greatest
                 // tieBreak tuple
@@ -213,7 +229,7 @@ case class AsofJoinExec(
               } else stop = true
             }
           }
-          if (carry != null) { numMatched += 1; outProj(joined(l, carry)) }
+          if (carry != null) { matched += 1; outProj(joined(l, carry)) }
           else outProj(joined(l, nullRight))
         }
       }
