@@ -3,10 +3,13 @@ package pystreamsspark.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.DataType
 
 /** Native as-of join — the whole-operator extension tier of SURVEY §2.9:
   * a custom logical node, planned by [[AsofJoinStrategy]] into
@@ -102,7 +105,7 @@ case class AsofJoinExec(
     rightTieBreak: Seq[Expression],
     forward: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -239,4 +242,162 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---------------------------------------------------------------- codegen
+  // Whole-stage codegen (SMJ-style two-input produce node): the merge
+  // loop compiles into the stage's processNext, so the per-row costs the
+  // interpreted path pays at the codegen boundary (virtual iterator
+  // calls, projection objects, metric adds) fuse into straight-line
+  // Java. Children feed through inputRDDs() exactly like
+  // SortMergeJoinExec; the interpreted doExecute above stays as the
+  // spark.sql.codegen.wholeStage=false / fallback path and as the
+  // executable specification the generated code must match
+  // (NativeAsofSpec runs both).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  /** nulls-first three-way compare of one field, shared by key and time
+    * comparisons so null semantics stay identical to the sort's. */
+  private def genFieldComp(
+      ctx: CodegenContext, dt: DataType, target: String,
+      lNull: String, lVal: String, rNull: String, rVal: String): String =
+    s"""if ($rNull) { $target = $lNull ? 0 : -1; }
+       |else if ($lNull) { $target = 1; }
+       |else { $target = ${ctx.genComp(dt, rVal, lVal)}; }""".stripMargin
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow", forceInline = true)
+    val rightInit = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRightInit",
+      forceInline = true)
+    val carryValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofCarryValid",
+      forceInline = true)
+    val hasPrev = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHasPrev",
+      forceInline = true)
+    val unsafeRowCls = classOf[UnsafeRow].getName
+    val carryBuf = ctx.addMutableState(unsafeRowCls, "asofCarryBuf",
+      v => s"$v = new $unsafeRowCls(${right.output.size}); $v.pointTo(new byte[64], 64);",
+      forceInline = true)
+
+    val fetchRight = ctx.freshName("asofFetchRight")
+    ctx.addNewFunction(fetchRight,
+      s"""private void $fetchRight() {
+         |  $rightRow = $rightInput.hasNext() ? (InternalRow) $rightInput.next() : null;
+         |}""".stripMargin)
+
+    // left key/time: evaluated once per left row into locals
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lKeyVars = leftKeys.map(
+      BindReferences.bindReference(_, left.output).genCode(ctx))
+    val lTimeVar = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+
+    // right key/time: re-evaluated per advance-loop iteration straight
+    // off the buffered head row (field accessors — no copies needed, the
+    // head row object stays alive exactly while it is compared)
+    ctx.INPUT_ROW = rightRow
+    val rKeyVars = rightKeys.map(
+      BindReferences.bindReference(_, right.output).genCode(ctx))
+    val rTimeVar = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+
+    // previous left key: per-field buffered copies (addBufferedState
+    // clones buffer-backed values such as UTF8String) + null flags
+    val prevNulls = leftKeys.map(_ =>
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofPrevNull", forceInline = true))
+    val prevVals = leftKeys.zip(lKeyVars).map { case (k, v) =>
+      ctx.addBufferedState(k.dataType, "asofPrevVal", v.value.toString)
+    }
+
+    val keyChanged = ctx.freshName("asofKeyChanged")
+    val changedChecks = leftKeys.indices.map { i =>
+      val dt = leftKeys(i).dataType
+      s"""if (!$keyChanged) {
+         |  if (${lKeyVars(i).isNull} != ${prevNulls(i)}) $keyChanged = true;
+         |  else if (!${lKeyVars(i).isNull} &&
+         |    ${ctx.genComp(dt, lKeyVars(i).value.toString, prevVals(i).value.toString)} != 0) $keyChanged = true;
+         |}""".stripMargin
+    }.mkString("\n")
+    val copyPrev = leftKeys.indices.map { i =>
+      s"""${prevNulls(i)} = ${lKeyVars(i).isNull};
+         |if (!${lKeyVars(i).isNull}) { ${prevVals(i).code} }""".stripMargin
+    }.mkString("\n")
+
+    val kc = ctx.freshName("asofKc")
+    val kcChecks = leftKeys.indices.map { i =>
+      s"""if ($kc == 0) {
+         |  ${genFieldComp(ctx, leftKeys(i).dataType, kc,
+              lKeyVars(i).isNull.toString, lKeyVars(i).value.toString,
+              rKeyVars(i).isNull.toString, rKeyVars(i).value.toString)}
+         |}""".stripMargin
+    }.mkString("\n")
+    val tc = ctx.freshName("asofTc")
+    val tcCheck = genFieldComp(ctx, leftTime.dataType, tc,
+      lTimeVar.isNull.toString, lTimeVar.value.toString,
+      rTimeVar.isNull.toString, rTimeVar.value.toString)
+    val tcFinal = if (forward) s"$tc = -$tc;" else ""
+
+    // output: left columns straight off the left row, right columns off
+    // the carry buffer guarded by its validity flag
+    ctx.INPUT_ROW = leftRow
+    val leftOutVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightOutVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRNull")
+      val value = ctx.freshName("asofRVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getV = CodeGenerator.getValue(carryBuf, a.dataType, i.toString)
+      val c =
+        code"""boolean $isNull = !$carryValid || $carryBuf.isNullAt($i);
+              |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getV);"""
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    val stop = ctx.freshName("asofStop")
+    s"""if (!$rightInit) { $rightInit = true; $fetchRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeyVars.map(_.code).mkString("\n")}
+       |  ${lTimeVar.code}
+       |  boolean $keyChanged = !$hasPrev;
+       |  $changedChecks
+       |  if ($keyChanged) {
+       |    $carryValid = false;
+       |    $hasPrev = true;
+       |    $copyPrev
+       |  }
+       |  boolean $stop = false;
+       |  while (!$stop && $rightRow != null) {
+       |    ${rKeyVars.map(_.code).mkString("\n")}
+       |    int $kc = 0;
+       |    $kcChecks
+       |    if ($kc > 0) { $stop = true; }
+       |    else if ($kc < 0) { $fetchRight(); }
+       |    else {
+       |      ${rTimeVar.code}
+       |      int $tc = 0;
+       |      $tcCheck
+       |      $tcFinal
+       |      if ($tc <= 0) {
+       |        $carryBuf.copyFrom(($unsafeRowCls) $rightRow);
+       |        $carryValid = true;
+       |        $fetchRight();
+       |      } else { $stop = true; }
+       |    }
+       |  }
+       |  $numOutput.add(1);
+       |  if ($carryValid) $numMatched.add(1);
+       |  ${consume(ctx, leftOutVars ++ rightOutVars)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
+  }
 }

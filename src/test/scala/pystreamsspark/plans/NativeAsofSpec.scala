@@ -118,6 +118,29 @@ class NativeAsofSpec extends SparkSpec {
     assert(tied.forall(r => r.getDouble(r.fieldIndex("asof_v1")) == 60.0))
   }
 
+  test("merge loop compiles under whole-stage codegen AND the interpreted path agrees") {
+    val s = spark
+    // fallback=false turns a silent codegen-compile failure into a hard
+    // error, so this test cannot pass on the interpreted fallback
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val (native, window) = eventsAsof("backward")
+      sameResult(native, window)
+      // AQE wraps stages in leaf QueryStageExec nodes, so assert on the
+      // plan string: a codegen'd node prints with the `*(stageId)` prefix
+      val plan = finalPlan(native.queryExecution.executedPlan).toString
+      assert("""\*\(\d+\) AsofJoin""".r.findFirstIn(plan).nonEmpty,
+        s"AsofJoinExec not fused into a codegen stage:\n$plan")
+    } finally s.conf.unset("spark.sql.codegen.fallback")
+    // the interpreted doExecute is the executable specification the
+    // generated code must match — run it explicitly
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val (native, window) = eventsAsof("forward")
+      sameResult(native, window)
+    } finally s.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
   test("every left row survives when the right side is empty") {
     val s = spark
     import s.implicits._
