@@ -27,6 +27,13 @@ object Time {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2" — extra runtime SQL confs, so an
+    // A/B (e.g. wholeStage codegen on/off) runs under identical JVM,
+    // warm-up and data conditions
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val stats = args.drop(1).map { name =>
       val fn = graft.SparkEntry.queries(name)
@@ -45,7 +52,10 @@ object Time {
       val qs = stats.map { case (k, (mn, md, mx)) =>
         s"\"$k\":{\"min\":${ms(mn)},\"med\":${ms(md)},\"max\":${ms(mx)}}"
       }.mkString("{", ",", "}")
-      val line = s"""{"metric":"probe","runs":$runs,"cpus":"$cpus","partitions":"$cpus","queries":$qs,"sf":"$sfDir"}"""
+      val conf = sys.env.get("SPARK_GRAFT_CONF")
+        .map(c => s""","conf":"${c.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        .getOrElse("")
+      val line = s"""{"metric":"probe","runs":$runs,"cpus":"$cpus","partitions":"$cpus"$conf,"queries":$qs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
