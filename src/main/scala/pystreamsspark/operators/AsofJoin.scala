@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * (default) takes the most recent right row with `rightTime <=
   * leftTime`; `direction = "forward"` the earliest right row with
   * `rightTime >= leftTime`; `direction = "nearest"` whichever of the
-  * two is closer in time (equal distances go backward).
+  * two is closer in time (equal distances go backward). An optional
+  * `tolerance` (epoch-micros for timestamp times, natural units
+  * otherwise) drops matches farther than the cutoff — pandas
+  * merge_asof's `tolerance`.
   *
   * Spark has no native as-of join, so this rewrites it as union + one
   * window pass — the scalable formulation:
@@ -41,7 +44,8 @@ object AsofJoin {
       rightTime: String,
       valueCols: Seq[String],
       prefix: String = "asof_",
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -58,6 +62,14 @@ object AsofJoin {
       valueCols.map(c => s"__v_$c") ++ leftCols.filterNot(by.contains)).distinct.map(col): _*)
 
     val unioned = lSel.unionByName(rAligned)
+    // time-as-number for distance arithmetic (nearest chooser, tolerance
+    // cutoff): epoch micros for timestamps (int64-exact), double cast
+    // otherwise — identical on the native-exec side (AsofJoinExec
+    // .timeAsDouble) and replayable verbatim by a DuckDB oracle
+    def micros(c: org.apache.spark.sql.Column) =
+      if (unioned.schema("__t").dataType ==
+          org.apache.spark.sql.types.TimestampType) unix_micros(c)
+      else c.cast("double")
     // deterministic total order among right rows that share the same
     // (keys, time): order by the value columns themselves, so the carried
     // winner on a tie is the row with the greatest value tuple — a rule an
@@ -77,10 +89,6 @@ object AsofJoin {
       val base = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
       val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      def micros(c: org.apache.spark.sql.Column) =
-        if (unioned.schema("__t").dataType ==
-            org.apache.spark.sql.types.TimestampType) unix_micros(c)
-        else c.cast("double")
       val rt = when(col("__side") === 0, col("__t"))
       val carried = valueCols.foldLeft(
         unioned
@@ -90,12 +98,27 @@ object AsofJoin {
           df.withColumn(s"__b_$c", last(col(s"__v_$c"), ignoreNulls = true).over(back))
             .withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(fwd))
       }
-      val takeBack = col("__ft").isNull || (col("__bt").isNotNull &&
-        (micros(col("__t")) - micros(col("__bt"))) <=
-          (micros(col("__ft")) - micros(col("__t"))))
-      val chosen = valueCols.foldLeft(carried)((df, c) =>
-        df.withColumn(s"$prefix$c",
-          when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+      val bDist = micros(col("__t")) - micros(col("__bt"))
+      val fDist = micros(col("__ft")) - micros(col("__t"))
+      val chosen = tolerance match {
+        case None =>
+          val takeBack = col("__ft").isNull || (col("__bt").isNotNull &&
+            bDist <= fDist)
+          valueCols.foldLeft(carried)((df, c) =>
+            df.withColumn(s"$prefix$c",
+              when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+        case Some(t) =>
+          // candidates are tolerance-filtered FIRST, then the nearest
+          // surviving one wins (ties backward) — pandas merge_asof
+          // semantics; a null distance (null-time carry / null left
+          // time) never survives the filter
+          val fwdOk = col("__ft").isNotNull && fDist <= lit(t)
+          val backOk = col("__bt").isNotNull && bDist <= lit(t)
+          val takeFwd = fwdOk && !(backOk && bDist <= fDist)
+          valueCols.foldLeft(carried)((df, c) =>
+            df.withColumn(s"$prefix$c",
+              when(takeFwd, col(s"__f_$c")).when(backOk, col(s"__b_$c"))))
+      }
       return chosen
         .filter(col("__side") === 1)
         .select((leftCols ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
@@ -113,7 +136,21 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned)((df, c) =>
       df.withColumn(s"$prefix$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
-    carried
+    // tolerance: carry the matched right row's TIME alongside the values
+    // and null out matches farther than the cutoff — abs() covers both
+    // directions (backward carry time <= t, forward >= t); a null
+    // distance (null-time carry / null left time) is no match
+    val toleranced = tolerance match {
+      case None => carried
+      case Some(t) =>
+        val rt = when(col("__side") === 0, col("__t"))
+        val withCt = carried.withColumn("__ct", last(rt, ignoreNulls = true).over(w))
+        valueCols.foldLeft(withCt)((df, c) =>
+          df.withColumn(s"$prefix$c",
+            when(abs(micros(col("__t")) - micros(col("__ct"))) <= lit(t),
+              col(s"$prefix$c"))))
+    }
+    toleranced
       .filter(col("__side") === 1)
       .select((leftCols ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
   }

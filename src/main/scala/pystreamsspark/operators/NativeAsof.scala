@@ -8,9 +8,11 @@ import pystreamsspark.plans.{AsofJoinPlan, AsofJoinStrategy}
 /** Facade over the native as-of join operator
   * ([[pystreamsspark.plans.AsofJoinExec]]) with the same signature and
   * byte-identical semantics as [[AsofJoin.asofJoin]]'s union+window
-  * formulation (directions backward/forward; `nearest` stays on the
-  * window path — it needs both carries at once, which the single-carry
-  * merge deliberately doesn't keep).
+  * formulation — all three directions (backward / forward / nearest)
+  * and the optional `tolerance` distance cutoff. Nearest costs nothing
+  * extra in the merge: the right-side head the backward merge stops on
+  * IS the forward candidate (smallest time > lt, smallest tie-break
+  * tuple), so the chooser runs on O(1) state with no second carry.
   *
   * The right side is re-projected through fresh aliases before the plan
   * is built: that (a) mints new expression IDs so `left` and `right`
@@ -27,13 +29,15 @@ object NativeAsof {
       rightTime: String,
       valueCols: Seq[String],
       prefix: String = "asof_",
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     require(by.nonEmpty, "native as-of join needs at least one by-key")
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
+    val (forward, nearest) = direction match {
+      case "backward" => (false, false)
+      case "forward" => (true, false)
+      case "nearest" => (false, true)
       case other => throw new IllegalArgumentException(
-        s"native as-of supports backward|forward, got $other")
+        s"native as-of supports backward|forward|nearest, got $other")
     }
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
@@ -57,7 +61,9 @@ object NativeAsof {
       leftTime = attr(lPlan, leftTime),
       rightTime = attr(rPlan, "__r_time"),
       rightTieBreak = valueCols.map(c => attr(rPlan, s"$prefix$c")),
-      forward = forward)
+      forward = forward,
+      nearest = nearest,
+      tolerance = tolerance)
     PlanBridge.ofRows(spark, node)
       .select((left.columns.toSeq ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types._
 
 /** Native as-of join — the whole-operator extension tier of SURVEY §2.9:
   * a custom logical node, planned by [[AsofJoinStrategy]] into
@@ -51,7 +51,9 @@ case class AsofJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    nearest: Boolean = false,
+    tolerance: Option[Double] = None) extends BinaryNode {
 
   // the exec compares keys/time ACROSS sides through one shared row
   // layout, so the types must line up exactly
@@ -59,6 +61,11 @@ case class AsofJoinPlan(
     s"as-of key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+  require(!(nearest && forward), "nearest uses the ascending merge; forward must be false")
+  // nearest / tolerance do distance arithmetic, so the time column must
+  // be a time-or-numeric type (same contract as the window formulation,
+  // which casts non-timestamps to double)
+  if (nearest || tolerance.isDefined) AsofJoinExec.timeAsDouble(leftTime.dataType)
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,8 +88,9 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, fwd) =>
-      AsofJoinExec(lk, rk, lt, rt, tie, fwd, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, near, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, fwd, near, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -104,6 +112,8 @@ case class AsofJoinExec(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     forward: Boolean,
+    nearest: Boolean,
+    tolerance: Option[Double],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
@@ -136,6 +146,8 @@ case class AsofJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val fwd = forward
+    val near = nearest
+    val tol = tolerance
     val lOut = left.output
     val rOut = right.output
     val allOut = output
@@ -143,6 +155,11 @@ case class AsofJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    // distance accessor, only materialized when nearest/tolerance needs
+    // arithmetic — plain directional joins keep working on ANY orderable
+    // time type (strings, decimals)
+    val tGet: (InternalRow, Int) => Double =
+      if (near || tol.isDefined) AsofJoinExec.timeAsDouble(leftTime.dataType) else null
 
     val nKeys = leftKeys.size
 
@@ -188,6 +205,11 @@ case class AsofJoinExec(
         private val carryBuf = new UnsafeRow(rOut.size)
         carryBuf.pointTo(new Array[Byte](64), 64)
         private var carry: InternalRow = null
+        // the carried row's time, captured at consume time off rKt —
+        // nearest's distance chooser and tolerance's cutoff read it
+        // without re-projecting the carry
+        private var carryTimeNull = true
+        private var carryTime = 0.0
         private var prevLeftKt: UnsafeRow = null
 
         // project the right head's [keys, time] ONCE per advance, not
@@ -212,6 +234,7 @@ case class AsofJoinExec(
           val lKt = lKtProj(l)
           if (prevLeftKt == null || keyOrd.compare(lKt, prevLeftKt) != 0) {
             carry = null // the carry belonged to the previous key group
+            carryTimeNull = true
             prevLeftKt = lKt.copy()
           }
           var stop = false
@@ -228,12 +251,43 @@ case class AsofJoinExec(
                   case u: UnsafeRow => carryBuf.copyFrom(u); carry = carryBuf
                   case other => carry = other.copy()
                 }
+                carryTimeNull = rKt.isNullAt(nKeys)
+                if (!carryTimeNull && tGet != null) carryTime = tGet(rKt, nKeys)
                 advanceRight()
               } else stop = true
             }
           }
-          if (carry != null) { matched += 1; outProj(joined(l, carry)) }
-          else outProj(joined(l, nullRight))
+          if (!near) {
+            // tolerance: a null-time carry or a null left time has no
+            // defined distance → no match (same null algebra as the
+            // window formulation's `when(abs(t - ct) <= tol, v)`)
+            val ok = carry != null && (tol.isEmpty ||
+              (!carryTimeNull && !lKt.isNullAt(nKeys) &&
+                math.abs(tGet(lKt, nKeys) - carryTime) <= tol.get))
+            if (ok) { matched += 1; outProj(joined(l, carry)) }
+            else outProj(joined(l, nullRight))
+          } else {
+            // nearest: the stopped right head IS the forward candidate —
+            // smallest time > lt, smallest tieBreak tuple (first in sort
+            // order), exactly the window formulation's `first()` carry.
+            // Chooser replicates its null algebra: no forward → backward
+            // (even a null-time carry's values); forward exists and the
+            // backward side has no defined distance → forward; both
+            // timed → integer-exact distance compare, ties backward.
+            val ltNull = lKt.isNullAt(nKeys)
+            val lt = if (ltNull) 0.0 else tGet(lKt, nKeys)
+            val fwdKeyOk = rHead != null && keyOrd.compare(rKt, lKt) == 0
+            val ft = if (fwdKeyOk) tGet(rKt, nKeys) else 0.0
+            val fwdOk = fwdKeyOk &&
+              (tol.isEmpty || (!ltNull && (ft - lt) <= tol.get))
+            val backOk = carry != null && (tol.isEmpty ||
+              (!ltNull && !carryTimeNull && (lt - carryTime) <= tol.get))
+            val takeFwd = fwdOk && !(backOk && !carryTimeNull && !ltNull &&
+              (lt - carryTime) <= (ft - lt))
+            if (takeFwd) { matched += 1; outProj(joined(l, rHead)) }
+            else if (backOk) { matched += 1; outProj(joined(l, carry)) }
+            else outProj(joined(l, nullRight))
+          }
         }
       }
     }
@@ -258,6 +312,11 @@ case class AsofJoinExec(
     left.execute() :: right.execute() :: Nil
 
   override def needCopyResult: Boolean = true
+
+  // nearest needs the two-candidate chooser and tolerance the distance
+  // cutoff — both run on the interpreted merge; the plain directional
+  // merge compiles into the stage
+  override def supportCodegen: Boolean = !nearest && tolerance.isEmpty
 
   /** nulls-first three-way compare of one field, shared by key and time
     * comparisons so null semantics stay identical to the sort's. */
@@ -400,4 +459,25 @@ case class AsofJoinExec(
        |  if (shouldStop()) return;
        |}""".stripMargin
   }
+}
+
+object AsofJoinExec {
+  /** Time column as a double for nearest/tolerance distance arithmetic.
+    * Timestamps are epoch-micros longs internally (~1.7e15 « 2^53, so
+    * the double round-trip is exact — the same unix_micros arithmetic
+    * the window formulation and the DuckDB oracle do in int64);
+    * non-time numerics follow the window formulation's `cast("double")`.
+    */
+  private[plans] def timeAsDouble(dt: DataType): (InternalRow, Int) => Double =
+    dt match {
+      case TimestampType | TimestampNTZType | LongType =>
+        (r, i) => r.getLong(i).toDouble
+      case IntegerType | DateType => (r, i) => r.getInt(i).toDouble
+      case ShortType => (r, i) => r.getShort(i).toDouble
+      case ByteType => (r, i) => r.getByte(i).toDouble
+      case FloatType => (r, i) => r.getFloat(i).toDouble
+      case DoubleType => (r, i) => r.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"as-of nearest/tolerance needs a time-or-numeric time column, got $other")
+    }
 }

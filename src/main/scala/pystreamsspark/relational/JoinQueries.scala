@@ -418,6 +418,90 @@ object JoinQueries {
       |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |ORDER BY event_id""".stripMargin
 
+  /** NEAREST through the NATIVE exec: zero extra merge state — the
+    * right-side head the backward merge stops on IS the forward
+    * candidate (smallest time > lt, smallest tie-break), so the
+    * distance chooser runs on the carry + head pair. Shares
+    * [[qJoinAsofNearSql]]'s oracle with the window formulation. */
+  def qJoinAsofNativeNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    NativeAsof.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        direction = "nearest")
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  /** pandas-merge_asof `tolerance` in µs: 15 min. At every SF some
+    * events sit farther than 15 min after the user's last purchase, so
+    * the cutoff genuinely drops matches. */
+  val asofToleranceUs: Double = 900000000.0
+
+  /** Backward as-of with a TOLERANCE cutoff (window formulation):
+    * matches farther than 15 min in the past become NULL. */
+  def qJoinAsofTol(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    AsofJoin.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        tolerance = Some(asofToleranceUs))
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  /** Same tolerance cutoff through the NATIVE exec (the merge keeps the
+    * carried row's time and nulls beyond-cutoff matches at emit);
+    * shares [[qJoinAsofTolSql]]'s oracle. */
+  def qJoinAsofNativeTol(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    NativeAsof.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        tolerance = Some(asofToleranceUs))
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  val qJoinAsofTolSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN bt IS NOT NULL AND (epoch_us(ts) - epoch_us(bt)) <= 900000000
+      |       THEN bv END AS asof_value
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    last(pv IGNORE NULLS) OVER w AS bv,
+      |    last(pt IGNORE NULLS) OVER w AS bt
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      CASE WHEN event_type = 'purchase' THEN value END AS pv,
+      |      CASE WHEN event_type = 'purchase' THEN ts END AS pt,
+      |      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      |    FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, pv ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |ORDER BY event_id""".stripMargin
+
   /** Full outer join: per-nation customer counts ⟗ supplier counts —
     * nations missing on either side survive with NULL-coalesced zeros
     * (at small SF some nations have no suppliers, exercising the null
@@ -554,6 +638,9 @@ object JoinQueries {
     "q_join_asof_near" -> (qJoinAsofNear _),
     "q_join_asof_native" -> (qJoinAsofNative _),
     "q_join_asof_native_fwd" -> (qJoinAsofNativeFwd _),
+    "q_join_asof_native_near" -> (qJoinAsofNativeNear _),
+    "q_join_asof_tol" -> (qJoinAsofTol _),
+    "q_join_asof_native_tol" -> (qJoinAsofNativeTol _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -574,6 +661,9 @@ object JoinQueries {
     "q_join_asof_near" -> qJoinAsofNearSql,
     "q_join_asof_native" -> qJoinAsofSql,
     "q_join_asof_native_fwd" -> qJoinAsofFwdSql,
+    "q_join_asof_native_near" -> qJoinAsofNearSql,
+    "q_join_asof_tol" -> qJoinAsofTolSql,
+    "q_join_asof_native_tol" -> qJoinAsofTolSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)

@@ -42,7 +42,8 @@ class NativeAsofSpec extends SparkSpec {
       f(left, purchases, Seq("user_id"), "ts", "ts", Seq("value"), "asof_", direction)
         .select($"event_id", $"user_id", $"ts", $"asof_value")
         .orderBy($"event_id")
-    (run(NativeAsof.asofJoin), run(AsofJoin.asofJoin))
+    (run(NativeAsof.asofJoin(_, _, _, _, _, _, _, _)),
+      run(AsofJoin.asofJoin(_, _, _, _, _, _, _, _)))
   }
 
   test("backward on events matches the window formulation") {
@@ -52,6 +53,11 @@ class NativeAsofSpec extends SparkSpec {
 
   test("forward on events matches the window formulation") {
     val (native, window) = eventsAsof("forward")
+    sameResult(native, window)
+  }
+
+  test("nearest on events matches the window formulation") {
+    val (native, window) = eventsAsof("nearest")
     sameResult(native, window)
   }
 
@@ -86,7 +92,7 @@ class NativeAsofSpec extends SparkSpec {
         i.toDouble)
     }
     val right = rightRows.toDF("k", "t", "v")
-    for (direction <- Seq("backward", "forward")) {
+    for (direction <- Seq("backward", "forward", "nearest")) {
       val native = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t",
           Seq("v"), direction = direction)
         .orderBy($"probe_id")
@@ -94,6 +100,24 @@ class NativeAsofSpec extends SparkSpec {
           Seq("v"), direction = direction)
         .orderBy($"probe_id")
       sameResult(native, window)
+    }
+    // tolerance: every direction, cutoff tight enough (times span 0..39)
+    // that matches are dropped for real on both sides
+    for (direction <- Seq("backward", "forward", "nearest")) {
+      val native = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("v"), direction = direction, tolerance = Some(4.0))
+        .orderBy($"probe_id")
+      val window = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("v"), direction = direction, tolerance = Some(4.0))
+        .orderBy($"probe_id")
+      sameResult(native, window)
+      // the cutoff must bite: strictly fewer matches than unlimited
+      val unlimited = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t",
+        Seq("v"), direction = direction)
+      val matchedTol = native.filter($"asof_v".isNotNull).count()
+      val matchedAll = unlimited.filter($"asof_v".isNotNull).count()
+      assert(matchedTol < matchedAll,
+        s"$direction tolerance dropped nothing: $matchedTol vs $matchedAll")
     }
   }
 
