@@ -276,7 +276,11 @@ case class AsofJoinExec(
             // timed → integer-exact distance compare, ties backward.
             val ltNull = lKt.isNullAt(nKeys)
             val lt = if (ltNull) 0.0 else tGet(lKt, nKeys)
-            val fwdKeyOk = rHead != null && keyOrd.compare(rKt, lKt) == 0
+            // a same-key stopped head always has a non-null time (null
+            // times sort first and get consumed) — the null check is
+            // belt-and-braces, mirrored in the generated code
+            val fwdKeyOk = rHead != null && !rKt.isNullAt(nKeys) &&
+              keyOrd.compare(rKt, lKt) == 0
             val ft = if (fwdKeyOk) tGet(rKt, nKeys) else 0.0
             val fwdOk = fwdKeyOk &&
               (tol.isEmpty || (!ltNull && (ft - lt) <= tol.get))
@@ -312,11 +316,6 @@ case class AsofJoinExec(
     left.execute() :: right.execute() :: Nil
 
   override def needCopyResult: Boolean = true
-
-  // nearest needs the two-candidate chooser and tolerance the distance
-  // cutoff — both run on the interpreted merge; the plain directional
-  // merge compiles into the stage
-  override def supportCodegen: Boolean = !nearest && tolerance.isEmpty
 
   /** nulls-first three-way compare of one field, shared by key and time
     * comparisons so null semantics stay identical to the sort's. */
@@ -404,22 +403,120 @@ case class AsofJoinExec(
       rTimeVar.isNull.toString, rTimeVar.value.toString)
     val tcFinal = if (forward) s"$tc = -$tc;" else ""
 
+    // nearest / tolerance state: the carried row's time as a double,
+    // captured at consume time while rTimeVar is in scope (same
+    // timeAsDouble contract as the interpreted path — exact for epoch
+    // micros « 2^53)
+    val hasDist = nearest || tolerance.isDefined
+    val ctNull = if (hasDist)
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofCtNull", forceInline = true)
+    else ""
+    val ct = if (hasDist)
+      ctx.addMutableState(CodeGenerator.JAVA_DOUBLE, "asofCt", forceInline = true)
+    else ""
+    val captureCt = if (hasDist)
+      s"""$ctNull = ${rTimeVar.isNull};
+         |if (!$ctNull) $ct = (double)(${rTimeVar.value});""".stripMargin
+    else ""
+    val resetCt = if (hasDist) s"$ctNull = true;" else ""
+    val ltNull = ctx.freshName("asofLtNull")
+    val lt = ctx.freshName("asofLt")
+    val ltDecl = if (hasDist)
+      s"""boolean $ltNull = ${lTimeVar.isNull};
+         |double $lt = $ltNull ? 0.0 : (double)(${lTimeVar.value});""".stripMargin
+    else ""
+
+    // nearest's forward candidate: the stopped right head, re-evaluated
+    // post-loop through a SECOND set of bound accessors (fresh names)
+    ctx.INPUT_ROW = rightRow
+    val rKeyVars2 = if (nearest) rightKeys.map(
+      BindReferences.bindReference(_, right.output).genCode(ctx)) else Nil
+    val rTimeVar2 = if (nearest)
+      BindReferences.bindReference(rightTime, right.output).genCode(ctx) else null
+
     // output: left columns straight off the left row, right columns off
-    // the carry buffer guarded by its validity flag
+    // the carry buffer (or, for nearest, the forward head) guarded by
+    // the mode's matched condition
     ctx.INPUT_ROW = leftRow
     val leftOutVars = left.output.zipWithIndex.map { case (a, i) =>
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
-    val rightOutVars = right.output.zipWithIndex.map { case (a, i) =>
+    def carryOutVars(guard: String) = right.output.zipWithIndex.map { case (a, i) =>
       val isNull = ctx.freshName("asofRNull")
       val value = ctx.freshName("asofRVal")
       val jt = CodeGenerator.javaType(a.dataType)
       val getV = CodeGenerator.getValue(carryBuf, a.dataType, i.toString)
       val c =
-        code"""boolean $isNull = !$carryValid || $carryBuf.isNullAt($i);
+        code"""boolean $isNull = !$guard || $carryBuf.isNullAt($i);
               |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getV);"""
       ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
     }
+
+    val okVar = ctx.freshName("asofOk")
+    val takeFwd = ctx.freshName("asofTakeFwd")
+    val backOk = ctx.freshName("asofBackOk")
+    val fwdOk = ctx.freshName("asofFwdOk")
+    val ftVar = ctx.freshName("asofFt")
+    val kc2 = ctx.freshName("asofKc2")
+
+    val (postLoop, matchedCond, rightOutVars) =
+      if (nearest) {
+        val tolB = tolerance.map(t =>
+          s" && !$ltNull && !$ctNull && ($lt - $ct) <= ${t}D").getOrElse("")
+        val tolF = tolerance.map(t =>
+          s" && !$ltNull && ($ftVar - $lt) <= ${t}D").getOrElse("")
+        val kc2Checks = leftKeys.indices.map { i =>
+          s"""if ($kc2 == 0) {
+             |  ${genFieldComp(ctx, leftKeys(i).dataType, kc2,
+                  lKeyVars(i).isNull.toString, lKeyVars(i).value.toString,
+                  rKeyVars2(i).isNull.toString, rKeyVars2(i).value.toString)}
+             |}""".stripMargin
+        }.mkString("\n")
+        val block =
+          s"""boolean $fwdOk = false;
+             |double $ftVar = 0.0;
+             |if ($rightRow != null) {
+             |  ${rKeyVars2.map(_.code).mkString("\n")}
+             |  int $kc2 = 0;
+             |  $kc2Checks
+             |  if ($kc2 == 0) {
+             |    ${rTimeVar2.code}
+             |    if (!${rTimeVar2.isNull}) {
+             |      $ftVar = (double)(${rTimeVar2.value});
+             |      $fwdOk = true$tolF;
+             |    }
+             |  }
+             |}
+             |boolean $backOk = $carryValid$tolB;
+             |boolean $takeFwd = $fwdOk &&
+             |  !($backOk && !$ctNull && !$ltNull && ($lt - $ct) <= ($ftVar - $lt));""".stripMargin
+        val outVars = right.output.zipWithIndex.map { case (a, i) =>
+          val isNull = ctx.freshName("asofRNull")
+          val value = ctx.freshName("asofRVal")
+          val jt = CodeGenerator.javaType(a.dataType)
+          val getCarry = CodeGenerator.getValue(carryBuf, a.dataType, i.toString)
+          val getFwd = CodeGenerator.getValue(rightRow, a.dataType, i.toString)
+          val c =
+            code"""boolean $isNull = true;
+                  |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+                  |if ($takeFwd) {
+                  |  $isNull = $rightRow.isNullAt($i);
+                  |  if (!$isNull) $value = ($getFwd);
+                  |} else if ($backOk) {
+                  |  $isNull = $carryBuf.isNullAt($i);
+                  |  if (!$isNull) $value = ($getCarry);
+                  |}"""
+          ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+        }
+        (block, s"($takeFwd || $backOk)", outVars)
+      } else tolerance match {
+        case Some(t) =>
+          val block =
+            s"""boolean $okVar = $carryValid && !$ltNull && !$ctNull &&
+               |  Math.abs($lt - $ct) <= ${t}D;""".stripMargin
+          (block, okVar, carryOutVars(okVar))
+        case None => ("", carryValid, carryOutVars(carryValid))
+      }
 
     val stop = ctx.freshName("asofStop")
     s"""if (!$rightInit) { $rightInit = true; $fetchRight(); }
@@ -427,10 +524,12 @@ case class AsofJoinExec(
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
        |  ${lKeyVars.map(_.code).mkString("\n")}
        |  ${lTimeVar.code}
+       |  $ltDecl
        |  boolean $keyChanged = !$hasPrev;
        |  $changedChecks
        |  if ($keyChanged) {
        |    $carryValid = false;
+       |    $resetCt
        |    $hasPrev = true;
        |    $copyPrev
        |  }
@@ -449,12 +548,14 @@ case class AsofJoinExec(
        |      if ($tc <= 0) {
        |        $carryBuf.copyFrom(($unsafeRowCls) $rightRow);
        |        $carryValid = true;
+       |        $captureCt
        |        $fetchRight();
        |      } else { $stop = true; }
        |    }
        |  }
+       |  $postLoop
        |  $numOutput.add(1);
-       |  if ($carryValid) $numMatched.add(1);
+       |  if ($matchedCond) $numMatched.add(1);
        |  ${consume(ctx, leftOutVars ++ rightOutVars)}
        |  if (shouldStop()) return;
        |}""".stripMargin

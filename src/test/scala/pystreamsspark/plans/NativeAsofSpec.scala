@@ -148,13 +148,31 @@ class NativeAsofSpec extends SparkSpec {
     // error, so this test cannot pass on the interpreted fallback
     s.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val (native, window) = eventsAsof("backward")
-      sameResult(native, window)
-      // AQE wraps stages in leaf QueryStageExec nodes, so assert on the
-      // plan string: a codegen'd node prints with the `*(stageId)` prefix
-      val plan = finalPlan(native.queryExecution.executedPlan).toString
-      assert("""\*\(\d+\) AsofJoin""".r.findFirstIn(plan).nonEmpty,
-        s"AsofJoinExec not fused into a codegen stage:\n$plan")
+      for (direction <- Seq("backward", "nearest")) {
+        val (native, window) = eventsAsof(direction)
+        sameResult(native, window)
+        // AQE wraps stages in leaf QueryStageExec nodes, so assert on the
+        // plan string: a codegen'd node prints with the `*(stageId)` prefix
+        val plan = finalPlan(native.queryExecution.executedPlan).toString
+        assert("""\*\(\d+\) AsofJoin""".r.findFirstIn(plan).nonEmpty,
+          s"$direction AsofJoinExec not fused into a codegen stage:\n$plan")
+      }
+      // tolerance mode must also compile (distance cutoff in the stage)
+      import s.implicits._
+      val ev = pystreamsspark.io.Tables.events(s, sf)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      val tol = NativeAsof.asofJoin(
+          ev.select($"event_id", $"user_id", $"ts"), purchases,
+          Seq("user_id"), "ts", "ts", Seq("value"),
+          tolerance = Some(900000000.0))
+        .orderBy($"event_id")
+      val tolWin = AsofJoin.asofJoin(
+          ev.select($"event_id", $"user_id", $"ts"), purchases,
+          Seq("user_id"), "ts", "ts", Seq("value"),
+          tolerance = Some(900000000.0))
+        .orderBy($"event_id")
+      sameResult(tol, tolWin)
     } finally s.conf.unset("spark.sql.codegen.fallback")
     // the interpreted doExecute is the executable specification the
     // generated code must match — run it explicitly
