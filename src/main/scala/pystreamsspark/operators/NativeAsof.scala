@@ -14,6 +14,12 @@ import pystreamsspark.plans.{AsofJoinPlan, AsofJoinStrategy}
   * IS the forward candidate (smallest time > lt, smallest tie-break
   * tuple), so the chooser runs on O(1) state with no second carry.
   *
+  * `broadcast = true` plans [[pystreamsspark.plans.BroadcastAsofJoinExec]]
+  * instead: the right side broadcasts and every probe is a per-key
+  * binary search — zero exchanges and zero sorts on the (big) left
+  * side. Use it whenever the right side is a small dimension timeline;
+  * the sort-merge form remains the default for same-scale sides.
+  *
   * The right side is re-projected through fresh aliases before the plan
   * is built: that (a) mints new expression IDs so `left` and `right`
   * may share a lineage (self-join safe), and (b) renames every right
@@ -30,7 +36,8 @@ object NativeAsof {
       valueCols: Seq[String],
       prefix: String = "asof_",
       direction: String = "backward",
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      broadcast: Boolean = false): DataFrame = {
     require(by.nonEmpty, "native as-of join needs at least one by-key")
     val (forward, nearest) = direction match {
       case "backward" => (false, false)
@@ -63,7 +70,8 @@ object NativeAsof {
       rightTieBreak = valueCols.map(c => attr(rPlan, s"$prefix$c")),
       forward = forward,
       nearest = nearest,
-      tolerance = tolerance)
+      tolerance = tolerance,
+      broadcast = broadcast)
     PlanBridge.ofRows(spark, node)
       .select((left.columns.toSeq ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
   }

@@ -53,7 +53,8 @@ case class AsofJoinPlan(
     rightTieBreak: Seq[Expression],
     forward: Boolean,
     nearest: Boolean = false,
-    tolerance: Option[Double] = None) extends BinaryNode {
+    tolerance: Option[Double] = None,
+    broadcast: Boolean = false) extends BinaryNode {
 
   // the exec compares keys/time ACROSS sides through one shared row
   // layout, so the types must line up exactly
@@ -88,9 +89,13 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, near, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, tie, fwd, near, tol,
-        planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, near, tol, bcast) =>
+      if (bcast)
+        BroadcastAsofJoinExec(lk, rk, lt, rt, tie, fwd, near, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsofJoinExec(lk, rk, lt, rt, tie, fwd, near, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

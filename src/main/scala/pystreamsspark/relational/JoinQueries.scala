@@ -440,6 +440,28 @@ object JoinQueries {
       .orderBy($"event_id")
   }
 
+  /** As-of through the BROADCAST exec: the small-dimension-timeline
+    * plan — purchases broadcast once, every event answered by a per-key
+    * binary search, ZERO exchanges/sorts on the probe side
+    * ([[pystreamsspark.plans.BroadcastAsofJoinExec]]; plan shape
+    * asserted in NativeAsofSpec). Shares [[qJoinAsofSql]]'s oracle. */
+  def qJoinAsofBcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    NativeAsof.asofJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCols = Seq("value"),
+        broadcast = true)
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
   /** pandas-merge_asof `tolerance` in µs: 15 min. At every SF some
     * events sit farther than 15 min after the user's last purchase, so
     * the cutoff genuinely drops matches. */
@@ -641,6 +663,7 @@ object JoinQueries {
     "q_join_asof_native_near" -> (qJoinAsofNativeNear _),
     "q_join_asof_tol" -> (qJoinAsofTol _),
     "q_join_asof_native_tol" -> (qJoinAsofNativeTol _),
+    "q_join_asof_bcast" -> (qJoinAsofBcast _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -664,6 +687,7 @@ object JoinQueries {
     "q_join_asof_native_near" -> qJoinAsofNearSql,
     "q_join_asof_tol" -> qJoinAsofTolSql,
     "q_join_asof_native_tol" -> qJoinAsofTolSql,
+    "q_join_asof_bcast" -> qJoinAsofSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)

@@ -73,25 +73,30 @@ class NativeAsofSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
   }
 
-  test("adversarial shapes: ties, duplicates, missing keys, null times") {
+  /** left: 400 probes over 12 keys (keys 10/11 absent on the right),
+    * integer times in a tight range so (key, time) ties are common,
+    * plus null times; right: 300 quotes over keys 0..9 with heavy
+    * (key, time) duplication, distinct tie-break values, null times. */
+  private def adversarialData: (DataFrame, DataFrame) = {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(42)
-    // left: 400 probes over 12 keys (keys 10/11 absent on the right),
-    // integer times in a tight range so (key, time) ties are common
     val leftRows = (1 to 400).map { i =>
       (i.toLong, rnd.nextInt(12).toLong,
         if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(40).toLong))
     }
-    val left = leftRows.toDF("probe_id", "k", "t")
-    // right: 300 quotes over keys 0..9 with heavy (key, time) duplication
-    // and distinct tie-break values, plus some null times
     val rightRows = (1 to 300).map { i =>
       (rnd.nextInt(10).toLong,
         if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong),
         i.toDouble)
     }
-    val right = rightRows.toDF("k", "t", "v")
+    (leftRows.toDF("probe_id", "k", "t"), rightRows.toDF("k", "t", "v"))
+  }
+
+  test("adversarial shapes: ties, duplicates, missing keys, null times") {
+    val s = spark
+    import s.implicits._
+    val (left, right) = adversarialData
     for (direction <- Seq("backward", "forward", "nearest")) {
       val native = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t",
           Seq("v"), direction = direction)
@@ -188,8 +193,46 @@ class NativeAsofSpec extends SparkSpec {
     import s.implicits._
     val left = Seq((1L, 1L, 1L), (2L, 1L, 2L)).toDF("id", "k", "t")
     val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
-    val out = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
-      .orderBy($"id").collect()
-    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+    for (bcast <- Seq(false, true)) {
+      val out = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+          broadcast = bcast)
+        .orderBy($"id").collect()
+      assert(out.length == 2 && out.forall(_.isNullAt(3)), s"broadcast=$bcast")
+    }
+  }
+
+  test("broadcast variant matches the window formulation: every direction × tolerance") {
+    val s = spark
+    import s.implicits._
+    val (left, right) = adversarialData
+    for (direction <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(4.0))) {
+      val native = NativeAsof.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("v"), direction = direction, tolerance = tol, broadcast = true)
+        .orderBy($"probe_id")
+      val window = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("v"), direction = direction, tolerance = tol)
+        .orderBy($"probe_id")
+      sameResult(native, window)
+    }
+  }
+
+  test("broadcast plan: one broadcast exchange, ZERO shuffles and sorts") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val q = NativeAsof.asofJoin(
+      ev.select($"event_id", $"user_id", $"ts"), purchases,
+      Seq("user_id"), "ts", "ts", Seq("value"), broadcast = true)
+    q.collect()
+    val plan = finalPlan(q.queryExecution.executedPlan).toString
+    assert(plan.contains("BroadcastAsofJoin"), s"exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"no broadcast exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"probe side shuffled:\n$plan")
+    assert(!plan.contains("Sort ["), s"probe side sorted:\n$plan")
   }
 }
