@@ -623,6 +623,36 @@ object Stress {
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
         .agg(sum($"asof_value")).count()
     }
+    // BROADCAST as-of probe: big-fact / small-dim asymmetry — the probe
+    // side grows xN along the TIME axis (event_id offsets, user_ids
+    // unchanged) while the build side stays the base purchases table.
+    // The merge exec must shuffle+sort the whole amplified probe; the
+    // broadcast exec ships the small build once and streams the probe
+    // through untouched — the gap between these two rows is exactly the
+    // probe-side shuffle, the term that dominates at 100 TB.
+    def bigProbe(): (DataFrame, DataFrame) = {
+      val l = (0 until mult).map { r =>
+        pystreamsspark.io.Tables.events(spark, sfDir)
+          .withColumn("event_id", $"event_id" + lit(r * 100000000L))
+      }.reduce(_ unionByName _).select($"event_id", $"user_id", $"ts")
+      val r = pystreamsspark.io.Tables.events(spark, sfDir)
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      (l, r)
+    }
+    time(s"asof_merge_bigprobe x$mult") {
+      val (l, r) = bigProbe()
+      pystreamsspark.operators.NativeAsof
+        .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+        .agg(sum($"asof_value")).count()
+    }
+    time(s"asof_bcast_bigprobe x$mult") {
+      val (l, r) = bigProbe()
+      pystreamsspark.operators.NativeAsof
+        .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"),
+          broadcast = true)
+        .agg(sum($"asof_value")).count()
+    }
     spark.stop()
   }
 }
