@@ -13,6 +13,28 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Running per-user state for the arbitrary-state example. */
 case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Streaming as-of: probe-side row (asks "latest quote at-or-before my
+  * time for my key"). */
+case class AsofProbe(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
+/** Streaming as-of: quote-side row (the state timeline). */
+case class AsofQuote(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Streaming as-of output; `asof_value` None = no quote at-or-before. */
+case class AsofMatch(event_id: Long, user_id: Long,
+                     ts: java.sql.Timestamp, asof_value: Option[Double])
+
+/** Internal union row for the streaming as-of (side 0 = quote, 1 = probe). */
+case class AsofIn(user_id: Long, ts: java.sql.Timestamp, side: Int,
+                  event_id: Long, value: Double)
+
+/** Per-key streaming as-of state: quote timeline (millis, value) and
+  * probes still inside the late window. Both lists are bounded by the
+  * watermark: quotes older than the carry are evicted each batch,
+  * probes leave as soon as the watermark passes them. */
+case class AsofKeyState(quotes: List[(Long, Double)],
+                        pending: List[(Long, Long)])
+
 /** Structured-Streaming forms of the event-time operators (SURVEY.md
   * §2.7). Each transform takes a DataFrame that can be EITHER a batch
   * frame or a `readStream` frame — the logical plan is identical; only
@@ -166,6 +188,90 @@ object EventStreams {
             // expire 30 min of event time after this user's latest event
             state.setTimeoutTimestamp(maxTs + 30 * 60 * 1000L)
             Iterator.empty
+          }
+      }
+  }
+
+  /** STREAMING as-of join (backward): every probe event picks up the
+    * latest quote at-or-before its event time for its key, with
+    * out-of-order arrivals handled CORRECTLY up to the watermark — the
+    * streaming form of [[pystreamsspark.operators.AsofJoin]] /
+    * [[pystreamsspark.plans.AsofJoinExec]], which the batch oracles
+    * check; `AsofStreamSpec` proves this stream converges to the batch
+    * result under adversarial arrival orders.
+    *
+    * Mechanics: both sides union into one keyed stream; per key,
+    * `flatMapGroupsWithState` buffers quotes and probes until the
+    * watermark passes a probe's time — at that point every quote
+    * at-or-before that probe can no longer arrive (watermark
+    * guarantee), so the match is FINAL and emits exactly once. Ties on
+    * quote time resolve to the greatest value, the same deterministic
+    * rule as the batch forms.
+    *
+    * Bounded state (the 100 TB/day property): each batch evicts every
+    * quote older than the carry (the latest quote at-or-before the
+    * watermark — still needed by future probes), pending probes drain
+    * as the watermark moves, and idle keys expire wholesale via an
+    * event-time timeout 30 min after their last activity (any probes
+    * still pending at expiry are final by then — the timeout fires only
+    * once the watermark is past them). This is the Flink
+    * temporal-join / QuestDB ASOF shape: O(late window) state per key,
+    * never O(history).
+    */
+  def streamingAsof(
+      probes: Dataset[AsofProbe],
+      quotes: Dataset[AsofQuote],
+      lateness: String = "10 minutes"): Dataset[AsofMatch] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val unioned = probes.map(p => AsofIn(p.user_id, p.ts, 1, p.event_id, 0.0))
+      .unionByName(quotes.map(q => AsofIn(q.user_id, q.ts, 0, 0L, q.value)))
+      .withWatermark("ts", lateness)
+
+    def resolve(sortedQuotes: List[(Long, Double)], uid: Long,
+        ready: List[(Long, Long)]): List[AsofMatch] =
+      ready.sortBy(identity).map { case (eid, pts) =>
+        // greatest quote ts <= probe ts; (ts, value)-asc order makes the
+        // last element of a tie run the greatest value — the batch rule
+        val m = sortedQuotes.takeWhile(_._1 <= pts).lastOption
+        AsofMatch(eid, uid, new java.sql.Timestamp(pts), m.map(_._2))
+      }
+
+    unioned
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofKeyState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[AsofIn], state: GroupState[AsofKeyState]) =>
+          if (state.hasTimedOut) {
+            // idle expiry: the watermark is ≥ 30 min past this key's
+            // last event, so every pending probe is final — flush with
+            // the buffered timeline, then drop the key's state entirely
+            val st = state.get
+            state.remove()
+            resolve(st.quotes.sortBy(identity), uid, st.pending).iterator
+          } else {
+            val prev = state.getOption.getOrElse(AsofKeyState(Nil, Nil))
+            var quotes = prev.quotes
+            var pending = prev.pending
+            var maxTs = Long.MinValue
+            batch.foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (e.side == 0) quotes = (e.ts.getTime, e.value) :: quotes
+              else pending = (e.event_id, e.ts.getTime) :: pending
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val sortedQuotes = quotes.sortBy(identity)
+            val (ready, stillPending) = pending.partition(_._2 <= wm)
+            val out = resolve(sortedQuotes, uid, ready)
+            // evict: keep the carry (latest quote <= wm — future probes
+            // may still need it) plus quotes ahead of the watermark
+            val kept =
+              sortedQuotes.takeWhile(_._1 <= wm).lastOption.toList :::
+                sortedQuotes.filter(_._1 > wm)
+            state.update(AsofKeyState(kept, stillPending))
+            state.setTimeoutTimestamp(
+              math.max(wm + 1, maxTs + 30 * 60 * 1000L))
+            out.iterator
           }
       }
   }

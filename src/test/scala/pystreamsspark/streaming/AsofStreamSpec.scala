@@ -1,0 +1,121 @@
+package pystreamsspark.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+import pystreamsspark.operators.AsofJoin
+
+/** The streaming as-of must CONVERGE TO THE BATCH RESULT: once the
+  * watermark finalizes a probe, its emitted match equals what the
+  * (oracle-checked) batch formulation computes over the complete data —
+  * under adversarial arrival orders: probes before their quotes, late
+  * quotes inside the lateness window, interleaved keys, ties on quote
+  * time, and idle-key timeout flushes.
+  */
+class AsofStreamSpec extends SparkSpec {
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  test("streaming as-of converges to the batch result under out-of-order arrivals") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val probes = MemoryStream[AsofProbe]
+    val quotes = MemoryStream[AsofQuote]
+    val q = EventStreams.streamingAsof(probes.toDS(), quotes.toDS(), "5 minutes")
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    val allProbes = scala.collection.mutable.ArrayBuffer[AsofProbe]()
+    val allQuotes = scala.collection.mutable.ArrayBuffer[AsofQuote]()
+    def pr(batch: AsofProbe*): Unit = { allProbes ++= batch; probes.addData(batch); q.processAllAvailable() }
+    def qt(batch: AsofQuote*): Unit = { allQuotes ++= batch; quotes.addData(batch); q.processAllAvailable() }
+    try {
+      // probes arrive BEFORE any quote exists (must buffer, not emit null)
+      pr(AsofProbe(1, 1L, ts(10)), AsofProbe(2, 1L, ts(12)),
+        AsofProbe(3, 2L, ts(11)))
+      // quotes catch up out of order, including a (key, time) tie —
+      // greatest value must win, same rule as batch
+      qt(AsofQuote(1L, ts(9), 100.0), AsofQuote(1L, ts(12), 120.0),
+        AsofQuote(1L, ts(12), 125.0), AsofQuote(2L, ts(8), 50.0))
+      // a LATE quote inside the 5-min lateness window that changes
+      // probe 1's answer if mishandled (ts 11 > 9, still <= probe 2's 12)
+      qt(AsofQuote(1L, ts(11), 110.0))
+      // watermark advances: 30-5=25 finalizes probes 10/11/12
+      pr(AsofProbe(4, 1L, ts(30)))
+      // further advance finalizes probe 4; user 3 has no quotes at all
+      pr(AsofProbe(5, 2L, ts(60)), AsofProbe(6, 3L, ts(61)))
+      // push the watermark far enough that idle keys 1/2/3 time out and
+      // flush their pending probes (5 and 6)
+      pr(AsofProbe(7, 9L, ts(200)))
+      pr(AsofProbe(8, 9L, ts(205))) // extra batch so timeouts drain
+      val got = s.sql(
+        """SELECT event_id, user_id, ts, asof_value
+          |FROM asof_stream_out ORDER BY event_id""".stripMargin).collect()
+      // probes 1-6 are finalized; 7/8 may still pend — compare the
+      // finalized prefix against the batch formulation on the SAME data
+      val batchExpected = AsofJoin.asofJoin(
+          allProbes.toSeq.toDF("event_id", "user_id", "ts"),
+          allQuotes.toSeq.toDF("user_id", "ts", "value"),
+          Seq("user_id"), "ts", "ts", Seq("value"))
+        .select($"event_id", $"user_id", $"ts", $"asof_value")
+        .filter($"event_id" <= 6).orderBy($"event_id").collect()
+      val finalized = got.filter(_.getLong(0) <= 6)
+      assert(finalized.length == 6,
+        s"expected probes 1-6 finalized, got ${got.mkString(", ")}")
+      finalized.zip(batchExpected).foreach { case (a, b) =>
+        assert(a == b, s"stream row $a != batch row $b")
+      }
+      // each probe emitted exactly once (append-mode finality)
+      assert(got.map(_.getLong(0)).distinct.length == got.length)
+    } finally q.stop()
+  }
+
+  test("per-key state stays bounded: quotes evict down to the carry") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val probes = MemoryStream[AsofProbe]
+    val quotes = MemoryStream[AsofQuote]
+    val q = EventStreams.streamingAsof(probes.toDS(), quotes.toDS(), "5 minutes")
+      .writeStream.format("memory").queryName("asof_bounded_out")
+      .outputMode("append").start()
+    try {
+      // 60 quotes for one key over an hour; watermark sweeps past them
+      for (m <- 1 to 60) {
+        quotes.addData(AsofQuote(1L, ts(m.toLong), m.toDouble))
+      }
+      q.processAllAvailable()
+      probes.addData(AsofProbe(100, 1L, ts(90)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(101, 1L, ts(95)))
+      q.processAllAvailable()
+      // keyed state: the 60 swept-past quotes collapse into ONE
+      // AsofKeyState row per key (list internally evicted to the carry)
+      val stateRows = q.lastProgress.stateOperators.asScala
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 2,
+        s"state not bounded: $stateRows rows (expected <=2 keyed states)")
+      // push the watermark past key 1's idle timeout (95 + 30 = 125min)
+      // so its remaining pending probes flush, then drain the timeout
+      probes.addData(AsofProbe(102, 1L, ts(120)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(200, 9L, ts(170)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(201, 9L, ts(175)))
+      q.processAllAvailable()
+      // every finalized probe carries the LAST quote (value 60) — proof
+      // the eviction kept exactly the right carry after sweeping 59
+      // older quotes out of state
+      val vals = s.sql(
+        """SELECT event_id, asof_value FROM asof_bounded_out
+          |WHERE event_id IN (100, 101, 102) ORDER BY event_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(vals.toSeq == Seq((100L, 60.0), (101L, 60.0), (102L, 60.0)),
+        vals.mkString(","))
+    } finally q.stop()
+  }
+
+  private implicit class ArrOps[A](a: Array[A]) {
+    def asScala: Seq[A] = a.toSeq
+  }
+}
