@@ -217,6 +217,32 @@ class NativeAsofSpec extends SparkSpec {
     }
   }
 
+  test("broadcast handles multi-column string keys (var-length UnsafeRow grouping)") {
+    val s = spark
+    import s.implicits._
+    // string + long compound keys, including null key fields on both
+    // sides (null keys must group together, as PARTITION BY does) —
+    // exercises var-length UnsafeRow byte-equality in the build map
+    val left = Seq(
+      (1L, Some("alpha"), 1L, 5L), (2L, Some("alpha"), 1L, 9L),
+      (3L, Some("beta"), 2L, 7L), (4L, None, 1L, 6L),
+      (5L, Some("gamma"), 9L, 3L)
+    ).toDF("probe_id", "k1", "k2", "t")
+    val right = Seq(
+      (Some("alpha"), 1L, 4L, 10.0), (Some("alpha"), 1L, 8L, 20.0),
+      (Some("beta"), 2L, 7L, 30.0), (None.asInstanceOf[Option[String]], 1L, 2L, 40.0)
+    ).toDF("k1", "k2", "t", "v")
+    for (direction <- Seq("backward", "forward", "nearest")) {
+      val native = NativeAsof.asofJoin(left, right, Seq("k1", "k2"),
+          "t", "t", Seq("v"), direction = direction, broadcast = true)
+        .orderBy($"probe_id")
+      val window = AsofJoin.asofJoin(left, right, Seq("k1", "k2"),
+          "t", "t", Seq("v"), direction = direction)
+        .orderBy($"probe_id")
+      sameResult(native, window)
+    }
+  }
+
   test("broadcast plan: one broadcast exchange, ZERO shuffles and sorts") {
     val s = spark
     import s.implicits._
