@@ -154,4 +154,68 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select((leftCols ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
   }
+
+  /** Interpolation join (kdb-style `aj`+lerp): each left row gets the
+    * right value LINEARLY INTERPOLATED between the surrounding quotes
+    * of its key — `bv + (fv - bv) * ((t - bt) / (ft - bt))` over the
+    * backward and forward neighbors; exact hits land on the quote
+    * (frac = 0), rows before the first / after the last quote clamp to
+    * the nearest one. Same single-shuffle both-carry frame as
+    * `direction = "nearest"`; the arithmetic is a fixed IEEE sequence
+    * (each epoch-µs cast to double first, then subtract/divide/
+    * multiply/add) so a DuckDB oracle replays it bit-for-bit.
+    */
+  def interpolationJoin(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCol: String,
+      prefix: String = "interp_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lSel = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast("double"))
+      .select((by ++ Seq("__t", "__side", "__v") ++
+        leftCols.filterNot(by.contains)).distinct.map(col): _*)
+    val r0 = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__v", col(valueCol).cast("double"))
+    val rSel = leftCols.foldLeft(r0)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+      .select((by ++ Seq("__t", "__side", "__v") ++
+        leftCols.filterNot(by.contains)).distinct.map(col): _*)
+    val unioned = lSel.unionByName(rSel)
+    def micros(c: org.apache.spark.sql.Column) =
+      if (unioned.schema("__t").dataType ==
+          org.apache.spark.sql.types.TimestampType) unix_micros(c)
+      else c.cast("double")
+    val base = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__v").asc)
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rt = when(col("__side") === 0, col("__t"))
+    val carried = unioned
+      .withColumn("__bt", last(rt, ignoreNulls = true).over(back))
+      .withColumn("__bv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__ft", first(rt, ignoreNulls = true).over(fwdW))
+      .withColumn("__fv", first(col("__v"), ignoreNulls = true).over(fwdW))
+    // IDENTICAL op sequence to the oracle SQL: double-cast each epoch,
+    // then (t-bt)/(ft-bt), multiply, add — never reassociate
+    val t = micros(col("__t")).cast("double")
+    val bt = micros(col("__bt")).cast("double")
+    val ft = micros(col("__ft")).cast("double")
+    val lerp = col("__bv") + (col("__fv") - col("__bv")) * ((t - bt) / (ft - bt))
+    val interp = when(col("__bt").isNull, col("__fv"))
+      .when(col("__ft").isNull, col("__bv"))
+      .when(micros(col("__ft")) === micros(col("__bt")), col("__bv"))
+      .otherwise(lerp)
+    carried
+      .withColumn(s"$prefix$valueCol", interp)
+      .filter(col("__side") === 1)
+      .select((leftCols :+ s"$prefix$valueCol").map(col): _*)
+  }
 }

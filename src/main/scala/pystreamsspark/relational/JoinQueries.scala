@@ -524,6 +524,55 @@ object JoinQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |ORDER BY event_id""".stripMargin
 
+  /** INTERPOLATION join: each event picks the purchase value linearly
+    * interpolated between the surrounding purchases of its user —
+    * kdb-style `aj`+lerp, same single-shuffle both-carry frame as the
+    * nearest as-of. Fixed IEEE op sequence (double-cast epochs →
+    * subtract → divide → multiply → add) replayed verbatim by DuckDB. */
+  def qJoinInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    AsofJoin.interpolationJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCol = "value")
+      .select($"event_id", $"user_id", $"ts", $"interp_value")
+      .orderBy($"event_id")
+  }
+
+  val qJoinInterpSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN bt IS NULL THEN fv
+      |       WHEN ft IS NULL THEN bv
+      |       WHEN epoch_us(ft) = epoch_us(bt) THEN bv
+      |       ELSE bv + (fv - bv) *
+      |         ((CAST(epoch_us(ts) AS DOUBLE) - CAST(epoch_us(bt) AS DOUBLE)) /
+      |          (CAST(epoch_us(ft) AS DOUBLE) - CAST(epoch_us(bt) AS DOUBLE)))
+      |  END AS interp_value
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    last(pv IGNORE NULLS) OVER wback AS bv,
+      |    last(pt IGNORE NULLS) OVER wback AS bt,
+      |    first_value(pv IGNORE NULLS) OVER wfwd AS fv,
+      |    first_value(pt IGNORE NULLS) OVER wfwd AS ft
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      CASE WHEN event_type = 'purchase' THEN value END AS pv,
+      |      CASE WHEN event_type = 'purchase' THEN ts END AS pt,
+      |      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      |    FROM events)
+      |  WINDOW
+      |    wback AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, pv ASC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wfwd AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, pv ASC
+      |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |ORDER BY event_id""".stripMargin
+
   /** Full outer join: per-nation customer counts ⟗ supplier counts —
     * nations missing on either side survive with NULL-coalesced zeros
     * (at small SF some nations have no suppliers, exercising the null
@@ -664,6 +713,7 @@ object JoinQueries {
     "q_join_asof_tol" -> (qJoinAsofTol _),
     "q_join_asof_native_tol" -> (qJoinAsofNativeTol _),
     "q_join_asof_bcast" -> (qJoinAsofBcast _),
+    "q_join_interp" -> (qJoinInterp _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -688,6 +738,7 @@ object JoinQueries {
     "q_join_asof_tol" -> qJoinAsofTolSql,
     "q_join_asof_native_tol" -> qJoinAsofTolSql,
     "q_join_asof_bcast" -> qJoinAsofSql,
+    "q_join_interp" -> qJoinInterpSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)
