@@ -89,35 +89,43 @@ object AsofJoin {
       val base = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
       val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val rt = when(col("__side") === 0, col("__t"))
-      val carried = valueCols.foldLeft(
-        unioned
-          .withColumn("__bt", last(rt, ignoreNulls = true).over(back))
-          .withColumn("__ft", first(rt, ignoreNulls = true).over(fwd))) {
-        (df, c) =>
-          df.withColumn(s"__b_$c", last(col(s"__v_$c"), ignoreNulls = true).over(back))
-            .withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(fwd))
-      }
-      val bDist = micros(col("__t")) - micros(col("__bt"))
-      val fDist = micros(col("__ft")) - micros(col("__t"))
+      // carry WHOLE ROWS as a struct (null for left rows → ignoreNulls
+      // skips them): time and values always come from the same right
+      // row, so a right row with a NULL value column matches as NULL —
+      // the native execs' row semantics, not a per-column last-non-null
+      // mix of different rows
+      val rowStruct = when(col("__side") === 0,
+        struct((col("__t").as("__rt") +:
+          valueCols.map(c => col(s"__v_$c").as(c))): _*))
+      val carried = unioned
+        .withColumn("__b", last(rowStruct, ignoreNulls = true).over(back))
+        .withColumn("__f", first(rowStruct, ignoreNulls = true).over(fwd))
+      // a forward-carried row always has a non-null time (null times
+      // sort first, ahead of every left row), so __f.isNull ≡ ftCol
+      // .isNull — the same invariant the native merge relies on
+      val btCol = col("__b").getField("__rt")
+      val ftCol = col("__f").getField("__rt")
+      val bDist = micros(col("__t")) - micros(btCol)
+      val fDist = micros(ftCol) - micros(col("__t"))
       val chosen = tolerance match {
         case None =>
-          val takeBack = col("__ft").isNull || (col("__bt").isNotNull &&
-            bDist <= fDist)
+          val takeBack = ftCol.isNull || (btCol.isNotNull && bDist <= fDist)
           valueCols.foldLeft(carried)((df, c) =>
             df.withColumn(s"$prefix$c",
-              when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+              when(takeBack, col("__b").getField(c))
+                .otherwise(col("__f").getField(c))))
         case Some(t) =>
           // candidates are tolerance-filtered FIRST, then the nearest
           // surviving one wins (ties backward) — pandas merge_asof
           // semantics; a null distance (null-time carry / null left
           // time) never survives the filter
-          val fwdOk = col("__ft").isNotNull && fDist <= lit(t)
-          val backOk = col("__bt").isNotNull && bDist <= lit(t)
+          val fwdOk = ftCol.isNotNull && fDist <= lit(t)
+          val backOk = btCol.isNotNull && bDist <= lit(t)
           val takeFwd = fwdOk && !(backOk && bDist <= fDist)
           valueCols.foldLeft(carried)((df, c) =>
             df.withColumn(s"$prefix$c",
-              when(takeFwd, col(s"__f_$c")).when(backOk, col(s"__b_$c"))))
+              when(takeFwd, col("__f").getField(c))
+                .when(backOk, col("__b").getField(c))))
       }
       return chosen
         .filter(col("__side") === 1)
@@ -134,20 +142,24 @@ object AsofJoin {
       .orderBy((Seq(timeOrd, col("__side").asc) ++
         valueCols.map(c => col(s"__v_$c").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"$prefix$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
-    // tolerance: carry the matched right row's TIME alongside the values
-    // and null out matches farther than the cutoff — abs() covers both
-    // directions (backward carry time <= t, forward >= t); a null
+    // carry the WHOLE matched row as a struct (see the nearest branch):
+    // values and time stay paired, null value columns match as null
+    val rowStruct = when(col("__side") === 0,
+      struct((col("__t").as("__rt") +:
+        valueCols.map(c => col(s"__v_$c").as(c))): _*))
+    val carried = valueCols.foldLeft(
+      unioned.withColumn("__cr", last(rowStruct, ignoreNulls = true).over(w)))(
+      (df, c) => df.withColumn(s"$prefix$c", col("__cr").getField(c)))
+    // tolerance: null out matches farther than the cutoff — abs() covers
+    // both directions (backward carry time <= t, forward >= t); a null
     // distance (null-time carry / null left time) is no match
     val toleranced = tolerance match {
       case None => carried
       case Some(t) =>
-        val rt = when(col("__side") === 0, col("__t"))
-        val withCt = carried.withColumn("__ct", last(rt, ignoreNulls = true).over(w))
-        valueCols.foldLeft(withCt)((df, c) =>
+        val ct = col("__cr").getField("__rt")
+        valueCols.foldLeft(carried)((df, c) =>
           df.withColumn(s"$prefix$c",
-            when(abs(micros(col("__t")) - micros(col("__ct"))) <= lit(t),
+            when(abs(micros(col("__t")) - micros(ct)) <= lit(t),
               col(s"$prefix$c"))))
     }
     toleranced
@@ -197,21 +209,26 @@ object AsofJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__v").asc)
     val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwdW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val rt = when(col("__side") === 0, col("__t"))
+    // whole-row struct carries (see asofJoin): neighbor time and value
+    // stay paired even when a quote's value is NULL
+    val rowStruct = when(col("__side") === 0,
+      struct(col("__t").as("__rt"), col("__v").as("__rv")))
     val carried = unioned
-      .withColumn("__bt", last(rt, ignoreNulls = true).over(back))
-      .withColumn("__bv", last(col("__v"), ignoreNulls = true).over(back))
-      .withColumn("__ft", first(rt, ignoreNulls = true).over(fwdW))
-      .withColumn("__fv", first(col("__v"), ignoreNulls = true).over(fwdW))
+      .withColumn("__b", last(rowStruct, ignoreNulls = true).over(back))
+      .withColumn("__f", first(rowStruct, ignoreNulls = true).over(fwdW))
+    val btRaw = col("__b").getField("__rt")
+    val ftRaw = col("__f").getField("__rt")
+    val bv = col("__b").getField("__rv")
+    val fv = col("__f").getField("__rv")
     // IDENTICAL op sequence to the oracle SQL: double-cast each epoch,
     // then (t-bt)/(ft-bt), multiply, add — never reassociate
     val t = micros(col("__t")).cast("double")
-    val bt = micros(col("__bt")).cast("double")
-    val ft = micros(col("__ft")).cast("double")
-    val lerp = col("__bv") + (col("__fv") - col("__bv")) * ((t - bt) / (ft - bt))
-    val interp = when(col("__bt").isNull, col("__fv"))
-      .when(col("__ft").isNull, col("__bv"))
-      .when(micros(col("__ft")) === micros(col("__bt")), col("__bv"))
+    val bt = micros(btRaw).cast("double")
+    val ft = micros(ftRaw).cast("double")
+    val lerp = bv + (fv - bv) * ((t - bt) / (ft - bt))
+    val interp = when(btRaw.isNull, fv)
+      .when(ftRaw.isNull, bv)
+      .when(micros(ftRaw) === micros(btRaw), bv)
       .otherwise(lerp)
     carried
       .withColumn(s"$prefix$valueCol", interp)

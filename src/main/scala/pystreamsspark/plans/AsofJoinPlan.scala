@@ -463,13 +463,17 @@ case class AsofJoinExec(
     val fwdOk = ctx.freshName("asofFwdOk")
     val ftVar = ctx.freshName("asofFt")
     val kc2 = ctx.freshName("asofKc2")
+    // splice the tolerance as a bit-exact literal — a raw toString would
+    // generate uncompilable Java for Infinity/NaN sentinels
+    def tolLit(t: Double): String =
+      s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(t)}L)"
 
     val (postLoop, matchedCond, rightOutVars) =
       if (nearest) {
         val tolB = tolerance.map(t =>
-          s" && !$ltNull && !$ctNull && ($lt - $ct) <= ${t}D").getOrElse("")
+          s" && !$ltNull && !$ctNull && ($lt - $ct) <= ${tolLit(t)}").getOrElse("")
         val tolF = tolerance.map(t =>
-          s" && !$ltNull && ($ftVar - $lt) <= ${t}D").getOrElse("")
+          s" && !$ltNull && ($ftVar - $lt) <= ${tolLit(t)}").getOrElse("")
         val kc2Checks = leftKeys.indices.map { i =>
           s"""if ($kc2 == 0) {
              |  ${genFieldComp(ctx, leftKeys(i).dataType, kc2,
@@ -518,7 +522,7 @@ case class AsofJoinExec(
         case Some(t) =>
           val block =
             s"""boolean $okVar = $carryValid && !$ltNull && !$ctNull &&
-               |  Math.abs($lt - $ct) <= ${t}D;""".stripMargin
+               |  Math.abs($lt - $ct) <= ${tolLit(t)};""".stripMargin
           (block, okVar, carryOutVars(okVar))
         case None => ("", carryValid, carryOutVars(carryValid))
       }

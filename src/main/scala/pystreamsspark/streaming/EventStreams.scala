@@ -209,14 +209,20 @@ object EventStreams {
     * rule as the batch forms.
     *
     * Bounded state (the 100 TB/day property): each batch evicts every
-    * quote older than the carry (the latest quote at-or-before the
-    * watermark — still needed by future probes), pending probes drain
-    * as the watermark moves, and idle keys expire wholesale via an
-    * event-time timeout 30 min after their last activity (any probes
-    * still pending at expiry are final by then — the timeout fires only
-    * once the watermark is past them). This is the Flink
-    * temporal-join / QuestDB ASOF shape: O(late window) state per key,
-    * never O(history).
+    * quote older than the carry (the latest watermark-final quote —
+    * still needed by future probes), pending probes drain as the
+    * watermark moves, and an event-time timeout 30 min past the key's
+    * last activity AND its latest pending probe flushes stragglers
+    * whose key never sees data again (by construction the timeout can
+    * only fire once the watermark proves them final). The timeout
+    * KEEPS the single carry quote — a probe arriving after an idle gap
+    * still matches the last state, exactly like the batch result —
+    * so steady state is ONE quote row per key plus the in-flight late
+    * window: the Flink temporal-join / QuestDB ASOF contract,
+    * O(late window) per key, never O(history).
+    *
+    * All comparisons run at MICROSECOND precision (the batch
+    * formulations' unit); emitted timestamps round-trip micros exactly.
     */
   def streamingAsof(
       probes: Dataset[AsofProbe],
@@ -228,13 +234,26 @@ object EventStreams {
       .unionByName(quotes.map(q => AsofIn(q.user_id, q.ts, 0, 0L, q.value)))
       .withWatermark("ts", lateness)
 
+    // micros-exact timestamp codec: the batch formulations compare at µs
+    // resolution, so the stream must too (Timestamp.getTime alone drops
+    // sub-ms digits and would both mis-match and mangle output rows)
+    def toMicros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
     def resolve(sortedQuotes: List[(Long, Double)], uid: Long,
         ready: List[(Long, Long)]): List[AsofMatch] =
       ready.sortBy(identity).map { case (eid, pts) =>
         // greatest quote ts <= probe ts; (ts, value)-asc order makes the
         // last element of a tie run the greatest value — the batch rule
         val m = sortedQuotes.takeWhile(_._1 <= pts).lastOption
-        AsofMatch(eid, uid, new java.sql.Timestamp(pts), m.map(_._2))
+        AsofMatch(eid, uid, fromMicros(pts), m.map(_._2))
       }
 
     unioned
@@ -243,34 +262,54 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[AsofIn], state: GroupState[AsofKeyState]) =>
           if (state.hasTimedOut) {
-            // idle expiry: the watermark is ≥ 30 min past this key's
-            // last event, so every pending probe is final — flush with
-            // the buffered timeline, then drop the key's state entirely
+            // idle flush: the timeout timestamp covered every pending
+            // probe + 30 min, so the watermark now proves them final.
+            // KEEP the latest quote as the carry — a probe arriving
+            // after the idle gap must still see the last state (batch
+            // convergence); one retained row per key, no re-armed timer
+            // until the key speaks again.
             val st = state.get
-            state.remove()
-            resolve(st.quotes.sortBy(identity), uid, st.pending).iterator
+            val sortedQuotes = st.quotes.sortBy(identity)
+            val out = resolve(sortedQuotes, uid, st.pending)
+            sortedQuotes.lastOption match {
+              case Some(carry) => state.update(AsofKeyState(carry :: Nil, Nil))
+              case None => state.remove()
+            }
+            out.iterator
           } else {
             val prev = state.getOption.getOrElse(AsofKeyState(Nil, Nil))
             var quotes = prev.quotes
             var pending = prev.pending
-            var maxTs = Long.MinValue
+            var maxTsMs = Long.MinValue
             batch.foreach { e =>
-              maxTs = math.max(maxTs, e.ts.getTime)
-              if (e.side == 0) quotes = (e.ts.getTime, e.value) :: quotes
-              else pending = (e.event_id, e.ts.getTime) :: pending
+              maxTsMs = math.max(maxTsMs, e.ts.getTime)
+              if (e.side == 0) quotes = (toMicros(e.ts), e.value) :: quotes
+              else pending = (e.event_id, toMicros(e.ts)) :: pending
             }
-            val wm = state.getCurrentWatermarkMs()
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             val sortedQuotes = quotes.sortBy(identity)
-            val (ready, stillPending) = pending.partition(_._2 <= wm)
+            // STRICTLY before the watermark: a quote timed exactly AT
+            // the watermark is not yet late and could still arrive, so
+            // a probe at that instant is not final either
+            val (ready, stillPending) = pending.partition(_._2 < wmUs)
             val out = resolve(sortedQuotes, uid, ready)
-            // evict: keep the carry (latest quote <= wm — future probes
-            // may still need it) plus quotes ahead of the watermark
+            // evict: quotes < wm are a final set — only the greatest
+            // (the carry) can still be some future probe's answer;
+            // quotes >= wm keep their full tie runs (more may arrive)
             val kept =
-              sortedQuotes.takeWhile(_._1 <= wm).lastOption.toList :::
-                sortedQuotes.filter(_._1 > wm)
+              sortedQuotes.takeWhile(_._1 < wmUs).lastOption.toList :::
+                sortedQuotes.filter(_._1 >= wmUs)
             state.update(AsofKeyState(kept, stillPending))
-            state.setTimeoutTimestamp(
-              math.max(wm + 1, maxTs + 30 * 60 * 1000L))
+            // the timer must outlive BOTH the key's last activity and
+            // its latest pending probe: a later batch with an older
+            // event must never drag the timeout below a pending probe
+            // (that would flush it before the watermark proves it final)
+            val pendingMaxMs = stillPending.foldLeft(Long.MinValue) {
+              (m, p) => math.max(m, math.floorDiv(p._2, 1000L) + 1)
+            }
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              math.max(maxTsMs, pendingMaxMs) + 30 * 60 * 1000L))
             out.iterator
           }
       }

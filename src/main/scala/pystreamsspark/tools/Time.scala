@@ -31,8 +31,10 @@ object Time {
     // A/B (e.g. wholeStage codegen on/off) runs under identical JVM,
     // warm-up and data conditions
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF segment '$kv' is not key=value")
+      }
     })
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val stats = args.drop(1).map { name =>

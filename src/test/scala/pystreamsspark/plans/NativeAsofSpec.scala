@@ -76,7 +76,9 @@ class NativeAsofSpec extends SparkSpec {
   /** left: 400 probes over 12 keys (keys 10/11 absent on the right),
     * integer times in a tight range so (key, time) ties are common,
     * plus null times; right: 300 quotes over keys 0..9 with heavy
-    * (key, time) duplication, distinct tie-break values, null times. */
+    * (key, time) duplication, distinct tie-break values, null times
+    * AND null VALUES — a matched row with a null value must emit null
+    * (row semantics), not an older row's value. */
   private def adversarialData: (DataFrame, DataFrame) = {
     val s = spark
     import s.implicits._
@@ -88,7 +90,7 @@ class NativeAsofSpec extends SparkSpec {
     val rightRows = (1 to 300).map { i =>
       (rnd.nextInt(10).toLong,
         if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong),
-        i.toDouble)
+        if (rnd.nextInt(15) == 0) None else Some(i.toDouble))
     }
     (leftRows.toDF("probe_id", "k", "t"), rightRows.toDF("k", "t", "v"))
   }

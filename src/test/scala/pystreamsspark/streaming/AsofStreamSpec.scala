@@ -112,6 +112,60 @@ class AsofStreamSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
       assert(vals.toSeq == Seq((100L, 60.0), (101L, 60.0), (102L, 60.0)),
         vals.mkString(","))
+      // the idle-timeout flush must RETAIN the carry: a probe arriving
+      // after the gap still matches the last quote, like the batch does
+      probes.addData(AsofProbe(103, 1L, ts(300)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(202, 9L, ts(400)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(203, 9L, ts(405)))
+      q.processAllAvailable()
+      val late = s.sql(
+        "SELECT asof_value FROM asof_bounded_out WHERE event_id = 103")
+        .collect()
+      assert(late.length == 1 && late(0).getDouble(0) == 60.0,
+        s"post-idle probe lost the carry: ${late.mkString(",")}")
+    } finally q.stop()
+  }
+
+  private def tsU(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  test("sub-millisecond timestamps compare at microsecond precision") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val probes = MemoryStream[AsofProbe]
+    val quotes = MemoryStream[AsofQuote]
+    val q = EventStreams.streamingAsof(probes.toDS(), quotes.toDS(), "5 minutes")
+      .writeStream.format("memory").queryName("asof_us_out")
+      .outputMode("append").start()
+    try {
+      val m10 = 10L * 60000000L // minute 10 in micros
+      // two quotes and a probe inside the SAME millisecond: backward
+      // must match the 400µs quote (1.0), not the 900µs one — a
+      // millis-resolution compare would see a 3-way tie and emit 2.0
+      quotes.addData(AsofQuote(1L, tsU(m10 + 400), 1.0),
+        AsofQuote(1L, tsU(m10 + 900), 2.0))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(1, 1L, tsU(m10 + 500)))
+      q.processAllAvailable()
+      // fire the idle timeout to flush (watermark-only advance would
+      // need minutes of spread; timeout covers pending by construction)
+      probes.addData(AsofProbe(900, 9L, ts(120)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(901, 9L, ts(125)))
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT event_id, user_id, ts, asof_value FROM asof_us_out
+          |WHERE event_id = 1""".stripMargin).collect()
+      assert(got.length == 1, s"probe 1 not finalized: ${got.mkString(",")}")
+      assert(got(0).getDouble(3) == 1.0, s"µs compare broken: ${got(0)}")
+      // the emitted timestamp must round-trip the microseconds exactly
+      assert(got(0).getTimestamp(2) == tsU(m10 + 500), s"ts mangled: ${got(0)}")
     } finally q.stop()
   }
 
