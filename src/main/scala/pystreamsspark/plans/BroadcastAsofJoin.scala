@@ -81,47 +81,62 @@ case class BroadcastAsofJoinExec(
       if (near || tol.isDefined) AsofJoinExec.timeAsDouble(timeType) else null
 
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val planId = id
 
     left.execute().mapPartitions({ lIter =>
-      val rows = broadcastRows.value
-
-      // ---- build (once per task; the broadcast side is small) ----
-      // total order (key asc, time asc nulls-first, tie asc) — the same
-      // order the merge exec requires of its sorted right child
-      val buildOrd = GenerateOrdering.generate(
-        (rKeyExprs.map(SortOrder(_, Ascending)) ++
-          Seq(SortOrder(rTimeExpr, Ascending)) ++
-          rTieExprs.filter(e => RowOrdering.isOrderable(e.dataType))
-            .map(SortOrder(_, Ascending)))
-          .map(BindReferences.bindReference(_, rOut)))
-      val sorted: Array[InternalRow] = rows.sortWith(buildOrd.compare(_, _) < 0)
-
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
-      val keyOrd = GenerateOrdering.generate(
-        rKeyExprs.indices.map(i => SortOrder(
-          BoundReference(i, rKeyExprs(i).dataType, nullable = true), Ascending)))
+      // build ONCE PER EXECUTOR, not per task: the sort + row copies +
+      // range map for the same broadcast value are memoized under
+      // (broadcast id, plan id). A custom BroadcastMode building at
+      // the driver would be cleaner still, but BroadcastExchangeExec
+      // hard-rejects transform results that are neither HashedRelation
+      // nor Array[InternalRow] ("[BUG] ... unexpected type"), so
+      // IdentityBroadcastMode + executor-side memoization is the
+      // Spark-API-honest form. (plan id disambiguates two asof joins
+      // with different keys over a REUSED exchange's broadcast.)
+      val idx = BroadcastAsofJoinExec.index(broadcastRows.id, planId, {
+        () =>
+          val rows = broadcastRows.value
+          // total order (key asc, time asc nulls-first, tie asc) — the
+          // same order the merge exec requires of its sorted right child
+          val buildOrd = GenerateOrdering.generate(
+            (rKeyExprs.map(SortOrder(_, Ascending)) ++
+              Seq(SortOrder(rTimeExpr, Ascending)) ++
+              rTieExprs.filter(e => RowOrdering.isOrderable(e.dataType))
+                .map(SortOrder(_, Ascending)))
+              .map(BindReferences.bindReference(_, rOut)))
+          val sorted: Array[InternalRow] =
+            rows.sortWith(buildOrd.compare(_, _) < 0)
+          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+          val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+          val keyOrd = GenerateOrdering.generate(
+            rKeyExprs.indices.map(i => SortOrder(
+              BoundReference(i, rKeyExprs(i).dataType, nullable = true),
+              Ascending)))
+          // per-sorted-row time as a single-column row (copied once at
+          // build) + key → [start, end) ranges
+          val tRows = new Array[UnsafeRow](sorted.length)
+          val groups = new mutable.HashMap[UnsafeRow, (Int, Int)]
+          var i = 0
+          var groupStart = 0
+          var prevKey: UnsafeRow = null
+          while (i < sorted.length) {
+            tRows(i) = rTimeProj(sorted(i)).copy()
+            val k = rKeyProj(sorted(i))
+            if (prevKey == null) { prevKey = k.copy() }
+            else if (keyOrd.compare(k, prevKey) != 0) {
+              groups.put(prevKey, (groupStart, i))
+              prevKey = k.copy(); groupStart = i
+            }
+            i += 1
+          }
+          if (prevKey != null) groups.put(prevKey, (groupStart, sorted.length))
+          new AsofIndex(sorted, tRows, groups)
+      })
+      val sorted = idx.sorted
+      val tRows = idx.times
+      val groups = idx.groups
       val timeOrd = GenerateOrdering.generate(Seq(SortOrder(
         BoundReference(0, timeType, nullable = true), Ascending)))
-
-      // per-sorted-row time as a single-column row (copied once at
-      // build) + key → [start, end) ranges
-      val tRows = new Array[UnsafeRow](sorted.length)
-      val groups = new mutable.HashMap[UnsafeRow, (Int, Int)]
-      var i = 0
-      var groupStart = 0
-      var prevKey: UnsafeRow = null
-      while (i < sorted.length) {
-        tRows(i) = rTimeProj(sorted(i)).copy()
-        val k = rKeyProj(sorted(i))
-        if (prevKey == null) { prevKey = k.copy() }
-        else if (keyOrd.compare(k, prevKey) != 0) {
-          groups.put(prevKey, (groupStart, i))
-          prevKey = k.copy(); groupStart = i
-        }
-        i += 1
-      }
-      if (prevKey != null) groups.put(prevKey, (groupStart, sorted.length))
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
@@ -205,4 +220,36 @@ case class BroadcastAsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** The built probe index: broadcast rows in (key, time, tie) order,
+  * their time column pre-projected, and key → [start, end) ranges. */
+final class AsofIndex(
+    val sorted: Array[InternalRow],
+    val times: Array[UnsafeRow],
+    val groups: mutable.HashMap[UnsafeRow, (Int, Int)])
+
+object BroadcastAsofJoinExec {
+  // executor-local memo of built indexes, keyed by (broadcast id, plan
+  // id); SoftReference so memory pressure can reclaim an index once its
+  // query is done (broadcast values themselves live under the same
+  // policy in the block manager)
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), java.lang.ref.SoftReference[AsofIndex]]
+
+  private[plans] def index(
+      broadcastId: Long, planId: Int, build: () => AsofIndex): AsofIndex = {
+    val key = (broadcastId, planId)
+    val cached = indexCache.get(key)
+    val hit = if (cached != null) cached.get else null
+    if (hit != null) return hit
+    indexCache.synchronized {
+      val again = indexCache.get(key)
+      val h2 = if (again != null) again.get else null
+      if (h2 != null) return h2
+      val built = build()
+      indexCache.put(key, new java.lang.ref.SoftReference(built))
+      built
+    }
+  }
 }
