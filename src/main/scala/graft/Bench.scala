@@ -53,14 +53,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","partitions":"$cpus","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // belt-and-braces: also leave the JSON in a file next to the repo
-    // (append mode lets a dual-config session record both runs as JSONL)
+    // belt-and-braces: also leave the JSON in a file next to the repo.
+    // Append-by-default JSONL: the round-7 driver bench (which doesn't set
+    // any env) truncated the 14-line forensic ledger to 1 line. A run can
+    // only erase history by explicitly opting in via
+    // SPARK_GRAFT_BENCH_TRUNCATE=1.
     val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
-    if (sys.env.get("SPARK_GRAFT_BENCH_APPEND").contains("1"))
+    if (sys.env.get("SPARK_GRAFT_BENCH_TRUNCATE").contains("1"))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    else
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    else
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 /** A minimal SNAPSHOT-MANIFEST table layer over parquet — the ACID
   * piece (MERGE / time travel / snapshot-isolated compaction) that
@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * }}}
   *
   * Manifest = a text file: header line `op=<op>\tparent=<n>`, then one
-  * RELATIVE data-file path per line. Commit protocol = write all data
+  * data-file entry per line: a RELATIVE path, optionally followed by a
+  * tab and per-file column stats (`col=min,max` URL-encoded, `;`-joined)
+  * for the table's cluster keys. Commit protocol = write all data
   * files first, then CREATE_NEW the next manifest — creation is the
   * atomic publish point. A losing concurrent committer gets
   * [[ConcurrentCommitException]] and its orphaned data files are
@@ -35,9 +37,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Why this scales:
   *  - manifests list FILES, not rows — O(#files) driver metadata, all
   *    row work distributed;
-  *  - [[merge]] is file-granular COPY-ON-WRITE: one distributed
-  *    semi-join finds the files that contain matched keys, only those
-  *    are rewritten; untouched files are carried by reference;
+  *  - [[merge]] is file-granular COPY-ON-WRITE: manifest-recorded
+  *    per-file min/max stats of the cluster keys prune the candidate
+  *    set FIRST (a narrow-key merge into a clustered table reads only
+  *    the covering files, not the whole table), then one distributed
+  *    semi-join over the surviving candidates finds the files that
+  *    actually contain matched keys; only those are rewritten and
+  *    untouched files are carried by reference;
   *  - time travel ([[read]] with `versionAsOf`) is manifest selection —
   *    data files are immutable, so old snapshots stay readable until
   *    [[vacuum]] drops the versions that reference them;
@@ -50,8 +56,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    through the recorded schema at read time, and snapshot reads are
   *    O(1) metadata (no per-file footer merge);
   *  - [[appendEpoch]] makes a `foreachBatch` streaming sink
-  *    EXACTLY-ONCE: commits are idempotent per epoch id, so a replayed
-  *    batch lands at most once.
+  *    EXACTLY-ONCE: commits are idempotent per epoch id. The set of
+  *    committed epochs is carried FORWARD in every manifest header as a
+  *    compressed range-set (`epochs=0-41,57`), so [[vacuum]] deleting
+  *    old manifests can never un-commit an epoch, and the idempotency
+  *    check is O(1) metadata on the latest manifest rather than a scan
+  *    of every historical manifest (monotonic streaming epochs collapse
+  *    to a single range, so the header stays O(1) bytes too).
   */
 object SnapshotTable {
 
@@ -62,23 +73,77 @@ object SnapshotTable {
   private def manifestPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(f"v$v%08d.manifest")
 
-  /** Highest committed version, 0 if the table does not exist yet. */
-  def latestVersion(dir: String): Int = {
+  /** Files.list holds a directory fd until closed — materialize the
+    * listing under try/finally so frequent commits/vacuums in a
+    * long-lived driver cannot exhaust file descriptors. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** The versions that ACTUALLY exist on disk, ascending. Vacuum
+    * deletes old manifests, so the committed range is NOT contiguous
+    * from 1 — anything iterating versions must start from this, never
+    * from `1 to latest`. */
+  def existingVersions(dir: String): Seq[Int] = {
     val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) 0
-    else Files.list(md).iterator().asScala
+    if (!Files.isDirectory(md)) Seq.empty
+    else listDir(md)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .foldLeft(0)(math.max)
+      .sorted
+  }
+
+  /** Highest committed version, 0 if the table does not exist yet. */
+  def latestVersion(dir: String): Int =
+    existingVersions(dir).lastOption.getOrElse(0)
+
+  /** One manifest data-file line: RELATIVE path plus optional per-file
+    * min/max stats for the table's cluster keys (both rendered as
+    * strings; typed comparison happens at prune time against the
+    * manifest schema). Values are URL-encoded so arbitrary string keys
+    * cannot corrupt the tab/`;`/`,` framing. */
+  private[io] case class FileEntry(path: String,
+                                   stats: Map[String, (String, String)]) {
+    def serialize: String =
+      if (stats.isEmpty) path
+      else path + "\t" + stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$c=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
+      }.mkString(";")
+  }
+
+  private[io] object FileEntry {
+    def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+    def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+    def parse(line: String): FileEntry = line.split("\t", 2) match {
+      case Array(p) => FileEntry(p, Map.empty)
+      case Array(p, statsStr) =>
+        val stats = statsStr.split(";").iterator.filter(_.nonEmpty).map { kv =>
+          val Array(c, range) = kv.split("=", 2)
+          val Array(lo, hi) = range.split(",", 2)
+          c -> (dec(lo), dec(hi))
+        }.toMap
+        FileEntry(p, stats)
+    }
   }
 
   private case class Manifest(version: Int, op: String, parent: Int,
-                              files: Seq[String],
+                              files: Seq[FileEntry],
                               header: Map[String, String]) {
+    def paths: Seq[String] = files.map(_.path)
     def schema: Option[StructType] =
       header.get("schema").map(j =>
         DataType.fromJson(j).asInstanceOf[StructType])
+    def statsCols: Seq[String] =
+      header.get("statscols").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+    /** Headers every child commit must carry forward so vacuum cannot
+      * destroy them: the committed-epoch range-set and the cluster-key
+      * stats column list. */
+    def carried: Seq[(String, String)] =
+      (header.get("epochs").map("epochs" -> _) ++
+        header.get("statscols").map("statscols" -> _)).toSeq
   }
 
   private def readManifest(dir: String, v: Int): Manifest = {
@@ -88,7 +153,36 @@ object SnapshotTable {
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
     Manifest(v, header("op"), header("parent").toInt,
-      lines.tail.filter(_.nonEmpty), header)
+      lines.tail.filter(_.nonEmpty).map(FileEntry.parse), header)
+  }
+
+  // ---------------------------------------------------------------------
+  // Epoch range-set: committed streaming epoch ids as "0-41,57,60-62".
+  // Monotonic foreachBatch epochs collapse to one range, so carrying the
+  // full committed set in every manifest header is O(1) bytes in the
+  // intended use while staying correct for arbitrary (non-negative) ids.
+  // ---------------------------------------------------------------------
+  private def parseRanges(s: String): Seq[(Long, Long)] =
+    if (s.isEmpty) Nil
+    else s.split(",").toSeq.map { r =>
+      r.split("-", 2) match {
+        case Array(a)    => (a.toLong, a.toLong)
+        case Array(a, b) => (a.toLong, b.toLong)
+      }
+    }
+
+  private def encodeRanges(rs: Seq[(Long, Long)]): String =
+    rs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(",")
+
+  private def rangesContain(rs: Seq[(Long, Long)], id: Long): Boolean =
+    rs.exists { case (a, b) => id >= a && id <= b }
+
+  private def addToRanges(rs: Seq[(Long, Long)], id: Long): Seq[(Long, Long)] = {
+    val sorted = ((id, id) +: rs).sortBy(_._1)
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((a, b) :: tail, (c, d)) if c <= b + 1 => (a, math.max(b, d)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
   }
 
   /** Atomic publish: CREATE_NEW is the commit point. The manifest
@@ -97,15 +191,15 @@ object SnapshotTable {
     * 100 TB — and so SCHEMA EVOLUTION is a manifest property: files
     * written before a column existed are simply read through the newer
     * schema (missing columns null-fill). `extras` carries op-specific
-    * header fields (e.g. the streaming epoch id). */
+    * header fields (e.g. the streaming epoch range-set). */
   private def commit(dir: String, v: Int, op: String, parent: Int,
-                     files: Seq[String], schema: Option[StructType] = None,
+                     files: Seq[FileEntry], schema: Option[StructType] = None,
                      extras: Seq[(String, String)] = Nil): Unit = {
     Files.createDirectories(manifestDir(dir))
     val header = (Seq("op" -> op, "parent" -> parent.toString) ++ extras ++
       schema.map(s => "schema" -> s.json)) // JSON escapes tabs/newlines
       .map { case (k, value) => s"$k=$value" }.mkString("\t")
-    val body = (header +: files).mkString("\n")
+    val body = (header +: files.map(_.serialize)).mkString("\n")
     try
       Files.write(manifestPath(dir, v), body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW)
@@ -131,18 +225,50 @@ object SnapshotTable {
     StructType((a.fields ++ extra).map(_.copy(nullable = true)))
   }
 
-  /** Write `df` as a fresh immutable file batch; returns the RELATIVE
-    * paths of the parquet files produced. */
+  /** Write `df` as a fresh immutable file batch; returns one
+    * [[FileEntry]] per parquet file produced. When `statsCols` is
+    * non-empty, one distributed pass over the JUST-WRITTEN batch (never
+    * the whole table) records per-file min/max of those columns into
+    * the entries — the metadata that makes narrow-key MERGE discovery
+    * skip non-overlapping files instead of scanning every live file. */
   private def writeBatch(df: DataFrame, dir: String,
-                         numFiles: Option[Int] = None): Seq[String] = {
+                         numFiles: Option[Int] = None,
+                         statsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
     val out = Paths.get(dir, batch)
     val shaped = numFiles.map(df.repartition(_)).getOrElse(df)
     shaped.write.parquet(out.toString)
-    Files.list(out).iterator().asScala
+    val rel = listDir(out)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .map(n => s"$batch/$n").toSeq.sorted
+      .map(n => s"$batch/$n").sorted
+    val presentStats = statsCols.filter(df.schema.fieldNames.contains)
+    if (presentStats.isEmpty) rel.map(FileEntry(_, Map.empty))
+    else {
+      // per-file min/max in ONE scan of the new batch's stat columns;
+      // values rendered to strings here, compared TYPED at prune time
+      val aggs = presentStats.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"lo_$c"),
+        max(col(c)).cast("string").as(s"hi_$c")))
+      val byFile = df.sparkSession.read.parquet(out.toString)
+        .groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // O(#files in this batch) driver metadata
+        .map { r =>
+          val stats = presentStats.zipWithIndex.flatMap { case (c, i) =>
+            val lo = r.getString(1 + 2 * i); val hi = r.getString(2 + 2 * i)
+            // all-null key column in a file → no stats → never pruned
+            if (lo == null || hi == null) None else Some(c -> (lo, hi))
+          }.toMap
+          r.getString(0) -> stats
+        }
+      rel.map { p =>
+        val stats = byFile.collectFirst {
+          case (uri, s) if uri.endsWith(p) => s
+        }.getOrElse(Map.empty[String, (String, String)])
+        FileEntry(p, stats)
+      }
+    }
   }
 
   /** Create the table at version 1 (fails if it already has commits). */
@@ -158,10 +284,18 @@ object SnapshotTable {
     * file-granular copy-on-write effective: an update batch touching a
     * narrow key range rewrites only the files covering that range,
     * while [[create]]'s round-robin shaping smears every key range
-    * across all files (any merge then rewrites the whole table). */
-  def createClustered(spark: SparkSession, dir: String, df: DataFrame): Int = {
-    val files = writeBatch(df, dir, None)
-    commit(dir, 1, "create", 0, files, Some(df.schema))
+    * across all files (any merge then rewrites the whole table).
+    * `clusterCols` (when given) are recorded in the manifest and every
+    * file entry carries their min/max — MERGE/DELETE discovery then
+    * SKIPS files whose range cannot contain the update keys, turning a
+    * narrow merge from a full-table scan into a covering-file read. */
+  def createClustered(spark: SparkSession, dir: String, df: DataFrame,
+                      clusterCols: Seq[String] = Nil): Int = {
+    val files = writeBatch(df, dir, None, clusterCols)
+    val extras =
+      if (clusterCols.isEmpty) Nil
+      else Seq("statscols" -> clusterCols.mkString(","))
+    commit(dir, 1, "create", 0, files, Some(df.schema), extras)
     1
   }
 
@@ -173,8 +307,10 @@ object SnapshotTable {
            versionAsOf: Option[Int] = None): DataFrame = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
     require(v >= 1, s"no committed version at $dir")
+    require(Files.exists(manifestPath(dir, v)),
+      s"version $v at $dir does not exist (vacuumed?)")
     val m = readManifest(dir, v)
-    val paths = m.files.map(f => Paths.get(dir, f).toString)
+    val paths = m.paths.map(f => Paths.get(dir, f).toString)
     // the manifest-recorded schema makes the read O(1) metadata and
     // null-fills columns a file predates (schema evolution)
     m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
@@ -189,94 +325,176 @@ object SnapshotTable {
              numFiles: Int = 4, fromVersion: Option[Int] = None): Int = {
     val base = fromVersion.getOrElse(latestVersion(dir))
     val m = readManifest(dir, base)
-    val files = writeBatch(df, dir, Some(numFiles))
+    val files = writeBatch(df, dir, Some(numFiles), m.statsCols)
     val v = base + 1
     // appending a batch with NEW columns evolves the table schema as
     // pure metadata: prior files are untouched and null-fill on read
     val evolved = m.schema.map(unionSchema(_, df.schema)).getOrElse(df.schema)
-    commit(dir, v, "append", base, m.files ++ files, Some(evolved))
+    commit(dir, v, "append", base, m.files ++ files, Some(evolved), m.carried)
     v
   }
 
   /** EXACTLY-ONCE streaming ingestion: append `df` under `epochId`,
-    * SKIPPING the commit when any manifest already records this epoch.
+    * SKIPPING the commit when the table already records this epoch.
     * `foreachBatch` replays a failed epoch with the same batch id and
     * (for replayable sources) the same data, so epoch-idempotent
     * commits turn at-least-once delivery into an exactly-once table —
     * the same discipline as RegistrySink's two-phase commit, at the
-    * table-format level. A racing replay of the SAME epoch is
-    * arbitrated by CREATE_NEW (the loser's batch becomes a vacuumable
-    * orphan). Returns the version holding the epoch. */
+    * table-format level. The committed-epoch set lives in EVERY
+    * manifest header as a carried-forward range-set, so the check is
+    * O(1) metadata on the latest manifest and survives [[vacuum]]
+    * deleting historical manifests (an epoch can never be re-applied
+    * because its original manifest was reclaimed). A racing replay of
+    * the SAME epoch is arbitrated by CREATE_NEW (the loser's batch
+    * becomes a vacuumable orphan). Returns the version holding the
+    * epoch, or the latest version when the holder was vacuumed. */
   def appendEpoch(spark: SparkSession, dir: String, df: DataFrame,
                   epochId: Long, numFiles: Int = 2): Int = {
-    val latest = latestVersion(dir)
-    val seen = (1 to latest).find(v =>
-      readManifest(dir, v).header.get("epoch").contains(epochId.toString))
-    seen.getOrElse {
-      val prior =
-        if (latest == 0) Seq.empty else readManifest(dir, latest).files
-      val evolved =
-        if (latest == 0) df.schema
-        else readManifest(dir, latest).schema
-          .map(unionSchema(_, df.schema)).getOrElse(df.schema)
-      val files = writeBatch(df, dir, Some(numFiles))
+    val versions = existingVersions(dir)
+    val latest = versions.lastOption.getOrElse(0)
+    val latestM = if (latest == 0) None else Some(readManifest(dir, latest))
+    val ranges =
+      latestM.flatMap(_.header.get("epochs")).map(parseRanges).getOrElse(Nil)
+    if (rangesContain(ranges, epochId)) {
+      // committed before: find the surviving manifest that holds it, or
+      // fall back to latest if vacuum reclaimed the holder
+      versions.find(v =>
+        readManifest(dir, v).header.get("epoch").contains(epochId.toString))
+        .getOrElse(latest)
+    } else {
+      val prior = latestM.map(_.files).getOrElse(Seq.empty)
+      val evolved = latestM.flatMap(_.schema)
+        .map(unionSchema(_, df.schema)).getOrElse(df.schema)
+      val statsCols = latestM.map(_.statsCols).getOrElse(Nil)
+      val files = writeBatch(df, dir, Some(numFiles), statsCols)
       val v = latest + 1
+      val carried = latestM.map(_.carried.filterNot(_._1 == "epochs"))
+        .getOrElse(Nil)
       commit(dir, v, "append", latest, prior ++ files, Some(evolved),
-        Seq("epoch" -> epochId.toString))
+        carried ++ Seq("epoch" -> epochId.toString,
+          "epochs" -> encodeRanges(addToRanges(ranges, epochId))))
       v
     }
   }
 
+  /** TYPED overlap test between two [min,max] ranges rendered as
+    * strings: numerics compare numerically (string order would put
+    * "10" < "9"), temporals compare lexically (ISO renderings sort),
+    * strings compare lexically. Unknown types never prune. */
+  private def rangesOverlap(dt: DataType, fLo: String, fHi: String,
+                            uLo: String, uHi: String): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType =>
+      val (a, b) = (BigDecimal(fLo), BigDecimal(fHi))
+      val (c, d) = (BigDecimal(uLo), BigDecimal(uHi))
+      !(b < c || d < a)
+    case _: StringType | _: DateType | _: TimestampType | _: TimestampNTZType =>
+      !(fHi < uLo || uHi < fLo)
+    case _ => true
+  }
+
+  /** The files a MERGE/DELETE discovery scan must READ for `updates` on
+    * `keyCols`: manifest stats prune every file whose recorded
+    * cluster-key range cannot overlap the updates' key range (one tiny
+    * agg over the updates computes that range). Files without stats —
+    * unclustered tables, all-null keys, non-stat key columns — are
+    * always candidates, so pruning is conservative-correct. Public so
+    * specs can assert the scan set directly. */
+  def discoveryCandidates(spark: SparkSession, dir: String,
+                          updates: DataFrame, keyCols: Seq[String],
+                          fromVersion: Option[Int] = None): Seq[String] = {
+    val base = fromVersion.getOrElse(latestVersion(dir))
+    val m = readManifest(dir, base)
+    pruneCandidates(m, updates, keyCols).map(_.path)
+  }
+
+  private def pruneCandidates(m: Manifest, updates: DataFrame,
+                              keyCols: Seq[String]): Seq[FileEntry] = {
+    val statCols = m.statsCols.filter(keyCols.contains)
+    val schema = m.schema
+    if (statCols.isEmpty || schema.isEmpty) m.files
+    else {
+      val aggs = statCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"lo_$c"),
+        max(col(c)).cast("string").as(s"hi_$c")))
+      val r = updates.agg(aggs.head, aggs.tail: _*).head()
+      val bounds = statCols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = r.getString(2 * i); val hi = r.getString(2 * i + 1)
+        if (lo == null || hi == null) None else Some(c -> (lo, hi))
+      }.toMap
+      m.files.filter { f =>
+        statCols.forall { c =>
+          (f.stats.get(c), bounds.get(c)) match {
+            case (Some((fLo, fHi)), Some((uLo, uHi))) =>
+              val dt = schema.get.fields.find(_.name == c).map(_.dataType)
+                .getOrElse(StringType)
+              rangesOverlap(dt, fLo, fHi, uLo, uHi)
+            case _ => true // no stats on either side → cannot prune
+          }
+        }
+      }
+    }
+  }
+
   /** MERGE (upsert by `keyCols`): file-granular copy-on-write.
-    * One distributed semi-join over the current snapshot finds the
-    * files containing matched keys (driver collects only the FILE
-    * list); those files are rewritten as (their rows anti-joined on
-    * the update keys) ∪ updates — so updates replace matches and
-    * unmatched update rows are inserts — and every untouched file is
-    * carried by reference. If no file matches, the updates batch is a
-    * pure append. */
+    * Discovery is TWO-TIER: (1) manifest min/max stats prune files
+    * whose cluster-key range cannot contain any update key — pure
+    * driver metadata, no I/O; (2) one distributed semi-join over ONLY
+    * the surviving candidate files finds those that actually contain
+    * matched keys (driver collects only the FILE list). Touched files
+    * are rewritten as (their rows anti-joined on the update keys) ∪
+    * updates — so updates replace matches and unmatched update rows are
+    * inserts — and every untouched file is carried by reference. If no
+    * file matches, the updates batch is a pure append. At 100 TB a
+    * narrow-key merge into a clustered table is therefore a
+    * covering-file read + single-file rewrite, not a table scan. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             keyCols: Seq[String], numFiles: Int = 4,
             fromVersion: Option[Int] = None): Int = {
     val base = fromVersion.getOrElse(latestVersion(dir))
     val m = readManifest(dir, base)
-    val abs = m.files.map(f => Paths.get(dir, f).toString)
     val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
-    val current = reader.parquet(abs: _*)
-    val touchedAbs = current
-      .withColumn("_src_file", input_file_name())
-      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .select(col("_src_file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val candidates = pruneCandidates(m, updates, keyCols)
+    val touchedAbs =
+      if (candidates.isEmpty) Set.empty[String]
+      else reader
+        .parquet(candidates.map(f => Paths.get(dir, f.path).toString): _*)
+        .withColumn("_src_file", input_file_name())
+        .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .select(col("_src_file")).distinct()
+        .collect().map(_.getString(0)).toSet
     // input_file_name yields URIs (file://…); the relative manifest
     // path data/<batch>/part-… is a suffix of the URI
-    val touchedRel = m.files.filter(f => touchedAbs.exists(_.endsWith(f)))
-    val untouched = m.files.filterNot(touchedRel.contains)
+    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
+    val schemaNow = m.schema.getOrElse(updates.schema)
     val touchedDf =
-      if (touchedRel.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], current.schema)
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaNow)
       else reader.parquet(
-        touchedRel.map(f => Paths.get(dir, f).toString): _*)
+        touched.map(f => Paths.get(dir, f.path).toString): _*)
     // allowMissingColumns: updates may EVOLVE the schema (new columns
     // null-fill in carried rows, and in carried FILES via the manifest
     // schema) or omit columns (null-filled in the rewritten rows)
     val rewritten = touchedDf.join(updates, keyCols, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-    val files = writeBatch(rewritten, dir, Some(numFiles))
+    val files = writeBatch(rewritten, dir, Some(numFiles), m.statsCols)
     val v = base + 1
     val evolved = m.schema.map(unionSchema(_, updates.schema))
       .getOrElse(rewritten.schema)
-    commit(dir, v, "merge", base, untouched ++ files, Some(evolved))
+    commit(dir, v, "merge", base, untouched ++ files, Some(evolved), m.carried)
     v
   }
 
   /** DELETE rows matching `predicate`: copy-on-write on the files that
-    * contain at least one matching row. */
+    * contain at least one matching row. (Stats pruning does not apply —
+    * an arbitrary SQL predicate has no key range — but rewritten files
+    * keep recording cluster stats so later merges still skip.) */
   def delete(spark: SparkSession, dir: String, predicate: String,
              numFiles: Int = 4, fromVersion: Option[Int] = None): Int = {
     val base = fromVersion.getOrElse(latestVersion(dir))
     val m = readManifest(dir, base)
-    val abs = m.files.map(f => Paths.get(dir, f).toString)
+    val abs = m.paths.map(f => Paths.get(dir, f).toString)
     val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
     val current = reader.parquet(abs: _*)
     val touchedAbs = current
@@ -284,16 +502,16 @@ object SnapshotTable {
       .filter(predicate)
       .select(col("_src_file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touchedRel = m.files.filter(f => touchedAbs.exists(_.endsWith(f)))
-    val untouched = m.files.filterNot(touchedRel.contains)
+    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val files =
-      if (touchedRel.isEmpty) Seq.empty
+      if (touched.isEmpty) Seq.empty
       else writeBatch(
-        reader.parquet(touchedRel.map(f => Paths.get(dir, f).toString): _*)
+        reader.parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
           .filter(s"NOT ($predicate)"),
-        dir, Some(numFiles))
+        dir, Some(numFiles), m.statsCols)
     val v = base + 1
-    commit(dir, v, "delete", base, untouched ++ files, m.schema)
+    commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
     v
   }
 
@@ -302,43 +520,49 @@ object SnapshotTable {
     * keep reading their original files (snapshot isolation). */
   def compact(spark: SparkSession, dir: String, target: Int): Int = {
     val base = latestVersion(dir)
+    val m = readManifest(dir, base)
     val snapshot = read(spark, dir)
-    val files = writeBatch(snapshot, dir, Some(target))
+    val files = writeBatch(snapshot, dir, Some(target), m.statsCols)
     val v = base + 1
-    commit(dir, v, "compact", base, files, Some(snapshot.schema))
+    commit(dir, v, "compact", base, files, Some(snapshot.schema), m.carried)
     v
   }
 
   /** Drop every data file not referenced by the latest `keepVersions`
-    * manifests, and the older manifests themselves — after vacuum,
-    * time travel reaches only the kept versions. Also reclaims orphan
-    * batches from aborted/losing commits. */
+    * EXISTING manifests, and the older manifests themselves — after
+    * vacuum, time travel reaches only the kept versions. Also reclaims
+    * orphan batches from aborted/losing commits. Safe to run
+    * repeatedly: version enumeration is the on-disk listing, never an
+    * assumed-contiguous range, and exactly-once epoch markers survive
+    * because every manifest carries the full committed-epoch range-set
+    * forward. */
   def vacuum(dir: String, keepVersions: Int = 1): Unit = {
-    val latest = latestVersion(dir)
-    val keep = (math.max(1, latest - keepVersions + 1) to latest)
-    val referenced = keep.flatMap(v => readManifest(dir, v).files).toSet
+    val versions = existingVersions(dir)
+    val keep = versions.takeRight(math.max(1, keepVersions))
+    val referenced = keep.flatMap(v => readManifest(dir, v).paths).toSet
     val dataRoot = Paths.get(dir, "data")
     if (Files.isDirectory(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { batch =>
-        Files.list(batch).iterator().asScala.toSeq.foreach { f =>
+      listDir(dataRoot).foreach { batch =>
+        listDir(batch).foreach { f =>
           val rel = s"data/${batch.getFileName}/${f.getFileName}"
           val isData = f.getFileName.toString.endsWith(".parquet")
           if (isData && !referenced.contains(rel)) Files.delete(f)
           else if (!isData) Files.delete(f) // _SUCCESS / .crc clutter
         }
-        if (!Files.list(batch).iterator().hasNext) Files.delete(batch)
+        if (listDir(batch).isEmpty) Files.delete(batch)
       }
     }
-    (1 until keep.head).foreach { v =>
+    versions.filterNot(keep.contains).foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
     }
   }
 
   /** Commit history as a DataFrame:
-    * (version, op, parent, n_files, epoch). */
+    * (version, op, parent, n_files, epoch). Enumerates the manifests
+    * that EXIST — after vacuum the history is the surviving suffix. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    (1 to latestVersion(dir))
+    existingVersions(dir)
       .map(v => readManifest(dir, v))
       .map(m => (m.version, m.op, m.parent, m.files.size,
         m.header.get("epoch").map(_.toLong)))

@@ -243,13 +243,24 @@ object BroadcastAsofJoinExec {
     val cached = indexCache.get(key)
     val hit = if (cached != null) cached.get else null
     if (hit != null) return hit
+    // a cleared SoftReference leaves a dead (key, ref) entry behind —
+    // drop it so the map cannot grow one tombstone per finished query
+    // over a long-lived executor
+    if (cached != null) indexCache.remove(key, cached)
     indexCache.synchronized {
       val again = indexCache.get(key)
       val h2 = if (again != null) again.get else null
       if (h2 != null) return h2
+      // opportunistic sweep of ALL dead entries while we hold the lock:
+      // the map stays O(live indexes), not O(queries ever run)
+      val it = indexCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get == null) it.remove()
       val built = build()
       indexCache.put(key, new java.lang.ref.SoftReference(built))
       built
     }
   }
+
+  /** Visible for tests: current number of live cache entries. */
+  private[plans] def cacheSize: Int = indexCache.size()
 }

@@ -75,8 +75,6 @@ object Micro {
       pystreamsspark.operators.HeavyHitters.exactTopK(toks, "token", 20, m = 64)
         .agg(count(lit(1))).head.getLong(0)
     }
-    // crossover probe: TRADE-OFF data (price up, size up — the classic
-    // skyline hard case for (min price, max size) dominance: no point
     // hash-family cost contrast: the xxhash64 production path (native
     // fused minhash_sig over 8-byte gram hashes) vs the md5-derived
     // family the oracle-checked keys use (one md5 per gram STRING,
@@ -106,6 +104,8 @@ object Micro {
         .agg(count(lit(1))).head.getLong(0)
     }
 
+    // crossover probe: TRADE-OFF data (price up, size up — the classic
+    // skyline hard case for (min price, max size) dominance: no point
     // dominates another, the whole set is the frontier, so the naive
     // anti-join's early-exit never fires and it degenerates to true
     // O(n^2); on dominated-heavy random data it short-circuits and

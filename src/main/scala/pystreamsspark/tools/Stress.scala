@@ -559,12 +559,14 @@ object Stress {
         .count()
     }
     // ACID MERGE probe: an xN-row KEY-CLUSTERED snapshot table
-    // (8·N range files) takes a FIXED update batch over a narrow key
-    // range. File-granular copy-on-write must rewrite only the files
-    // covering that range — the linear parts are the create write and
-    // the one touched-file discovery semi-join scan; the rewrite itself
-    // is O(batch). x1 vs x10 wall clock should track the scan, and the
-    // carried-by-reference share printed below should RISE with N
+    // (8·N range files, per-file min/max of o_orderkey in the manifest)
+    // takes a FIXED update batch over a narrow key range. Manifest
+    // stats prune discovery to the covering file(s) BEFORE any I/O, so
+    // the only linear part left is the create write itself — the
+    // discovery scan, the CoW rewrite, and the commit are all O(batch
+    // ∪ covering files), i.e. merge wall time should stay FLAT as the
+    // table ×10s, and the carried-by-reference share printed below
+    // should RISE with N
     // (8·N−1 of 8·N files untouched).
     time(s"acid_merge x$mult") {
       val dir = java.nio.file.Files.createTempDirectory("stress_acid")
@@ -573,13 +575,18 @@ object Stress {
           Seq("o_orderkey"), 100000000L)
           .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
           .repartitionByRange(8 * mult, $"o_orderkey")
-        pystreamsspark.io.SnapshotTable.createClustered(spark, dir.toString, base)
+        pystreamsspark.io.SnapshotTable.createClustered(spark, dir.toString, base,
+          clusterCols = Seq("o_orderkey"))
         val updates = pystreamsspark.io.Tables.orders(spark, sfDir)
           .filter($"o_orderkey" < 1000)
           .select($"o_orderkey", $"o_custkey",
             lit(0.0).as("o_totalprice"), $"o_orderstatus")
+        // merge-only wall time, separated from the (inherently linear)
+        // create write: with stats skipping this should stay FLAT in N
+        val t0 = System.nanoTime()
         pystreamsspark.io.SnapshotTable.merge(
           spark, dir.toString, updates, Seq("o_orderkey"), numFiles = 2)
+        println(f"STRESS   acid_merge: merge-only ${(System.nanoTime() - t0) / 1e9}%.2f s")
         val h = pystreamsspark.io.SnapshotTable.history(spark, dir.toString)
           .orderBy($"version").collect()
         val created = h(0).getInt(3); val after = h(1).getInt(3)

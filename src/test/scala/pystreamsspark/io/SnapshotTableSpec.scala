@@ -2,6 +2,8 @@ package pystreamsspark.io
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -218,6 +220,102 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // loser's data files are orphans; latest manifest is the winner's
     assert(SnapshotTable.latestVersion(dir) === 2)
+  }
+
+  test("manifest stats skip: a narrow-key merge on a clustered table scans only the covering file") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 80 range-clustered files over ids 0..7999 (~100 ids each), with
+    // per-file min/max of `id` recorded in the manifest
+    val base = (0 until 8000).map(i => (i.toLong, s"name_$i", i * 10L))
+      .toDF("id", "name", "score")
+    SnapshotTable.createClustered(spark, dir,
+      base.repartitionByRange(80, col("id")), clusterCols = Seq("id"))
+    val updates = (100 until 105).map(i => (i.toLong, "UPD", -1L))
+      .toDF("id", "name", "score")
+    // tier 1 (pure metadata): stats prune 79 of 80 files before any I/O
+    val cands = SnapshotTable.discoveryCandidates(spark, dir, updates, Seq("id"))
+    assert(cands.size === 1, s"expected 1 candidate, got ${cands.size}")
+    // tier 2 (scan-metric): during the merge itself, NO file scan reads
+    // anywhere near the 80 live files — discovery reads the 1 covering
+    // file, the rewrite reads that same file, the stats pass reads the
+    // new batch. Query-execution listeners deliver async, so poll.
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // AQE wraps the final plan in AdaptiveSparkPlanExec / QueryStageExec
+    // leaves, so a plain foreach never reaches the scans — recurse
+    // through them explicitly
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scansOf(qe.executedPlan).foreach(s =>
+          scanned.add(s.metrics("numFiles").value))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SnapshotTable.merge(spark, dir, updates, Seq("id"), numFiles = 1)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (scanned.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!scanned.isEmpty, "no scan metrics observed")
+      val maxFiles = scanned.asScala.max
+      assert(maxFiles <= 2L,
+        s"a merge scan read $maxFiles files; stats skipping should cap it at the covering file(s)")
+    } finally spark.listenerManager.unregister(listener)
+    // correctness unchanged by the pruning
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() === 8000)
+    assert(now.filter($"name" === "UPD").count() === 5)
+    assert(now.filter($"id" === 4242L).head.getString(1) === "name_4242")
+    // rewritten file keeps recording stats: a second narrow merge in a
+    // DIFFERENT range still prunes to its own covering file
+    val cands2 = SnapshotTable.discoveryCandidates(spark, dir,
+      Seq((7900L, "U2", -2L)).toDF("id", "name", "score"), Seq("id"))
+    assert(cands2.size === 1)
+  }
+
+  test("vacuum then appendEpoch/history: enumeration survives missing manifests, epoch markers survive vacuum") {
+    import spark.implicits._
+    val dir = freshDir()
+    def batch(e: Int) = (0 until 5)
+      .map(i => ((e * 10 + i).toLong, s"n$i", i.toLong))
+      .toDF("id", "name", "score")
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(0), 0L) === 1)
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(1), 1L) === 2)
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(2), 2L) === 3)
+    // vacuum reclaims manifests v1, v2 — versions are no longer 1..latest
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(SnapshotTable.existingVersions(dir) === Seq(3))
+    // the ADVICE bug: these used to throw NoSuchFileException post-vacuum
+    val h = SnapshotTable.history(spark, dir).collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(3))
+    // EXACTLY-ONCE survives vacuum: epoch 1's manifest is gone, but the
+    // carried-forward range-set still marks it committed → replay skips
+    SnapshotTable.appendEpoch(spark, dir, batch(1), 1L)
+    assert(SnapshotTable.read(spark, dir).count() === 15)
+    // and new epochs keep committing past the gap
+    assert(SnapshotTable.appendEpoch(spark, dir, batch(3), 3L) === 4)
+    assert(SnapshotTable.read(spark, dir).count() === 20)
+    // a second vacuum with keepVersions larger than what exists is safe
+    SnapshotTable.vacuum(dir, keepVersions = 5)
+    assert(SnapshotTable.existingVersions(dir) === Seq(3, 4))
+    // non-epoch commits carry the epoch set forward too: compact, vacuum
+    // to just the compacted version, then replay an old epoch — skipped
+    SnapshotTable.compact(spark, dir, target = 1)
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    SnapshotTable.appendEpoch(spark, dir, batch(0), 0L)
+    assert(SnapshotTable.read(spark, dir).count() === 20)
   }
 
   test("vacuum drops unreferenced files and truncates time travel") {

@@ -245,6 +245,46 @@ class NativeAsofSpec extends SparkSpec {
     }
   }
 
+  test("two as-of joins over ONE reused broadcast: exchange reuse fires and the per-plan index cache keeps them apart") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val left = ev.select($"event_id", $"user_id", $"ts")
+    // same broadcast dimension, two DIFFERENT as-of joins (backward and
+    // forward) in one query: the planner should broadcast `purchases`
+    // ONCE and reuse it; the executor-side index memo must then key on
+    // (broadcast id, plan id) so the two execs cannot collide
+    val back = NativeAsof.asofJoin(left, purchases, Seq("user_id"),
+      "ts", "ts", Seq("value"), prefix = "back_", direction = "backward",
+      broadcast = true)
+    val fwd = NativeAsof.asofJoin(left, purchases, Seq("user_id"),
+      "ts", "ts", Seq("value"), prefix = "fwd_", direction = "forward",
+      broadcast = true)
+    val q = back.join(fwd.select($"event_id".as("e2"), $"fwd_value"),
+        $"event_id" === $"e2")
+      .select($"event_id", $"user_id", $"ts", $"back_value", $"fwd_value")
+      .orderBy($"event_id")
+    val got = q.collect()
+    val plan = finalPlan(q.queryExecution.executedPlan).toString
+    assert(plan.contains("ReusedExchange"),
+      s"broadcast of the shared dimension was not reused:\n$plan")
+    // both joins carry their OWN direction's semantics despite the
+    // shared broadcast value: compare against the window formulation
+    val wBack = AsofJoin.asofJoin(left, purchases, Seq("user_id"),
+      "ts", "ts", Seq("value"), prefix = "back_", direction = "backward")
+    val wFwd = AsofJoin.asofJoin(left, purchases, Seq("user_id"),
+      "ts", "ts", Seq("value"), prefix = "fwd_", direction = "forward")
+    val want = wBack.join(wFwd.select($"event_id".as("e2"), $"fwd_value"),
+        $"event_id" === $"e2")
+      .select($"event_id", $"user_id", $"ts", $"back_value", $"fwd_value")
+      .orderBy($"event_id")
+      .collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("broadcast plan: one broadcast exchange, ZERO shuffles and sorts") {
     val s = spark
     import s.implicits._
