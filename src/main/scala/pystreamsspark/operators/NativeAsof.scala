@@ -75,4 +75,82 @@ object NativeAsof {
     PlanBridge.ofRows(spark, node)
       .select((left.columns.toSeq ++ valueCols.map(c => s"$prefix$c")).map(col): _*)
   }
+
+  /** Broadcast interpolation join — [[AsofJoin.interpolationJoin]]'s
+    * small-dimension-timeline plan shape: the quote timeline broadcasts
+    * once, each probe row binary-searches BOTH surrounding neighbors in
+    * one pass (the backward/forward rows are adjacent in the sorted
+    * index), and the lerp runs as a plain projection on top — zero
+    * exchanges and zero sorts on the (big) probe side. The arithmetic
+    * is the identical IEEE op sequence as the window formulation
+    * (double-cast epochs → subtract → divide → multiply → add), so both
+    * forms and the DuckDB oracle agree bit-for-bit.
+    */
+  def interpolationJoin(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCol: String,
+      prefix: String = "interp_"): DataFrame = {
+    require(by.nonEmpty, "broadcast interpolation join needs at least one by-key")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+    // tie-break = the double-cast value itself: among quotes sharing a
+    // (key, time), backward carries the greatest value and forward the
+    // smallest — the window formulation's (__t, __side, __v) sort rules
+    val r = right.select(
+      by.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col(rightTime).as("__r_time"),
+          col(valueCol).cast("double").as("__r_value")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    // second right-row copy: fresh exprIds (stable — stored on the plan
+    // node), renamed into a __f_ namespace so name lookups stay unique
+    val fwdAttrs = rPlan.output.map(a =>
+      a.newInstance().withName("__f" + a.name.stripPrefix("__r")))
+    val node = AsofJoinPlan(
+      lPlan, rPlan,
+      leftKeys = by.map(attr(lPlan, _)),
+      rightKeys = by.map(c => attr(rPlan, s"__r_$c")),
+      leftTime = attr(lPlan, leftTime),
+      rightTime = attr(rPlan, "__r_time"),
+      rightTieBreak = Seq(attr(rPlan, "__r_value")),
+      forward = false,
+      nearest = false,
+      tolerance = None,
+      broadcast = true,
+      emitBoth = true,
+      fwdOutput = fwdAttrs)
+    val joined = PlanBridge.ofRows(spark, node)
+    def micros(c: org.apache.spark.sql.Column) =
+      if (left.schema(leftTime).dataType ==
+          org.apache.spark.sql.types.TimestampType) unix_micros(c)
+      else c.cast("double")
+    val btRaw = col("__r_time")
+    val ftRaw = col("__f_time")
+    val bv = col("__r_value")
+    val fv = col("__f_value")
+    // IDENTICAL op sequence to the window form and the oracle SQL:
+    // double-cast each epoch, then (t-bt)/(ft-bt), multiply, add
+    val t = micros(col(leftTime)).cast("double")
+    val bt = micros(btRaw).cast("double")
+    val ft = micros(ftRaw).cast("double")
+    val lerp = bv + (fv - bv) * ((t - bt) / (ft - bt))
+    val interp = when(btRaw.isNull, fv)
+      .when(ftRaw.isNull, bv)
+      .when(micros(ftRaw) === micros(btRaw), bv)
+      .otherwise(lerp)
+    joined
+      .withColumn(s"$prefix$valueCol", interp)
+      .select((left.columns.toSeq :+ s"$prefix$valueCol").map(col): _*)
+  }
 }

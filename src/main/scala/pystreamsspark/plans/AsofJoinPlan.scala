@@ -54,7 +54,20 @@ case class AsofJoinPlan(
     forward: Boolean,
     nearest: Boolean = false,
     tolerance: Option[Double] = None,
-    broadcast: Boolean = false) extends BinaryNode {
+    broadcast: Boolean = false,
+    // both-neighbor mode (interpolation joins): emit BOTH the backward
+    // neighbor (greatest time <= leftTime, greatest tie) and the forward
+    // neighbor (smallest time > leftTime, smallest tie) per left row.
+    // `fwdOutput` carries the second right-row copy's attributes — a
+    // CONSTRUCTOR field (like Generate.generatorOutput) so the exprIds
+    // stay stable across plan copies/transformations.
+    emitBoth: Boolean = false,
+    fwdOutput: Seq[Attribute] = Nil) extends BinaryNode {
+
+  require(!emitBoth || broadcast,
+    "both-neighbor (interpolation) mode is implemented on the broadcast exec")
+  require(!emitBoth || fwdOutput.length == right.output.length,
+    "emitBoth needs one fwdOutput attribute per right column")
 
   // the exec compares keys/time ACROSS sides through one shared row
   // layout, so the types must line up exactly
@@ -69,7 +82,8 @@ case class AsofJoinPlan(
   if (nearest || tolerance.isDefined) AsofJoinExec.timeAsDouble(leftTime.dataType)
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ right.output.map(_.withNullability(true)) ++
+      (if (emitBoth) fwdOutput.map(_.withNullability(true)) else Nil)
 
   // keep every child column alive through column pruning: the exec
   // re-emits whole child rows, so nothing upstream may be dropped
@@ -89,13 +103,16 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, near, tol, bcast) =>
-      if (bcast)
-        BroadcastAsofJoinExec(lk, rk, lt, rt, tie, fwd, near, tol,
-          planLater(l), planLater(r)) :: Nil
+    case p: AsofJoinPlan =>
+      if (p.broadcast)
+        BroadcastAsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+          p.rightTieBreak, p.forward, p.nearest, p.tolerance,
+          p.emitBoth, p.fwdOutput,
+          planLater(p.left), planLater(p.right)) :: Nil
       else
-        AsofJoinExec(lk, rk, lt, rt, tie, fwd, near, tol,
-          planLater(l), planLater(r)) :: Nil
+        AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+          p.rightTieBreak, p.forward, p.nearest, p.tolerance,
+          planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }

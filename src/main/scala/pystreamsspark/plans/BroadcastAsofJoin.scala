@@ -43,11 +43,16 @@ case class BroadcastAsofJoinExec(
     forward: Boolean,
     nearest: Boolean,
     tolerance: Option[Double],
+    // both-neighbor (interpolation) mode: emit backward AND forward
+    // neighbor rows side by side; `fwdOutput` names the second copy
+    emitBoth: Boolean,
+    fwdOutput: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ right.output.map(_.withNullability(true)) ++
+      (if (emitBoth) fwdOutput.map(_.withNullability(true)) else Nil)
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -68,6 +73,8 @@ case class BroadcastAsofJoinExec(
     val fwd = forward
     val near = nearest
     val tol = tolerance
+    val both = emitBoth
+    val fwdOut = fwdOutput
     val lOut = left.output
     val rOut = right.output
     val allOut = output
@@ -140,10 +147,12 @@ case class BroadcastAsofJoinExec(
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
-      val outProj =
-        UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val outProj = UnsafeProjection.create(allOut,
+        lOut ++ rOut.map(_.withNullability(true)) ++
+          (if (both) fwdOut.map(_.withNullability(true)) else Nil))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      val joined2 = new JoinedRow
       var outRows = 0L
       var matched = 0L
       Option(org.apache.spark.TaskContext.get()).foreach(
@@ -163,7 +172,29 @@ case class BroadcastAsofJoinExec(
         lo
       }
 
-      lIter.map { l =>
+      if (both) lIter.map { l =>
+        // both-neighbor (interpolation) mode: backward neighbor = last
+        // time <= lt (greatest tie at that time, tie-asc build order);
+        // forward neighbor = first time STRICTLY > lt (smallest tie) —
+        // exactly the two carries of the union+window interpolation
+        // formulation (back window includes same-time quotes, forward
+        // excludes them because side 0 sorts before side 1 on ties)
+        outRows += 1
+        val range = groups.getOrElse(lKeyProj(l), null)
+        var back: InternalRow = null
+        var fw: InternalRow = null
+        if (range != null) {
+          val (s, e) = range
+          val lT = lTimeProj(l)
+          val ub = search(s, e, lT, strict = true)
+          if (ub > s) back = sorted(ub - 1)
+          if (ub < e) fw = sorted(ub)
+        }
+        if (back != null || fw != null) matched += 1
+        outProj(joined2(
+          joined(l, if (back != null) back else nullRight),
+          if (fw != null) fw else nullRight))
+      } else lIter.map { l =>
         outRows += 1
         val range = groups.getOrElse(lKeyProj(l), null)
         var hit: InternalRow = null

@@ -573,6 +573,29 @@ object JoinQueries {
       |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |ORDER BY event_id""".stripMargin
 
+  /** INTERPOLATION join through the BROADCAST exec: the quote timeline
+    * broadcasts once, each probe binary-searches BOTH surrounding
+    * purchases in one pass, the lerp runs as a plain projection — zero
+    * exchanges/sorts on the probe side
+    * ([[pystreamsspark.operators.NativeAsof.interpolationJoin]];
+    * plan shape asserted in NativeAsofSpec). Shares
+    * [[qJoinInterpSql]]'s oracle. */
+  def qJoinInterpBcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    NativeAsof.interpolationJoin(
+        left = ev.select($"event_id", $"user_id", $"ts"),
+        right = purchases,
+        by = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        valueCol = "value")
+      .select($"event_id", $"user_id", $"ts", $"interp_value")
+      .orderBy($"event_id")
+  }
+
   /** Full outer join: per-nation customer counts ⟗ supplier counts —
     * nations missing on either side survive with NULL-coalesced zeros
     * (at small SF some nations have no suppliers, exercising the null
@@ -714,6 +737,7 @@ object JoinQueries {
     "q_join_asof_native_tol" -> (qJoinAsofNativeTol _),
     "q_join_asof_bcast" -> (qJoinAsofBcast _),
     "q_join_interp" -> (qJoinInterp _),
+    "q_join_interp_bcast" -> (qJoinInterpBcast _),
     "q_join_full"  -> (qJoinFull _),
     "q_join_cross" -> (qJoinCross _),
     "q_bloom_semijoin" -> (qBloomSemijoin _))
@@ -739,6 +763,7 @@ object JoinQueries {
     "q_join_asof_native_tol" -> qJoinAsofTolSql,
     "q_join_asof_bcast" -> qJoinAsofSql,
     "q_join_interp" -> qJoinInterpSql,
+    "q_join_interp_bcast" -> qJoinInterpSql,
     "q_join_full"  -> qJoinFullSql,
     "q_join_cross" -> qJoinCrossSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql)

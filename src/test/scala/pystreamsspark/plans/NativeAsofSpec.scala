@@ -285,6 +285,55 @@ class NativeAsofSpec extends SparkSpec {
     got.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("broadcast interpolation matches the window interpolation on events") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val left = ev.select($"event_id", $"user_id", $"ts")
+    def run(df: DataFrame) =
+      df.select($"event_id", $"user_id", $"ts", $"interp_value")
+        .orderBy($"event_id")
+    sameResult(
+      run(NativeAsof.interpolationJoin(left, purchases, Seq("user_id"),
+        "ts", "ts", "value")),
+      run(AsofJoin.interpolationJoin(left, purchases, Seq("user_id"),
+        "ts", "ts", "value")))
+  }
+
+  test("broadcast interpolation on adversarial shapes: ties, nulls, missing keys") {
+    val s = spark
+    import s.implicits._
+    val (left, right) = adversarialData
+    val native = NativeAsof.interpolationJoin(left, right, Seq("k"),
+        "t", "t", "v")
+      .orderBy($"probe_id")
+    val window = AsofJoin.interpolationJoin(left, right, Seq("k"),
+        "t", "t", "v")
+      .orderBy($"probe_id")
+    sameResult(native, window)
+  }
+
+  test("broadcast interpolation plan: zero probe-side shuffles and sorts") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val q = NativeAsof.interpolationJoin(
+      ev.select($"event_id", $"user_id", $"ts"), purchases,
+      Seq("user_id"), "ts", "ts", "value")
+    q.collect()
+    val plan = finalPlan(q.queryExecution.executedPlan).toString
+    assert(plan.contains("BroadcastAsofJoin"), s"exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"no broadcast exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"probe side shuffled:\n$plan")
+    assert(!plan.contains("Sort ["), s"probe side sorted:\n$plan")
+  }
+
   test("broadcast plan: one broadcast exchange, ZERO shuffles and sorts") {
     val s = spark
     import s.implicits._
