@@ -192,34 +192,55 @@ object EventStreams {
       }
   }
 
-  /** STREAMING as-of join (backward): every probe event picks up the
-    * latest quote at-or-before its event time for its key, with
-    * out-of-order arrivals handled CORRECTLY up to the watermark — the
-    * streaming form of [[pystreamsspark.operators.AsofJoin]] /
+  /** STREAMING as-of join — every probe event picks up the matching
+    * quote for its key per `direction`, with out-of-order arrivals
+    * handled CORRECTLY up to the watermark — the streaming form of
+    * [[pystreamsspark.operators.AsofJoin]] /
     * [[pystreamsspark.plans.AsofJoinExec]], which the batch oracles
     * check; `AsofStreamSpec` proves this stream converges to the batch
-    * result under adversarial arrival orders.
+    * result under adversarial arrival orders, for every direction ×
+    * tolerance combination.
     *
-    * Mechanics: both sides union into one keyed stream; per key,
-    * `flatMapGroupsWithState` buffers quotes and probes until the
-    * watermark passes a probe's time — at that point every quote
-    * at-or-before that probe can no longer arrive (watermark
-    * guarantee), so the match is FINAL and emits exactly once. Ties on
-    * quote time resolve to the greatest value, the same deterministic
-    * rule as the batch forms.
+    * Directions (identical chooser + tie rules to the batch forms):
+    *   - `backward` (default): greatest quote ts <= probe ts; ties on
+    *     quote time resolve to the greatest value.
+    *   - `forward`: smallest quote ts >= probe ts (same-time quotes DO
+    *     match); ties resolve to the greatest value.
+    *   - `nearest`: the closer of the backward candidate (<=, greatest
+    *     value on ties) and the STRICTLY-forward candidate (>, smallest
+    *     value on ties); equal distances go backward — pandas
+    *     merge_asof. `tolerance` (µs) filters candidates FIRST, then
+    *     the nearest survivor wins.
+    *
+    * Finality: a probe emits exactly once, when the watermark proves no
+    * future arrival can change its answer —
+    *   - backward: watermark passes the probe (every quote <= pts is in);
+    *   - forward: the candidate quote is itself watermark-final (no
+    *     smaller-ts quote can arrive between pts and it), or the whole
+    *     `[pts, pts+tolerance]` window is past the watermark (answer is
+    *     NULL) — note a forward probe can finalize BEFORE the watermark
+    *     reaches its own time, and without a tolerance an unmatched
+    *     probe legitimately waits for its key's next quote (the Flink
+    *     temporal-join property), draining at the idle timeout;
+    *   - nearest: the backward side is fixed (wm > pts) AND either the
+    *     forward candidate is fixed, or the backward candidate already
+    *     beats every possible future arrival (wm >= pts + backDist —
+    *     any later quote is farther, and equal distance goes backward),
+    *     or the tolerance window is fully past.
     *
     * Bounded state (the 100 TB/day property): each batch evicts every
-    * quote older than the carry (the latest watermark-final quote —
-    * still needed by future probes), pending probes drain as the
-    * watermark moves, and an event-time timeout 30 min past the key's
-    * last activity AND its latest pending probe flushes stragglers
-    * whose key never sees data again (by construction the timeout can
-    * only fire once the watermark proves them final). The timeout
-    * KEEPS the single carry quote — a probe arriving after an idle gap
-    * still matches the last state, exactly like the batch result —
-    * so steady state is ONE quote row per key plus the in-flight late
-    * window: the Flink temporal-join / QuestDB ASOF contract,
-    * O(late window) per key, never O(history).
+    * quote older than the carry below the FLOOR = min(watermark, oldest
+    * pending probe) — the floor degenerates to the watermark when no
+    * probe waits, giving backward its one-carry steady state; pending
+    * probes drain as the watermark moves, and an event-time timeout
+    * 30 min past the key's last activity AND its latest pending probe
+    * flushes stragglers whose key never sees data again, resolving them
+    * against the quotes in hand (idle data treated as complete). The
+    * timeout KEEPS the single carry quote — a probe arriving after an
+    * idle gap still matches the last state, exactly like the batch
+    * result — so steady state is ONE quote row per key plus the
+    * in-flight late window: the Flink temporal-join / QuestDB ASOF
+    * contract, O(late window) per key, never O(history).
     *
     * All comparisons run at MICROSECOND precision (the batch
     * formulations' unit); emitted timestamps round-trip micros exactly.
@@ -227,7 +248,17 @@ object EventStreams {
   def streamingAsof(
       probes: Dataset[AsofProbe],
       quotes: Dataset[AsofQuote],
-      lateness: String = "10 minutes"): Dataset[AsofMatch] = {
+      lateness: String = "10 minutes",
+      direction: String = "backward",
+      tolerance: Option[Double] = None): Dataset[AsofMatch] = {
+    val dir = direction match {
+      case "backward" => 0
+      case "forward" => 1
+      case "nearest" => 2
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got $other")
+    }
+    val tol = tolerance
     val spark = probes.sparkSession
     import spark.implicits._
     val unioned = probes.map(p => AsofIn(p.user_id, p.ts, 1, p.event_id, 0.0))
@@ -247,13 +278,74 @@ object EventStreams {
       t
     }
 
+    // the batch chooser over a (ts, value)-asc quote list: backward =
+    // last <= pts (greatest value on its tie run), forward = the tie
+    // run at the smallest ts >= pts, greatest value; nearest = backward
+    // vs STRICTLY-forward head (smallest value), tolerance-filtered
+    // first, equal distances backward
+    def answer(sortedQuotes: List[(Long, Double)], pts: Long): Option[Double] =
+      dir match {
+        case 0 =>
+          sortedQuotes.takeWhile(_._1 <= pts).lastOption
+            .filter(q => tol.forall(t => (pts - q._1).toDouble <= t))
+            .map(_._2)
+        case 1 =>
+          val run = sortedQuotes.dropWhile(_._1 < pts)
+          run.headOption.map(h => run.takeWhile(_._1 == h._1).last)
+            .filter(q => tol.forall(t => (q._1 - pts).toDouble <= t))
+            .map(_._2)
+        case _ =>
+          val b = sortedQuotes.takeWhile(_._1 <= pts).lastOption
+          val f = sortedQuotes.dropWhile(_._1 <= pts).headOption
+          val bD = b.map(q => (pts - q._1).toDouble)
+          val fD = f.map(q => (q._1 - pts).toDouble)
+          tol match {
+            case None =>
+              if (f.isEmpty || (b.nonEmpty && bD.get <= fD.get)) b.map(_._2)
+              else f.map(_._2)
+            case Some(t) =>
+              val backOk = b.nonEmpty && bD.get <= t
+              val fwdOk = f.nonEmpty && fD.get <= t
+              if (fwdOk && !(backOk && bD.get <= fD.get)) f.map(_._2)
+              else if (backOk) b.map(_._2)
+              else None
+          }
+      }
+
+    // is this probe's answer immune to every possible future arrival
+    // (which, by the watermark contract, has ts >= wm)?
+    def isFinal(sortedQuotes: List[(Long, Double)], pts: Long,
+        wmUs: Long): Boolean = dir match {
+      case 0 =>
+        // STRICTLY before the watermark: a quote timed exactly AT the
+        // watermark is not yet late and could still arrive
+        pts < wmUs
+      case 1 =>
+        val cand = sortedQuotes.dropWhile(_._1 < pts).headOption
+        cand.exists(h => h._1 < wmUs &&
+          tol.forall(t => (h._1 - pts).toDouble <= t)) ||
+          tol.exists(t => pts.toDouble + t < wmUs.toDouble)
+      case _ =>
+        if (pts >= wmUs) false // backward side not fixed yet
+        else {
+          val b = sortedQuotes.takeWhile(_._1 <= pts).lastOption
+          val f = sortedQuotes.dropWhile(_._1 <= pts).headOption
+          val fFixed = f.exists(_._1 < wmUs)
+          // backward wins regardless of future forward arrivals: any
+          // quote still to come is >= wm >= pts + backDist away, and
+          // equal distances go backward
+          val bWins = b.exists(q =>
+            tol.forall(t => (pts - q._1).toDouble <= t) &&
+              wmUs.toDouble >= pts.toDouble + (pts - q._1).toDouble)
+          val noneLeft = tol.exists(t => wmUs.toDouble > pts.toDouble + t)
+          fFixed || bWins || noneLeft
+        }
+    }
+
     def resolve(sortedQuotes: List[(Long, Double)], uid: Long,
         ready: List[(Long, Long)]): List[AsofMatch] =
       ready.sortBy(identity).map { case (eid, pts) =>
-        // greatest quote ts <= probe ts; (ts, value)-asc order makes the
-        // last element of a tie run the greatest value — the batch rule
-        val m = sortedQuotes.takeWhile(_._1 <= pts).lastOption
-        AsofMatch(eid, uid, fromMicros(pts), m.map(_._2))
+        AsofMatch(eid, uid, fromMicros(pts), answer(sortedQuotes, pts))
       }
 
     unioned
@@ -288,17 +380,21 @@ object EventStreams {
             }
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val sortedQuotes = quotes.sortBy(identity)
-            // STRICTLY before the watermark: a quote timed exactly AT
-            // the watermark is not yet late and could still arrive, so
-            // a probe at that instant is not final either
-            val (ready, stillPending) = pending.partition(_._2 < wmUs)
+            val (ready, stillPending) =
+              pending.partition(p => isFinal(sortedQuotes, p._2, wmUs))
             val out = resolve(sortedQuotes, uid, ready)
-            // evict: quotes < wm are a final set — only the greatest
-            // (the carry) can still be some future probe's answer;
-            // quotes >= wm keep their full tie runs (more may arrive)
+            // evict below the FLOOR = min(watermark, oldest still-
+            // pending probe): quotes < floor are final AND wanted by no
+            // pending probe's window — only the greatest (the carry)
+            // can still be some future probe's backward answer; quotes
+            // >= floor keep their full tie runs (pending probes may
+            // need any of them, and above wm more may arrive). With no
+            // pending probes the floor IS the watermark — the one-carry
+            // steady state.
+            val floor = stillPending.foldLeft(wmUs)((m, p) => math.min(m, p._2))
             val kept =
-              sortedQuotes.takeWhile(_._1 < wmUs).lastOption.toList :::
-                sortedQuotes.filter(_._1 >= wmUs)
+              sortedQuotes.takeWhile(_._1 < floor).lastOption.toList :::
+                sortedQuotes.filter(_._1 >= floor)
             state.update(AsofKeyState(kept, stillPending))
             // the timer must outlive BOTH the key's last activity and
             // its latest pending probe: a later batch with an older

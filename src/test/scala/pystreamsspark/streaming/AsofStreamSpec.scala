@@ -128,6 +128,115 @@ class AsofStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Every direction × tolerance: the finalized stream output must
+    * equal the batch formulation over the complete data, under the
+    * same adversarial arrival order — probes before quotes, late
+    * quotes, (key, time) ties, a key whose forward match arrives 29
+    * minutes later, and a key with NO in-tolerance match at all. */
+  for ((direction, tolerance) <- Seq(
+      ("forward", None), ("forward", Some(120e6)),
+      ("nearest", None), ("nearest", Some(120e6)),
+      ("backward", Some(120e6)))) {
+    val tolName = tolerance.map(t => s"tol=${(t / 60e6).toLong}min").getOrElse("no tol")
+    test(s"$direction ($tolName) converges to the batch result under out-of-order arrivals") {
+      val s = spark
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val probes = MemoryStream[AsofProbe]
+      val quotes = MemoryStream[AsofQuote]
+      val sink = s"asof_${direction}_${tolerance.isDefined}_out"
+      val q = EventStreams.streamingAsof(probes.toDS(), quotes.toDS(),
+          "5 minutes", direction, tolerance)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val allProbes = scala.collection.mutable.ArrayBuffer[AsofProbe]()
+      val allQuotes = scala.collection.mutable.ArrayBuffer[AsofQuote]()
+      def pr(batch: AsofProbe*): Unit = { allProbes ++= batch; probes.addData(batch); q.processAllAvailable() }
+      def qt(batch: AsofQuote*): Unit = { allQuotes ++= batch; quotes.addData(batch); q.processAllAvailable() }
+      try {
+        // probes arrive BEFORE any quote exists (must buffer, not emit)
+        pr(AsofProbe(1, 1L, ts(10)), AsofProbe(2, 1L, ts(12)),
+          AsofProbe(3, 2L, ts(11)))
+        // quotes catch up out of order, including a (key, time) tie:
+        // forward/backward take the greatest value, nearest's strictly-
+        // forward candidate the smallest
+        qt(AsofQuote(1L, ts(9), 100.0), AsofQuote(1L, ts(12), 120.0),
+          AsofQuote(1L, ts(12), 125.0), AsofQuote(2L, ts(8), 50.0))
+        // a LATE quote inside the 5-min lateness window that sits
+        // between probe 1 and probe 2 — changes forward/nearest answers
+        qt(AsofQuote(1L, ts(11), 110.0))
+        // key 2's forward match arrives 29 min after probe 3 — inside
+        // no 2-min tolerance, the genuine answer without one
+        qt(AsofQuote(2L, ts(40), 60.0))
+        // watermark advances past every quote above (45-5=40 finalizes
+        // backward sides; forward candidates are final once wm > their
+        // own ts)
+        pr(AsofProbe(4, 1L, ts(45)))
+        pr(AsofProbe(5, 2L, ts(60)), AsofProbe(6, 3L, ts(61)))
+        // push the watermark far enough that idle keys 1/2/3 time out
+        // and flush their pending probes
+        pr(AsofProbe(7, 9L, ts(200)))
+        pr(AsofProbe(8, 9L, ts(205))) // extra batch so timeouts drain
+        val got = s.sql(
+          s"""SELECT event_id, user_id, ts, asof_value
+             |FROM $sink ORDER BY event_id""".stripMargin).collect()
+        val batchExpected = AsofJoin.asofJoin(
+            allProbes.toSeq.toDF("event_id", "user_id", "ts"),
+            allQuotes.toSeq.toDF("user_id", "ts", "value"),
+            Seq("user_id"), "ts", "ts", Seq("value"),
+            direction = direction, tolerance = tolerance)
+          .select($"event_id", $"user_id", $"ts", $"asof_value")
+          .filter($"event_id" <= 6).orderBy($"event_id").collect()
+        val finalized = got.filter(_.getLong(0) <= 6)
+        assert(finalized.length == 6,
+          s"expected probes 1-6 finalized, got ${got.mkString(", ")}")
+        finalized.zip(batchExpected).foreach { case (a, b) =>
+          assert(a == b, s"stream row $a != batch row $b")
+        }
+        // each probe emitted exactly once (append-mode finality)
+        assert(got.map(_.getLong(0)).distinct.length == got.length)
+      } finally q.stop()
+    }
+  }
+
+  test("forward probe finalizes EARLY (before the watermark reaches it) once its candidate is final") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val probes = MemoryStream[AsofProbe]
+    val quotes = MemoryStream[AsofQuote]
+    val q = EventStreams.streamingAsof(probes.toDS(), quotes.toDS(),
+        "5 minutes", "forward")
+      .writeStream.format("memory").queryName("asof_fwd_early_out")
+      .outputMode("append").start()
+    try {
+      probes.addData(AsofProbe(1, 1L, ts(10)))
+      q.processAllAvailable()
+      quotes.addData(AsofQuote(1L, ts(12), 120.0))
+      q.processAllAvailable()
+      // a second quote @30 will lift the watermark to 30-5=25 at the
+      // NEXT batch: probe 1's candidate (ts 12 < 25) becomes final
+      quotes.addData(AsofQuote(1L, ts(30), 300.0))
+      q.processAllAvailable()
+      // this batch runs at wm=25: probe 1 emits with the @12 quote —
+      // no quote can arrive in [10, 12] anymore — while probe 2's own
+      // candidate is the @30 quote, which is NOT watermark-final yet
+      // (25 < 30), so probes 2 and 3 must both still pend
+      probes.addData(AsofProbe(2, 1L, ts(24)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(3, 1L, ts(28)))
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT event_id, asof_value FROM asof_fwd_early_out
+          |ORDER BY event_id""".stripMargin).collect()
+      val ids = got.map(_.getLong(0)).toSet
+      assert(ids.contains(1L), s"probe 1 not finalized early: ${got.mkString(",")}")
+      assert(got.find(_.getLong(0) == 1L).get.getDouble(1) == 120.0)
+      assert(!ids.contains(3L),
+        s"probe 3 emitted before its candidate was watermark-final: ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   private def tsU(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000000L * 1000L)
     t.setNanos(((us % 1000000L) * 1000L).toInt)
