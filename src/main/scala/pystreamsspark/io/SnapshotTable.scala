@@ -316,6 +316,60 @@ object SnapshotTable {
     m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
   }
 
+  /** The file subset a `[lo, hi]` range read on `keyCol` must scan per
+    * manifest stats — the READ-side twin of [[discoveryCandidates]].
+    * Public so specs and operators can assert/observe the skip. Files
+    * without stats are always candidates (conservative-correct). */
+  def readCandidates(dir: String, keyCol: String, lo: String, hi: String,
+                     versionAsOf: Option[Int] = None): Seq[String] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    pruneRange(readManifest(dir, v), keyCol, lo, hi).map(_.path)
+  }
+
+  private def pruneRange(m: Manifest, keyCol: String, lo: String,
+                         hi: String): Seq[FileEntry] =
+    if (!m.statsCols.contains(keyCol) || m.schema.isEmpty) m.files
+    else {
+      val dt = m.schema.get.fields.find(_.name == keyCol)
+        .map(_.dataType).getOrElse(StringType)
+      m.files.filter(_.stats.get(keyCol) match {
+        case Some((fLo, fHi)) => rangesOverlap(dt, fLo, fHi, lo, hi)
+        case None => true // no stats (all-null key in file) → cannot prune
+      })
+    }
+
+  /** STATS-PRUNED snapshot read (data skipping — the read-side payoff
+    * of clustering): only files whose recorded cluster-key range
+    * overlaps `[lo, hi]` are opened; the exact range predicate is then
+    * applied as a residual filter, so the result equals
+    * `read(...).filter(lo <= keyCol <= hi)` while a narrow range over a
+    * clustered 100 TB table reads the covering files instead of every
+    * file. Pruning is pure driver metadata (the manifest), no file
+    * I/O; unclustered tables degrade gracefully to a filtered full
+    * read. Bounds are strings rendered like the stats themselves and
+    * compared TYPED (numerics numerically, temporals/strings lexically). */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+                lo: String, hi: String,
+                versionAsOf: Option[Int] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    require(v >= 1, s"no committed version at $dir")
+    val m = readManifest(dir, v)
+    val schema = m.schema.getOrElse(
+      throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
+    val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $keyCol in ${schema.fieldNames.mkString(",")}"))
+    val files = pruneRange(m, keyCol, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
+    base.filter(col(keyCol) >= lit(lo).cast(dt) &&
+      col(keyCol) <= lit(hi).cast(dt))
+  }
+
   /** Append-only commit: prior files carried by reference.
     * `fromVersion` pins the snapshot this transaction read (optimistic
     * concurrency): if someone else committed after it, the CREATE_NEW

@@ -384,7 +384,48 @@ object LayoutQueries {
        |GROUP BY 1
        |ORDER BY band""".stripMargin
 
+  /** STATS-PRUNED snapshot read (data skipping): orders written as a
+    * key-clustered snapshot table (range-partitioned on o_orderkey, 16
+    * files, per-file min/max recorded in the manifest), then a narrow
+    * key-range read answers from ONLY the covering files —
+    * [[pystreamsspark.io.SnapshotTable.readRange]] prunes on pure
+    * driver metadata before any file opens (SnapshotTableSpec asserts
+    * the candidate count; at 100 TB this is the difference between a
+    * covering-file read and a full-table scan). The residual filter
+    * keeps the result exact, so the oracle is a plain range filter
+    * over the original parquet. */
+  def qSnapshotSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"snap_skip_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val maxKey = orders.agg(max($"o_orderkey")).head.getLong(0)
+    pystreamsspark.io.SnapshotTable.createClustered(spark, dir,
+      orders.repartitionByRange(16, $"o_orderkey"),
+      clusterCols = Seq("o_orderkey"))
+    // a ~1/16th key window: overlaps 1-2 of the 16 range-clustered files
+    val (lo, hi) = (maxKey / 4, maxKey / 4 + maxKey / 16)
+    pystreamsspark.io.SnapshotTable.readRange(spark, dir,
+        "o_orderkey", lo.toString, hi.toString)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qSnapshotSkipSql: String =
+    s"""WITH b AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM orders, b
+       |WHERE o_orderkey >= mk // 4 AND o_orderkey <= mk // 4 + mk // 16
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_skip"   -> (qSnapshotSkip _),
     "q_acid_evolve"     -> (qAcidEvolve _),
     "q_acid_merge"      -> (qAcidMerge _),
     "q_time_travel"     -> (qTimeTravel _),
@@ -396,6 +437,7 @@ object LayoutQueries {
     "q_sorted_skip"     -> (qSortedSkip _))
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_skip"   -> qSnapshotSkipSql,
     "q_acid_evolve"     -> qAcidEvolveSql,
     "q_acid_merge"      -> qAcidMergeSql,
     "q_time_travel"     -> qTimeTravelSql,

@@ -660,6 +660,49 @@ object Stress {
           broadcast = true)
         .agg(sum($"asof_value")).count()
     }
+    // INTERPOLATION probe, same big-fact/small-dim asymmetry: the window
+    // form pays the probe-side shuffle + sort + TWO window carries; the
+    // broadcast form answers both neighbors from one binary search per
+    // probe row with zero probe-side exchanges — the round-8 emitBoth
+    // path. The gap should track the asof_merge/asof_bcast pair above.
+    time(s"interp_window_bigprobe x$mult") {
+      val (l, r) = bigProbe()
+      pystreamsspark.operators.AsofJoin
+        .interpolationJoin(l, r, Seq("user_id"), "ts", "ts", "value")
+        .agg(sum($"interp_value")).count()
+    }
+    time(s"interp_bcast_bigprobe x$mult") {
+      val (l, r) = bigProbe()
+      pystreamsspark.operators.NativeAsof
+        .interpolationJoin(l, r, Seq("user_id"), "ts", "ts", "value")
+        .agg(sum($"interp_value")).count()
+    }
+    // STATS-PRUNED snapshot read: a fixed narrow key window over a
+    // key-clustered snapshot table that grows xN. The build (outside the
+    // timer) is the linear cost; the timed read must stay flat because
+    // manifest stats prune to the covering file(s) before any file opens
+    // — the read-side twin of the clustered-CoW merge row. (The whole
+    // block is gated like time() itself: the table build outside the
+    // timer is the expensive part and must not run for other probes.)
+    if (only.isEmpty || only.exists(o => s"snapshot_readrange x$mult".contains(o))) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_snap_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val ordsN = amplified(
+        pystreamsspark.io.Tables.orders(spark, sfDir), Seq("o_orderkey"),
+        100000000L).select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val nFiles = 8 * mult // files grow with the table, window doesn't
+      pystreamsspark.io.SnapshotTable.createClustered(spark, dir,
+        ordsN.repartitionByRange(nFiles, $"o_orderkey"),
+        clusterCols = Seq("o_orderkey"))
+      val cands = pystreamsspark.io.SnapshotTable
+        .readCandidates(dir, "o_orderkey", "100000", "140000")
+      println(s"STRESS snapshot_readrange candidates: ${cands.size} of $nFiles files")
+      time(s"snapshot_readrange x$mult") {
+        pystreamsspark.io.SnapshotTable
+          .readRange(spark, dir, "o_orderkey", "100000", "140000")
+          .agg(count(lit(1)), sum($"o_totalprice")).count()
+      }
+    }
     spark.stop()
   }
 }

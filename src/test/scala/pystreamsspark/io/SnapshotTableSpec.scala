@@ -285,6 +285,43 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands2.size === 1)
   }
 
+  test("readRange: stats-pruned data skipping equals the filtered full read") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 80 range-clustered files over ids 0..7999 (~100 ids each)
+    val base = (0 until 8000).map(i => (i.toLong, s"name_$i", i * 10L))
+      .toDF("id", "name", "score")
+    SnapshotTable.createClustered(spark, dir,
+      base.repartitionByRange(80, col("id")), clusterCols = Seq("id"))
+    // pure-metadata prune: a 150-id window covers at most 3 of 80 files
+    val cands = SnapshotTable.readCandidates(dir, "id", "1000", "1149")
+    assert(cands.size <= 3, s"expected <=3 candidates, got ${cands.size}")
+    assert(cands.nonEmpty)
+    // the pruned read equals the unpruned filtered read, byte for byte
+    val got = SnapshotTable.readRange(spark, dir, "id", "1000", "1149")
+      .orderBy($"id").collect()
+    val want = SnapshotTable.read(spark, dir)
+      .filter($"id" >= 1000L && $"id" <= 1149L).orderBy($"id").collect()
+    assert(got.length === 150)
+    got.zip(want).foreach { case (a, b) => assert(a === b) }
+    // a range beyond every file's stats prunes to NOTHING and still
+    // returns an empty relation with the table schema
+    val empty = SnapshotTable.readRange(spark, dir, "id", "100000", "200000")
+    assert(SnapshotTable.readCandidates(dir, "id", "100000", "200000").isEmpty)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    // an UNCLUSTERED table degrades to a filtered full read (no stats →
+    // every file is a candidate; result still exact)
+    val dir2 = freshDir()
+    SnapshotTable.create(spark, dir2, base, numFiles = 8)
+    assert(SnapshotTable.readCandidates(dir2, "id", "1000", "1149").size === 8)
+    assert(SnapshotTable.readRange(spark, dir2, "id", "1000", "1149")
+      .count() === 150)
+    // non-stat column: prune is refused (conservative), filter is exact
+    assert(SnapshotTable.readRange(spark, dir, "score", "10000", "10090")
+      .count() === 10)
+  }
+
   test("vacuum then appendEpoch/history: enumeration survives missing manifests, epoch markers survive vacuum") {
     import spark.implicits._
     val dir = freshDir()
