@@ -32,11 +32,22 @@ object Stress {
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * step)))
       }.reduce(_ unionByName _)
 
+    // SPARK_GRAFT_STRESS_RUNS=N reports the MIN of N back-to-back runs:
+    // the first probe in a JVM pays scan/JIT warmup (measured: the same
+    // probe swings 4.4-9.3 s at x30 purely by position), so single-shot
+    // numbers bias toward whichever probe ran later
+    val runsPer = sys.env.get("SPARK_GRAFT_STRESS_RUNS").map(_.toInt).getOrElse(1)
     def time(name: String)(body: => Long): Unit =
       if (only.isEmpty || only.exists(name.contains)) {
-        val t0 = System.nanoTime()
-        val n = body
-        println(f"STRESS $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+        var best = Double.MaxValue
+        var n = 0L
+        for (_ <- 1 to runsPer) {
+          val t0 = System.nanoTime()
+          n = body
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        val tag = if (runsPer > 1) s"  (min of $runsPer)" else ""
+        println(f"STRESS $name%-24s $best%8.2f s  ($n rows)$tag")
       }
 
     val li = amplified(pystreamsspark.io.Tables.lineitem(spark, sfDir),
@@ -622,13 +633,13 @@ object Stress {
       val (l, r) = asofInputs()
       pystreamsspark.operators.AsofJoin
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
-        .agg(sum($"asof_value")).count()
+        .agg(sum($"asof_value")).head.getDouble(0).toLong
     }
     time(s"asof_native x$mult") {
       val (l, r) = asofInputs()
       pystreamsspark.operators.NativeAsof
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
-        .agg(sum($"asof_value")).count()
+        .agg(sum($"asof_value")).head.getDouble(0).toLong
     }
     // BROADCAST as-of probe: big-fact / small-dim asymmetry — the probe
     // side grows xN along the TIME axis (event_id offsets, user_ids
@@ -651,31 +662,35 @@ object Stress {
       val (l, r) = bigProbe()
       pystreamsspark.operators.NativeAsof
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
-        .agg(sum($"asof_value")).count()
+        .agg(sum($"asof_value")).head.getDouble(0).toLong
     }
     time(s"asof_bcast_bigprobe x$mult") {
       val (l, r) = bigProbe()
       pystreamsspark.operators.NativeAsof
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"),
           broadcast = true)
-        .agg(sum($"asof_value")).count()
+        .agg(sum($"asof_value")).head.getDouble(0).toLong
     }
     // INTERPOLATION probe, same big-fact/small-dim asymmetry: the window
     // form pays the probe-side shuffle + sort + TWO window carries; the
     // broadcast form answers both neighbors from one binary search per
     // probe row with zero probe-side exchanges — the round-8 emitBoth
     // path. The gap should track the asof_merge/asof_bcast pair above.
+    // force evaluation by READING the sum, not count()-ing the 1-row
+    // aggregate: count() lets Catalyst prune the window carries from
+    // the declarative form (the custom exec is unprunable), which would
+    // rig the comparison
     time(s"interp_window_bigprobe x$mult") {
       val (l, r) = bigProbe()
       pystreamsspark.operators.AsofJoin
         .interpolationJoin(l, r, Seq("user_id"), "ts", "ts", "value")
-        .agg(sum($"interp_value")).count()
+        .agg(sum($"interp_value")).head.getDouble(0).toLong
     }
     time(s"interp_bcast_bigprobe x$mult") {
       val (l, r) = bigProbe()
       pystreamsspark.operators.NativeAsof
         .interpolationJoin(l, r, Seq("user_id"), "ts", "ts", "value")
-        .agg(sum($"interp_value")).count()
+        .agg(sum($"interp_value")).head.getDouble(0).toLong
     }
     // STATS-PRUNED snapshot read: a fixed narrow key window over a
     // key-clustered snapshot table that grows xN. The build (outside the
