@@ -316,59 +316,90 @@ object SnapshotTable {
     m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
   }
 
-  /** The file subset a `[lo, hi]` range read on `keyCol` must scan per
-    * manifest stats — the READ-side twin of [[discoveryCandidates]].
-    * Public so specs and operators can assert/observe the skip. Files
-    * without stats are always candidates (conservative-correct). */
-  def readCandidates(dir: String, keyCol: String, lo: String, hi: String,
+  /** The file subset a conjunctive box read must scan per manifest
+    * stats — the READ-side twin of [[discoveryCandidates]]. Public so
+    * specs and operators can assert/observe the skip. Files without
+    * stats for a bound column are always candidates
+    * (conservative-correct); bounds on non-stat columns never prune. */
+  def readCandidates(dir: String, bounds: Map[String, (String, String)],
                      versionAsOf: Option[Int] = None): Seq[String] = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
-    pruneRange(readManifest(dir, v), keyCol, lo, hi).map(_.path)
+    pruneWhere(readManifest(dir, v), bounds).map(_.path)
   }
 
-  private def pruneRange(m: Manifest, keyCol: String, lo: String,
-                         hi: String): Seq[FileEntry] =
-    if (!m.statsCols.contains(keyCol) || m.schema.isEmpty) m.files
+  /** Single-column convenience overload. */
+  def readCandidates(dir: String, keyCol: String, lo: String, hi: String,
+                     versionAsOf: Option[Int]): Seq[String] =
+    readCandidates(dir, Map(keyCol -> (lo, hi)), versionAsOf)
+  def readCandidates(dir: String, keyCol: String, lo: String,
+                     hi: String): Seq[String] =
+    readCandidates(dir, Map(keyCol -> (lo, hi)), None)
+
+  private def pruneWhere(m: Manifest,
+                         bounds: Map[String, (String, String)]): Seq[FileEntry] =
+    if (m.schema.isEmpty) m.files
     else {
-      val dt = m.schema.get.fields.find(_.name == keyCol)
-        .map(_.dataType).getOrElse(StringType)
-      m.files.filter(_.stats.get(keyCol) match {
-        case Some((fLo, fHi)) => rangesOverlap(dt, fLo, fHi, lo, hi)
-        case None => true // no stats (all-null key in file) → cannot prune
-      })
+      val statBounds = bounds.filter { case (c, _) => m.statsCols.contains(c) }
+      if (statBounds.isEmpty) m.files
+      else m.files.filter { f =>
+        statBounds.forall { case (c, (lo, hi)) =>
+          f.stats.get(c) match {
+            case Some((fLo, fHi)) =>
+              val dt = m.schema.get.fields.find(_.name == c)
+                .map(_.dataType).getOrElse(StringType)
+              rangesOverlap(dt, fLo, fHi, lo, hi)
+            case None => true // no stats (all-null col in file) → cannot prune
+          }
+        }
+      }
     }
 
   /** STATS-PRUNED snapshot read (data skipping — the read-side payoff
-    * of clustering): only files whose recorded cluster-key range
-    * overlaps `[lo, hi]` are opened; the exact range predicate is then
-    * applied as a residual filter, so the result equals
-    * `read(...).filter(lo <= keyCol <= hi)` while a narrow range over a
-    * clustered 100 TB table reads the covering files instead of every
-    * file. Pruning is pure driver metadata (the manifest), no file
-    * I/O; unclustered tables degrade gracefully to a filtered full
-    * read. Bounds are strings rendered like the stats themselves and
-    * compared TYPED (numerics numerically, temporals/strings lexically). */
-  def readRange(spark: SparkSession, dir: String, keyCol: String,
-                lo: String, hi: String,
+    * of clustering): only files whose recorded stats overlap EVERY
+    * requested `[lo, hi]` bound are opened; the exact predicates are
+    * then applied as residual filters, so the result equals
+    * `read(...).filter(...)` while a narrow box over a clustered
+    * 100 TB table reads the covering files instead of every file.
+    * Pruning is pure driver metadata (the manifest), no file I/O;
+    * unclustered tables degrade gracefully to a filtered full read.
+    * Bounds are strings rendered like the stats themselves and
+    * compared TYPED (numerics numerically, temporals/strings
+    * lexically). Multi-column bounds are the Z-ORDER payoff: a
+    * z-clustered layout gives every file a small hyper-rectangle of
+    * the key space, so a box prunes on BOTH dimensions — a
+    * lexicographic sort only ever prunes its leading column. */
+  def readWhere(spark: SparkSession, dir: String,
+                bounds: Map[String, (String, String)],
                 versionAsOf: Option[Int] = None): DataFrame = {
+    require(bounds.nonEmpty, "readWhere needs at least one column bound")
     val v = versionAsOf.getOrElse(latestVersion(dir))
     require(v >= 1, s"no committed version at $dir")
     val m = readManifest(dir, v)
     val schema = m.schema.getOrElse(
       throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
-    val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no column $keyCol in ${schema.fieldNames.mkString(",")}"))
-    val files = pruneRange(m, keyCol, lo, hi)
+    val dts = bounds.keys.map { c =>
+      c -> schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $c in ${schema.fieldNames.mkString(",")}"))
+    }.toMap
+    val files = pruneWhere(m, bounds)
     val base =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
         .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
-    base.filter(col(keyCol) >= lit(lo).cast(dt) &&
-      col(keyCol) <= lit(hi).cast(dt))
+    bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lit(lo).cast(dts(c)) &&
+        col(c) <= lit(hi).cast(dts(c)))
+    }
   }
+
+  /** Single-column range read — [[readWhere]] with one bound. */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+                lo: String, hi: String,
+                versionAsOf: Option[Int] = None): DataFrame =
+    readWhere(spark, dir, Map(keyCol -> (lo, hi)), versionAsOf)
 
   /** Append-only commit: prior files carried by reference.
     * `fromVersion` pins the snapshot this transaction read (optimistic

@@ -85,6 +85,11 @@ case class AsofJoinPlan(
     left.output ++ right.output.map(_.withNullability(true)) ++
       (if (emitBoth) fwdOutput.map(_.withNullability(true)) else Nil)
 
+  // the forward-copy attributes are PRODUCED here, not derived from a
+  // child (the Generate.generatorOutput discipline) — declaring them
+  // keeps missing-input validation honest
+  override def producedAttributes: AttributeSet = AttributeSet(fwdOutput)
+
   // keep every child column alive through column pruning: the exec
   // re-emits whole child rows, so nothing upstream may be dropped
   override def references: AttributeSet =

@@ -54,6 +54,9 @@ case class BroadcastAsofJoinExec(
     left.output ++ right.output.map(_.withNullability(true)) ++
       (if (emitBoth) fwdOutput.map(_.withNullability(true)) else Nil)
 
+  // the forward-copy attributes originate at this node, not a child
+  override def producedAttributes: AttributeSet = AttributeSet(fwdOutput)
+
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))

@@ -424,7 +424,52 @@ object LayoutQueries {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  /** Z-ORDER data skipping (multi-dimensional): parts laid out by the
+    * Morton key over (p_size, price_bucket) — [[PipelineQueries.qZorder]]'s
+    * interleave — into a clustered snapshot table whose manifest records
+    * per-file min/max of BOTH dimensions. Because the z-curve gives each
+    * file a small hyper-rectangle of the key space, a 2-D box read
+    * ([[pystreamsspark.io.SnapshotTable.readWhere]]) prunes on both
+    * columns — a lexicographic sort only ever prunes its leading column
+    * (SnapshotTableSpec pins the contrast: second-dimension bounds prune
+    * z-order to ≤6 of 16 files while the lex layout reads all 16). The
+    * residual filters keep the result exact, so the oracle is the plain
+    * 2-D box filter over the original parquet. */
+  def qZorderSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"zorder_skip_${java.util.UUID.randomUUID().toString.take(8)}")
+    val px = $"p_size".cast("long")
+    val py = pmod(floor($"p_retailprice").cast("long"), lit(64L))
+    val z = (0 until 6).map { b =>
+      (shiftright(px, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+        (shiftright(py, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+    }.reduceLeft(_ + _)
+    val laid = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_size", py.as("price_bucket"), z.as("zkey"))
+    pystreamsspark.io.SnapshotTable.createClustered(spark, dir,
+      laid.repartitionByRange(16, $"zkey").sortWithinPartitions($"zkey"),
+      clusterCols = Seq("p_size", "price_bucket"))
+    pystreamsspark.io.SnapshotTable.readWhere(spark, dir, Map(
+        "p_size" -> ("8", "15"), "price_bucket" -> ("16", "31")))
+      .groupBy($"p_size")
+      .agg(count(lit(1)).as("n"), sum($"p_partkey").as("key_sum"))
+      .orderBy($"p_size")
+  }
+
+  val qZorderSkipSql: String =
+    """WITH t AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(floor(p_retailprice) AS BIGINT) % 64 AS price_bucket
+      |  FROM part)
+      |SELECT p_size, COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT) AS key_sum
+      |FROM t
+      |WHERE p_size BETWEEN 8 AND 15 AND price_bucket BETWEEN 16 AND 31
+      |GROUP BY p_size
+      |ORDER BY p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_skip"     -> (qZorderSkip _),
     "q_snapshot_skip"   -> (qSnapshotSkip _),
     "q_acid_evolve"     -> (qAcidEvolve _),
     "q_acid_merge"      -> (qAcidMerge _),
@@ -437,6 +482,7 @@ object LayoutQueries {
     "q_sorted_skip"     -> (qSortedSkip _))
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_skip"     -> qZorderSkipSql,
     "q_snapshot_skip"   -> qSnapshotSkipSql,
     "q_acid_evolve"     -> qAcidEvolveSql,
     "q_acid_merge"      -> qAcidMergeSql,

@@ -322,6 +322,49 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 10)
   }
 
+  test("z-order layout: second-dimension bounds prune files; lexicographic cannot") {
+    import spark.implicits._
+    // a full 64x64 grid of (x, y) keys — every key-space cell populated,
+    // so file stats reflect layout, not data sparsity
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, (x * 64 + y).toLong)).toDF("x", "y", "payload")
+    val zkey = (0 until 6).map { b =>
+      (shiftright(col("x"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+        (shiftright(col("y"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+    }.reduceLeft(_ + _)
+    val zdir = freshDir()
+    SnapshotTable.createClustered(spark, zdir,
+      grid.withColumn("zkey", zkey)
+        .repartitionByRange(16, col("zkey")).sortWithinPartitions(col("zkey")),
+      clusterCols = Seq("x", "y"))
+    val lexdir = freshDir()
+    SnapshotTable.createClustered(spark, lexdir,
+      grid.repartitionByRange(16, col("x"), col("y"))
+        .sortWithinPartitions(col("x"), col("y")),
+      clusterCols = Seq("x", "y"))
+    // bounds on the SECOND dimension only: the z-curve confines
+    // y∈[16,31] to 2 z-runs (≤6 of 16 unaligned files); the
+    // lexicographic layout smears every y across every file
+    val yOnly = Map("y" -> ("16", "31"))
+    val zCands = SnapshotTable.readCandidates(zdir, yOnly)
+    val lexCands = SnapshotTable.readCandidates(lexdir, yOnly)
+    assert(zCands.size <= 6, s"z-order y-prune too weak: ${zCands.size} of 16")
+    assert(lexCands.size == 16,
+      s"lex layout should NOT prune on y: ${lexCands.size}")
+    // a 2-D box tightens the z prune further
+    val box = Map("x" -> ("8", "15"), "y" -> ("16", "31"))
+    assert(SnapshotTable.readCandidates(zdir, box).size <= 4)
+    // both layouts return the exact filtered result
+    for (dir <- Seq(zdir, lexdir)) {
+      val got = SnapshotTable.readWhere(spark, dir, box)
+        .select($"x", $"y", $"payload").orderBy($"x", $"y").collect()
+      assert(got.length === 8 * 16)
+      assert(got.forall(r => r.getLong(0) >= 8 && r.getLong(0) <= 15 &&
+        r.getLong(1) >= 16 && r.getLong(1) <= 31))
+      assert(got.forall(r => r.getLong(2) === r.getLong(0) * 64 + r.getLong(1)))
+    }
+  }
+
   test("vacuum then appendEpoch/history: enumeration survives missing manifests, epoch markers survive vacuum") {
     import spark.implicits._
     val dir = freshDir()
