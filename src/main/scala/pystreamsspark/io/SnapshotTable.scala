@@ -246,10 +246,11 @@ object SnapshotTable {
     if (presentStats.isEmpty) rel.map(FileEntry(_, Map.empty))
     else {
       // per-file min/max in ONE scan of the new batch's stat columns;
-      // values rendered to strings here, compared TYPED at prune time
+      // values rendered via statAgg (epoch-micros for timestamps,
+      // string cast otherwise), compared TYPED at prune time
       val aggs = presentStats.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"lo_$c"),
-        max(col(c)).cast("string").as(s"hi_$c")))
+        statAgg(c, df.schema(c).dataType, isMin = true).as(s"lo_$c"),
+        statAgg(c, df.schema(c).dataType, isMin = false).as(s"hi_$c")))
       val byFile = df.sparkSession.read.parquet(out.toString)
         .groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -363,11 +364,14 @@ object SnapshotTable {
     * Pruning is pure driver metadata (the manifest), no file I/O;
     * unclustered tables degrade gracefully to a filtered full read.
     * Bounds are strings rendered like the stats themselves and
-    * compared TYPED (numerics numerically, temporals/strings
-    * lexically). Multi-column bounds are the Z-ORDER payoff: a
-    * z-clustered layout gives every file a small hyper-rectangle of
-    * the key space, so a box prunes on BOTH dimensions — a
-    * lexicographic sort only ever prunes its leading column. */
+    * compared TYPED: numerics numerically, dates/NTZ-timestamps/strings
+    * lexically (their renderings are monotonic), and TimestampType as
+    * EPOCH-MICROS strings — pass e.g. `unix_micros` values, never a
+    * local-time rendering (session-timezone strings invert across DST).
+    * Multi-column bounds are the Z-ORDER payoff: a z-clustered layout
+    * gives every file a small hyper-rectangle of the key space, so a
+    * box prunes on BOTH dimensions — a lexicographic sort only ever
+    * prunes its leading column. */
   def readWhere(spark: SparkSession, dir: String,
                 bounds: Map[String, (String, String)],
                 versionAsOf: Option[Int] = None): DataFrame = {
@@ -389,9 +393,14 @@ object SnapshotTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
         .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
+    def bound(c: String, v: String): org.apache.spark.sql.Column =
+      dts(c) match {
+        // epoch-micros convention, matching the manifest stats rendering
+        case _: TimestampType => timestamp_micros(lit(v.toLong))
+        case dt => lit(v).cast(dt)
+      }
     bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c) >= lit(lo).cast(dts(c)) &&
-        col(c) <= lit(hi).cast(dts(c)))
+      df.filter(col(c) >= bound(c, lo) && col(c) <= bound(c, hi))
     }
   }
 
@@ -438,8 +447,15 @@ object SnapshotTable {
     val versions = existingVersions(dir)
     val latest = versions.lastOption.getOrElse(0)
     val latestM = if (latest == 0) None else Some(readManifest(dir, latest))
-    val ranges =
-      latestM.flatMap(_.header.get("epochs")).map(parseRanges).getOrElse(Nil)
+    // the carried range-set is authoritative; a table written before
+    // the range-set existed (per-commit `epoch=N` headers only) must
+    // not LOSE idempotency on upgrade — seed the set from the surviving
+    // manifests' headers once, and this commit will carry it forward
+    val ranges = latestM.flatMap(_.header.get("epochs")).map(parseRanges)
+      .getOrElse(
+        versions.flatMap(v => readManifest(dir, v).header.get("epoch"))
+          .map(_.toLong)
+          .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
     if (rangesContain(ranges, epochId)) {
       // committed before: find the surviving manifest that holds it, or
       // fall back to latest if vacuum reclaimed the holder
@@ -463,19 +479,44 @@ object SnapshotTable {
   }
 
   /** TYPED overlap test between two [min,max] ranges rendered as
-    * strings: numerics compare numerically (string order would put
-    * "10" < "9"), temporals compare lexically (ISO renderings sort),
-    * strings compare lexically. Unknown types never prune. */
+    * strings: numerics AND TimestampType compare numerically
+    * (timestamps render as epoch-micros — a session-local-time string
+    * inverts order across a DST fall-back and differs between writer
+    * and reader timezones), DateType/TimestampNTZType compare lexically
+    * (their ISO renderings are zero-padded and timezone-free, hence
+    * monotonic), strings compare lexically. An unparseable numeric —
+    * "NaN"/"Infinity" stats from a float column — must never PRUNE:
+    * fall back to candidate (conservative-correct), not an exception
+    * that bricks every pruned operation on the table. Unknown types
+    * never prune. */
   private def rangesOverlap(dt: DataType, fLo: String, fHi: String,
                             uLo: String, uHi: String): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-         _: FloatType | _: DoubleType | _: DecimalType =>
-      val (a, b) = (BigDecimal(fLo), BigDecimal(fHi))
-      val (c, d) = (BigDecimal(uLo), BigDecimal(uHi))
-      !(b < c || d < a)
-    case _: StringType | _: DateType | _: TimestampType | _: TimestampNTZType =>
+         _: FloatType | _: DoubleType | _: DecimalType | _: TimestampType =>
+      try {
+        val (a, b) = (BigDecimal(fLo), BigDecimal(fHi))
+        val (c, d) = (BigDecimal(uLo), BigDecimal(uHi))
+        !(b < c || d < a)
+      } catch { case _: NumberFormatException => true }
+    case _: StringType | _: DateType | _: TimestampNTZType =>
       !(fHi < uLo || uHi < fLo)
     case _ => true
+  }
+
+  /** Render one side of a column's [min,max] stat as the string the
+    * manifest stores and [[rangesOverlap]] compares: epoch-micros for
+    * TimestampType (timezone-proof, DST-proof), plain string cast
+    * otherwise. Used identically at write time (writeBatch), at
+    * merge-discovery time (updates' bounding box) and — via the micros
+    * convention on bounds — at read time, so all three speak one
+    * format. */
+  private def statAgg(c: String, dt: DataType, isMin: Boolean):
+      org.apache.spark.sql.Column = {
+    val agg = if (isMin) min(col(c)) else max(col(c))
+    dt match {
+      case _: TimestampType => unix_micros(agg).cast("string")
+      case _ => agg.cast("string")
+    }
   }
 
   /** The files a MERGE/DELETE discovery scan must READ for `updates` on
@@ -496,28 +537,21 @@ object SnapshotTable {
   private def pruneCandidates(m: Manifest, updates: DataFrame,
                               keyCols: Seq[String]): Seq[FileEntry] = {
     val statCols = m.statsCols.filter(keyCols.contains)
-    val schema = m.schema
-    if (statCols.isEmpty || schema.isEmpty) m.files
+    if (statCols.isEmpty || m.schema.isEmpty) m.files
     else {
+      // one tiny agg computes the updates' bounding box in the SAME
+      // rendering writeBatch used; the shared pruneWhere then applies
+      // the one set of conservative overlap rules (all-null box side →
+      // no bound → cannot prune)
       val aggs = statCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"lo_$c"),
-        max(col(c)).cast("string").as(s"hi_$c")))
+        statAgg(c, updates.schema(c).dataType, isMin = true).as(s"lo_$c"),
+        statAgg(c, updates.schema(c).dataType, isMin = false).as(s"hi_$c")))
       val r = updates.agg(aggs.head, aggs.tail: _*).head()
       val bounds = statCols.zipWithIndex.flatMap { case (c, i) =>
         val lo = r.getString(2 * i); val hi = r.getString(2 * i + 1)
         if (lo == null || hi == null) None else Some(c -> (lo, hi))
       }.toMap
-      m.files.filter { f =>
-        statCols.forall { c =>
-          (f.stats.get(c), bounds.get(c)) match {
-            case (Some((fLo, fHi)), Some((uLo, uHi))) =>
-              val dt = schema.get.fields.find(_.name == c).map(_.dataType)
-                .getOrElse(StringType)
-              rangesOverlap(dt, fLo, fHi, uLo, uHi)
-            case _ => true // no stats on either side → cannot prune
-          }
-        }
-      }
+      pruneWhere(m, bounds)
     }
   }
 

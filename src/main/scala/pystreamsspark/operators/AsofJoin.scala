@@ -220,19 +220,35 @@ object AsofJoin {
     val ftRaw = col("__f").getField("__rt")
     val bv = col("__b").getField("__rv")
     val fv = col("__f").getField("__rv")
-    // IDENTICAL op sequence to the oracle SQL: double-cast each epoch,
-    // then (t-bt)/(ft-bt), multiply, add — never reassociate
-    val t = micros(col("__t")).cast("double")
-    val bt = micros(btRaw).cast("double")
-    val ft = micros(ftRaw).cast("double")
-    val lerp = bv + (fv - bv) * ((t - bt) / (ft - bt))
-    val interp = when(btRaw.isNull, fv)
-      .when(ftRaw.isNull, bv)
-      .when(micros(ftRaw) === micros(btRaw), bv)
-      .otherwise(lerp)
+    val interp = interpExpr(col("__t"), btRaw, ftRaw, bv, fv, micros)
     carried
       .withColumn(s"$prefix$valueCol", interp)
       .filter(col("__side") === 1)
       .select((leftCols :+ s"$prefix$valueCol").map(col): _*)
+  }
+
+  /** The interpolation arithmetic that EVERY formulation (window here,
+    * broadcast in [[NativeAsof.interpolationJoin]]) and the DuckDB
+    * oracle must replay bit-for-bit: double-cast each epoch, then
+    * (t−bt)/(ft−bt), multiply, add — never reassociate; clamp to the
+    * sole neighbor when the other is missing, land on bv for a
+    * zero-width bracket. ONE definition so the IEEE op sequence cannot
+    * drift between the forms. */
+  private[operators] def interpExpr(
+      tRaw: org.apache.spark.sql.Column,
+      btRaw: org.apache.spark.sql.Column,
+      ftRaw: org.apache.spark.sql.Column,
+      bv: org.apache.spark.sql.Column,
+      fv: org.apache.spark.sql.Column,
+      micros: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val t = micros(tRaw).cast("double")
+    val bt = micros(btRaw).cast("double")
+    val ft = micros(ftRaw).cast("double")
+    val lerp = bv + (fv - bv) * ((t - bt) / (ft - bt))
+    when(btRaw.isNull, fv)
+      .when(ftRaw.isNull, bv)
+      .when(micros(ftRaw) === micros(btRaw), bv)
+      .otherwise(lerp)
   }
 }

@@ -135,20 +135,10 @@ object NativeAsof {
       if (left.schema(leftTime).dataType ==
           org.apache.spark.sql.types.TimestampType) unix_micros(c)
       else c.cast("double")
-    val btRaw = col("__r_time")
-    val ftRaw = col("__f_time")
-    val bv = col("__r_value")
-    val fv = col("__f_value")
-    // IDENTICAL op sequence to the window form and the oracle SQL:
-    // double-cast each epoch, then (t-bt)/(ft-bt), multiply, add
-    val t = micros(col(leftTime)).cast("double")
-    val bt = micros(btRaw).cast("double")
-    val ft = micros(ftRaw).cast("double")
-    val lerp = bv + (fv - bv) * ((t - bt) / (ft - bt))
-    val interp = when(btRaw.isNull, fv)
-      .when(ftRaw.isNull, bv)
-      .when(micros(ftRaw) === micros(btRaw), bv)
-      .otherwise(lerp)
+    // the SHARED lerp builder (AsofJoin.interpExpr): one definition of
+    // the IEEE op sequence, so the two forms and the oracle cannot drift
+    val interp = AsofJoin.interpExpr(col(leftTime), col("__r_time"),
+      col("__f_time"), col("__r_value"), col("__f_value"), micros)
     joined
       .withColumn(s"$prefix$valueCol", interp)
       .select((left.columns.toSeq :+ s"$prefix$valueCol").map(col): _*)

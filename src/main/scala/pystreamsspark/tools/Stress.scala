@@ -37,6 +37,15 @@ object Stress {
     // probe swings 4.4-9.3 s at x30 purely by position), so single-shot
     // numbers bias toward whichever probe ran later
     val runsPer = sys.env.get("SPARK_GRAFT_STRESS_RUNS").map(_.toInt).getOrElse(1)
+    // read the aggregate VALUE to force evaluation; a NULL aggregate
+    // (no matching rows at this sfDir) reports 0 instead of NPE-ing
+    // the whole stress run
+    implicit class ForcedAgg(df: DataFrame) {
+      def forcedSum: Long = {
+        val r = df.head()
+        if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
+      }
+    }
     def time(name: String)(body: => Long): Unit =
       if (only.isEmpty || only.exists(name.contains)) {
         var best = Double.MaxValue
@@ -633,13 +642,13 @@ object Stress {
       val (l, r) = asofInputs()
       pystreamsspark.operators.AsofJoin
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
-        .agg(sum($"asof_value")).head.getDouble(0).toLong
+        .agg(sum($"asof_value")).forcedSum
     }
     time(s"asof_native x$mult") {
       val (l, r) = asofInputs()
       pystreamsspark.operators.NativeAsof
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
-        .agg(sum($"asof_value")).head.getDouble(0).toLong
+        .agg(sum($"asof_value")).forcedSum
     }
     // BROADCAST as-of probe: big-fact / small-dim asymmetry — the probe
     // side grows xN along the TIME axis (event_id offsets, user_ids
@@ -662,14 +671,14 @@ object Stress {
       val (l, r) = bigProbe()
       pystreamsspark.operators.NativeAsof
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
-        .agg(sum($"asof_value")).head.getDouble(0).toLong
+        .agg(sum($"asof_value")).forcedSum
     }
     time(s"asof_bcast_bigprobe x$mult") {
       val (l, r) = bigProbe()
       pystreamsspark.operators.NativeAsof
         .asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("value"),
           broadcast = true)
-        .agg(sum($"asof_value")).head.getDouble(0).toLong
+        .agg(sum($"asof_value")).forcedSum
     }
     // INTERPOLATION probe, same big-fact/small-dim asymmetry: the window
     // form pays the probe-side shuffle + sort + TWO window carries; the
@@ -684,13 +693,13 @@ object Stress {
       val (l, r) = bigProbe()
       pystreamsspark.operators.AsofJoin
         .interpolationJoin(l, r, Seq("user_id"), "ts", "ts", "value")
-        .agg(sum($"interp_value")).head.getDouble(0).toLong
+        .agg(sum($"interp_value")).forcedSum
     }
     time(s"interp_bcast_bigprobe x$mult") {
       val (l, r) = bigProbe()
       pystreamsspark.operators.NativeAsof
         .interpolationJoin(l, r, Seq("user_id"), "ts", "ts", "value")
-        .agg(sum($"interp_value")).head.getDouble(0).toLong
+        .agg(sum($"interp_value")).forcedSum
     }
     // STATS-PRUNED snapshot read: a fixed narrow key window over a
     // key-clustered snapshot table that grows xN. The build (outside the

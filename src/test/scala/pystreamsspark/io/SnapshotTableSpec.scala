@@ -322,6 +322,43 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 10)
   }
 
+  test("timestamp stats prune via epoch-micros; NaN float stats never brick pruning") {
+    import spark.implicits._
+    // TIMESTAMP cluster column: stats must be epoch-micros strings (a
+    // session-local-time rendering inverts order across a DST fall-back
+    // and differs between writer and reader timezones), and readWhere
+    // bounds follow the same micros convention
+    val dir = freshDir()
+    val rows = (0 until 1000).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 3600L * 1000L), i.toDouble))
+    val df = rows.toDF("id", "ts", "v")
+    SnapshotTable.createClustered(spark, dir,
+      df.repartitionByRange(8, col("ts")), clusterCols = Seq("ts"))
+    val loUs = 300L * 3600L * 1000000L // hour 300 in micros
+    val hiUs = 360L * 3600L * 1000000L // hour 360
+    val cands = SnapshotTable.readCandidates(dir,
+      Map("ts" -> (loUs.toString, hiUs.toString)))
+    assert(cands.size <= 2, s"micros stats did not prune: ${cands.size} of 8")
+    val got = SnapshotTable.readWhere(spark, dir,
+      Map("ts" -> (loUs.toString, hiUs.toString)))
+    assert(got.count() === 61) // hours 300..360 inclusive
+    // NaN in a clustered DOUBLE column: max() carries NaN into the
+    // manifest; pruning must stay conservative (file remains a
+    // candidate), never throw, and the residual filter stays exact
+    val dir2 = freshDir()
+    val withNaN = (0 until 100).map(i =>
+      (i.toLong, if (i == 50) Double.NaN else i.toDouble)).toDF("id", "v")
+    SnapshotTable.createClustered(spark, dir2,
+      withNaN.repartitionByRange(4, col("v")), clusterCols = Seq("v"))
+    val c2 = SnapshotTable.readCandidates(dir2, Map("v" -> ("10", "20")))
+    assert(c2.nonEmpty) // and, crucially, no NumberFormatException
+    assert(SnapshotTable.readWhere(spark, dir2, Map("v" -> ("10", "20")))
+      .count() === 11) // NaN fails the residual range predicate
+    // merge discovery over the NaN-stats table must not throw either
+    val upd = Seq((50L, 99.0)).toDF("id", "v")
+    assert(SnapshotTable.discoveryCandidates(spark, dir2, upd, Seq("v")).nonEmpty)
+  }
+
   test("z-order layout: second-dimension bounds prune files; lexicographic cannot") {
     import spark.implicits._
     // a full 64x64 grid of (x, y) keys — every key-space cell populated,
