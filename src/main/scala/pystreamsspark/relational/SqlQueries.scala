@@ -99,6 +99,161 @@ object SqlQueries {
     spark.sql(sqlQ10)
   }
 
+  /** Adapted TPC-H Q4: order counts by priority where at least one line
+    * item was returned — correlated EXISTS, decorrelated by Catalyst
+    * into a LEFT SEMI join on the order key (the testdata lacks
+    * commit/receipt dates, so the inner predicate adapts to
+    * `l_returnflag = 'R'`; the semi-join plan shape is the point).
+    * Shared dialect text. */
+  val sqlQ4: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def qSqlQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders", "lineitem")
+    spark.sql(sqlQ4)
+  }
+
+  /** TPC-H Q6 verbatim shape: the forecasting-revenue-change scan —
+    * single-table, every predicate pushed to the parquet scan, one
+    * partial+final agg, zero joins/shuffles beyond the 1-row final.
+    * The float literals parse to identical doubles in both engines, so
+    * the pushed comparisons agree bit-for-bit. */
+  val sqlQ6: String =
+    s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  def qSqlQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "lineitem")
+    spark.sql(sqlQ6)
+  }
+
+  /** Adapted TPC-H Q12: shipping-priority split — one fact join plus
+    * TWO conditional aggregates (CASE inside SUM), the canonical
+    * pivot-by-predicate shape (the testdata lacks l_shipmode, so the
+    * group key adapts to l_linestatus and the CASE tests
+    * o_orderpriority). Integer CASE sums cast to BIGINT on both sides
+    * (DuckDB SUM(int) is HUGEINT). */
+  val sqlQ12: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  def qSqlQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "orders", "lineitem")
+    spark.sql(sqlQ12)
+  }
+
+  /** Adapted TPC-H Q14: promo revenue share — conditional numerator
+    * over total, one month of lineitem against the part dim (p_type
+    * 'PROMO' replaces the LIKE; this corpus's p_type is a closed
+    * 6-value domain). Both sums are decimal-exact doubles, so the
+    * single division (then ×100, left-assoc in both parsers) is
+    * bit-identical. */
+  val sqlQ14: String =
+    s"""SELECT 100.00 * ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |  / ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  def qSqlQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "lineitem", "part")
+    spark.sql(sqlQ14)
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — a CTE
+    * referenced twice (once as the join input, once under MAX), the
+    * view-plus-argmax pattern. Revenue is decimal-exact, so the MAX
+    * threshold and the equality against it are deterministic in both
+    * engines (ties would ALL surface, ordered by s_suppkey). */
+  val sqlQ15: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  def qSqlQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "supplier", "lineitem")
+    spark.sql(sqlQ15)
+  }
+
+  /** Adapted TPC-H Q17: small-quantity-order revenue — a CORRELATED
+    * scalar subquery (per-part average quantity) gating the fact scan;
+    * Catalyst decorrelates it into an aggregate + join. Quantities are
+    * whole numbers stored as doubles, so their sums are EXACT in both
+    * engines at any parallelism and the 0.2×avg threshold is
+    * deterministic without decimal routing (the q_corr_manual rule:
+    * only inexact float reductions need Det). p_container doesn't
+    * exist in this corpus; (p_brand, p_size<15) stands in. */
+  val sqlQ17: String =
+    s"""SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+       |  COUNT(*) AS n_items
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey
+       |  AND p_brand = 'Brand#13'
+       |  AND p_size < 15
+       |  AND l_quantity < (
+       |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+       |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def qSqlQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "lineitem", "part")
+    spark.sql(sqlQ17)
+  }
+
+  /** Adapted TPC-H Q19: discounted revenue under a DISJUNCTION of
+    * brand × size × quantity windows — the classic
+    * can't-push-one-predicate shape: each disjunct alone is selective,
+    * the OR of three crosses the join, and the optimizer must derive
+    * the common `p_partkey = l_partkey` join plus a residual OR filter
+    * instead of a cartesian fallback. */
+  val sqlQ19: String =
+    s"""SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey
+       |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |        AND l_quantity >= 1 AND l_quantity <= 11)
+       |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       |        AND l_quantity >= 10 AND l_quantity <= 20)
+       |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       |        AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  def qSqlQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, "lineitem", "part")
+    spark.sql(sqlQ19)
+  }
+
   /** Explicit GROUPING SETS — finer than rollup/cube; same shared text. */
   val sqlGroupingSets: String =
     s"""SELECT
@@ -515,6 +670,13 @@ object SqlQueries {
     "q_sql_q5"        -> (qSqlQ5 _),
     "q_sql_q7"        -> (qSqlQ7 _),
     "q_sql_q10"       -> (qSqlQ10 _),
+    "q_sql_q4"        -> (qSqlQ4 _),
+    "q_sql_q6"        -> (qSqlQ6 _),
+    "q_sql_q12"       -> (qSqlQ12 _),
+    "q_sql_q14"       -> (qSqlQ14 _),
+    "q_sql_q15"       -> (qSqlQ15 _),
+    "q_sql_q17"       -> (qSqlQ17 _),
+    "q_sql_q19"       -> (qSqlQ19 _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_subqueries"    -> (qSubqueries _),
     "q_recursive_cte" -> (qRecursive _),
@@ -535,6 +697,13 @@ object SqlQueries {
     "q_sql_q5"        -> sqlQ5,
     "q_sql_q7"        -> sqlQ7,
     "q_sql_q10"       -> sqlQ10,
+    "q_sql_q4"        -> sqlQ4,
+    "q_sql_q6"        -> sqlQ6,
+    "q_sql_q12"       -> sqlQ12,
+    "q_sql_q14"       -> sqlQ14,
+    "q_sql_q15"       -> sqlQ15,
+    "q_sql_q17"       -> sqlQ17,
+    "q_sql_q19"       -> sqlQ19,
     "q_grouping_sets" -> sqlGroupingSets,
     "q_subqueries"    -> sqlSubqueries,
     "q_recursive_cte" -> sqlRecursive,
