@@ -132,7 +132,9 @@ object SnapshotTable {
                               files: Seq[FileEntry],
                               header: Map[String, String]) {
     def paths: Seq[String] = files.map(_.path)
-    def schema: Option[StructType] =
+    // lazy: the schema JSON parses at most once per manifest read, not
+    // once per accessor call on the hot driver-metadata paths
+    lazy val schema: Option[StructType] =
       header.get("schema").map(j =>
         DataType.fromJson(j).asInstanceOf[StructType])
     def statsCols: Seq[String] =
@@ -325,7 +327,14 @@ object SnapshotTable {
   def readCandidates(dir: String, bounds: Map[String, (String, String)],
                      versionAsOf: Option[Int] = None): Seq[String] = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
-    pruneWhere(readManifest(dir, v), bounds).map(_.path)
+    val m = readManifest(dir, v)
+    // fail fast on a typo'd column (same contract as readWhere) — a
+    // silently-ignored bound would read as "no pruning happened"
+    m.schema.foreach { s =>
+      bounds.keys.foreach(c => require(s.fieldNames.contains(c),
+        s"no column $c in ${s.fieldNames.mkString(",")}"))
+    }
+    pruneWhere(m, bounds).map(_.path)
   }
 
   /** Single-column convenience overload. */
@@ -342,14 +351,21 @@ object SnapshotTable {
     else {
       val statBounds = bounds.filter { case (c, _) => m.statsCols.contains(c) }
       if (statBounds.isEmpty) m.files
-      else m.files.filter { f =>
-        statBounds.forall { case (c, (lo, hi)) =>
-          f.stats.get(c) match {
-            case Some((fLo, fHi)) =>
-              val dt = m.schema.get.fields.find(_.name == c)
-                .map(_.dataType).getOrElse(StringType)
-              rangesOverlap(dt, fLo, fHi, lo, hi)
-            case None => true // no stats (all-null col in file) → cannot prune
+      else {
+        // resolve the schema JSON and per-column types ONCE — this loop
+        // is the pure-driver-metadata path, O(#files × #bounds) at
+        // 100 TB, and must not re-scan a wide schema per file
+        val schema = m.schema.get
+        val dts: Map[String, DataType] = statBounds.keys.map { c =>
+          c -> schema.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(StringType)
+        }.toMap
+        m.files.filter { f =>
+          statBounds.forall { case (c, (lo, hi)) =>
+            f.stats.get(c) match {
+              case Some((fLo, fHi)) => rangesOverlap(dts(c), fLo, fHi, lo, hi)
+              case None => true // no stats (all-null col in file) → cannot prune
+            }
           }
         }
       }
@@ -396,7 +412,14 @@ object SnapshotTable {
     def bound(c: String, v: String): org.apache.spark.sql.Column =
       dts(c) match {
         // epoch-micros convention, matching the manifest stats rendering
-        case _: TimestampType => timestamp_micros(lit(v.toLong))
+        case _: TimestampType =>
+          val us = try v.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"bound '$v' for timestamp column $c must be an EPOCH-MICROS " +
+                "string (e.g. a unix_micros value), not a rendered timestamp " +
+                "— local-time strings are not order-safe across timezones/DST")
+          }
+          timestamp_micros(lit(us))
         case dt => lit(v).cast(dt)
       }
     bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>

@@ -439,14 +439,12 @@ object LayoutQueries {
     import spark.implicits._
     val dir = scratch(sfDir,
       s"zorder_skip_${java.util.UUID.randomUUID().toString.take(8)}")
-    val px = $"p_size".cast("long")
-    val py = pmod(floor($"p_retailprice").cast("long"), lit(64L))
-    val z = (0 until 6).map { b =>
-      (shiftright(px, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
-        (shiftright(py, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
-    }.reduceLeft(_ + _)
+    // the ONE shared interleave (PipelineQueries.morton6/partZDims) —
+    // q_zorder oracle-verifies the key, this layout exploits it
+    val (px, py) = PipelineQueries.partZDims(spark)
     val laid = Tables.part(spark, sfDir)
-      .select($"p_partkey", $"p_size", py.as("price_bucket"), z.as("zkey"))
+      .select($"p_partkey", $"p_size", py.as("price_bucket"),
+        PipelineQueries.morton6(px, py).as("zkey"))
     pystreamsspark.io.SnapshotTable.createClustered(spark, dir,
       laid.repartitionByRange(16, $"zkey").sortWithinPartitions($"zkey"),
       clusterCols = Seq("p_size", "price_bucket"))

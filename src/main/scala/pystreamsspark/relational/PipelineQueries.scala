@@ -1421,16 +1421,31 @@ object PipelineQueries {
     * StorageAndSkewSpec write patterns); the key itself is what's
     * oracle-verified here, top-200 by (z, partkey) for a bounded
     * surface. */
-  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val px = $"p_size".cast("long")
-    val py = pmod(floor($"p_retailprice").cast("long"), lit(64L))
-    val z = (0 until 6).map { b =>
+  /** 6-bit-per-dimension Morton interleave of two long columns — ONE
+    * definition shared by the z-key oracle (`qZorder`) and the
+    * z-ordered snapshot layout (`LayoutQueries.qZorderSkip`), so the
+    * documented "same interleave" equivalence is structural. */
+  private[relational] def morton6(px: org.apache.spark.sql.Column,
+      py: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 6).map { b =>
       (shiftright(px, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
         (shiftright(py, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
     }.reduceLeft(_ + _)
+
+  /** The (p_size, 64-bucketed price) dimensions every z-order key in
+    * this repo interleaves. */
+  private[relational] def partZDims(spark: SparkSession)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import spark.implicits._
+    ($"p_size".cast("long"), pmod(floor($"p_retailprice").cast("long"), lit(64L)))
+  }
+
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (px, py) = partZDims(spark)
     Tables.part(spark, sfDir)
-      .select($"p_partkey", $"p_size", py.as("price_bucket"), z.as("zkey"))
+      .select($"p_partkey", $"p_size", py.as("price_bucket"),
+        morton6(px, py).as("zkey"))
       .orderBy($"zkey", $"p_partkey")
       .limit(200)
   }
