@@ -237,6 +237,91 @@ class AsofStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of (nearest) state survives restarts via checkpoint") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(Paths.get("target"), "ckpt-asof-")
+    val pDir = base.resolve("probes"); Files.createDirectories(pDir)
+    val qDir = base.resolve("quotes"); Files.createDirectories(qDir)
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("checkpoint").toString
+
+    val allProbes = scala.collection.mutable.ArrayBuffer[AsofProbe]()
+    val allQuotes = scala.collection.mutable.ArrayBuffer[AsofQuote]()
+    var n = 0
+    def addFile(dir: java.nio.file.Path, df: org.apache.spark.sql.DataFrame): Unit = {
+      n += 1
+      val tmp = base.resolve(s"stage$n")
+      df.coalesce(1).write.parquet(tmp.toString)
+      Files.list(tmp).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.move(p, dir.resolve(s"b$n.parquet"))
+      }
+    }
+    def addProbes(rows: AsofProbe*): Unit = {
+      allProbes ++= rows
+      addFile(pDir, rows.toSeq.toDF())
+    }
+    def addQuotes(rows: AsofQuote*): Unit = {
+      allQuotes ++= rows
+      addFile(qDir, rows.toSeq.toDF())
+    }
+
+    def startQuery() = {
+      val probes = s.readStream
+        .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+        .parquet(pDir.toString).as[AsofProbe]
+      val quotes = s.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .parquet(qDir.toString).as[AsofQuote]
+      EventStreams.streamingAsof(probes, quotes, "5 minutes", "nearest")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // run 1: probes arrive BEFORE any quote — they must buffer in state
+    // and survive the stop
+    addProbes(AsofProbe(1, 1L, ts(10)), AsofProbe(2, 1L, ts(12)),
+      AsofProbe(3, 2L, ts(11)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+
+    // delivered while DOWN: the quote timelines incl. a (key, time) tie
+    // and the in-window @11 quote that changes nearest answers
+    addQuotes(AsofQuote(1L, ts(9), 100.0), AsofQuote(1L, ts(12), 120.0),
+      AsofQuote(1L, ts(12), 125.0), AsofQuote(2L, ts(8), 50.0),
+      AsofQuote(1L, ts(11), 110.0))
+    // run 2 absorbs the quotes (watermark still behind the probes), then
+    // stops again — quote state must survive this restart too
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    // delivered while DOWN again: key 2's far quote + the wm-advancing probe
+    addQuotes(AsofQuote(2L, ts(40), 60.0))
+    addProbes(AsofProbe(4, 1L, ts(45)))
+    val q3 = startQuery(); q3.processAllAvailable()
+    addProbes(AsofProbe(5, 2L, ts(60)), AsofProbe(6, 3L, ts(61)))
+    q3.processAllAvailable()
+    addProbes(AsofProbe(7, 9L, ts(200)))
+    q3.processAllAvailable()
+    addProbes(AsofProbe(8, 9L, ts(205))) // drain idle-key timeouts
+    q3.processAllAvailable()
+    q3.stop()
+
+    val got = s.read.parquet(outDir)
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .filter($"event_id" <= 6).orderBy($"event_id").collect()
+    val want = AsofJoin.asofJoin(
+        allProbes.toSeq.toDF("event_id", "user_id", "ts"),
+        allQuotes.toSeq.toDF("user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", Seq("value"), direction = "nearest")
+      .select($"event_id", $"user_id", $"ts", $"asof_value")
+      .filter($"event_id" <= 6).orderBy($"event_id").collect()
+    assert(got.length == 6, s"probes 1-6 not all finalized: ${got.mkString(", ")}")
+    got.zip(want).foreach { case (a, b) =>
+      assert(a == b, s"recovered stream row $a != batch row $b")
+    }
+  }
+
   private def tsU(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000000L * 1000L)
     t.setNanos(((us % 1000000L) * 1000L).toInt)
