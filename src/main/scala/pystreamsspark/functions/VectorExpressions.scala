@@ -141,7 +141,8 @@ object VectorExpressions {
     MinHashSig.registryEntry,
     ShingleHash.registryEntry,
     ShingleStrings.registryEntry,
-    LshBucket.registryEntry)
+    LshBucket.registryEntry,
+    SigAgree.registryEntry)
 
   /** Idempotent session-level registration (the extensions class does the
     * same at session build time; this covers sessions built without it). */

@@ -141,12 +141,29 @@ object SnapshotTable {
       header.get("statscols").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Nil)
     /** Headers every child commit must carry forward so vacuum cannot
-      * destroy them: the committed-epoch range-set and the cluster-key
-      * stats column list. */
+      * destroy them: the committed-epoch range-set, the cluster-key
+      * stats column list, and the stats-format marker. */
     def carried: Seq[(String, String)] =
       (header.get("epochs").map("epochs" -> _) ++
-        header.get("statscols").map("statscols" -> _)).toSeq
+        header.get("statscols").map("statscols" -> _) ++
+        header.get("statsfmt").map("statsfmt" -> _)).toSeq
+    /** Timestamp stats are epoch-micros only under the `micros-v2`
+      * marker; a clustered table written before the marker existed has
+      * session-local string renderings that must never be compared
+      * numerically — see [[SnapshotTable.pruneWhere]]. */
+    def tsStatsAreMicros: Boolean = header.get("statsfmt").contains(STATS_FMT)
   }
+
+  /** Stats-format version recorded in every manifest that carries
+    * cluster stats. `micros-v2` = TimestampType min/max rendered as
+    * epoch-micros strings (timezone/DST-proof). Tables whose manifests
+    * LACK the marker (written by the pre-round-9 code, which rendered
+    * timestamps as session-local strings) are detected explicitly:
+    * their timestamp stats never prune (conservative-correct) instead
+    * of silently hitting the NumberFormatException fallback, and a
+    * one-time [[compact]] under the new code rewrites the stats and
+    * regains pruning. */
+  private[io] val STATS_FMT = "micros-v2"
 
   private def readManifest(dir: String, v: Int): Manifest = {
     val lines = Files.readAllLines(manifestPath(dir, v), StandardCharsets.UTF_8)
@@ -297,7 +314,8 @@ object SnapshotTable {
     val files = writeBatch(df, dir, None, clusterCols)
     val extras =
       if (clusterCols.isEmpty) Nil
-      else Seq("statscols" -> clusterCols.mkString(","))
+      else Seq("statscols" -> clusterCols.mkString(","),
+        "statsfmt" -> STATS_FMT)
     commit(dir, 1, "create", 0, files, Some(df.schema), extras)
     1
   }
@@ -331,8 +349,23 @@ object SnapshotTable {
     // fail fast on a typo'd column (same contract as readWhere) — a
     // silently-ignored bound would read as "no pruning happened"
     m.schema.foreach { s =>
-      bounds.keys.foreach(c => require(s.fieldNames.contains(c),
-        s"no column $c in ${s.fieldNames.mkString(",")}"))
+      bounds.foreach { case (c, (lo, hi)) =>
+        require(s.fieldNames.contains(c),
+          s"no column $c in ${s.fieldNames.mkString(",")}")
+        // readWhere's epoch-micros bound contract, shared: a local-time /
+        // ISO bound on a TimestampType column would silently hit the
+        // conservative no-prune fallback and read as "no pruning
+        // happened" — the opposite of this API's purpose
+        if (s.fields.find(_.name == c).exists(_.dataType.isInstanceOf[TimestampType]))
+          Seq(lo, hi).foreach { b =>
+            try b.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"bound '$b' for timestamp column $c must be an EPOCH-MICROS " +
+                  "string (e.g. a unix_micros value), not a rendered timestamp " +
+                  "— local-time strings are not order-safe across timezones/DST")
+            }
+          }
+      }
     }
     pruneWhere(m, bounds).map(_.path)
   }
@@ -363,6 +396,14 @@ object SnapshotTable {
         m.files.filter { f =>
           statBounds.forall { case (c, (lo, hi)) =>
             f.stats.get(c) match {
+              // legacy guard (statsfmt): timestamp stats written before
+              // the micros-v2 marker are session-local renderings —
+              // comparing them numerically is wrong and falling into the
+              // parse-failure path is silent; detect the format
+              // explicitly and keep every file a candidate until a
+              // compact() rewrites the stats
+              case Some(_) if dts(c).isInstanceOf[TimestampType] &&
+                !m.tsStatsAreMicros => true
               case Some((fLo, fHi)) => rangesOverlap(dts(c), fLo, fHi, lo, hi)
               case None => true // no stats (all-null col in file) → cannot prune
             }
@@ -433,22 +474,66 @@ object SnapshotTable {
                 versionAsOf: Option[Int] = None): DataFrame =
     readWhere(spark, dir, Map(keyCol -> (lo, hi)), versionAsOf)
 
+  /** Retry/rebase driver for optimistic commits — the piece that makes
+    * two RACING writers both land instead of one caller having to
+    * orchestrate a retry (what Delta/Iceberg call commit rebase).
+    * `body(parent, manifest)` prepares and publishes version
+    * `parent + 1`; on [[ConcurrentCommitException]] the LATEST manifest
+    * is re-read and the body re-runs against it, up to `maxRetries`
+    * times. The rebase is only taken when the caller did NOT pin
+    * `fromVersion`: a pinned snapshot means the caller chose its own
+    * isolation point, and silently rebasing past a concurrent commit
+    * would fabricate a read the caller never made — that case still
+    * throws, as before. Each attempt's orphaned data files (a rebased
+    * merge rewrites a fresh batch) are reclaimed by [[vacuum]], the
+    * same fate as any losing committer's batch. */
+  private def commitWithRebase(dir: String, fromVersion: Option[Int],
+                               maxRetries: Int)
+                              (body: (Int, Manifest) => Int): Int = {
+    var parent = fromVersion.getOrElse(latestVersion(dir))
+    var attempt = 0
+    while (true) {
+      try return body(parent, readManifest(dir, parent))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (fromVersion.isDefined || attempt >= maxRetries) throw e
+          attempt += 1
+          parent = latestVersion(dir)
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Append-only commit: prior files carried by reference.
     * `fromVersion` pins the snapshot this transaction read (optimistic
     * concurrency): if someone else committed after it, the CREATE_NEW
     * publish loses and throws [[ConcurrentCommitException]] instead of
-    * silently building on state the caller never saw. */
+    * silently building on state the caller never saw. WITHOUT a pinned
+    * version, a losing appender REBASES: appends commute with any
+    * concurrent commit, so the batch (already durable on disk — it is
+    * written once, not per attempt) is re-committed on top of the new
+    * latest manifest, up to `maxRetries` times. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-             numFiles: Int = 4, fromVersion: Option[Int] = None): Int = {
-    val base = fromVersion.getOrElse(latestVersion(dir))
-    val m = readManifest(dir, base)
-    val files = writeBatch(df, dir, Some(numFiles), m.statsCols)
-    val v = base + 1
-    // appending a batch with NEW columns evolves the table schema as
-    // pure metadata: prior files are untouched and null-fill on read
-    val evolved = m.schema.map(unionSchema(_, df.schema)).getOrElse(df.schema)
-    commit(dir, v, "append", base, m.files ++ files, Some(evolved), m.carried)
-    v
+             numFiles: Int = 4, fromVersion: Option[Int] = None,
+             maxRetries: Int = 5): Int = {
+    // write the batch ONCE against the first-seen manifest's stat
+    // columns; a rebase onto a manifest with different statsCols leaves
+    // these entries without the new stats — conservative-correct (they
+    // are never pruned), and vanishingly rare (statsCols change only at
+    // createClustered time)
+    var written: Option[Seq[FileEntry]] = None
+    commitWithRebase(dir, fromVersion, maxRetries) { (base, m) =>
+      val files = written.getOrElse {
+        val fs = writeBatch(df, dir, Some(numFiles), m.statsCols)
+        written = Some(fs); fs
+      }
+      val v = base + 1
+      // appending a batch with NEW columns evolves the table schema as
+      // pure metadata: prior files are untouched and null-fill on read
+      val evolved = m.schema.map(unionSchema(_, df.schema)).getOrElse(df.schema)
+      commit(dir, v, "append", base, m.files ++ files, Some(evolved), m.carried)
+      v
+    }
   }
 
   /** EXACTLY-ONCE streaming ingestion: append `df` under `epochId`,
@@ -466,7 +551,34 @@ object SnapshotTable {
     * becomes a vacuumable orphan). Returns the version holding the
     * epoch, or the latest version when the holder was vacuumed. */
   def appendEpoch(spark: SparkSession, dir: String, df: DataFrame,
-                  epochId: Long, numFiles: Int = 2): Int = {
+                  epochId: Long, numFiles: Int = 2,
+                  maxRetries: Int = 5): Int = appendEpochOnce(
+    spark, dir, df, epochId, numFiles, maxRetries)
+
+  /** One rebase-wrapped attempt chain: each attempt re-reads the latest
+    * manifest and RE-CHECKS the committed-epoch set — so when two
+    * replays of the SAME epoch race, the loser's retry sees the epoch
+    * already committed and returns idempotently instead of double-
+    * applying, while races between DIFFERENT epochs (or an epoch racing
+    * a merge) rebase like any append. */
+  private def appendEpochOnce(spark: SparkSession, dir: String,
+                              df: DataFrame, epochId: Long, numFiles: Int,
+                              maxRetries: Int): Int = {
+    var attempt = 0
+    while (true) {
+      try return appendEpochBody(spark, dir, df, epochId, numFiles)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def appendEpochBody(spark: SparkSession, dir: String,
+                              df: DataFrame, epochId: Long,
+                              numFiles: Int): Int = {
     val versions = existingVersions(dir)
     val latest = versions.lastOption.getOrElse(0)
     val latestM = if (latest == 0) None else Some(readManifest(dir, latest))
@@ -592,9 +704,14 @@ object SnapshotTable {
     * covering-file read + single-file rewrite, not a table scan. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             keyCols: Seq[String], numFiles: Int = 4,
-            fromVersion: Option[Int] = None): Int = {
-    val base = fromVersion.getOrElse(latestVersion(dir))
-    val m = readManifest(dir, base)
+            fromVersion: Option[Int] = None,
+            maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
+    // the WHOLE merge re-executes per attempt: a rebase must recompute
+    // touched-file discovery against the snapshot that actually won
+    // (the concurrent commit may have added/rewritten files holding
+    // matching keys); the previous attempt's rewritten batch becomes a
+    // vacuumable orphan — exactly a losing committer's fate
     val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
     val candidates = pruneCandidates(m, updates, keyCols)
     val touchedAbs =
@@ -628,14 +745,17 @@ object SnapshotTable {
     v
   }
 
+  /** DELETE retry/rebase wrapper shares [[merge]]'s discipline: the
+    * touched-file discovery re-executes per attempt. */
+
   /** DELETE rows matching `predicate`: copy-on-write on the files that
     * contain at least one matching row. (Stats pruning does not apply —
     * an arbitrary SQL predicate has no key range — but rewritten files
     * keep recording cluster stats so later merges still skip.) */
   def delete(spark: SparkSession, dir: String, predicate: String,
-             numFiles: Int = 4, fromVersion: Option[Int] = None): Int = {
-    val base = fromVersion.getOrElse(latestVersion(dir))
-    val m = readManifest(dir, base)
+             numFiles: Int = 4, fromVersion: Option[Int] = None,
+             maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
     val abs = m.paths.map(f => Paths.get(dir, f).toString)
     val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
     val current = reader.parquet(abs: _*)
@@ -664,9 +784,24 @@ object SnapshotTable {
     val base = latestVersion(dir)
     val m = readManifest(dir, base)
     val snapshot = read(spark, dir)
-    val files = writeBatch(snapshot, dir, Some(target), m.statsCols)
+    // a CLUSTERED table must stay clustered through compaction: a
+    // round-robin reshape would smear every key range across every
+    // output file, silently turning the recorded stats useless (each
+    // file's min/max covers everything — nothing ever prunes again);
+    // range-repartition on the stat columns keeps files key-disjoint
+    val files =
+      if (m.statsCols.nonEmpty)
+        writeBatch(snapshot.repartitionByRange(target, m.statsCols.map(col): _*)
+          .sortWithinPartitions(m.statsCols.map(col): _*),
+          dir, None, m.statsCols)
+      else writeBatch(snapshot, dir, Some(target), m.statsCols)
     val v = base + 1
-    commit(dir, v, "compact", base, files, Some(snapshot.schema), m.carried)
+    // compact rewrites every file's stats under the CURRENT renderer, so
+    // it also upgrades a legacy (pre-micros-v2) table: stamp the format
+    // marker and timestamp pruning resumes — the documented one-time fix
+    val extras = m.carried.filterNot(_._1 == "statsfmt") ++
+      (if (m.statsCols.nonEmpty) Seq("statsfmt" -> STATS_FMT) else Nil)
+    commit(dir, v, "compact", base, files, Some(snapshot.schema), extras)
     v
   }
 

@@ -104,14 +104,24 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs: candidates from band-bucket
-    * collisions, verified with exact Jaccard over the shingle sets.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    * collisions, verified either with exact Jaccard over the shingle
+    * sets (`verify = "exact"`, the default) or with the MinHash
+    * ESTIMATE from the already-carried signatures
+    * (`verify = "signature"` — fraction of agreeing positions, the
+    * standard unbiased estimator: E[est] = J, sd = sqrt(J(1-J)/nH)).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b; under signature
+    * verify the jaccard column is the estimate.
     *
     * Scale path: the band explode multiplies rows by `bands` (cheap,
     * map-side); the self-join shuffles on the 8-byte bucket key, so only
-    * same-bucket docs ever meet. Verification joins back the two shingle
-    * sets by id — at 100 TB you'd verify with a second MinHash estimate
-    * instead of exact sets to avoid carrying the shingle arrays.
+    * same-bucket docs ever meet. Exact verification carries the variable-
+    * width shingle arrays through that shuffle — fine at moderate doc
+    * sizes, but at 100 TB the arrays dominate shuffle bytes. Signature
+    * verify is the 100 TB form: each side of the join carries only the
+    * FIXED-width numHashes×8-byte signature, so shuffle volume is
+    * O(bands × rows), independent of document length; the exactness
+    * trade is bounded by the estimator sd (DedupSpec pins
+    * |est − exact| on the generator corpus).
     *
     * MEASURED NEGATIVE RESULTS (do not "fix" without re-measuring):
     * computing Jaccard once per shared band and deduping after is FASTER
@@ -122,7 +132,7 @@ object Dedup {
     * the redundant codegen-adjacent intersections it saves). */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7, verify: String = "exact"): DataFrame = {
     pystreamsspark.functions.VectorExpressions.register(docs.sparkSession)
     // hashed shingles (native one-pass expression): the signature and the
     // Jaccard verify both work on the 8-byte gram hashes — the shingle
@@ -131,19 +141,56 @@ object Dedup {
         array_distinct(call_function("shingle_hash",
           TextOps.tokens(col(textCol)), lit(k))).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
-    val banded = sh.select(col("id"), col("sh"),
+    verify match {
+      case "signature" =>
+        lshPairsFromSigs(sh.select(col("id"), col("sig")),
+          numHashes, bands, threshold)
+      case "exact" =>
+        val banded = sh.select(col("id"), col("sh"),
+            posexplode(lshBandKeys(col("sig"), numHashes, bands)))
+          .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+        val a = banded.select(col("band"), col("bucket"),
+          col("id").as("id_a"), col("sh").as("sh_a"))
+        val b = banded.select(col("band"), col("bucket"),
+          col("id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          .distinct()
+          .filter(col("jaccard") >= threshold)
+      case other => throw new IllegalArgumentException(
+        s"verify must be exact|signature, got $other")
+    }
+  }
+
+  /** Band-join + signature-estimate verification over a prepared
+    * (id, sig) relation — the family-agnostic half of the signature-
+    * verify path, shared by [[minHashLsh]] (xxhash64 family) and the
+    * oracle-checkable md5-family key (LlmQueries.qMinhashSigverify).
+    * Nothing wider than the fixed-width signature crosses the bucket
+    * shuffle, and the per-candidate agree count is the codegen'd
+    * `sig_agree` native (functions.SigAgree), not an interpreted HOF
+    * chain. `jaccard` = agree / numHashes in one IEEE division. */
+  def lshPairsFromSigs(sigs: DataFrame, numHashes: Int, bands: Int,
+                       threshold: Double): DataFrame = {
+    pystreamsspark.functions.VectorExpressions.register(sigs.sparkSession)
+    val banded = sigs.select(col("id"), col("sig"),
         posexplode(lshBandKeys(col("sig"), numHashes, bands)))
-      .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
+      col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+      col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // sig_a/sig_b are functions of the ids, so the pair-dedup distinct
+      // can safely include them (same move as the exact path's jaccard)
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
+        (call_function("sig_agree", col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

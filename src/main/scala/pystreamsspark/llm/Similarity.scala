@@ -292,6 +292,93 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build a PERSISTED IVF index at `dir` — the missing piece between
+    * [[kmeansFit]]/[[ivfAssign]] (which recompute per query) and a
+    * production index (built once, probed many times):
+    *
+    *  - `dir/centroids`: the fitted (cid, cvec) set, one SnapshotTable
+    *    (tiny — k rows);
+    *  - `dir/cells`: the full (id, vec, cell) assignment, range-
+    *    clustered BY CELL with per-file min/max cell stats in the
+    *    manifest — so a probe's nprobe best cells resolve to covering
+    *    files by pure driver metadata ([[pystreamsspark.io.SnapshotTable.readWhere]])
+    *    and a query reads O(nprobe × cell) rows regardless of corpus
+    *    size.
+    *
+    * Build cost (the Lloyd fit + one assignment scan) is paid ONCE
+    * here; [[ivfQueryIndexed]] pays only the pruned reads. Both tables
+    * are ordinary snapshot tables: the index refreshes incrementally
+    * (append new vectors through [[ivfAssign]] + `SnapshotTable.append`)
+    * and time-travels like any other table. Deterministic end-to-end
+    * (md5-seeded fit, Det-exact means), so a rebuild from the same
+    * corpus is bit-identical — the property that lets an oracle replay
+    * queries against the stored cells. */
+  def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, dir: String, cellFiles: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val centroids = kmeansFit(emb, idCol, vecCol, k, iters)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+    val nFiles = if (cellFiles > 0) cellFiles else k
+    pystreamsspark.io.SnapshotTable.createClustered(spark, s"$dir/cells",
+      assigned.repartitionByRange(nFiles, col("cell"))
+        .sortWithinPartitions(col("cell")),
+      clusterCols = Seq("cell"))
+    pystreamsspark.io.SnapshotTable.create(spark, s"$dir/centroids",
+      centroids, numFiles = 1)
+  }
+
+  /** Top-k search against a PERSISTED IVF index ([[ivfBuild]]): rank the
+    * stored centroids per probe, take the `nprobe` best cells, read ONLY
+    * those cells' covering files (manifest-stats-pruned reads — no full
+    * scan of the cells table), then exact cosine + bounded per-probe
+    * top-k. `probes` is a small (pid, probe) frame.
+    *
+    * The probe→cell routing collects nprobe × |probes| (pid, cell)
+    * pairs on the driver — plan-time metadata (an index lookup needs
+    * the cell ids to prune with), the same bounded-collect tier as the
+    * CBO sample probes, never row data. Returns
+    * (pid, rn, `idCol`, cosine) with rn 1..k per probe. */
+  def ivfQueryIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      idCol: String, vecCol: String, probes: DataFrame,
+                      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = pystreamsspark.io.SnapshotTable.read(spark, s"$dir/centroids")
+    // rank cells per probe: |centroids| × |probes| rows, both tiny
+    val routed = native(centroids).crossJoin(broadcast(probes))
+      .select(col("pid"), col("cid").as("cell"),
+        cosineNative(col("cvec"), col("probe")).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("pid"), col("cell"))
+    val pairs = routed.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val cells = pairs.map(_._2).distinct.sorted
+    // one stats-pruned read per distinct requested cell: each opens only
+    // the file(s) whose manifest cell-range covers it
+    val members = cells.map { c =>
+      pystreamsspark.io.SnapshotTable.readWhere(spark, s"$dir/cells",
+        Map("cell" -> (c.toString, c.toString)))
+    }.reduce(_ unionByName _)
+    val routeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.toSeq.map {
+        case (p, c) => org.apache.spark.sql.Row(p, c) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    members.join(broadcast(routeDf), Seq("cell"))
+      .join(broadcast(probes), Seq("pid"))
+      .select(col("pid"), col(idCol),
+        cosineNative(col(vecCol), col("probe")).as("cosine"))
+      .groupBy(col("pid"))
+      .agg(pystreamsspark.operators.TopKAgg.topK(k)(
+        col("cosine"), col(idCol)).as("top"))
+      .select(col("pid"), posexplode(col("top")))
+      .select(col("pid"), (col("pos") + 1).as("rn"),
+        col("col._2").as(idCol), col("col._1").as("cosine"))
+  }
+
   /** Exact near-duplicate pairs within a blocking column (e.g. a label or
     * coarse-quantizer cell — the IVF pattern): all same-block pairs with
     * cosine >= threshold. Oracle-checkable. */

@@ -1360,6 +1360,63 @@ object LlmQueries {
       |WHERE CAST(len([i FOR i IN range(0,16) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/16.0 >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Signature-verify MinHash-LSH (md5 family) — the oracle-checkable
+    * twin of `Dedup.minHashLsh(verify = "signature")`, exercising the
+    * SHARED library path `Dedup.lshPairsFromSigs` at the production
+    * shape (32 hashes, 8 bands of 4) rather than inline query code.
+    * This is the declared 100 TB near-dup form: nothing wider than the
+    * fixed 32×8-byte signature crosses the bucket shuffle (DedupSigSpec
+    * plan-asserts no shingle array in any exchange), and the per-pair
+    * estimate is the codegen'd `sig_agree` count over the carried
+    * signatures — no join back to exact shingle sets. est = agree/32 is
+    * an exact dyadic rational in both engines; the md5→(a,b) 40-bit
+    * family replays verbatim in DuckDB. */
+  def qMinhashSigverify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nH = 32
+    val bands = 8
+    val sigs = md5Sigs(spark, sfDir, nH).select($"doc_id".as("id"), $"sig")
+    Dedup.lshPairsFromSigs(sigs, nH, bands, threshold = 0.7)
+      .select($"id_a", $"id_b", $"jaccard".as("est"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qMinhashSigverifySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([ array_to_string(toks[i+1:i+3], ' ')
+      |                    FOR i IN range(0, greatest(len(toks)-3, 0)+1) ]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text,' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), ab AS (
+      |  SELECT doc_id,
+      |    [ { a: CAST(concat('0x', substring(md5(g),1,10)) AS BIGINT),
+      |        b: CAST(concat('0x', substring(md5(g),11,10)) AS BIGINT) }
+      |      FOR g IN grams ] AS ab
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id,
+      |    [ list_min([ (x.a + i*x.b) % 1099511627776 FOR x IN ab ])
+      |      FOR i IN range(0,32) ] AS sig
+      |  FROM ab
+      |), b AS (
+      |  SELECT doc_id, sig, bnd,
+      |    array_to_string(sig[bnd*4+1:bnd*4+4], ',') AS bkey
+      |  FROM s, UNNEST(range(0,8)) AS u(bnd)
+      |), p AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |    a.sig AS sig_a, b2.sig AS sig_b
+      |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bkey = b2.bkey
+      |                    AND a.doc_id < b2.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(len([i FOR i IN range(0,32) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/32.0 AS est
+      |FROM p
+      |WHERE CAST(len([i FOR i IN range(0,32) IF sig_a[i+1] = sig_b[i+1]]) AS DOUBLE)/32.0 >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Precision/recall of MinHash-LSH candidate generation against exact
     * shingle-Jaccard ground truth at τ=0.8 — the dedup twin of
     * [[PipelineQueries.qIvfRecall]]: before trusting a banding scheme to
@@ -2212,6 +2269,7 @@ object LlmQueries {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_bm25_topk"     -> (qBm25Topk _),
     "q_minhash_oracle" -> (qMinhashOracle _),
+    "q_minhash_sigverify" -> (qMinhashSigverify _),
     "q_lsh_eval" -> (qLshEval _),
     "q_lsh_eval_sampled" -> (qLshEvalSampled _),
     "q_dataset_card" -> (qDatasetCard _),
@@ -2258,6 +2316,7 @@ object LlmQueries {
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_bm25_topk"     -> qBm25TopkSql,
     "q_minhash_oracle" -> qMinhashOracleSql,
+    "q_minhash_sigverify" -> qMinhashSigverifySql,
     "q_lsh_eval" -> qLshEvalSql,
     "q_lsh_eval_sampled" -> qLshEvalSampledSql,
     "q_dataset_card" -> qDatasetCardSql,

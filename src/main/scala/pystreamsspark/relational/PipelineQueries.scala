@@ -709,6 +709,65 @@ object PipelineQueries {
       |FROM nc LEFT JOIN o ON o.pid = nc.pid
       |ORDER BY nc.pid""".stripMargin
 
+  /** Top-k search against a PERSISTED IVF index — the round-9 closing of
+    * the "no persisted ANN index" residual: [[Similarity.ivfBuild]]
+    * materializes the fitted centroids and the cell-clustered
+    * assignments as SnapshotTables (built once, here as the key's
+    * fixture), and [[Similarity.ivfQueryIndexed]] answers each probe by
+    * ranking the STORED centroids, stats-prune-reading only the nprobe=2
+    * best cells' covering files, and exact-cosine top-10 within them —
+    * never a corpus scan at query time.
+    *
+    * Replays fully in DuckDB: the fit is the bit-identical Lloyd round
+    * the shared kmeansReplayPrefix verifies (Det-exact means survive the
+    * parquet round-trip bit-for-bit), cell routing and member scoring
+    * use the same per-row IEEE cosine sequence as q_knn_batch, and ties
+    * break on cid/vec_id — so cell choice, member sets, and even the
+    * output cosines are cross-engine exact. */
+  def qIvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    Similarity.ivfQueryIndexed(spark, dir, "vec_id", "embedding",
+        probes, k = 10, nprobe = 2)
+      .orderBy($"pid", $"rn")
+  }
+
+  val qIvfKnnSql: String = kmeansReplayPrefix +
+    """,
+      |pr AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+      |       FROM embeddings WHERE vec_id < 3),
+      |cellrank AS (
+      |  SELECT pid, cell FROM (
+      |    SELECT pr.pid, c1.cid AS cell,
+      |      row_number() OVER (PARTITION BY pr.pid ORDER BY
+      |        list_dot_product(c1.cvec, pr.pe) /
+      |          (sqrt(list_dot_product(c1.cvec, c1.cvec)) *
+      |           sqrt(list_dot_product(pr.pe, pr.pe))) DESC,
+      |        c1.cid ASC) AS rn
+      |    FROM pr CROSS JOIN c1) WHERE rn <= 2),
+      |mem AS (
+      |  SELECT a2.cid AS cell, a2.id AS mid, CAST(e.embedding AS DOUBLE[]) AS mv
+      |  FROM a2 JOIN embeddings e ON e.vec_id = a2.id),
+      |scored AS (
+      |  SELECT cr.pid, mem.mid,
+      |    list_dot_product(mem.mv, pr.pe) /
+      |      (sqrt(list_dot_product(mem.mv, mem.mv)) *
+      |       sqrt(list_dot_product(pr.pe, pr.pe))) AS cosine
+      |  FROM cellrank cr
+      |  JOIN mem ON mem.cell = cr.cell
+      |  JOIN pr ON pr.pid = cr.pid)
+      |SELECT pid, CAST(rn AS INT) AS rn, vec_id, cosine FROM (
+      |  SELECT pid, mid AS vec_id, cosine,
+      |    row_number() OVER (PARTITION BY pid
+      |                       ORDER BY cosine DESC, mid ASC) AS rn
+      |  FROM scored) WHERE rn <= 10
+      |ORDER BY pid, rn""".stripMargin
+
   /** Per-group feature scaling — min-max normalization and z-score in
     * one pass, the standard preprocessing step before features feed a
     * trainer. Group stats (min/max/count and decimal-exact Σx, Σx²)
@@ -1534,6 +1593,7 @@ object PipelineQueries {
     "q_span_mask"        -> (qSpanMask _),
     "q_scale_norm"       -> (qScaleNorm _),
     "q_ivf_recall"       -> (qIvfRecall _),
+    "q_ivf_knn"          -> (qIvfKnn _),
     "q_cluster_purity"   -> (qClusterPurity _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
     "q_scd2"             -> (qScd2 _),
@@ -1575,6 +1635,7 @@ object PipelineQueries {
     "q_span_mask"        -> qSpanMaskSql,
     "q_scale_norm"       -> qScaleNormSql,
     "q_ivf_recall"       -> qIvfRecallSql,
+    "q_ivf_knn"          -> qIvfKnnSql,
     "q_cluster_purity"   -> qClusterPuritySql,
     "q_chunk_overlap"    -> qChunkOverlapSql,
     "q_scd2"             -> qScd2Sql,

@@ -101,6 +101,17 @@ object Stress {
     time(s"minhash_lsh x$mult") {
       pystreamsspark.llm.Dedup.minHashLsh(docs, "doc_id", "text").count()
     }
+    // signature-verify twin of the probe above: identical banding, but
+    // candidates are verified from the carried fixed-width signatures
+    // (sig_agree native) instead of joining exact shingle sets — the
+    // declared 100 TB form; DedupSigSpec plan-asserts no shingle array
+    // crosses any exchange. Force the estimate column (count() would let
+    // Catalyst prune the sig_agree work).
+    time(s"minhash_lsh_sig x$mult") {
+      pystreamsspark.llm.Dedup
+        .minHashLsh(docs, "doc_id", "text", verify = "signature")
+        .agg(sum($"jaccard")).forcedSum
+    }
     time(s"token_topk x$mult") {
       docs.select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
         .groupBy($"t").agg(count(lit(1)).as("n"))
@@ -116,6 +127,27 @@ object Stress {
     time(s"ann_pairs x$mult") {
       pystreamsspark.llm.Similarity.annPairs(emb, "vec_id", "embedding",
         planes = 10, threshold = 0.95).count()
+    }
+    // persisted IVF index: the BUILD (Lloyd fit + assignment write,
+    // outside the timer) is paid once; the timed part is one probe
+    // batch against the stored index. Cells scale with the corpus
+    // (8×mult), so cell size — and therefore the pruned probe read —
+    // stays CONSTANT as the corpus grows: the flat-probe-cost property
+    // a persisted index exists for. Block gated like time() itself so
+    // the expensive build never runs for other probes.
+    if (only.isEmpty || only.exists(o => s"ivf_indexed_probe x$mult".contains(o))) {
+      val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_ivf_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      pystreamsspark.llm.Similarity.ivfBuild(
+        emb, "vec_id", "embedding", k = 8 * mult, iters = 1, ivfDir)
+      val probes = pystreamsspark.io.Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" < 3)
+        .select($"vec_id".as("pid"), $"embedding".as("probe"))
+      time(s"ivf_indexed_probe x$mult") {
+        pystreamsspark.llm.Similarity.ivfQueryIndexed(spark, ivfDir,
+            "vec_id", "embedding", probes, k = 10, nprobe = 2)
+          .agg(sum($"cosine")).forcedSum
+      }
     }
 
     // token-perturbed doc amplification: suffix every token with the
@@ -721,10 +753,13 @@ object Stress {
       val cands = pystreamsspark.io.SnapshotTable
         .readCandidates(dir, "o_orderkey", "100000", "140000")
       println(s"STRESS snapshot_readrange candidates: ${cands.size} of $nFiles files")
+      // forcedSum (read the aggregate VALUE), matching the interp/asof
+      // probes' convention: .count() on a 1-row aggregate lets Catalyst
+      // prune aggregate work (the scan still ran, but keep one idiom)
       time(s"snapshot_readrange x$mult") {
         pystreamsspark.io.SnapshotTable
           .readRange(spark, dir, "o_orderkey", "100000", "140000")
-          .agg(count(lit(1)), sum($"o_totalprice")).count()
+          .agg(sum($"o_totalprice")).forcedSum
       }
     }
     spark.stop()

@@ -453,4 +453,145 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vacuumed versions are gone
     intercept[Exception] { SnapshotTable.read(spark, dir, Some(1)).count() }
   }
+
+  // -------------------------------------------------------------------
+  // Optimistic-commit retry/rebase (round 9): racing writers BOTH land
+  // unless the caller pinned a snapshot with fromVersion.
+  // -------------------------------------------------------------------
+
+  /** Run each thunk on its own thread, released together by a barrier so
+    * the optimistic windows genuinely overlap; rethrows the first
+    * failure. */
+  private def racing(bodies: (() => Unit)*): Unit = {
+    val barrier = new java.util.concurrent.CyclicBarrier(bodies.size)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = bodies.map { b =>
+      new Thread(() => {
+        barrier.await()
+        try b() catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  test("retry/rebase: racing appenders all land; every row survives") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(10), numFiles = 1)
+    val writers = 6
+    racing((0 until writers).map { w => () =>
+      val batch = (0 until 5)
+        .map(i => (1000L + w * 10 + i, s"w${w}_$i", w.toLong))
+        .toDF("id", "name", "score")
+      SnapshotTable.append(spark, dir, batch, numFiles = 1): Unit
+    }: _*)
+    // all 6 commits landed: versions 2..7 exist, no rows lost
+    assert(SnapshotTable.latestVersion(dir) === 1 + writers)
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() === 10 + writers * 5)
+    assert(back.filter(col("id") >= 1000).count() === writers * 5)
+  }
+
+  test("retry/rebase: a merge racing an append lands without lost files") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(100), numFiles = 4)
+    val updates = Seq((3L, "UPDATED", 999L), (200L, "INSERTED", 111L))
+      .toDF("id", "name", "score")
+    val appended = (300L until 310L).map(i => (i, s"app_$i", i))
+      .toDF("id", "name", "score")
+    racing(
+      () => SnapshotTable.merge(spark, dir, updates, Seq("id")): Unit,
+      () => SnapshotTable.append(spark, dir, appended, numFiles = 1): Unit)
+    // both committed (v2 and v3, either order), nothing lost: the merge
+    // result AND the appended rows are all present exactly once
+    assert(SnapshotTable.latestVersion(dir) === 3)
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() === 100 + 1 /*insert*/ + 10 /*append*/)
+    assert(back.filter(col("id") === 3L).select("name").head.getString(0) === "UPDATED")
+    assert(back.filter(col("id") === 200L).count() === 1)
+    assert(back.filter(col("id") >= 300L && col("id") < 310L).count() === 10)
+  }
+
+  test("retry/rebase: racing replays of the SAME epoch apply exactly once") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(10), numFiles = 1)
+    val batch = (500L until 520L).map(i => (i, s"e_$i", i)).toDF("id", "name", "score")
+    racing(
+      () => SnapshotTable.appendEpoch(spark, dir, batch, epochId = 7L): Unit,
+      () => SnapshotTable.appendEpoch(spark, dir, batch, epochId = 7L): Unit)
+    // exactly-once despite the race: the loser's retry sees the epoch
+    // committed and returns idempotently
+    assert(SnapshotTable.read(spark, dir).count() === 30)
+    assert(SnapshotTable.latestVersion(dir) === 2)
+    // and a replay after the dust settles is still a no-op
+    SnapshotTable.appendEpoch(spark, dir, batch, epochId = 7L)
+    assert(SnapshotTable.read(spark, dir).count() === 30)
+  }
+
+  test("retry/rebase: a pinned fromVersion still throws on conflict (no silent rebase)") {
+    val dir = freshDir()
+    SnapshotTable.create(spark, dir, seed(10))
+    SnapshotTable.append(spark, dir, seed(5), numFiles = 1) // v2
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      // this caller READ v1 and pinned it; v2 exists, so its publish
+      // must lose — rebasing would fabricate a read it never made
+      SnapshotTable.merge(spark, dir, seed(3), Seq("id"), fromVersion = Some(1))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Stats-format marker (round 9): legacy timestamp stats are DETECTED,
+  // not silently unpruned via the parse-failure fallback.
+  // -------------------------------------------------------------------
+
+  test("statsfmt: legacy manifests (no marker) never prune timestamp stats; compact upgrades them") {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (0 until 1000).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 3600L * 1000L)))
+    SnapshotTable.createClustered(spark, dir,
+      rows.toDF("id", "ts").repartitionByRange(8, col("ts")),
+      clusterCols = Seq("ts"))
+    val loUs = (300L * 3600L * 1000000L).toString
+    val hiUs = (360L * 3600L * 1000000L).toString
+    val bounds = Map("ts" -> (loUs, hiUs))
+    assert(SnapshotTable.readCandidates(dir, bounds).size <= 2,
+      "marker present: micros stats must prune")
+    // simulate a table written by the pre-marker code: strip statsfmt
+    // from the manifest header (its stats stay micros here, but the
+    // CONTRACT is that unmarked timestamp stats are untrusted)
+    val mf = Paths.get(dir, "_manifests", f"v${1}%08d.manifest")
+    val doctored = new String(Files.readAllBytes(mf), "UTF-8")
+      .replace("\tstatsfmt=micros-v2", "")
+    Files.write(mf, doctored.getBytes("UTF-8"))
+    val legacy = SnapshotTable.readCandidates(dir, bounds)
+    assert(legacy.size === 8,
+      s"legacy timestamp stats must NOT prune, got ${legacy.size} of 8")
+    // readWhere stays correct either way (residual filters are exact)
+    assert(SnapshotTable.readWhere(spark, dir, bounds).count() === 61)
+    // the documented one-time fix: compact rewrites stats under the
+    // current renderer and stamps the marker — pruning resumes
+    SnapshotTable.compact(spark, dir, target = 8)
+    assert(SnapshotTable.readCandidates(dir, bounds).size <= 2,
+      "compact must restore the marker and the prune")
+    assert(SnapshotTable.readWhere(spark, dir, bounds).count() === 61)
+  }
+
+  test("readCandidates rejects a non-micros timestamp bound (readWhere's contract, shared)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (0 until 100).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 3600L * 1000L)))
+    SnapshotTable.createClustered(spark, dir,
+      rows.toDF("id", "ts").repartitionByRange(4, col("ts")),
+      clusterCols = Seq("ts"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readCandidates(dir,
+        Map("ts" -> ("2024-01-01 00:00:00", "2024-06-01 00:00:00")))
+    }
+    assert(e.getMessage.contains("EPOCH-MICROS"))
+  }
 }

@@ -1,0 +1,139 @@
+package pystreamsspark.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+
+/** The signature-verify MinHash-LSH path (`verify = "signature"` /
+  * `Dedup.lshPairsFromSigs`): estimator accuracy against the exact
+  * path, candidate-set equality, and the plan contract that no
+  * variable-width shingle array crosses any shuffle — the property that
+  * makes it the 100 TB form. */
+class DedupSigSpec extends SparkSpec {
+
+  /** Corpus with planted near-dups at several similarity levels: 40
+    * distinct base docs plus mutants sharing most of each base text. */
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 40L).map { i =>
+      (i, (0 until 14).map(j => s"w${(i * 13 + j * 7) % 97}").mkString(" "))
+    }
+    val mutants = (1L to 20L).map { i =>
+      val toks = base((i - 1).toInt)._2.split(" ")
+      // mutate the tail: higher i = more tokens replaced = lower Jaccard
+      val kept = toks.dropRight((i % 5).toInt + 1)
+      (1000L + i, (kept ++ (0 until (i % 5).toInt + 1).map(j => s"m${i}_$j")).mkString(" "))
+    }
+    (base ++ mutants).toDF("doc_id", "text")
+  }
+
+  private def pairsOf(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("signature verify surfaces the same candidate pairs as exact verify") {
+    // threshold 0 disables the post-verify filter, so both modes emit
+    // exactly the band-collision candidate set — must be identical
+    val exact = pairsOf(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0))
+    val sig = pairsOf(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0, verify = "signature"))
+    assert(exact.keySet === sig.keySet,
+      s"candidate sets diverged: only-exact=${exact.keySet -- sig.keySet} " +
+        s"only-sig=${sig.keySet -- exact.keySet}")
+    assert(exact.nonEmpty, "corpus planted near-dups but no candidates surfaced")
+  }
+
+  test("|estimate - exact| bounded by the MinHash estimator error (nH=32)") {
+    val exact = pairsOf(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0))
+    val sig = pairsOf(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0, verify = "signature"))
+    val diffs = exact.map { case (k, j) => math.abs(sig(k) - j) }
+    // sd(est) = sqrt(J(1-J)/32) <= 0.0884; candidates that shared a band
+    // skew high-J where the sd is smaller still. Bound max at ~4 sd and
+    // the mean tighter — estimator bias is zero.
+    assert(diffs.max <= 0.35, s"max |est-exact| = ${diffs.max}")
+    assert(diffs.sum / diffs.size <= 0.10,
+      s"mean |est-exact| = ${diffs.sum / diffs.size}")
+  }
+
+  test("threshold filters on the estimate in signature mode") {
+    val all = pairsOf(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0, verify = "signature"))
+    val thr = pairsOf(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.7, verify = "signature"))
+    assert(thr === all.filter(_._2 >= 0.7))
+    assert(thr.nonEmpty && thr.size < all.size)
+  }
+
+  /** Output columns of every Exchange (shuffle AND broadcast) in the
+    * finalized AQE plan — at test scale the band-bucket join broadcasts
+    * its small side, so "what crosses the wire" means both kinds. */
+  private def exchangeOutputs(df: DataFrame): Seq[Seq[String]] = {
+    df.count() // materialize so AQE finalizes the physical plan
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect { case e: Exchange => e.output.map(_.name).toSeq }
+  }
+
+  test("signature mode ships no shingle array through any exchange; exact mode does") {
+    val shCols = Set("sh", "sh_a", "sh_b")
+    val sigExchanges = exchangeOutputs(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.7, verify = "signature"))
+    assert(sigExchanges.nonEmpty, "expected at least the bucket-join exchanges")
+    for (cols <- sigExchanges)
+      assert(cols.forall(c => !shCols(c)),
+        s"shingle array crossed an exchange in signature mode: $cols")
+    // contrast: the exact path genuinely carries the arrays (this is the
+    // cost the signature mode removes, so pin that it exists)
+    val exactExchanges = exchangeOutputs(Dedup.minHashLsh(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.7))
+    assert(exactExchanges.exists(_.exists(shCols)),
+      s"exact mode no longer ships shingle arrays — update the scale docs: $exactExchanges")
+  }
+
+  test("sig_agree native matches the HOF zip_with count bit-for-bit") {
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      val n = 32
+      val a = Array.fill(n)(rnd.nextLong() % 8) // small range forces agreements
+      val b = Array.fill(n)(rnd.nextLong() % 8)
+      (a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+        call_function("sig_agree", $"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b",
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    for (r <- out) assert(r.getInt(0) === r.getInt(1))
+  }
+
+  test("sig_agree handles unequal lengths and rejects non-long arrays") {
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("a", "b")
+    val n = df.select(call_function("sig_agree", $"a", $"b")).collect()(0).getInt(0)
+    assert(n === 1) // only position 0 compared and agreed
+    val bad = Seq((Seq("x"), Seq(1L))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(call_function("sig_agree", $"a", $"b")).collect()
+    }
+  }
+
+  test("minHashLsh rejects an unknown verify mode") {
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(corpus, "doc_id", "text", verify = "bogus")
+    }
+  }
+}

@@ -93,6 +93,47 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("persisted IVF index: pruned probe reads equal the recomputed search; stats confine each cell to covering files") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val points = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextGaussian() + (i % 8)).toFloat))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+    val probes = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    val got = Similarity.ivfQueryIndexed(s, dir, "vec_id", "embedding",
+        probes, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // equivalence: the indexed query answers exactly what the
+    // recompute-per-query path answers from the SAME fit
+    val centroids = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 1)
+    for (pid <- Seq(0L, 1L)) {
+      val probe = emb.filter($"vec_id" === pid).select($"embedding".as("probe"))
+      val expect = Similarity.ivfKnn(emb, "vec_id", "embedding",
+          centroids, probe, k = 5, nprobe = 2)
+        .collect().zipWithIndex
+        .map { case (r, i) => (pid, i + 1, r.getLong(0)) }.toSet
+      assert(got.filter(_._1 == pid) === expect,
+        s"indexed != recomputed for pid $pid")
+    }
+    // the index genuinely prunes: each cell's covering files are a
+    // strict subset of the cells table (8 range-clustered files, one
+    // cell each up to range boundaries)
+    val total = pystreamsspark.io.SnapshotTable
+      .read(s, s"$dir/cells").inputFiles.length
+    val cand = pystreamsspark.io.SnapshotTable
+      .readCandidates(s"$dir/cells", "cell", "3", "3")
+    assert(cand.size < total, s"cell read not pruned: ${cand.size} of $total")
+    // and the index is a durable table: a second session-free read works
+    assert(pystreamsspark.io.SnapshotTable.read(s, s"$dir/cells").count() === 400)
+    assert(pystreamsspark.io.SnapshotTable.read(s, s"$dir/centroids").count() === 8)
+  }
+
   test("ivf assignment is deterministic and total") {
     val s = spark
     import s.implicits._

@@ -70,6 +70,75 @@ class AsofStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout flush then revive: the idle flush is FINAL even when a later quote arrives (asserted divergence from batch)") {
+    // THE CONTRACT UNDER TEST (EventStreams.streamingAsof scaladoc:
+    // "idle data treated as complete"): a forward probe with no
+    // tolerance and no candidate quote can never be proven final by the
+    // watermark alone, so the 30-min idle timeout flushes it with the
+    // quotes IN HAND — here none, so asof_value = NULL. If the key then
+    // REVIVES with a later quote that batch semantics would have
+    // matched, the stream does NOT retract or re-emit: the flushed
+    // answer stands (append-mode finality), and this test pins that the
+    // divergence from the batch oracle is intended, not a bug.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val probes = MemoryStream[AsofProbe]
+    val quotes = MemoryStream[AsofQuote]
+    val q = EventStreams.streamingAsof(probes.toDS(), quotes.toDS(),
+        "5 minutes", direction = "forward")
+      .writeStream.format("memory").queryName("asof_revive_out")
+      .outputMode("append").start()
+    try {
+      // key 1: one probe, NO quotes anywhere yet — forward has no
+      // candidate and no tolerance, so only the idle timeout can flush
+      probes.addData(AsofProbe(1, 1L, ts(10)))
+      q.processAllAvailable()
+      // a foreign key drives the watermark to 55 min (> probe+30), so
+      // key 1's event-time timeout fires and flushes probe 1 as NULL
+      probes.addData(AsofProbe(90, 9L, ts(60)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(91, 9L, ts(62))) // extra batch drains the timeout
+      q.processAllAvailable()
+      val flushed = s.sql(
+        "SELECT event_id, asof_value FROM asof_revive_out WHERE event_id = 1").collect()
+      assert(flushed.length === 1, s"probe 1 not flushed: ${flushed.mkString}")
+      assert(flushed(0).isNullAt(1), s"idle flush must emit NULL, got ${flushed(0)}")
+      // REVIVE: key 1 speaks again with a quote batch semantics WOULD
+      // match (ts 100 >= probe ts 10), plus a fresh probe that must see
+      // it. NOTE the quote itself advances the watermark to 95 min, so
+      // the fresh probe sits at 97 min — above the watermark (not late)
+      // and still <= the quote, the forward-match window
+      quotes.addData(AsofQuote(1L, ts(100), 777.0))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(2, 1L, ts(97)))
+      q.processAllAvailable()
+      // advance the watermark past the revived quote so probe 2 finalizes
+      probes.addData(AsofProbe(92, 9L, ts(200)))
+      q.processAllAvailable()
+      probes.addData(AsofProbe(93, 9L, ts(205)))
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT event_id, asof_value FROM asof_revive_out
+          |WHERE event_id IN (1, 2) ORDER BY event_id""".stripMargin).collect()
+      // probe 1: STILL exactly one row, still NULL — no retraction, no
+      // re-emit after the revive
+      assert(got.count(_.getLong(0) == 1L) === 1, s"probe 1 re-emitted: ${got.mkString}")
+      assert(got.find(_.getLong(0) == 1L).get.isNullAt(1))
+      // probe 2: the revived key answers normally from the new quote
+      assert(got.find(_.getLong(0) == 2L).exists(r => !r.isNullAt(1) &&
+        r.getDouble(1) === 777.0), s"revived key broken: ${got.mkString}")
+      // and the batch oracle on the COMPLETE data genuinely disagrees on
+      // probe 1 (777.0, not NULL) — the divergence is the contract
+      val batch = AsofJoin.asofJoin(
+          Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts"),
+          Seq((1L, ts(100), 777.0)).toDF("user_id", "ts", "value"),
+          Seq("user_id"), "ts", "ts", Seq("value"), direction = "forward")
+        .select($"asof_value").head()
+      assert(!batch.isNullAt(0) && batch.getDouble(0) === 777.0)
+    } finally q.stop()
+  }
+
   test("per-key state stays bounded: quotes evict down to the carry") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,106 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(out.select(countDistinct($"event_id")).collect()(0).getLong(0) === 150L)
   }
 
+  test("file-source streaming as-of + SnapshotTable epoch sink: stream ≡ batch across a mid-run restart, exactly-once epochs") {
+    // VERDICT r8 #6: streamingAsof proven on MemoryStream only — this
+    // wires it to REAL file-stream sources (checkpointed offsets over
+    // parquet splits) and lands the matches in a SnapshotTable through
+    // the exactly-once appendEpoch sink, with a stop/restart in the
+    // middle. The checkpoint must recover BOTH source offsets and the
+    // fMGWS state; any epoch replay after the restart must be swallowed
+    // by the table's epoch idempotency.
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory(Paths.get("target"), "ckpt-asof-")
+    val probesIn = base.resolve("probes"); Files.createDirectories(probesIn)
+    val quotesIn = base.resolve("quotes"); Files.createDirectories(quotesIn)
+    val tableDir = base.resolve("table").toString
+    val ckpt = base.resolve("checkpoint").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+    var nFile = 0
+    def addProbes(rows: (Long, Long, Long)*): Unit = {
+      nFile += 1
+      rows.map { case (e, u, m) => AsofProbe(e, u, ts(m)) }.toDF()
+        .coalesce(1).write.parquet(probesIn.resolve(s"p$nFile").toString)
+    }
+    def addQuotes(rows: (Long, Long, Double)*): Unit = {
+      nFile += 1
+      rows.map { case (u, m, v) => AsofQuote(u, ts(m), v) }.toDF()
+        .coalesce(1).write.parquet(quotesIn.resolve(s"q$nFile").toString)
+    }
+
+    // the table must exist before the first epoch commit
+    pystreamsspark.io.SnapshotTable.create(s, tableDir,
+      s.emptyDataset[AsofMatch].toDF(), numFiles = 1)
+
+    def startQuery() = {
+      val p = s.readStream.schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+        .option("recursiveFileLookup", "true").parquet(probesIn.toString)
+        .as[AsofProbe]
+      val qu = s.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(quotesIn.toString)
+        .as[AsofQuote]
+      EventStreams.streamingAsof(p, qu, "5 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[AsofMatch], epochId: Long) =>
+          pystreamsspark.io.SnapshotTable.appendEpoch(
+            s, tableDir, df.toDF(), epochId): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    }
+
+    // phase 1: quotes, probes, and a watermark-driving batch
+    addQuotes((1L, 5L, 100.0), (1L, 12L, 120.0), (2L, 8L, 50.0))
+    addProbes((1L, 1L, 10L), (2L, 1L, 14L), (3L, 2L, 11L))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // while the query is DOWN: a late-window quote that changes probe 2's
+    // answer if state was lost, plus watermark-driving traffic
+    addQuotes((1L, 13L, 130.0))
+    addProbes((4L, 1L, 40L), (90L, 9L, 120L), (91L, 9L, 125L))
+
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    // one more watermark push in the SAME run so probe 4 finalizes
+    addProbes((92L, 9L, 200L), (93L, 9L, 205L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val landed = pystreamsspark.io.SnapshotTable.read(s, tableDir)
+    val got = landed.filter($"event_id" <= 4)
+      .select($"event_id", $"asof_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // batch oracle over the COMPLETE data (probes 1-4 are all finalized:
+    // the watermark passed 200)
+    val batch = pystreamsspark.operators.AsofJoin.asofJoin(
+        Seq((1L, 1L, ts(10)), (2L, 1L, ts(14)), (3L, 2L, ts(11)),
+          (4L, 1L, ts(40))).toDF("event_id", "user_id", "ts"),
+        Seq((1L, ts(5), 100.0), (1L, ts(12), 120.0), (2L, ts(8), 50.0),
+          (1L, ts(13), 130.0)).toDF("user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      .select($"event_id", $"asof_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L),
+      s"probes 1-4 must have landed, got ${got.keySet}")
+    assert(got === batch, s"stream $got != batch $batch")
+    // exactly-once across the restart: no event emitted twice, and the
+    // table's epoch markers are distinct
+    assert(landed.count() ===
+      landed.select(countDistinct($"event_id")).head.getLong(0))
+    val epochs = pystreamsspark.io.SnapshotTable.history(s, tableDir)
+      .select($"epoch").collect().flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(epochs.distinct.length === epochs.length,
+      s"epoch replayed into the table: ${epochs.mkString(",")}")
+    assert(epochs.nonEmpty)
+  }
+
   test("transformWithState value state survives restart via checkpoint") {
     val s = spark
     import s.implicits._
