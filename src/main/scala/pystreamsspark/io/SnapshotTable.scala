@@ -228,20 +228,56 @@ object SnapshotTable {
     }
   }
 
+  /** Structural type equality IGNORING nullability flags at every
+    * nesting level: `array<float> (containsNull=false)` vs `=true` is
+    * the same type — a Dataset round-trip or a readStream-declared
+    * schema flips these flags freely and must not read as "evolution
+    * changed the type". */
+  private def sameTypeIgnoreNull(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoreNull(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoreNull(x.keyType, y.keyType) &&
+          sameTypeIgnoreNull(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            f.name == g.name && sameTypeIgnoreNull(f.dataType, g.dataType) }
+      case _ => a == b
+    }
+
+  /** Nullable at EVERY nesting level — the only read schema that is
+    * safe over a mix of files whose writers disagreed on containsNull
+    * flags (reading non-null data through a nullable schema is always
+    * correct; the reverse reads garbage). */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case a: ArrayType =>
+      a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(keyType = deepNullable(m.keyType),
+        valueType = deepNullable(m.valueType), valueContainsNull = true)
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
   /** Widest common schema after an evolution step: existing columns
     * keep their position and type (a type CHANGE is refused — that
-    * would need a rewrite, not metadata), new columns append, and
-    * everything becomes nullable (pre-evolution files null-fill the
-    * new columns). */
+    * would need a rewrite, not metadata; nullability-only drift is NOT
+    * a change), new columns append, and everything becomes deeply
+    * nullable (pre-evolution files null-fill the new columns; writers
+    * disagreeing on containsNull flags stay readable). */
   private def unionSchema(a: StructType, b: StructType): StructType = {
     a.fields.foreach { f =>
       b.fields.find(_.name == f.name).foreach { g =>
-        require(g.dataType == f.dataType,
+        require(sameTypeIgnoreNull(g.dataType, f.dataType),
           s"schema evolution cannot change ${f.name}: ${f.dataType} -> ${g.dataType}")
       }
     }
     val extra = b.fields.filterNot(f => a.fieldNames.contains(f.name))
-    StructType((a.fields ++ extra).map(_.copy(nullable = true)))
+    StructType((a.fields ++ extra).map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
   }
 
   /** Write `df` as a fresh immutable file batch; returns one
@@ -512,7 +548,10 @@ object SnapshotTable {
     * version, a losing appender REBASES: appends commute with any
     * concurrent commit, so the batch (already durable on disk — it is
     * written once, not per attempt) is re-committed on top of the new
-    * latest manifest, up to `maxRetries` times. */
+    * latest manifest, up to `maxRetries` times. `numFiles <= 0`
+    * PRESERVES the caller's partitioning — required when appending to a
+    * clustered table (a round-robin reshape would smear every key range
+    * across the new files, so the appended data would never prune). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              numFiles: Int = 4, fromVersion: Option[Int] = None,
              maxRetries: Int = 5): Int = {
@@ -524,7 +563,8 @@ object SnapshotTable {
     var written: Option[Seq[FileEntry]] = None
     commitWithRebase(dir, fromVersion, maxRetries) { (base, m) =>
       val files = written.getOrElse {
-        val fs = writeBatch(df, dir, Some(numFiles), m.statsCols)
+        val shape = if (numFiles <= 0) None else Some(numFiles)
+        val fs = writeBatch(df, dir, shape, m.statsCols)
         written = Some(fs); fs
       }
       val v = base + 1
@@ -602,7 +642,10 @@ object SnapshotTable {
       val evolved = latestM.flatMap(_.schema)
         .map(unionSchema(_, df.schema)).getOrElse(df.schema)
       val statsCols = latestM.map(_.statsCols).getOrElse(Nil)
-      val files = writeBatch(df, dir, Some(numFiles), statsCols)
+      // numFiles <= 0 preserves the caller's partitioning, same contract
+      // as append (clustered tables must not be round-robin reshaped)
+      val files = writeBatch(df, dir,
+        if (numFiles <= 0) None else Some(numFiles), statsCols)
       val v = latest + 1
       val carried = latestM.map(_.carried.filterNot(_._1 == "epochs"))
         .getOrElse(Nil)

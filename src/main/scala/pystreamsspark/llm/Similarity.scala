@@ -327,6 +327,51 @@ object Similarity {
       centroids, numFiles = 1)
   }
 
+  /** Incrementally extend a persisted IVF index ([[ivfBuild]]) with a
+    * new vector batch: assign against the STORED centroids (no refit —
+    * one broadcast scan of the batch only) and append to the cells
+    * table, range-clustered by cell so the new files' stats stay narrow
+    * and keep pruning. The append rides SnapshotTable's optimistic
+    * retry/rebase, so concurrent refreshes (two ingest jobs, or a
+    * refresh racing a compaction) all land. Centroid DRIFT is the
+    * caller's policy: monitor assignment distance and [[ivfBuild]] a
+    * fresh index when stale — the standard IVF maintenance contract
+    * (a refit reassigns everything by design). Returns the new table
+    * version. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                newVecs: DataFrame, idCol: String, vecCol: String,
+                batchFiles: Int = 2): Int = {
+    val centroids = pystreamsspark.io.SnapshotTable.read(spark, s"$dir/centroids")
+    val assigned = ivfAssign(newVecs, idCol, vecCol, centroids)
+    pystreamsspark.io.SnapshotTable.append(spark, s"$dir/cells",
+      assigned.repartitionByRange(batchFiles, col("cell"))
+        .sortWithinPartitions(col("cell")),
+      numFiles = 0) // preserve the cell clustering (see append scaladoc)
+  }
+
+  /** EXACTLY-ONCE streaming refresh of a persisted IVF index: the
+    * `foreachBatch` form of [[ivfAppend]]. Each micro-batch is assigned
+    * against the stored centroids and appended under its epoch id —
+    * SnapshotTable's epoch-idempotent commit turns foreachBatch's
+    * at-least-once replay into an exactly-once index (a replayed epoch
+    * is skipped; a racing replay loses the CREATE_NEW and its batch
+    * vacuums). Usage:
+    * {{{
+    * vecStream.writeStream.foreachBatch { (df, epoch) =>
+    *   Similarity.ivfAppendEpoch(spark, dir, df, "vec_id", "embedding", epoch); ()
+    * }.option("checkpointLocation", ckpt).start()
+    * }}} */
+  def ivfAppendEpoch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVecs: DataFrame, idCol: String, vecCol: String,
+                     epochId: Long, batchFiles: Int = 2): Int = {
+    val centroids = pystreamsspark.io.SnapshotTable.read(spark, s"$dir/centroids")
+    val assigned = ivfAssign(newVecs, idCol, vecCol, centroids)
+    pystreamsspark.io.SnapshotTable.appendEpoch(spark, s"$dir/cells",
+      assigned.repartitionByRange(batchFiles, col("cell"))
+        .sortWithinPartitions(col("cell")),
+      epochId, numFiles = 0) // preserve the cell clustering
+  }
+
   /** Top-k search against a PERSISTED IVF index ([[ivfBuild]]): rank the
     * stored centroids per probe, take the `nprobe` best cells, read ONLY
     * those cells' covering files (manifest-stats-pruned reads — no full

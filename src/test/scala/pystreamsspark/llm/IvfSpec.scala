@@ -134,6 +134,100 @@ class IvfSpec extends SparkSpec {
     assert(pystreamsspark.io.SnapshotTable.read(s, s"$dir/centroids").count() === 8)
   }
 
+  test("incremental index refresh: ivfAppend lands new vectors in their cells, pruning and answers stay correct") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    def mk(id: Long) =
+      (id, Array.fill(dim)((rnd.nextGaussian() + (id % 8)).toFloat))
+    val base = (0L until 400L).map(mk)
+    val emb = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+    // refresh with a new batch assigned against the STORED centroids
+    val extra = (1000L until 1100L).map(mk)
+    val v = Similarity.ivfAppend(s, dir,
+      extra.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(v === 2)
+    val cellsNow = pystreamsspark.io.SnapshotTable.read(s, s"$dir/cells")
+    assert(cellsNow.count() === 500)
+    // the indexed query over the refreshed index equals the recompute
+    // path over the UNION with the ORIGINAL (stored) centroids
+    val all = (base ++ extra).toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 1)
+    val probes = all.filter($"vec_id" === 1005L)
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    val got = Similarity.ivfQueryIndexed(s, dir, "vec_id", "embedding",
+        probes, k = 5, nprobe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val probe = all.filter($"vec_id" === 1005L).select($"embedding".as("probe"))
+    val expect = Similarity.ivfKnn(all, "vec_id", "embedding",
+        centroids, probe, k = 5, nprobe = 2)
+      .collect().zipWithIndex.map { case (r, i) => (i + 1, r.getLong(0)) }.toSet
+    assert(got === expect, s"refreshed-index query diverged: $got vs $expect")
+    // the appended rows surfaced (some of the neighbors are new ids)
+    assert(got.exists(_._2 >= 1000L), s"no appended vector in top-5: $got")
+    // pruning still holds after the append: one cell's candidates are a
+    // strict subset of the grown file set
+    val total = cellsNow.inputFiles.length
+    val cand = pystreamsspark.io.SnapshotTable
+      .readCandidates(s"$dir/cells", "cell", "3", "3")
+    assert(cand.size < total, s"refresh broke pruning: ${cand.size} of $total")
+  }
+
+  test("streaming index refresh: ivfAppendEpoch is exactly-once across a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    // per-id seeding: mk(id) is a pure function, so the probe below IS
+    // the streamed vector (a shared mutable Random would drift)
+    def mk(id: Long) = {
+      val r = new scala.util.Random(47 * id + 1)
+      (id, Array.fill(dim)((r.nextGaussian() + (id % 8)).toFloat))
+    }
+    val emb = (0L until 400L).map(mk).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivfstream")
+    val dir = base.resolve("index").toString
+    val inDir = base.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = base.resolve("ckpt").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+
+    var nf = 0
+    def addFile(rows: Seq[(Long, Array[Float])]): Unit = {
+      nf += 1
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.parquet(inDir.resolve(s"b$nf").toString)
+    }
+    def startQuery() =
+      s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("recursiveFileLookup", "true").parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          Similarity.ivfAppendEpoch(s, dir, df, "vec_id", "embedding", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+
+    addFile((1000L until 1050L).map(mk))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    addFile((1050L until 1100L).map(mk)) // arrives while the query is DOWN
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val cells = pystreamsspark.io.SnapshotTable.read(s, s"$dir/cells")
+    assert(cells.count() === 500)
+    assert(cells.select(countDistinct($"vec_id")).head.getLong(0) === 500,
+      "a replayed epoch double-applied a vector batch")
+    // the refreshed index still answers and still prunes
+    val probes = (1060L to 1060L).map(mk).toDF("vec_id", "embedding")
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    val got = Similarity.ivfQueryIndexed(s, dir, "vec_id", "embedding",
+      probes, k = 3, nprobe = 2).collect()
+    assert(got.length === 3)
+    assert(got.exists(_.getLong(2) == 1060L), "the streamed vector must find itself")
+  }
+
   test("ivf assignment is deterministic and total") {
     val s = spark
     import s.implicits._
