@@ -401,6 +401,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sql_q2: correlated scalar MIN decorrelates to an aggregate + join-back — no per-row re-execution") {
+    val p = plan(graft.SparkEntry.queries("q_sql_q2")(spark, sf))
+    // the correlated subquery must become a grouped MIN joined on the
+    // part key; a CartesianProduct or nested loop would mean the
+    // decorrelation failed and every outer row re-scans lineitem
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("min("), p)
+  }
+
+  test("q_sql_q13: the ON-clause predicate stays inside a LEFT OUTER join; two chained agg phases") {
+    val p = plan(graft.SparkEntry.queries("q_sql_q13")(spark, sf))
+    // an optimizer that pushed the o_orderpriority predicate into a
+    // WHERE would silently turn the outer join inner and drop
+    // zero-order customers from the histogram
+    assert(p.contains("LeftOuter"), p)
+    // per-customer count then count-histogram: at least two aggregate
+    // phases on different keys
+    assert(countOf(p, "HashAggregate") >= 4, p) // 2 logical aggs x partial+final
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_q20: the nested-IN chain decorrelates to semi joins only") {
+    val p = plan(graft.SparkEntry.queries("q_sql_q20")(spark, sf))
+    assert(countOf(p, "LeftSemi") >= 2, p) // both IN levels
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_eqdepth_hist: two-pass percentile binning — no global-sort window") {
     val p = plan(graft.SparkEntry.queries("q_eqdepth_hist")(spark, sf))
     assert(!p.contains("Window"), p)  // the single-partition ntile trap
