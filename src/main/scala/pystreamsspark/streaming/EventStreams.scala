@@ -35,6 +35,21 @@ case class AsofIn(user_id: Long, ts: java.sql.Timestamp, side: Int,
 case class AsofKeyState(quotes: List[(Long, Double)],
                         pending: List[(Long, Long)])
 
+/** Streaming near-dup: one incoming document. */
+case class NearDupDoc(doc_id: Long, text: String)
+
+/** Streaming near-dup: internal banded row (one per LSH band). */
+case class NearDupBanded(bucket: Long, doc_id: Long, sig: Array[Long])
+
+/** Streaming near-dup output: `id_a` arrived no later than `id_b`
+  * (first-seen order within the stream); `est` is the MinHash Jaccard
+  * estimate from the carried signatures. */
+case class NearDupHit(id_a: Long, id_b: Long, est: Double)
+
+/** Per-bucket streaming near-dup state: the signatures of up to
+  * `maxPerBucket` representative members seen so far. */
+case class NearDupBucketState(members: List[(Long, Array[Long])])
+
 /** Structured-Streaming forms of the event-time operators (SURVEY.md
   * §2.7). Each transform takes a DataFrame that can be EITHER a batch
   * frame or a `readStream` frame — the logical plan is identical; only
@@ -524,6 +539,87 @@ object EventStreams {
           val next = UserRunning(userId, n, s)
           state.update(next)
           Iterator.single(next)
+      }
+  }
+
+  /** STREAMING near-duplicate detection — the online form of
+    * `Dedup.minHashLsh(verify = "signature")`: every incoming document
+    * is checked against EVERYTHING seen so far, emitting
+    * (earlier_id, new_id, est) for each pair whose signature estimate
+    * clears `threshold`. The ingestion-time dedup filter a 100 TB/day
+    * pipeline runs BEFORE paying storage/training cost for a document,
+    * where the batch form only cleans after the fact.
+    *
+    * Shape: signatures and band keys are computed map-side with the
+    * same codegen'd natives as the batch path (bit-identical banding,
+    * so stream and batch surface the SAME candidate pairs); the stream
+    * then groups by LSH BUCKET and keeps per-bucket state = the
+    * signatures of up to `maxPerBucket` representative members. A new
+    * document compares against its bucket's members only — never the
+    * corpus — the exact per-key work of the batch bucket join, done
+    * incrementally.
+    *
+    * Bounded state, by construction: each of the `bands` buckets a
+    * document lands in holds at most `maxPerBucket` fixed-width
+    * signatures (numHashes × 8 B each). The cap is the standard
+    * representative-set policy — a bucket overflowing with mutually-
+    * similar members gains no detection coverage from member k+1
+    * (anything near it is near an existing representative) — and makes
+    * worst-case state O(buckets × maxPerBucket × numHashes), immune to
+    * adversarial duplicate floods.
+    *
+    * Emission notes: a pair sharing several bands is emitted once per
+    * DISTINCT shared bucket (buckets are independent state partitions;
+    * cross-bucket dedup would need a second stateful stage) — consumers
+    * dedupe on (id_a, id_b) or feed `dropDuplicatesWithinWatermark`.
+    * Within one bucket a pair is emitted at most once: docs process in
+    * doc_id order within a batch and only compare against
+    * already-stored members, so the spec's stream≡batch check is on the
+    * deduped pair set. */
+  def streamingNearDup(docs: Dataset[NearDupDoc], k: Int = 3,
+                       numHashes: Int = 32, bands: Int = 8,
+                       threshold: Double = 0.7,
+                       maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val banded = docs.toDF()
+      .select(col("doc_id"),
+        array_distinct(call_function("shingle_hash",
+          pystreamsspark.llm.TextOps.tokens(col("text")), lit(k))).as("sh"))
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numHashes)))
+      .select(col("doc_id"), col("sig"),
+        explode(pystreamsspark.llm.Dedup.lshBandKeys(
+          col("sig"), numHashes, bands)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[NearDupBanded]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[NearDupBucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[NearDupBanded],
+         state: GroupState[NearDupBucketState]) =>
+          var members = state.getOption
+            .getOrElse(NearDupBucketState(Nil)).members
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
+          // doc_id order makes in-batch pair emission deterministic and
+          // matches the batch path's id_a < id_b orientation for docs
+          // arriving together
+          for (d <- batch.toSeq.sortBy(_.doc_id)
+               if !members.exists(_._1 == d.doc_id)) {
+            for ((mid, msig) <- members) {
+              var agree = 0
+              val n = math.min(msig.length, d.sig.length)
+              var i = 0
+              while (i < n) { if (msig(i) == d.sig(i)) agree += 1; i += 1 }
+              val est = agree.toDouble / numHashes
+              if (est >= threshold) out += NearDupHit(mid, d.doc_id, est)
+            }
+            if (members.size < maxPerBucket)
+              members = (d.doc_id, d.sig) :: members
+          }
+          state.update(NearDupBucketState(members))
+          out.iterator
       }
   }
 }
