@@ -112,6 +112,28 @@ object Stress {
         .minHashLsh(docs, "doc_id", "text", verify = "signature")
         .agg(sum($"jaccard")).forcedSum
     }
+    // LONG-document contrast for the sig-vs-exact gap claim: each doc's
+    // tokens appear 5× under distinct suffixes, so the DISTINCT shingle
+    // set genuinely grows ~5× (plain self-concatenation regenerates the
+    // same grams and array_distinct collapses them — measured, no
+    // growth) while near-dup structure is preserved (similar base texts
+    // stay similar in every suffixed copy). Exact verify ships the
+    // grown arrays through the bucket shuffle AND intersects them per
+    // candidate; signature verify's shuffle row stays numHashes×8 B
+    // regardless — the gap must WIDEN with document length, and this
+    // pair measures it.
+    val longDocs = docs.select($"doc_id", concat_ws(" ",
+      $"text" +: Seq("a", "b", "c", "d").map(sfx =>
+        concat_ws(" ", transform(split($"text", " "),
+          t => concat(t, lit("_" + sfx))))): _*).as("text"))
+    time(s"minhash_lsh_long x$mult") {
+      pystreamsspark.llm.Dedup.minHashLsh(longDocs, "doc_id", "text").count()
+    }
+    time(s"minhash_lsh_sig_long x$mult") {
+      pystreamsspark.llm.Dedup
+        .minHashLsh(longDocs, "doc_id", "text", verify = "signature")
+        .agg(sum($"jaccard")).forcedSum
+    }
     time(s"token_topk x$mult") {
       docs.select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
         .groupBy($"t").agg(count(lit(1)).as("n"))
