@@ -129,7 +129,15 @@ object Dedup {
     * arrays (8× slower at sf0.1) and (b) the emit-only-from-first-shared-
     * band trick via an inline exists/zip_with over carried band keys
     * (2.7× slower — the interpreted HOF per collision row costs more than
-    * the redundant codegen-adjacent intersections it saves). */
+    * the redundant codegen-adjacent intersections it saves).
+    *
+    * EMPTY-document edge (pinned in DedupSigSpec): two empty/whitespace
+    * docs have empty shingle sets — their |∩|/|∪| is 0/0, which under
+    * ANSI mode would THROW and brick the whole job on one degenerate
+    * pair (found round 9; the guard below defines it as jaccard 1.0,
+    * matching the signature mode, where the all-sentinel signatures
+    * agree everywhere — two empty documents ARE duplicates). Filter
+    * empties upstream if they should not pair at all. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, verify: String = "exact"): DataFrame = {
@@ -156,8 +164,10 @@ object Dedup {
         a.join(b, Seq("band", "bucket"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+            when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(1.0))
+              .otherwise(
+                size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+                  size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
           .distinct()
           .filter(col("jaccard") >= threshold)
       case other => throw new IllegalArgumentException(

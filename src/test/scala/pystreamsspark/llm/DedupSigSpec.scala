@@ -131,6 +131,27 @@ class DedupSigSpec extends SparkSpec {
     }
   }
 
+  test("empty documents: BOTH verify modes report the pair at jaccard 1.0 (and neither crashes)") {
+    val s = spark
+    import s.implicits._
+    // two empty/whitespace docs: empty shingle sets. The naive exact
+    // form divides 0/0 — under ANSI mode that THROWS and one degenerate
+    // pair bricks the whole dedup job (found + fixed round 9); the
+    // guard defines it as 1.0, matching the signature mode's
+    // all-sentinel agreement. Two empty documents ARE duplicates.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real text here with words"))
+      .toDF("doc_id", "text")
+    val exact = pairsOf(Dedup.minHashLsh(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0))
+    val sig = pairsOf(Dedup.minHashLsh(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.0, verify = "signature"))
+    assert(exact.get((1L, 2L)).contains(1.0), s"exact should report 1.0: $exact")
+    assert(sig.get((1L, 2L)).contains(1.0), s"sig should report 1.0: $sig")
+    // the real doc pairs with neither empty in either mode
+    assert(!exact.keySet.exists(p => p._2 == 3L || p._1 == 3L))
+    assert(!sig.keySet.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("minHashLsh rejects an unknown verify mode") {
     intercept[IllegalArgumentException] {
       Dedup.minHashLsh(corpus, "doc_id", "text", verify = "bogus")
