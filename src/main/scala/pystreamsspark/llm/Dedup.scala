@@ -281,7 +281,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
         size(array_union(col("toks_a"), col("toks_b"))).as("n_union"))
-      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      // empty∩empty guard (ANSI 0/0 throws; two empty docs ARE dups —
+      // the minHashLsh empty-document contract, DedupSigSpec)
+      .withColumn("jaccard", when(col("n_union") === 0, lit(1.0))
+        .otherwise(col("n_inter").cast("double") / col("n_union")))
       .filter(col("jaccard") >= threshold)
 
   /** All same-block pairs — O(block²); only for `threshold <= 0`
@@ -427,7 +430,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(col("toks_a")).as("n_a"),
         size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"))
-      .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
+      // the empty set is contained in everything (and ANSI 0/0 throws)
+      .withColumn("containment", when(col("n_a") === 0, lit(1.0))
+        .otherwise(col("n_inter").cast("double") / col("n_a")))
       .filter(col("containment") >= threshold)
 
   /** EXACT-recall containment join via the ASYMMETRIC prefix filter —
@@ -720,7 +725,9 @@ object Dedup {
       .select(col("id_i"), col("id_e"),
         size(array_intersect(col("toks_i"), col("toks_e"))).as("n_inter"),
         size(array_union(col("toks_i"), col("toks_e"))).as("n_union"))
-      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      // empty∩empty guard — same contract as minHashLsh/pairStats
+      .withColumn("jaccard", when(col("n_union") === 0, lit(1.0))
+        .otherwise(col("n_inter").cast("double") / col("n_union")))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_i").as("id"))
       .agg(count(lit(1)).as("n_matches"), min(col("id_e")).as("min_match"),

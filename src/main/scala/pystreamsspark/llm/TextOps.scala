@@ -43,14 +43,20 @@ object TextOps {
     val nUniq = size(array_distinct(toks))
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // nTok=0 guard: an EMPTY document would hit ANSI's divide-by-zero
+    // error and brick the whole scoring job on one degenerate row
+    // (same crash class fixed in Dedup round 9); ratios of an empty
+    // doc are 0.0 by definition here
+    def ratio(num: Column): Column =
+      when(nTok === 0, lit(0.0)).otherwise(num.cast("double") / nTok)
     Seq(
       "n_tokens" -> nTok,
       "n_uniq_tokens" -> nUniq,
-      "uniq_ratio" -> nUniq.cast("double") / nTok,
+      "uniq_ratio" -> ratio(nUniq),
       "n_stopwords" -> nStop,
-      "stopword_ratio" -> nStop.cast("double") / nTok,
+      "stopword_ratio" -> ratio(nStop),
       "sum_token_len" -> sumLen,
-      "mean_token_len" -> sumLen.cast("double") / nTok)
+      "mean_token_len" -> ratio(sumLen))
   }
 
   /** Order-sensitive document fingerprint: position-weighted polynomial

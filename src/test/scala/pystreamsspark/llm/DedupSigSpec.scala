@@ -152,6 +152,38 @@ class DedupSigSpec extends SparkSpec {
     assert(!sig.keySet.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("empty documents never crash the exact-set funnels (ANSI 0/0 guard class)") {
+    val s = spark
+    import s.implicits._
+    // one empty, one whitespace-only, two real docs sharing a block —
+    // every exact-set operator must survive the degenerate rows
+    val docs = Seq((1L, "", "b0"), (2L, "   ", "b0"),
+      (3L, "shared words here kept", "b0"), (4L, "shared words here too", "b0"))
+      .toDF("doc_id", "text", "blk")
+    // block Jaccard: the empty pair reports 1.0, real pairs unaffected
+    val jp = Dedup.jaccardPairsBlock(docs, "doc_id", "text", Seq("blk"), 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(jp((1L, 2L)) === 1.0)
+    assert(jp((3L, 4L)) > 0.0 && jp((3L, 4L)) < 1.0)
+    // containment: the empty set is contained in everything
+    val cp = Dedup.containmentPairsBlock(docs, "doc_id", "text", Seq("blk"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp.contains((1L, 3L)) && cp.contains((2L, 4L)))
+    // incremental delta with empty docs on both sides
+    val hits = Dedup.neardupDelta(
+        docs.filter($"doc_id" <= 2), docs.filter($"doc_id" >= 3)
+          .unionByName(Seq((5L, "", "b0")).toDF("doc_id", "text", "blk")),
+        "doc_id", "text", Seq("blk"), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(5L)) // the empty incoming doc matches the empty existing ones
+    // quality features on an empty doc: defined zeros, no crash
+    val q = docs.filter($"doc_id" === 1L)
+      .select(TextOps.qualityFeatures($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(q.getAs[Double]("uniq_ratio") === 0.0)
+    assert(q.getAs[Double]("mean_token_len") === 0.0)
+  }
+
   test("minHashLsh rejects an unknown verify mode") {
     intercept[IllegalArgumentException] {
       Dedup.minHashLsh(corpus, "doc_id", "text", verify = "bogus")
