@@ -1318,10 +1318,13 @@ object LlmQueries {
     a.join(b, Seq("bnd", "bkey"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b", $"sig_a", $"sig_b").distinct()
+      // codegen'd agree count (r9 sig_agree native) — same integer as
+      // the HOF zip_with/aggregate chain it replaces (bit-parity
+      // property-tested in DedupSigSpec), minus the interpreted lambda
+      // dispatch per candidate pair
       .select($"id_a", $"id_b",
-        (aggregate(zip_with($"sig_a", $"sig_b",
-            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-          lit(0), (acc, v) => acc + v).cast("double") / nH).as("est"))
+        (call_function("sig_agree", $"sig_a", $"sig_b")
+          .cast("double") / nH).as("est"))
       .filter($"est" >= 0.5)
       .orderBy($"id_a", $"id_b")
   }
