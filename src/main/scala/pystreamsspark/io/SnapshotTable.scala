@@ -181,7 +181,7 @@ object SnapshotTable {
   // full committed set in every manifest header is O(1) bytes in the
   // intended use while staying correct for arbitrary (non-negative) ids.
   // ---------------------------------------------------------------------
-  private def parseRanges(s: String): Seq[(Long, Long)] =
+  private[io] def parseRanges(s: String): Seq[(Long, Long)] =
     if (s.isEmpty) Nil
     else s.split(",").toSeq.map { r =>
       r.split("-", 2) match {
@@ -190,13 +190,13 @@ object SnapshotTable {
       }
     }
 
-  private def encodeRanges(rs: Seq[(Long, Long)]): String =
+  private[io] def encodeRanges(rs: Seq[(Long, Long)]): String =
     rs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(",")
 
-  private def rangesContain(rs: Seq[(Long, Long)], id: Long): Boolean =
+  private[io] def rangesContain(rs: Seq[(Long, Long)], id: Long): Boolean =
     rs.exists { case (a, b) => id >= a && id <= b }
 
-  private def addToRanges(rs: Seq[(Long, Long)], id: Long): Seq[(Long, Long)] = {
+  private[io] def addToRanges(rs: Seq[(Long, Long)], id: Long): Seq[(Long, Long)] = {
     val sorted = ((id, id) +: rs).sortBy(_._1)
     sorted.foldLeft(List.empty[(Long, Long)]) {
       case ((a, b) :: tail, (c, d)) if c <= b + 1 => (a, math.max(b, d)) :: tail
