@@ -780,7 +780,17 @@ object SnapshotTable {
     // schema) or omit columns (null-filled in the rewritten rows)
     val rewritten = touchedDf.join(updates, keyCols, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-    val files = writeBatch(rewritten, dir, Some(numFiles), m.statsCols)
+    // a clustered table's REWRITTEN files must stay key-clustered
+    // (same law as compact): a round-robin reshape gives each rewritten
+    // file full-range stats, so every later merge/read would re-touch
+    // it forever — range-repartition on the stat columns instead
+    val files =
+      if (m.statsCols.nonEmpty)
+        writeBatch(rewritten
+          .repartitionByRange(numFiles, m.statsCols.map(col): _*)
+          .sortWithinPartitions(m.statsCols.map(col): _*),
+          dir, None, m.statsCols)
+      else writeBatch(rewritten, dir, Some(numFiles), m.statsCols)
     val v = base + 1
     val evolved = m.schema.map(unionSchema(_, updates.schema))
       .getOrElse(rewritten.schema)
@@ -809,12 +819,21 @@ object SnapshotTable {
       .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
     val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
-    val files =
-      if (touched.isEmpty) Seq.empty
-      else writeBatch(
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(
         reader.parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
-          .filter(s"NOT ($predicate)"),
-        dir, Some(numFiles), m.statsCols)
+          .filter(s"NOT ($predicate)"))
+    // rewritten files stay key-clustered on a clustered table (the
+    // merge/compact law — round-robin would give them full-range stats)
+    val files = survivors match {
+      case None => Seq.empty
+      case Some(df) if m.statsCols.nonEmpty =>
+        writeBatch(df.repartitionByRange(numFiles, m.statsCols.map(col): _*)
+          .sortWithinPartitions(m.statsCols.map(col): _*),
+          dir, None, m.statsCols)
+      case Some(df) => writeBatch(df, dir, Some(numFiles), m.statsCols)
+    }
     val v = base + 1
     commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
     v

@@ -580,6 +580,32 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotTable.readWhere(spark, dir, bounds).count() === 61)
   }
 
+  test("merge rewrites stay key-clustered: a later narrow merge touches 1 rewritten file, not all of them") {
+    import spark.implicits._
+    val dir = freshDir()
+    val base = (0 until 8000).map(i => (i.toLong, s"n_$i"))
+    SnapshotTable.createClustered(spark, dir,
+      base.toDF("id", "name").repartitionByRange(80, col("id")),
+      clusterCols = Seq("id"))
+    // merge #1 touches a 400-id band — its rewrite produces 4 files
+    val upd1 = (100L until 500L by 4).map(i => (i, "u1")).toDF("id", "name")
+    SnapshotTable.merge(spark, dir, upd1, Seq("id"), numFiles = 4)
+    // merge #2 hits ONE key inside that band. If the rewrite had been
+    // round-robin, all 4 rewritten files would span the whole band and
+    // ALL would be discovery candidates + rewritten again; the range-
+    // clustered rewrite confines the key to ~1 of them
+    val cands = SnapshotTable.discoveryCandidates(spark, dir,
+      Seq((120L, "u2")).toDF("id", "name"), Seq("id"))
+    assert(cands.size <= 2, s"rewritten files not clustered: ${cands.size} candidates")
+    // and the content stays exact through both merges
+    SnapshotTable.merge(spark, dir, Seq((120L, "u2")).toDF("id", "name"), Seq("id"))
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() === 8000)
+    assert(back.filter($"id" === 120L).select("name").head.getString(0) === "u2")
+    assert(back.filter($"id" === 104L).select("name").head.getString(0) === "u1")
+    assert(back.filter($"id" === 7000L).select("name").head.getString(0) === "n_7000")
+  }
+
   test("manifest stats framing survives adversarial string keys (tabs, newlines, delimiters, unicode)") {
     import spark.implicits._
     // cluster on a STRING column whose values contain every framing
