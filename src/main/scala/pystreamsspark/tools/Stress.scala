@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_CPUS=32 runMain pystreamsspark.tools.Stress <sfDir> [N]
   */
 object Stress {
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -170,6 +176,19 @@ object Stress {
             "vec_id", "embedding", probes, k = 10, nprobe = 2)
           .agg(sum($"cosine")).forcedSum
       }
+      // BATCH-probe regime (round-9 verdict "weak" flag): ~10^5 probes
+      // through the same index — routing must stay distributed (the old
+      // per-probe driver collect + per-cell read-loop plan is the thing
+      // this probe exists to catch regressing).
+      val bigProbes = amplified(
+        pystreamsspark.io.Tables.embeddings(spark, sfDir), Seq("vec_id"),
+        10000000L).select($"vec_id".as("pid"), $"embedding".as("probe"))
+      time(s"ivf_batch_probe x$mult") {
+        pystreamsspark.llm.Similarity.ivfQueryIndexed(spark, ivfDir,
+            "vec_id", "embedding", bigProbes, k = 4, nprobe = 2)
+          .agg(sum($"cosine")).forcedSum
+      }
+      deleteRec(new java.io.File(ivfDir)) // a per-run index is scratch
     }
 
     // token-perturbed doc amplification: suffix every token with the
