@@ -19,7 +19,7 @@ object SparkEntry {
       LlmQueries.queries ++ SetQueries.queries ++ SqlQueries.queries ++
       ExtraQueries.queries ++ PipelineQueries.queries ++ StorageQueries.queries ++
       GraphQueries.queries ++ AnalyticsQueries.queries ++ LayoutQueries.queries ++
-      DriftQueries.queries
+      DriftQueries.queries ++ DmlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       LlmQueries.oracle ++ SetQueries.oracle ++ SqlQueries.oracle ++
       ExtraQueries.oracle ++ PipelineQueries.oracle ++ StorageQueries.oracle ++
       GraphQueries.oracle ++ AnalyticsQueries.oracle ++ LayoutQueries.oracle ++
-      DriftQueries.oracle
+      DriftQueries.oracle ++ DmlQueries.oracle
 }

@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the native as-of join physical operator (plans AsofJoinPlan nodes
     // built by operators.NativeAsof; inert for every other plan)
     ext.injectPlannerStrategy(_ => pystreamsspark.plans.AsofJoinStrategy)
+    // SQL row-level DML (MERGE INTO / UPDATE / DELETE / INSERT) against
+    // GraftCatalog snapshot tables — inert for every other relation
+    ext.injectResolutionRule(_ => pystreamsspark.plans.SnapshotDmlRule)
   }
 }

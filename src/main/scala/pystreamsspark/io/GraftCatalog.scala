@@ -1,0 +1,236 @@
+package pystreamsspark.io
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.GraftSqlShims
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** V2 `TableCatalog` over [[SnapshotTable]] directories — the catalog
+  * plumbing that makes the snapshot-manifest ACID layer addressable from
+  * SQL: register with
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     classOf[pystreamsspark.io.GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  * }}}
+  * and `graft.<ns>.<table>` resolves anywhere SQL takes a table name:
+  * `SELECT … FROM graft.main.orders`, `SELECT … VERSION AS OF 3` (the
+  * time-travel `loadTable(ident, version)` entry point maps straight to
+  * manifest selection), `CREATE TABLE` / `DROP TABLE`, and — through
+  * [[SnapshotSql]] or the GraftExtensions resolution rule — `INSERT
+  * INTO`, `UPDATE`, `DELETE` and `MERGE INTO` riding the existing
+  * clustered copy-on-write machinery.
+  *
+  * Layout is the obvious one: `warehouse/<ns…>/<table>` is a
+  * SnapshotTable directory (a table is any directory with committed
+  * manifests; a namespace is any other directory). All catalog calls
+  * are pure driver metadata — O(#files) manifest reads, never data I/O.
+  *
+  * `CREATE TABLE … TBLPROPERTIES ('clustercols'='a,b')` arms cluster-key
+  * stats recording from the first append (the write-side half of the
+  * stats-pruned MERGE/read story).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"))
+    Files.createDirectories(warehouse)
+    ()
+  }
+
+  override def name(): String = catName
+
+  /** The on-disk directory for an identifier — public so the DML
+    * executor can map a parsed table name to its SnapshotTable dir. */
+  def tableDir(ident: Identifier): String =
+    ident.namespace().foldLeft(warehouse)(_ resolve _)
+      .resolve(ident.name()).toString
+
+  private def isTable(dir: String): Boolean =
+    SnapshotTable.latestVersion(dir) >= 1
+
+  private def listDirs(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      finally s.close()
+    }
+
+  // ---------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
+    listDirs(nsDir)
+      .filter(d => isTable(d.toString))
+      .map(d => Identifier.of(namespace, d.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** Time travel: `SELECT … FROM graft.ns.t VERSION AS OF n` lands here
+    * — a snapshot pin is manifest selection, nothing else. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are integers, got '$version'")
+    }
+    load(ident, Some(v))
+  }
+
+  private def load(ident: Identifier, v: Option[Int]): SnapshotV2Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new SnapshotV2Table(
+      (catName +: (ident.namespace() :+ ident.name())).mkString("."),
+      dir, v)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster via TBLPROPERTIES('clustercols'='…'), " +
+        "not PARTITIONED BY")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(Paths.get(dir))
+    val clusterCols = Option(properties.get("clustercols"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    SnapshotTable.createEmpty(dir, schema, clusterCols)
+    load(ident, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: evolve graft tables by appending a batch with the " +
+        "new columns (schema evolution is a manifest property)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(tableDir(ident))
+    if (!isTable(dir.toString)) false
+    else { deleteRec(dir); true }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = Paths.get(tableDir(from))
+    if (!isTable(src.toString)) throw new NoSuchTableException(from)
+    val dst = Paths.get(tableDir(to))
+    if (isTable(dst.toString)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    ()
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) listAll(p).foreach(deleteRec)
+    Files.deleteIfExists(p)
+    ()
+  }
+  private def listAll(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  // ------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    listDirs(warehouse).filterNot(d => isTable(d.toString))
+      .map(d => Array(d.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val nsDir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (namespace.nonEmpty && !Files.isDirectory(nsDir))
+      throw new NoSuchNamespaceException(namespace)
+    listDirs(nsDir).filterNot(d => isTable(d.toString))
+      .map(d => namespace :+ d.getFileName.toString).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(namespace.foldLeft(warehouse)(_ resolve _))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(namespace.foldLeft(warehouse)(_ resolve _))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val nsDir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(nsDir)) false
+    else {
+      if (!cascade)
+        require(listDirs(nsDir).isEmpty, s"namespace not empty: $nsDir")
+      deleteRec(nsDir); true
+    }
+  }
+}
+
+/** The V2 `Table` a [[GraftCatalog]] serves: schema and file list come
+  * from the (optionally version-pinned) manifest — pure driver metadata
+  * — and the SCAN delegates to Spark's own parquet DSV2 table over
+  * exactly the snapshot's files, so reads get the full native path
+  * (column pruning, filter pushdown to row groups, vectorized reader,
+  * whole-stage codegen) with zero custom reader code. Writes
+  * intentionally do NOT go through a V2 WriteBuilder: the manifest
+  * commit protocol (CREATE_NEW publish, rebase, epochs) is the
+  * transaction boundary, and the DML rule / [[SnapshotSql]] route
+  * INSERT/UPDATE/DELETE/MERGE onto [[SnapshotTable]]'s clustered
+  * copy-on-write machinery instead. */
+class SnapshotV2Table(fullName: String, val dir: String,
+                      val versionAsOf: Option[Int])
+  extends Table with SupportsRead {
+
+  override def name(): String = fullName
+
+  override lazy val schema: StructType =
+    SnapshotTable.schemaOf(dir, versionAsOf)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def properties(): util.Map[String, String] = {
+    val v = versionAsOf.getOrElse(SnapshotTable.latestVersion(dir))
+    Map("location" -> dir, "version" -> v.toString,
+      "provider" -> "graft-snapshot").asJava
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(fullName, GraftSqlShims.activeClassic(), options,
+      SnapshotTable.filePaths(dir, versionAsOf), Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+}

@@ -1,0 +1,319 @@
+package pystreamsspark.io
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.functions.col
+
+/** SQL row-level DML for [[SnapshotTable]]s registered in a
+  * [[GraftCatalog]] — the parsed-plan rewrite route: [[sql]] parses the
+  * statement with Spark's own parser, pattern-matches the four DML plan
+  * shapes against graft-catalog table names, and executes them on the
+  * snapshot layer's clustered copy-on-write machinery (everything else
+  * falls through to plain `spark.sql`). This works on ANY session —
+  * no extensions required — because the interception happens before
+  * analysis; sessions built with GraftExtensions additionally get the
+  * same statements through plain `spark.sql(...)` via
+  * [[pystreamsspark.plans.SnapshotDmlRule]], which routes into the same
+  * executors here.
+  *
+  * Supported surface (each maps 1:1 onto an existing table primitive,
+  * keeping the stats-pruned file-granular plans):
+  *  - `DELETE FROM t [WHERE p]`                    → [[SnapshotTable.delete]]
+  *  - `UPDATE t SET c = e, … [WHERE p]`            → [[SnapshotTable.update]]
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND …]
+  *       WHEN MATCHED THEN UPDATE SET *
+  *       WHEN NOT MATCHED THEN INSERT *`           → [[SnapshotTable.merge]]
+  *  - `MERGE INTO t USING s ON … WHEN MATCHED THEN DELETE`
+  *                                                 → [[SnapshotTable.deleteMatched]]
+  *  - `INSERT INTO t …` / `INSERT OVERWRITE t …`   → [[SnapshotTable.append]] / overwrite
+  * plus, natively through the catalog (no interception needed):
+  * `SELECT … [VERSION AS OF n]`, `CREATE TABLE`, `DROP TABLE`.
+  *
+  * Conditions/assignment values are re-rendered to SQL text (qualifiers
+  * stripped — DML predicates reference only the target table) and
+  * evaluated by the table primitives; richer MERGE action forms
+  * (conditional actions, non-star assignments that are not the identity
+  * mapping, NOT MATCHED BY SOURCE) throw with a clear message rather
+  * than silently approximating.
+  */
+object SnapshotSql {
+
+  /** Register a [[GraftCatalog]] under `name` on the session (runtime
+    * conf — works on an already-built session). */
+  def register(spark: SparkSession, warehouse: String,
+               name: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+
+  /** Run one SQL statement, intercepting graft-table DML (see object
+    * scaladoc); everything else — including SELECT/time-travel/DDL on
+    * graft tables, which the catalog serves natively — delegates to
+    * `spark.sql`. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    parsed match {
+      case DeleteFromTable(t, cond) =>
+        tableDirOf(spark, t) match {
+          case Some(dir) =>
+            SnapshotTable.delete(spark, dir, renderCond(cond))
+            spark.emptyDataFrame
+          case None => spark.sql(text)
+        }
+      case UpdateTable(t, assignments, cond) =>
+        tableDirOf(spark, t) match {
+          case Some(dir) =>
+            runUpdate(spark, dir, assignments, cond)
+            spark.emptyDataFrame
+          case None => spark.sql(text)
+        }
+      case m: MergeIntoTable =>
+        tableDirOf(spark, m.targetTable) match {
+          case Some(dir) =>
+            runMerge(spark, dir,
+              GraftSqlShims.ofRows(spark, m.sourceTable),
+              m.mergeCondition, m.matchedActions, m.notMatchedActions,
+              m.notMatchedBySourceActions)
+            spark.emptyDataFrame
+          case None => spark.sql(text)
+        }
+      case i: InsertIntoStatement =>
+        tableDirOf(spark, i.table) match {
+          case Some(dir) =>
+            runInsert(spark, dir, GraftSqlShims.ofRows(spark, i.query),
+              i.userSpecifiedCols, i.overwrite, i.byName,
+              i.partitionSpec.nonEmpty)
+            spark.emptyDataFrame
+          case None => spark.sql(text)
+        }
+      case _ => spark.sql(text)
+    }
+  }
+
+  // ------------------------------------------------- shared executors
+
+  /** UPDATE: assignments become (column, SQL-expression) pairs for
+    * [[SnapshotTable.update]]; no WHERE means every row. */
+  def runUpdate(spark: SparkSession, dir: String,
+                assignments: Seq[Assignment],
+                cond: Option[Expression]): Int = {
+    val sets = assignments.map { a =>
+      (attrName(a.key,
+        "UPDATE SET targets must be plain columns"), renderCond(a.value))
+    }
+    SnapshotTable.update(spark, dir,
+      cond.map(renderCond).getOrElse("true"), sets)
+  }
+
+  /** MERGE: classify the action shape and dispatch. Upsert (`UPDATE SET
+    * *` / identity assignments + `INSERT *`) → [[SnapshotTable.merge]];
+    * matched-DELETE with no insert → [[SnapshotTable.deleteMatched]]. */
+  def runMerge(spark: SparkSession, dir: String, source: DataFrame,
+               cond: Expression, matched: Seq[MergeAction],
+               notMatched: Seq[MergeAction],
+               notMatchedBySource: Seq[MergeAction]): Int = {
+    require(notMatchedBySource.isEmpty,
+      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+    val keyCols = keyColsOf(cond)
+    (matched, notMatched) match {
+      case (Seq(u), Seq(ins)) if isStarUpdate(u) && isStarInsert(ins) =>
+        runMergeUpsert(spark, dir, source, keyCols)
+      case (Seq(u), Seq()) if isStarUpdate(u) =>
+        // update-only merge: matched rows replaced, nothing inserted —
+        // expressible as replace-matched = delete-matched + append of
+        // the source rows that matched. Keep it honest and simple:
+        // require the caller to add INSERT * (the common upsert) —
+        // partial-merge forms land with deletion vectors.
+        throw new UnsupportedOperationException(
+          "graft MERGE supports UPDATE SET * WHEN NOT MATCHED INSERT * " +
+            "(upsert) or WHEN MATCHED THEN DELETE; add INSERT * for upsert")
+      case (Seq(DeleteAction(None)), Seq()) =>
+        runMergeDelete(spark, dir, source, keyCols)
+      case _ =>
+        throw new UnsupportedOperationException(
+          "graft MERGE supports WHEN MATCHED THEN UPDATE SET * + WHEN NOT " +
+            "MATCHED THEN INSERT * (upsert), or a lone WHEN MATCHED THEN " +
+            s"DELETE; got matched=$matched notMatched=$notMatched")
+    }
+  }
+
+  /** Upsert form of MERGE (`UPDATE SET * / INSERT *`): source aligned to
+    * the target's declared types, then [[SnapshotTable.merge]]. */
+  def runMergeUpsert(spark: SparkSession, dir: String, source: DataFrame,
+                     keyCols: Seq[String]): Int =
+    SnapshotTable.merge(spark, dir, alignToTable(dir, source), keyCols)
+
+  /** `WHEN MATCHED THEN DELETE` form: key columns aligned, then
+    * [[SnapshotTable.deleteMatched]]. */
+  def runMergeDelete(spark: SparkSession, dir: String, source: DataFrame,
+                     keyCols: Seq[String]): Int =
+    SnapshotTable.deleteMatched(spark, dir,
+      alignToTable(dir, source).select(keyCols.map(col): _*), keyCols)
+
+  /** SQL assignment semantics: source columns that exist in the target
+    * CAST to the target's declared types (ANSI — invalid casts throw);
+    * genuinely NEW columns pass through (merge-side schema evolution).
+    * Prevents literal typing (`VALUES (1, …)` into a BIGINT column)
+    * from reading as an illegal type change. */
+  private def alignToTable(dir: String, source: DataFrame): DataFrame = {
+    val schema = SnapshotTable.schemaOf(dir)
+    source.select(source.columns.toSeq.map { c =>
+      schema.fields.find(_.name == c) match {
+        case Some(f) => col(c).cast(f.dataType).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+  }
+
+  /** INSERT INTO/OVERWRITE: positional or by-name column mapping onto
+    * the table schema, then an append (or snapshot overwrite). */
+  def runInsert(spark: SparkSession, dir: String, query: DataFrame,
+                userCols: Seq[String], overwrite: Boolean, byName: Boolean,
+                hasPartitionSpec: Boolean): Int = {
+    require(!hasPartitionSpec,
+      "graft tables have no partition spec (cluster via clustercols)")
+    val schema = SnapshotTable.schemaOf(dir)
+    val targetCols: Seq[String] =
+      if (userCols.nonEmpty) userCols
+      else schema.fieldNames.toSeq
+    val named =
+      if (byName) query
+      else {
+        require(query.columns.length == targetCols.length,
+          s"INSERT column count ${query.columns.length} != " +
+            s"target list ${targetCols.mkString(",")}")
+        query.toDF(targetCols: _*)
+      }
+    // SQL INSERT assignment semantics: each provided column CASTs to the
+    // table column's declared type (ANSI — invalid casts throw at run
+    // time), unmentioned columns null-fill; the append is then always
+    // schema-compatible (never accidental "evolution" from literal
+    // typing, e.g. VALUES (1, …) into a BIGINT column)
+    val provided = named.columns.toSet
+    val aligned = named.select(schema.fields.toSeq.collect {
+      case f if provided.contains(f.name) =>
+        col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
+    if (overwrite) SnapshotTable.overwrite(spark, dir, aligned)
+    else SnapshotTable.append(spark, dir, aligned)
+  }
+
+  // -------------------------------------------------------- plumbing
+
+  /** The SnapshotTable directory behind a DML target plan, when the
+    * (possibly aliased) table name resolves through a [[GraftCatalog]]
+    * — explicit `cat.ns.t` names and current-catalog-relative names
+    * both; None means "not ours, fall through to spark.sql". */
+  def tableDirOf(spark: SparkSession, plan: LogicalPlan): Option[String] = {
+    val parts: Option[Seq[String]] = stripAlias(plan) match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some(u.multipartIdentifier)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: SnapshotV2Table => return Some(t.dir)
+          case _ => None
+        }
+      case _ => None
+    }
+    parts.flatMap(resolveParts(spark, _))
+  }
+
+  private def stripAlias(plan: LogicalPlan): LogicalPlan = plan match {
+    case SubqueryAlias(_, child) => stripAlias(child)
+    case other => other
+  }
+
+  private def resolveParts(spark: SparkSession,
+                           parts: Seq[String]): Option[String] = {
+    val cm = spark.sessionState.catalogManager
+    def dirIn(cat: AnyRef, ns: Array[String], name: String): Option[String] =
+      cat match {
+        case g: GraftCatalog =>
+          val dir = g.tableDir(Identifier.of(ns, name))
+          if (SnapshotTable.latestVersion(dir) >= 1) Some(dir) else None
+        case _ => None
+      }
+    val explicit =
+      if (parts.length >= 2)
+        try dirIn(cm.catalog(parts.head),
+          parts.tail.init.toArray, parts.last)
+        catch { case _: Exception => None }
+      else None
+    explicit.orElse {
+      // current-catalog-relative (USE graft; DELETE FROM ns.t)
+      try dirIn(cm.currentCatalog,
+        (cm.currentNamespace.toSeq ++ parts.init).toArray, parts.last)
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Render a condition/value expression back to SQL text for the table
+    * primitives, stripping table qualifiers (a DML predicate references
+    * only the target table's columns). Works on both unresolved (parsed)
+    * and resolved (analyzer-path) expressions. */
+  def renderCond(e: Expression): String = e.transform {
+    case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+    case a: AttributeReference => a.withQualifier(Nil)
+  }.sql
+
+  /** Equi-key columns of a MERGE condition: a conjunction of
+    * `t.k = s.k` terms where both sides name the SAME column — the
+    * upsert key set [[SnapshotTable.merge]] joins on. Anything else
+    * (inequalities, differing names, expressions) is not an upsert key
+    * and throws. */
+  def keyColsOf(cond: Expression): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(l, r) =>
+        val (a, b) = (attrNameOpt(l), attrNameOpt(r))
+        (a, b) match {
+          case (Some(x), Some(y)) if x == y => x
+          case _ => throw new UnsupportedOperationException(
+            s"MERGE ON terms must be target.k = source.k with matching " +
+              s"column names, got ${l.sql} = ${r.sql}")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"MERGE ON must be a conjunction of equalities, got ${other.sql}")
+    }.distinct
+  }
+
+  private def attrNameOpt(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def attrName(e: Expression, msg: String): String =
+    attrNameOpt(e).getOrElse(
+      throw new UnsupportedOperationException(s"$msg, got ${e.sql}"))
+
+  /** `UPDATE SET *` or the expanded identity assignment list the
+    * analyzer rewrites it to (every target column set to the
+    * same-named source column). */
+  def isStarUpdate(a: MergeAction): Boolean = a match {
+    case UpdateStarAction(None) => true
+    case UpdateAction(None, assignments, _) => assignments.forall(asn =>
+      (attrNameOpt(asn.key), attrNameOpt(asn.value)) match {
+        case (Some(k), Some(v)) => k == v
+        case _ => false
+      })
+    case _ => false
+  }
+
+  /** `INSERT *` or its expanded identity form. */
+  def isStarInsert(a: MergeAction): Boolean = a match {
+    case InsertStarAction(None) => true
+    case InsertAction(None, assignments) => assignments.forall(asn =>
+      (attrNameOpt(asn.key), attrNameOpt(asn.value)) match {
+        case (Some(k), Some(v)) => k == v
+        case _ => false
+      })
+    case _ => false
+  }
+}

@@ -374,6 +374,42 @@ object SnapshotTable {
     1
   }
 
+  /** Create an EMPTY table at version 1 — the catalog `CREATE TABLE`
+    * form: pure metadata (schema + optional cluster-key declaration),
+    * no data files. `clusterCols` arms stats recording for every later
+    * append/merge exactly like [[createClustered]]. */
+  def createEmpty(dir: String, schema: StructType,
+                  clusterCols: Seq[String] = Nil): Int = {
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
+    val extras =
+      if (clusterCols.isEmpty) Nil
+      else Seq("statscols" -> clusterCols.mkString(","),
+        "statsfmt" -> STATS_FMT)
+    commit(dir, 1, "create", 0, Nil, Some(deepNullable(schema)
+      .asInstanceOf[StructType]), extras)
+    1
+  }
+
+  /** The snapshot's schema — pure driver metadata (one manifest read),
+    * the piece a catalog's `loadTable` needs without touching data. */
+  def schemaOf(dir: String, versionAsOf: Option[Int] = None): StructType = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    require(v >= 1, s"no committed version at $dir")
+    readManifest(dir, v).schema.getOrElse(
+      throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
+  }
+
+  /** The snapshot's data files as ABSOLUTE paths — what a V2 scan over
+    * the table reads. Driver metadata only. */
+  def filePaths(dir: String, versionAsOf: Option[Int] = None): Seq[String] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    require(v >= 1, s"no committed version at $dir")
+    require(Files.exists(manifestPath(dir, v)),
+      s"version $v at $dir does not exist (vacuumed?)")
+    readManifest(dir, v).paths.map(f => Paths.get(dir, f).toString)
+  }
+
   /** Snapshot read; `versionAsOf = Some(v)` time-travels. An empty file
     * list (everything deleted) still needs the schema — kept by always
     * carrying at least the latest batch's directory; callers with an
@@ -645,6 +681,25 @@ object SnapshotTable {
     }
   }
 
+  /** INSERT OVERWRITE: replace the snapshot's contents with `df` under a
+    * new version — prior files are dropped from the manifest (not from
+    * disk: older versions keep reading them until [[vacuum]]). Same
+    * clustering law as [[append]]. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+                numFiles: Int = 4, maxRetries: Int = 5): Int = {
+    var written: Option[Seq[FileEntry]] = None
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val files = written.getOrElse {
+        val fs = writeShaped(df, dir, numFiles, m.statsCols)
+        written = Some(fs); fs
+      }
+      val v = base + 1
+      val evolved = m.schema.map(unionSchema(_, df.schema)).getOrElse(df.schema)
+      commit(dir, v, "overwrite", base, files, Some(evolved), m.carried)
+      v
+    }
+  }
+
   /** EXACTLY-ONCE streaming ingestion: append `df` under `epochId`,
     * SKIPPING the commit when the table already records this epoch.
     * `foreachBatch` replays a failed epoch with the same batch id and
@@ -912,6 +967,94 @@ object SnapshotTable {
           dir, None, m.statsCols)
       case Some(df) => writeBatch(df, dir, Some(numFiles), m.statsCols)
     }
+    val v = base + 1
+    commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
+    v
+  }
+
+  /** UPDATE rows matching `predicate`: copy-on-write on the files that
+    * contain at least one matching row — the SQL `UPDATE t SET c = e
+    * WHERE p` primitive. `sets` maps column name -> SQL expression
+    * (evaluated against the row); non-matching rows in touched files are
+    * carried unchanged, untouched files by reference. Same clustering
+    * law as [[delete]]: rewritten files on a clustered table stay
+    * key-clustered. */
+  def update(spark: SparkSession, dir: String, predicate: String,
+             sets: Seq[(String, String)], numFiles: Int = 4,
+             fromVersion: Option[Int] = None,
+             maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
+    val schemaNow = m.schema.getOrElse(throw new IllegalStateException(
+      s"manifest at $dir records no schema"))
+    sets.foreach { case (c, _) => require(schemaNow.fieldNames.contains(c),
+      s"UPDATE of unknown column $c (have ${schemaNow.fieldNames.mkString(",")})") }
+    val reader = spark.read.schema(schemaNow)
+    val abs = m.paths.map(f => Paths.get(dir, f).toString)
+    val touchedAbs =
+      if (abs.isEmpty) Set.empty[String]
+      else reader.parquet(abs: _*)
+        .withColumn("_src_file", input_file_name())
+        .filter(predicate)
+        .select(col("_src_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
+    val files =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val touchedDf = reader.parquet(
+          touched.map(f => Paths.get(dir, f.path).toString): _*)
+        // each SET column becomes CASE WHEN p THEN e ELSE old END; the
+        // cast keeps the column's declared type (ANSI rejects silent
+        // narrowing at runtime, same contract as SQL UPDATE)
+        val rewritten = touchedDf.select(schemaNow.fields.map { f =>
+          sets.find(_._1 == f.name) match {
+            case Some((_, e)) =>
+              when(expr(predicate), expr(e).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+        writeShaped(rewritten, dir, numFiles, m.statsCols)
+      }
+    val v = base + 1
+    commit(dir, v, "update", base, untouched ++ files, m.schema, m.carried)
+    v
+  }
+
+  /** DELETE-BY-KEY (the `MERGE … WHEN MATCHED THEN DELETE` primitive):
+    * remove the rows whose `keyCols` appear in `keys`, with [[merge]]'s
+    * full two-tier discovery — manifest stats prune the candidate files
+    * on the keys' bounding box first, then one semi-join finds the files
+    * actually holding matches; only those rewrite (anti-join on the
+    * keys), untouched files carry by reference. A narrow-key delete into
+    * a clustered 100 TB table is a covering-file rewrite, not a scan. */
+  def deleteMatched(spark: SparkSession, dir: String, keys: DataFrame,
+                    keyCols: Seq[String], numFiles: Int = 4,
+                    fromVersion: Option[Int] = None,
+                    maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
+    val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
+    val keysOnly = keys.select(keyCols.map(col): _*).distinct()
+    val candidates = pruneCandidates(m, keysOnly, keyCols)
+    val touchedAbs =
+      if (candidates.isEmpty) Set.empty[String]
+      else reader
+        .parquet(candidates.map(f => Paths.get(dir, f.path).toString): _*)
+        .withColumn("_src_file", input_file_name())
+        .join(keysOnly, keyCols, "left_semi")
+        .select(col("_src_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
+    val files =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val survivors = reader
+          .parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
+          .join(keysOnly, keyCols, "left_anti")
+        writeShaped(survivors, dir, numFiles, m.statsCols)
+      }
     val v = base + 1
     commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
     v

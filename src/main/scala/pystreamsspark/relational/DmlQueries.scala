@@ -1,0 +1,165 @@
+package pystreamsspark.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.io.{SnapshotSql, Tables}
+
+/** SQL row-level DML through the V2 catalog
+  * ([[pystreamsspark.io.GraftCatalog]]) as driver-checked keys — the
+  * round-10 closing of the "programmatic-only ACID layer" gap: each key
+  * builds a snapshot table BY SQL (`CREATE TABLE` + `INSERT INTO`
+  * through the catalog), mutates it BY SQL (`MERGE INTO` / `UPDATE` /
+  * `DELETE` through the parsed-plan route, [[SnapshotSql.sql]] — same
+  * executors the GraftExtensions analyzer rule uses), and answers
+  * through a plain `spark.sql` read back (incl. `VERSION AS OF` time
+  * travel, served natively by the catalog). The oracles reconstruct the
+  * mutated state relationally from the original parquet — q_sql_merge /
+  * q_sql_timetravel replay the q_acid_merge / q_time_travel oracles
+  * through the SQL surface, green rows proving SQL and programmatic
+  * paths share one semantics (they share one copy-on-write machinery:
+  * the SQL MERGE runs the same stats-pruned file-granular discovery,
+  * asserted in GraftCatalogSpec).
+  */
+object DmlQueries {
+
+  // per-process scratch warehouse: the catalog instance is cached per
+  // session at first use, so the warehouse must be ONE path per process
+  // (unique per process to keep concurrent Bench + test runs apart)
+  private val runTag: String = java.util.UUID.randomUUID().toString.take(8)
+  private def warehouse: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sqlwh_$runTag"
+
+  /** Register the catalog, create `graft.main.<name>_<uuid>` with the
+    * orders DML fixture columns, and SQL-INSERT the base subset
+    * (o_orderkey % 4 <> 3 — the shared acid fixture). Returns the fully
+    * qualified table name. */
+  private def freshOrdersTable(spark: SparkSession, sfDir: String,
+                               what: String): String = {
+    SnapshotSql.register(spark, warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+    val t = s"graft.main.${what}_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE)")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .createOrReplaceTempView("dml_base_orders")
+    SnapshotSql.sql(spark,
+      s"INSERT INTO $t SELECT * FROM dml_base_orders")
+    t
+  }
+
+  /** `MERGE INTO` by SQL — the q_acid_merge fixture driven end-to-end
+    * through the SQL surface: every %10==0 order re-priced ×2 with
+    * status 'U' upserts into the base (%4<>3) subset, so updates both
+    * REPLACE matched keys and INSERT absent ones. Same oracle as
+    * q_acid_merge. */
+  def qSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqlmerge")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .createOrReplaceTempView("dml_merge_src")
+    SnapshotSql.sql(spark, s"MERGE INTO $t t USING dml_merge_src s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql(s"SELECT o_orderstatus, COUNT(*) AS n, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlMergeSql: String = LayoutQueries.qAcidMergeSql
+
+  /** `UPDATE … SET … WHERE` by SQL: every %10==0 order in the base
+    * subset re-priced ×2 with status 'U' in place (no inserts — UPDATE
+    * only touches existing rows). Copy-on-write on the covering files. */
+  def qSqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqlupdate")
+    SnapshotSql.sql(spark, s"UPDATE $t SET o_totalprice = o_totalprice * 2, " +
+      "o_orderstatus = 'U' WHERE o_orderkey % 10 = 0")
+    spark.sql(s"SELECT o_orderstatus, COUNT(*) AS n, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlUpdateSql: String =
+    s"""WITH upd AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+       |      AS o_orderstatus,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 4 <> 3
+       |)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM upd
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  /** `DELETE … WHERE` by SQL: %7==0 keys removed from the base subset.
+    * Result shape mirrors the q_time_travel v2 state. */
+  def qSqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqldelete")
+    SnapshotSql.sql(spark, s"DELETE FROM $t WHERE o_orderkey % 7 = 0")
+    spark.sql(s"SELECT o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlDeleteSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 7 <> 0
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  /** `VERSION AS OF` by SQL — the q_time_travel fixture through the
+    * catalog's time-travel loadTable: v2 = the SQL-inserted base, v3 =
+    * after the SQL DELETE; both versions of the SAME table read side by
+    * side and labeled 1/2 to replay the q_time_travel oracle verbatim. */
+  def qSqlTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    SnapshotSql.register(spark, warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+    val t = s"graft.main.sqltt_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .createOrReplaceTempView("dml_tt_base")
+    SnapshotSql.sql(spark, s"INSERT INTO $t SELECT * FROM dml_tt_base") // v2
+    SnapshotSql.sql(spark, s"DELETE FROM $t WHERE o_orderkey % 7 = 0")  // v3
+    spark.sql(
+      s"""WITH v AS (
+         |  SELECT 1 AS version, o_orderkey, o_totalprice
+         |  FROM $t VERSION AS OF 2
+         |  UNION ALL
+         |  SELECT 2 AS version, o_orderkey, o_totalprice
+         |  FROM $t VERSION AS OF 3
+         |)
+         |SELECT version, COUNT(*) AS n,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  ${Det.sqlSum("o_totalprice")} AS sum_price
+         |FROM v
+         |GROUP BY version
+         |ORDER BY version""".stripMargin)
+  }
+
+  val qSqlTimetravelSql: String = LayoutQueries.qTimeTravelSql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_merge"      -> (qSqlMerge _),
+    "q_sql_update"     -> (qSqlUpdate _),
+    "q_sql_delete"     -> (qSqlDelete _),
+    "q_sql_timetravel" -> (qSqlTimetravel _))
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_merge"      -> qSqlMergeSql,
+    "q_sql_update"     -> qSqlUpdateSql,
+    "q_sql_delete"     -> qSqlDeleteSql,
+    "q_sql_timetravel" -> qSqlTimetravelSql)
+}

@@ -1,0 +1,229 @@
+package pystreamsspark.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import pystreamsspark.SparkSpec
+
+/** V2 catalog + SQL row-level DML over SnapshotTable (round-10 task 1):
+  *  - catalog registration on a RUNTIME conf (no session rebuild), name
+  *    resolution, CREATE/DROP/RENAME/list, namespaces;
+  *  - SELECT and `VERSION AS OF` time travel through plain spark.sql
+  *    (the native analyzer path — no interception);
+  *  - MERGE INTO / UPDATE / DELETE / INSERT through [[SnapshotSql.sql]]
+  *    (parsed-plan route, works on ANY session) and through plain
+  *    spark.sql on a GraftExtensions session (resolution-rule route);
+  *  - the SQL MERGE drives the SAME stats-pruned file-granular
+  *    copy-on-write as the programmatic API: a narrow-key MERGE into a
+  *    clustered table leaves the non-covering files carried by
+  *    REFERENCE (same path strings in the child manifest).
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    SnapshotSql.register(spark, d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    d
+  }
+
+  private def freshName(prefix: String): String =
+    prefix + java.util.UUID.randomUUID().toString.take(8)
+
+  import org.apache.spark.sql.Row
+
+  private def mkTable(name: String, clustered: Boolean = false): String = {
+    val props = if (clustered) " TBLPROPERTIES('clustercols'='id')" else ""
+    spark.sql(s"CREATE TABLE graft.ns.$name (id BIGINT, status STRING, " +
+      s"price DOUBLE)$props")
+    name
+  }
+
+  test("catalog: create, list, exists, drop, rename") {
+    wh
+    val t = mkTable(freshName("cat_"))
+    assert(spark.sql("SHOW TABLES IN graft.ns").collect()
+      .map(_.getString(1)).contains(t))
+    val t2 = freshName("cat2_")
+    spark.sql(s"ALTER TABLE graft.ns.$t RENAME TO ns.$t2")
+    assert(!spark.sql("SHOW TABLES IN graft.ns").collect()
+      .map(_.getString(1)).contains(t))
+    spark.sql(s"DROP TABLE graft.ns.$t2")
+    assert(!spark.sql("SHOW TABLES IN graft.ns").collect()
+      .map(_.getString(1)).contains(t2))
+  }
+
+  test("SQL INSERT + SELECT through the catalog (native read path)") {
+    wh
+    val t = mkTable(freshName("ins_"))
+    SnapshotSql.sql(spark,
+      s"INSERT INTO graft.ns.$t VALUES (1, 'A', 10.0), (2, 'B', 20.0)")
+    SnapshotSql.sql(spark,
+      s"INSERT INTO graft.ns.$t (id, status, price) SELECT 3, 'C', 30.0")
+    val rows = spark.sql(s"SELECT id, status, price FROM graft.ns.$t " +
+      "ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq === Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0)))
+    // filter pushdown reaches the parquet scan through the V2 table
+    val plan = spark.sql(s"SELECT id FROM graft.ns.$t WHERE id = 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"))
+  }
+
+  test("SQL DELETE / UPDATE via SnapshotSql on a plain session") {
+    wh
+    val t = mkTable(freshName("dml_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES " +
+      "(1, 'A', 10.0), (2, 'B', 20.0), (3, 'A', 30.0), (4, 'B', 40.0)")
+    SnapshotSql.sql(spark, s"DELETE FROM graft.ns.$t WHERE id % 2 = 0")
+    SnapshotSql.sql(spark,
+      s"UPDATE graft.ns.$t SET price = price * 2, status = 'U' WHERE id = 3")
+    val rows = spark.sql(s"SELECT id, status, price FROM graft.ns.$t " +
+      "ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq === Seq((1L, "A", 10.0), (3L, "U", 60.0)))
+  }
+
+  test("SQL MERGE upsert + WHEN MATCHED DELETE via SnapshotSql") {
+    import spark.implicits._
+    wh
+    val t = mkTable(freshName("mrg_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES " +
+      "(1, 'A', 10.0), (2, 'B', 20.0), (3, 'C', 30.0)")
+    Seq((2L, "U", 99.0), (9L, "N", 90.0)).toDF("id", "status", "price")
+      .createOrReplaceTempView("mrg_src")
+    SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING mrg_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql(s"SELECT id, status, price FROM graft.ns.$t " +
+      "ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq === Seq((1L, "A", 10.0), (2L, "U", 99.0), (3L, "C", 30.0),
+        (9L, "N", 90.0)))
+    // matched-delete form
+    Seq(1L, 9L).toDF("id").createOrReplaceTempView("mrg_del")
+    SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING mrg_del s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    assert(spark.sql(s"SELECT id FROM graft.ns.$t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("VERSION AS OF time travel through plain spark.sql") {
+    wh
+    val t = mkTable(freshName("tt_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)") // v2
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (2, 'B', 2.0)") // v3
+    SnapshotSql.sql(spark, s"DELETE FROM graft.ns.$t WHERE id = 1")         // v4
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns.$t VERSION AS OF 2")
+      .head.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns.$t VERSION AS OF 3")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT id FROM graft.ns.$t").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // INSERT OVERWRITE replaces contents under a new version
+    SnapshotSql.sql(spark,
+      s"INSERT OVERWRITE graft.ns.$t VALUES (7, 'Z', 7.0)")
+    assert(spark.sql(s"SELECT id FROM graft.ns.$t").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L))
+    assert(spark.sql(s"SELECT id FROM graft.ns.$t VERSION AS OF 4")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("plain spark.sql DML works on a GraftExtensions session") {
+    wh // force shared-session catalog + namespace first
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-dml")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new pystreamsspark.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      SnapshotSql.register(ext, wh)
+      val t = freshName("ext_")
+      ext.sql(s"CREATE TABLE graft.ns.$t (id BIGINT, status STRING, " +
+        "price DOUBLE)")
+      ext.sql(s"INSERT INTO graft.ns.$t VALUES " +
+        "(1, 'A', 10.0), (2, 'B', 20.0), (3, 'C', 30.0)")
+      ext.sql(s"UPDATE graft.ns.$t SET price = price + 1.0 WHERE id >= 2")
+      ext.sql(s"DELETE FROM graft.ns.$t WHERE id = 1")
+      import ext.implicits._
+      Seq((3L, "U", 0.0), (4L, "N", 44.0)).toDF("id", "status", "price")
+        .createOrReplaceTempView("ext_src")
+      ext.sql(s"MERGE INTO graft.ns.$t t USING ext_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val rows = ext.sql(s"SELECT id, status, price FROM graft.ns.$t " +
+        "ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq === Seq((2L, "B", 21.0), (3L, "U", 0.0), (4L, "N", 44.0)))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("SQL MERGE into a clustered table is stats-pruned file-granular " +
+    "copy-on-write (untouched files carried by reference)") {
+    import spark.implicits._
+    wh
+    val t = freshName("clus_")
+    spark.sql(s"CREATE TABLE graft.ns.$t (id BIGINT, status STRING, " +
+      "price DOUBLE) TBLPROPERTIES('clustercols'='id')")
+    // 4 range-clustered files over ids 0..3999 (writeShaped shapes the
+    // INSERT batch on the cluster key because the table is clustered)
+    spark.range(0, 4000).select($"id", lit("A").as("status"),
+        ($"id" * 1.0).as("price"))
+      .createOrReplaceTempView("clus_base")
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t SELECT * FROM clus_base")
+    val dir = s"$wh/ns/$t"
+    val preFiles = SnapshotTable.filePaths(dir).toSet
+    assert(preFiles.size >= 4)
+    // a narrow-key update batch: ids 100..119 — covered by ONE file
+    spark.range(100, 120).select($"id", lit("U").as("status"),
+        lit(0.0).as("price"))
+      .createOrReplaceTempView("clus_upd")
+    // the stats-pruned discovery the SQL merge must hit: strictly fewer
+    // candidate files than the table holds
+    val cand = SnapshotTable.discoveryCandidates(spark, dir,
+      spark.table("clus_upd"), Seq("id"))
+    assert(cand.size < preFiles.size,
+      s"expected pruning: ${cand.size} vs ${preFiles.size}")
+    SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING clus_upd s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val postFiles = SnapshotTable.filePaths(dir).toSet
+    // untouched files carried by REFERENCE: every pre-merge file except
+    // the (pruned) touched candidates is still in the child manifest
+    val carried = preFiles.intersect(postFiles)
+    assert(carried.size >= preFiles.size - cand.size,
+      s"carried ${carried.size} of ${preFiles.size} (cand ${cand.size})")
+    assert(carried.size < preFiles.size) // something WAS rewritten
+    // and the merge answered correctly
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns.$t WHERE status = 'U'")
+      .head.getLong(0) === 20L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns.$t")
+      .head.getLong(0) === 4000L)
+  }
+
+  test("unsupported MERGE forms fail loudly, not approximately") {
+    import spark.implicits._
+    wh
+    val t = mkTable(freshName("bad_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)")
+    Seq((1L, "X", 0.0)).toDF("id", "status", "price")
+      .createOrReplaceTempView("bad_src")
+    intercept[UnsupportedOperationException] {
+      SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING bad_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.price = s.price + 1")
+    }
+    intercept[UnsupportedOperationException] {
+      SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING bad_src s " +
+        "ON t.id > s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+}
