@@ -229,8 +229,18 @@ class SnapshotV2Table(fullName: String, val dir: String,
       "provider" -> "graft-snapshot").asJava
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a V2 scan is a raw file read: it cannot apply the merge-on-read
+    // deletion-vector anti-join. Refuse loudly rather than resurrect
+    // deleted rows — compact() materializes DVs away and restores SQL
+    // readability (SQL DELETE itself stays copy-on-write, so tables
+    // mutated only through SQL never hit this).
+    if (SnapshotTable.hasDeletionVectors(dir, versionAsOf))
+      throw new UnsupportedOperationException(
+        s"$fullName carries deletion vectors (programmatic deleteVectors); " +
+          "SQL reads need a compact() first, or read via SnapshotTable.read")
     ParquetTable(fullName, GraftSqlShims.activeClassic(), options,
       SnapshotTable.filePaths(dir, versionAsOf), Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
 }

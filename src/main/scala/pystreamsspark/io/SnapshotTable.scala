@@ -102,29 +102,47 @@ object SnapshotTable {
   /** One manifest data-file line: RELATIVE path plus optional per-file
     * min/max stats for the table's cluster keys (both rendered as
     * strings; typed comparison happens at prune time against the
-    * manifest schema). Values are URL-encoded so arbitrary string keys
-    * cannot corrupt the tab/`;`/`,` framing. */
+    * manifest schema), plus an optional DELETION-VECTOR reference — the
+    * merge-on-read path: `dv` names the relative directory of a parquet
+    * (file, pos) set whose positions are dropped from this file at read
+    * time, so a point DELETE is O(batch) metadata + DV write instead of
+    * a covering-file rewrite (see [[SnapshotTable.deleteVectors]]).
+    * Serialized as up to three tab-separated fields
+    * (`path[\tstats[\tdv=relpath]]`, stats possibly empty) — manifests
+    * written before DVs existed parse unchanged. Values are URL-encoded
+    * so arbitrary string keys cannot corrupt the tab/`;`/`,` framing. */
   private[io] case class FileEntry(path: String,
-                                   stats: Map[String, (String, String)]) {
-    def serialize: String =
-      if (stats.isEmpty) path
-      else path + "\t" + stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+                                   stats: Map[String, (String, String)],
+                                   dv: Option[String] = None) {
+    def serialize: String = {
+      val statsStr = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
       }.mkString(";")
+      dv match {
+        case Some(d)                   => s"$path\t$statsStr\tdv=$d"
+        case None if stats.nonEmpty    => s"$path\t$statsStr"
+        case None                      => path
+      }
+    }
   }
 
   private[io] object FileEntry {
     def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
     def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
-    def parse(line: String): FileEntry = line.split("\t", 2) match {
-      case Array(p) => FileEntry(p, Map.empty)
-      case Array(p, statsStr) =>
-        val stats = statsStr.split(";").iterator.filter(_.nonEmpty).map { kv =>
-          val Array(c, range) = kv.split("=", 2)
-          val Array(lo, hi) = range.split(",", 2)
-          c -> (dec(lo), dec(hi))
-        }.toMap
-        FileEntry(p, stats)
+    private def parseStats(statsStr: String): Map[String, (String, String)] =
+      statsStr.split(";").iterator.filter(_.nonEmpty).map { kv =>
+        val Array(c, range) = kv.split("=", 2)
+        val Array(lo, hi) = range.split(",", 2)
+        c -> (dec(lo), dec(hi))
+      }.toMap
+    def parse(line: String): FileEntry = line.split("\t") match {
+      case Array(p)           => FileEntry(p, Map.empty)
+      case Array(p, statsStr) => FileEntry(p, parseStats(statsStr))
+      case Array(p, statsStr, dvStr) =>
+        FileEntry(p, parseStats(statsStr),
+          Some(dvStr.stripPrefix("dv=")))
+      case other => throw new IllegalStateException(
+        s"malformed manifest line: $line")
     }
   }
 
@@ -421,17 +439,74 @@ object SnapshotTable {
     require(Files.exists(manifestPath(dir, v)),
       s"version $v at $dir does not exist (vacuumed?)")
     val m = readManifest(dir, v)
-    val paths = m.paths.map(f => Paths.get(dir, f).toString)
     // an EMPTY snapshot (a just-created catalog table, or a full delete)
     // still has a schema in the manifest — read it as an empty relation
-    // rather than asking the parquet source to infer from zero files
-    if (paths.isEmpty && m.schema.isDefined)
+    // rather than asking the parquet source to infer from zero files.
+    // The shared entry reader applies deletion vectors and null-fills
+    // evolved columns through the manifest schema (O(1) metadata).
+    if (m.files.isEmpty && m.schema.isDefined)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema.get)
-    else
-      // the manifest-recorded schema makes the read O(1) metadata and
-      // null-fills columns a file predates (schema evolution)
-      m.schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
+    else readEntries(spark, dir, m, m.files)
+  }
+
+  /** DV-AWARE read of a subset of a manifest's entries — the ONE place
+    * row data meets deletion vectors, shared by every read and by
+    * merge/delete/update discovery. Entries carrying a `dv` reference
+    * anti-join their (file, pos) deletion set away by parquet row
+    * position (`_metadata.row_index` — stable because data files are
+    * immutable); the DV set is broadcast (DVs are point-delete-sized by
+    * design — a mass delete belongs on the copy-on-write path). With
+    * `tagged=true` the result carries `_src_file` (the file's RELATIVE
+    * manifest path, derived from `_metadata.file_path`) and `_src_pos`
+    * — the columns CoW discovery and [[deleteVectors]] key on. */
+  private def readEntries(spark: SparkSession, dir: String, m: Manifest,
+                          entries: Seq[FileEntry],
+                          tagged: Boolean = false): DataFrame = {
+    val dvDirs = entries.flatMap(_.dv).distinct
+    val schemaOpt = m.schema
+    if (entries.isEmpty) {
+      val schema = schemaOpt.getOrElse(throw new IllegalStateException(
+        s"empty entry set at $dir needs a manifest schema"))
+      val out = if (tagged)
+        schema.add("_src_file", StringType).add("_src_pos", LongType)
+      else schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    }
+    val paths = entries.map(f => Paths.get(dir, f.path).toString)
+    val base = schemaOpt.map(spark.read.schema).getOrElse(spark.read)
+      .parquet(paths: _*)
+    if (!tagged && dvDirs.isEmpty) return base
+    // the relative manifest path is always the last 3 URI components:
+    // data/<batch>/<part-file>
+    val withMeta = base
+      .withColumn("_src_file", concat_ws("/",
+        slice(split(col("_metadata.file_path"), "/"), -3, 3)))
+      .withColumn("_src_pos", col("_metadata.row_index"))
+    val applied =
+      if (dvDirs.isEmpty) withMeta
+      else {
+        val dv = spark.read
+          .parquet(dvDirs.map(d => Paths.get(dir, d).toString): _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+        withMeta.join(broadcast(dv),
+          col("_src_file") === col("__dv_file") &&
+            col("_src_pos") === col("__dv_pos"), "left_anti")
+      }
+    val dataCols = base.columns.toSeq.map(col)
+    if (tagged)
+      applied.select(dataCols ++ Seq(col("_src_file"), col("_src_pos")): _*)
+    else applied.select(dataCols: _*)
+  }
+
+  /** True when the snapshot carries any deletion vector — the state the
+    * V2 catalog scan cannot serve (a V2 scan is a file read; the DV
+    * anti-join needs a plan). */
+  def hasDeletionVectors(dir: String,
+                         versionAsOf: Option[Int] = None): Boolean = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    v >= 1 && readManifest(dir, v).files.exists(_.dv.isDefined)
   }
 
   /** The file subset a conjunctive box read must scan per manifest
@@ -541,12 +616,7 @@ object SnapshotTable {
           s"no column $c in ${schema.fieldNames.mkString(",")}"))
     }.toMap
     val files = pruneWhere(m, bounds)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
+    val base = readEntries(spark, dir, m, files)
     def bound(c: String, v: String): org.apache.spark.sql.Column =
       dts(c) match {
         // epoch-micros convention, matching the manifest stats rendering
@@ -601,12 +671,8 @@ object SnapshotTable {
           case None => true
         }
       }
-    val base =
-      if (values.isEmpty || files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
+    val base = readEntries(spark, dir, m,
+      if (values.isEmpty) Seq.empty else files)
     val lits = values.map { x =>
       dt match {
         case _: TimestampType => timestamp_micros(lit(x.toLong))
@@ -888,26 +954,23 @@ object SnapshotTable {
     // (the concurrent commit may have added/rewritten files holding
     // matching keys); the previous attempt's rewritten batch becomes a
     // vacuumable orphan — exactly a losing committer's fate
-    val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
     val candidates = pruneCandidates(m, updates, keyCols)
-    val touchedAbs =
+    val touchedRel =
       if (candidates.isEmpty) Set.empty[String]
-      else reader
-        .parquet(candidates.map(f => Paths.get(dir, f.path).toString): _*)
-        .withColumn("_src_file", input_file_name())
+      else readEntries(spark, dir, m, candidates, tagged = true)
         .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet
-    // input_file_name yields URIs (file://…); the relative manifest
-    // path data/<batch>/part-… is a suffix of the URI
-    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val touched = m.files.filter(f => touchedRel.contains(f.path))
     val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val schemaNow = m.schema.getOrElse(updates.schema)
+    // the DV-aware reader: a touched file's deleted rows must not be
+    // resurrected by the rewrite (the rewrite also RETIRES its DV — the
+    // fresh entry carries none)
     val touchedDf =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaNow)
-      else reader.parquet(
-        touched.map(f => Paths.get(dir, f.path).toString): _*)
+      else readEntries(spark, dir, m, touched)
     // allowMissingColumns: updates may EVOLVE the schema (new columns
     // null-fill in carried rows, and in carried FILES via the manifest
     // schema) or omit columns (null-filled in the rewritten rows)
@@ -942,21 +1005,16 @@ object SnapshotTable {
              numFiles: Int = 4, fromVersion: Option[Int] = None,
              maxRetries: Int = 5): Int = commitWithRebase(
       dir, fromVersion, maxRetries) { (base, m) =>
-    val abs = m.paths.map(f => Paths.get(dir, f).toString)
-    val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
-    val current = reader.parquet(abs: _*)
-    val touchedAbs = current
-      .withColumn("_src_file", input_file_name())
+    val touchedRel = readEntries(spark, dir, m, m.files, tagged = true)
       .filter(predicate)
       .select(col("_src_file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val touched = m.files.filter(f => touchedRel.contains(f.path))
     val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val survivors =
       if (touched.isEmpty) None
-      else Some(
-        reader.parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
-          .filter(s"NOT ($predicate)"))
+      else Some(readEntries(spark, dir, m, touched)
+        .filter(s"NOT ($predicate)"))
     // rewritten files stay key-clustered on a clustered table (the
     // merge/compact law — round-robin would give them full-range stats)
     val files = survivors match {
@@ -988,22 +1046,18 @@ object SnapshotTable {
       s"manifest at $dir records no schema"))
     sets.foreach { case (c, _) => require(schemaNow.fieldNames.contains(c),
       s"UPDATE of unknown column $c (have ${schemaNow.fieldNames.mkString(",")})") }
-    val reader = spark.read.schema(schemaNow)
-    val abs = m.paths.map(f => Paths.get(dir, f).toString)
-    val touchedAbs =
-      if (abs.isEmpty) Set.empty[String]
-      else reader.parquet(abs: _*)
-        .withColumn("_src_file", input_file_name())
+    val touchedRel =
+      if (m.files.isEmpty) Set.empty[String]
+      else readEntries(spark, dir, m, m.files, tagged = true)
         .filter(predicate)
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val touched = m.files.filter(f => touchedRel.contains(f.path))
     val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val files =
       if (touched.isEmpty) Seq.empty
       else {
-        val touchedDf = reader.parquet(
-          touched.map(f => Paths.get(dir, f.path).toString): _*)
+        val touchedDf = readEntries(spark, dir, m, touched)
         // each SET column becomes CASE WHEN p THEN e ELSE old END; the
         // cast keeps the column's declared type (ANSI rejects silent
         // narrowing at runtime, same contract as SQL UPDATE)
@@ -1034,30 +1088,82 @@ object SnapshotTable {
                     fromVersion: Option[Int] = None,
                     maxRetries: Int = 5): Int = commitWithRebase(
       dir, fromVersion, maxRetries) { (base, m) =>
-    val reader = m.schema.map(spark.read.schema).getOrElse(spark.read)
     val keysOnly = keys.select(keyCols.map(col): _*).distinct()
     val candidates = pruneCandidates(m, keysOnly, keyCols)
-    val touchedAbs =
+    val touchedRel =
       if (candidates.isEmpty) Set.empty[String]
-      else reader
-        .parquet(candidates.map(f => Paths.get(dir, f.path).toString): _*)
-        .withColumn("_src_file", input_file_name())
+      else readEntries(spark, dir, m, candidates, tagged = true)
         .join(keysOnly, keyCols, "left_semi")
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f.path)))
+    val touched = m.files.filter(f => touchedRel.contains(f.path))
     val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val files =
       if (touched.isEmpty) Seq.empty
       else {
-        val survivors = reader
-          .parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
+        val survivors = readEntries(spark, dir, m, touched)
           .join(keysOnly, keyCols, "left_anti")
         writeShaped(survivors, dir, numFiles, m.statsCols)
       }
     val v = base + 1
     commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
     v
+  }
+
+  /** MERGE-ON-READ DELETE (deletion vectors): mark the rows matching
+    * `predicate` deleted WITHOUT rewriting their files — the point-
+    * delete path every modern table format grew, because copy-on-write
+    * turns a 10-row delete into a rewrite of every covering file (at
+    * 100 TB: gigabytes of write amplification for bytes of intent).
+    *
+    * Mechanics: one scan finds the matching (file, row-position) pairs
+    * among the LIVE rows (existing DVs applied — re-deleting is a
+    * no-op); positions are written as a small parquet batch under
+    * `dir/dv/`, and the new manifest re-points each touched file's entry
+    * at its (old ∪ new) deletion set. Data files are untouched, so time
+    * travel to pre-delete versions still sees the rows, and vacuum
+    * reclaims DV batches exactly like data batches. Every reader —
+    * [[read]], [[readWhere]]/[[readWhereIn]], and the CoW discovery
+    * scans — routes through the one DV-aware entry reader, so the
+    * deleted rows are invisible everywhere; a later CoW rewrite of a
+    * touched file (merge/update/delete/compact) MATERIALIZES the DV away
+    * (the fresh entry carries none). Cost: O(matching rows) DV write +
+    * O(#files) metadata; the read-side price is a broadcast anti-join on
+    * (file, pos) — keep DVs point-delete-sized and [[compact]] when
+    * they accumulate (the classic MoR maintenance contract).
+    * Returns the new version (or the current one if nothing matched —
+    * a no-match delete commits nothing). */
+  def deleteVectors(spark: SparkSession, dir: String, predicate: String,
+                    fromVersion: Option[Int] = None,
+                    maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
+    val matches = readEntries(spark, dir, m, m.files, tagged = true)
+      .filter(predicate)
+      .select(col("_src_file").as("file"), col("_src_pos").as("pos"))
+    val touchedRel = matches.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedRel.isEmpty) base
+    else {
+      val touched = m.files.filter(f => touchedRel.contains(f.path))
+      // the new deletion set per touched file = its old DV rows ∪ the
+      // new matches (entries point at ONE dv batch, so carry the union)
+      val oldDvDirs = touched.flatMap(_.dv).distinct
+      val oldRows =
+        if (oldDvDirs.isEmpty) None
+        else Some(spark.read
+          .parquet(oldDvDirs.map(d => Paths.get(dir, d).toString): _*)
+          .filter(col("file").isin(touchedRel.toSeq: _*)))
+      val allRows = oldRows.map(matches.unionByName(_)).getOrElse(matches)
+      val batch = s"dv/${java.util.UUID.randomUUID().toString.take(8)}"
+      // DVs are point-delete-sized by contract: one file suffices and
+      // keeps the read-side broadcast build trivial
+      allRows.coalesce(1).write.parquet(Paths.get(dir, batch).toString)
+      val files = m.files.map(f =>
+        if (touchedRel.contains(f.path)) f.copy(dv = Some(batch)) else f)
+      val v = base + 1
+      commit(dir, v, "delete-dv", base, files, m.schema, m.carried)
+      v
+    }
   }
 
   /** Compaction: rewrite the CURRENT snapshot into `target` files under
@@ -1099,7 +1205,8 @@ object SnapshotTable {
   def vacuum(dir: String, keepVersions: Int = 1): Unit = {
     val versions = existingVersions(dir)
     val keep = versions.takeRight(math.max(1, keepVersions))
-    val referenced = keep.flatMap(v => readManifest(dir, v).paths).toSet
+    val keptManifests = keep.map(v => readManifest(dir, v))
+    val referenced = keptManifests.flatMap(_.paths).toSet
     val dataRoot = Paths.get(dir, "data")
     if (Files.isDirectory(dataRoot)) {
       listDir(dataRoot).foreach { batch =>
@@ -1110,6 +1217,21 @@ object SnapshotTable {
           else if (!isData) Files.delete(f) // _SUCCESS / .crc clutter
         }
         if (listDir(batch).isEmpty) Files.delete(batch)
+      }
+    }
+    // deletion-vector batches follow the same law: a DV directory is
+    // live while ANY kept manifest's entry points at it
+    val referencedDv = keptManifests.flatMap(_.files.flatMap(_.dv)).toSet
+    val dvRoot = Paths.get(dir, "dv")
+    if (Files.isDirectory(dvRoot)) {
+      listDir(dvRoot).foreach { batch =>
+        val rel = s"dv/${batch.getFileName}"
+        if (!referencedDv.contains(rel)) {
+          listDir(batch).foreach(Files.delete)
+          Files.delete(batch)
+        } else listDir(batch).foreach { f =>
+          if (!f.getFileName.toString.endsWith(".parquet")) Files.delete(f)
+        }
       }
     }
     versions.filterNot(keep.contains).foreach { v =>

@@ -384,6 +384,40 @@ object LayoutQueries {
        |GROUP BY 1
        |ORDER BY band""".stripMargin
 
+  /** MERGE-ON-READ delete (deletion vectors): the q_time_travel fixture
+    * driven through [[pystreamsspark.io.SnapshotTable.deleteVectors]] —
+    * the %7==0 rows are marked deleted in a small (file, pos) sidecar
+    * and NOT ONE data file is rewritten (asserted in SnapshotDvSpec; at
+    * 100 TB this is the difference between bytes of intent and
+    * gigabytes of write amplification for a point delete). The read
+    * applies the DV as a broadcast anti-join on row position, so both
+    * versions aggregate exactly as the copy-on-write q_time_travel
+    * states do — the oracle is REUSED verbatim, green proving
+    * DV-read ≡ CoW-read end to end. */
+  def qDvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"dv_del_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.create(spark, dir,
+      orders.filter($"o_orderkey" % 4 =!= 3), numFiles = 4)
+    pystreamsspark.io.SnapshotTable.deleteVectors(spark, dir,
+      "o_orderkey % 7 = 0")
+    val v1 = pystreamsspark.io.SnapshotTable.read(spark, dir, Some(1))
+      .select(lit(1).as("version"), $"o_orderkey", $"o_totalprice")
+    val v2 = pystreamsspark.io.SnapshotTable.read(spark, dir, Some(2))
+      .select(lit(2).as("version"), $"o_orderkey", $"o_totalprice")
+    v1.unionByName(v2)
+      .groupBy($"version")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"version")
+  }
+
+  val qDvDeleteSql: String = qTimeTravelSql
+
   /** STATS-PRUNED snapshot read (data skipping): orders written as a
     * key-clustered snapshot table (range-partitioned on o_orderkey, 16
     * files, per-file min/max recorded in the manifest), then a narrow
@@ -472,6 +506,7 @@ object LayoutQueries {
     "q_acid_evolve"     -> (qAcidEvolve _),
     "q_acid_merge"      -> (qAcidMerge _),
     "q_time_travel"     -> (qTimeTravel _),
+    "q_dv_delete"       -> (qDvDelete _),
     "q_dpp_join"        -> (qDppJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
@@ -485,6 +520,7 @@ object LayoutQueries {
     "q_acid_evolve"     -> qAcidEvolveSql,
     "q_acid_merge"      -> qAcidMergeSql,
     "q_time_travel"     -> qTimeTravelSql,
+    "q_dv_delete"       -> qDvDeleteSql,
     "q_dpp_join"        -> qDppJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,

@@ -191,6 +191,34 @@ object Stress {
       deleteRec(new java.io.File(ivfDir)) // a per-run index is scratch
     }
 
+    // point-delete write amplification (round-10: deletion vectors):
+    // the SAME 20-key delete into a key-clustered orders table, DV
+    // (merge-on-read — O(batch) metadata + tiny sidecar) vs CoW
+    // (rewrites every covering file). The DV probe must stay flat as
+    // the table x-folds while CoW grows with covering-file size.
+    if (only.isEmpty || only.exists(o => Seq(s"dv_point_delete x$mult",
+        s"cow_point_delete x$mult").exists(_.contains(o)))) {
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartitionByRange(16, $"o_orderkey")
+      def freshTable(): String = {
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_dv_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        pystreamsspark.io.SnapshotTable.createClustered(spark, d, base,
+          clusterCols = Seq("o_orderkey"))
+        d
+      }
+      val pred = "o_orderkey % 500000 = 17" // ~a handful of rows per file
+      val dvT = freshTable()
+      time(s"dv_point_delete x$mult") {
+        pystreamsspark.io.SnapshotTable.deleteVectors(spark, dvT, pred).toLong
+      }
+      val cowT = freshTable()
+      time(s"cow_point_delete x$mult") {
+        pystreamsspark.io.SnapshotTable.delete(spark, cowT, pred).toLong
+      }
+      deleteRec(new java.io.File(dvT)); deleteRec(new java.io.File(cowT))
+    }
+
     // token-perturbed doc amplification: suffix every token with the
     // replica tag so replicas share NO n-grams/sketch bits — a plain
     // self-union would fabricate 10 exact copies of every doc (quadratic
