@@ -163,6 +163,84 @@ object Multimodal {
         "duration_ms")
   }
 
+  /** REAL sample-level WAV decode — the codec-free modality where leaf
+    * feature extraction needs no external library: 16-bit PCM is just
+    * little-endian shorts after the data-chunk header (RIFF/WAVE spec as
+    * in [[decodeWavHeader]]). Returns the raw interleaved samples,
+    * bounds-safe on truncated/adversarial bytes (only bytes actually
+    * present are read; a declared-but-absent data payload yields the
+    * present prefix). None for anything that is not 16-bit PCM WAV. */
+  def decodeWavSamples(p: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (p.length < 12 ||
+        p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      return None
+    var i = 12
+    var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    var malformed = false
+    while (!malformed && i + 8 <= p.length && (bits < 0 || dataOff < 0)) {
+      val sz = u32le(i + 4)
+      if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' &&
+          p(i + 3) == ' ' && sz >= 16 && i + 8 + 16 <= p.length)
+        bits = u16le(i + 22)
+      else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+          p(i + 3) == 'a') { dataOff = i + 8; dataLen = sz }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next > Int.MaxValue) malformed = true else i = next.toInt
+    }
+    if (bits != 16 || dataOff < 0) None
+    else {
+      // only bytes actually present: header-only payloads decode to the
+      // empty sample array rather than reading past the buffer
+      val avail = math.max(0L, math.min(dataLen, (p.length - dataOff).toLong))
+      val n = (avail / 2).toInt
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        // sign-extended little-endian int16
+        out(k) = (u8(dataOff + 2 * k) | (p(dataOff + 2 * k + 1).toInt << 8))
+        k += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** REAL per-payload audio features from the decoded PCM samples — the
+    * leaf-extraction tier [[frameFeatureStub]] stubs for codec-bound
+    * formats, here real end-to-end for WAV: peak amplitude, exact
+    * integer energy (Σv², order-free), strict zero crossings
+    * (v·prev < 0), and RMS (exact double division of sub-2^53 integers +
+    * correctly-rounded sqrt — cross-engine exact, so an oracle can
+    * replay it arithmetically). Partition-wise flatMap, zero shuffle;
+    * non-WAV / non-16-bit / empty payloads yield no row. */
+  def withWavStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeWavSamples(bytes).filter(_.nonEmpty).map { s =>
+          var peak = 0; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v.toLong * v
+            if (i > 0 && s(i - 1) * v < 0) zc += 1
+            i += 1
+          }
+          (id, s.length.toLong, peak, sumSq, zc,
+            math.sqrt(sumSq.toDouble / s.length))
+        }
+      }
+      .toDF(idCol, "n_samples", "peak", "sum_sq", "zero_cross", "rms")
+  }
+
   /** Parsed MP4 (ISO base-media / ISO 14496-12) video metadata. */
   case class VideoMeta(brand: String, timescale: Int, durationTicks: Long,
                        nTracks: Int)

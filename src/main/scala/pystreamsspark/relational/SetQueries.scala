@@ -148,6 +148,75 @@ object SetQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL sample-level WAV feature extraction, oracle-checked — the
+    * round-10 upgrade of multimodal leaf features from stub to real for
+    * the codec-free modality: Spark synthesizes complete 16-bit mono PCM
+    * WAV payloads (header + actual little-endian sample bytes, sample k
+    * of doc d = (d·7 + k·13) % 2001 − 1000), decodes them back with
+    * [[pystreamsspark.llm.Multimodal.decodeWavSamples]], and computes
+    * REAL audio features per payload (peak, exact integer energy, strict
+    * zero crossings, RMS). The oracle regenerates the same samples
+    * arithmetically (lateral generate_series) and recomputes every
+    * feature — any byte-packing, sign-extension, offset or feature bug
+    * breaks the hash. RMS is cross-engine exact: sub-2^53 integer
+    * division in double + correctly-rounded sqrt. */
+  def qWavStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = (pmod($"doc_id", lit(50)) + 4).cast("int")
+    def u32le(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def u16le(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val dataSize = (n * 2).cast("int")
+    // sample k = (doc_id*7 + k*13) % 2001 - 1000 ∈ [-1000, 1000], packed
+    // as two's-complement little-endian int16 hex
+    val sampleHex = array_join(
+      transform(sequence(lit(0), n - 1), k => {
+        val v = pmod($"doc_id" * 7 + k * 13, lit(2001)) - 1000
+        val h = lpad(hex(pmod(v + 65536, lit(65536))), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }), "")
+    val wav = unhex(concat(
+      lit("52494646"), u32le(dataSize + 36), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), u32le(lit(16)),                        // fmt , len 16
+      u16le(lit(1)), u16le(lit(1)),                           // PCM, mono
+      u32le(lit(8000)), u32le(lit(16000)),                    // rate, byteRate
+      u16le(lit(2)), u16le(lit(16)),                          // align, bits
+      lit("64617461"), u32le(dataSize),                       // data header
+      sampleHex))                                             // REAL samples
+    val payloads = Tables.documents(spark, sfDir)
+      .select($"doc_id", wav.as("payload"))
+    pystreamsspark.llm.Multimodal.withWavStats(payloads, "doc_id", "payload")
+      .orderBy($"doc_id")
+  }
+
+  val qWavStatsSql: String =
+    """WITH ks AS (SELECT UNNEST(range(0, 54)) AS k),
+      |s AS (
+      |  SELECT d.doc_id, ks.k,
+      |    CAST((d.doc_id * 7 + ks.k * 13) % 2001 - 1000 AS INT) AS v
+      |  FROM documents d CROSS JOIN ks
+      |  WHERE ks.k <= d.doc_id % 50 + 3
+      |), z AS (
+      |  SELECT doc_id, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      |  FROM s
+      |)
+      |SELECT doc_id, COUNT(*) AS n_samples,
+      |  CAST(MAX(ABS(v)) AS INT) AS peak,
+      |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+      |  CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+      |  sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*)) AS rms
+      |FROM z
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** REAL MP4 (ISO-BMFF) box-walk decode, oracle-checked differentially
     * — the VIDEO companion of [[qMediaHeader]] (image) and
     * [[qAudioMeta]] (audio), completing the multimodal triple: Spark
@@ -242,6 +311,7 @@ object SetQueries {
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_media_header"     -> (qMediaHeader _),
     "q_audio_meta"       -> (qAudioMeta _),
+    "q_wav_stats"        -> (qWavStats _),
     "q_video_meta"       -> (qVideoMeta _))
 
   val oracle: Map[String, String] = Map(
@@ -250,5 +320,6 @@ object SetQueries {
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_media_header"     -> qMediaHeaderSql,
     "q_audio_meta"       -> qAudioMetaSql,
+    "q_wav_stats"        -> qWavStatsSql,
     "q_video_meta"       -> qVideoMetaSql)
 }

@@ -86,6 +86,138 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source near-dup + SnapshotTable epoch sink: stream ≡ batch " +
+    "across a mid-run restart, exactly-once epochs") {
+    // VERDICT r9 #2: streamingNearDup was MemoryStream-proven only. This
+    // runs the ingestion filter the way a real job does: checkpointed
+    // file-source offsets over parquet splits, a stop/restart in the
+    // middle (bucket state must recover — the post-restart mutants pair
+    // against PRE-restart documents), and the hits landed in a
+    // SnapshotTable through the exactly-once appendEpoch sink.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ckpt-neardup-")
+    val inDir = base.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val tableDir = base.resolve("table").toString
+    val ckpt = base.resolve("checkpoint").toString
+
+    var nFile = 0
+    def addDocs(docs: Seq[(Long, String)]): Unit = {
+      nFile += 1
+      val stage = base.resolve(s"stage$nFile")
+      docs.map { case (id, t) => NearDupDoc(id, t) }.toDF()
+        .coalesce(1).write.parquet(stage.toString)
+      java.nio.file.Files.list(stage)
+        .filter(_.toString.endsWith(".parquet")).forEach { p =>
+          java.nio.file.Files.move(p, inDir.resolve(s"b$nFile.parquet")): Unit
+        }
+    }
+
+    pystreamsspark.io.SnapshotTable.create(s, tableDir,
+      s.emptyDataset[NearDupHit].toDF(), numFiles = 1)
+
+    def startQuery() = {
+      val docs = s.readStream.schema("doc_id LONG, text STRING")
+        .parquet(inDir.toString).as[NearDupDoc]
+      EventStreams.streamingNearDup(docs, threshold = 0.6)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[NearDupHit],
+                         epochId: Long) =>
+          pystreamsspark.io.SnapshotTable.appendEpoch(
+            s, tableDir, df.toDF(), epochId): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    val (b1, b2) = corpus.splitAt(20) // mutants arrive after the restart
+    addDocs(b1)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // while the query is DOWN: the mutant batch — its pairs exist only
+    // if the buckets holding batch-1 signatures survived the restart
+    addDocs(b2)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val landed = pystreamsspark.io.SnapshotTable.read(s, tableDir)
+    val got = landed.collect()
+      .map(r => unordered((r.getLong(0), r.getLong(1))) -> r.getDouble(2))
+      .toMap
+    val batch = Dedup.minHashLsh(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.6, verify = "signature")
+      .collect()
+      .map(r => unordered((r.getLong(0), r.getLong(1))) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet === batch.keySet,
+      s"stream-only=${got.keySet -- batch.keySet} batch-only=${batch.keySet -- got.keySet}")
+    for ((p, est) <- got)
+      assert(est === batch(p), s"estimate differs for $p: $est vs ${batch(p)}")
+    assert(got.keySet.contains((1L, 101L)))
+    assert(got((10L, 103L)) === 1.0)
+    // exactly-once sink across the restart: epoch markers distinct
+    val epochs = pystreamsspark.io.SnapshotTable.history(s, tableDir)
+      .select($"epoch").collect().flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(epochs.distinct.length === epochs.length,
+      s"epoch replayed into the table: ${epochs.mkString(",")}")
+    assert(epochs.nonEmpty)
+  }
+
+  test("stateTtl evicts idle buckets (sliding-window coverage, bounded state)") {
+    // NOTE: a ProcessingTimeTimeout query never quiesces on its own (the
+    // engine keeps scheduling timeout batches — processAllAvailable
+    // livelocks and AvailableNow spins hundreds of no-data epochs, both
+    // observed), so each phase is a single-batch Trigger.Once RUN over a
+    // shared checkpoint: run 1 stores doc 1's buckets (1 ms TTL), run 2
+    // (after the TTL lapsed) carries only an UNRELATED doc — its batch
+    // evicts the idle timed-out buckets — and run 3's near-dup of doc 1
+    // therefore finds nothing to pair with. A bucket receiving data in
+    // the same batch as its expiry keeps its members by design (data
+    // takes precedence over timeout — the deadline slides).
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ttl-neardup-")
+    val ckpt = base.resolve("ckpt").toString
+    val in = MemoryStream[NearDupDoc]
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runOnce(name: String): Unit = {
+      val q = EventStreams.streamingNearDup(in.toDS(), threshold = 0.6,
+          stateTtl = "1 milliseconds")
+        .writeStream
+        // foreachBatch: the memory sink cannot recover from a checkpoint
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[NearDupHit],
+                         _: Long) =>
+          df.collect().foreach(h => hits.add((h.id_a, h.id_b))): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        // Trigger.Once is deprecated for data-completeness reasons that
+        // don't apply here: ONE batch per run is exactly the semantics
+        // this test needs (AvailableNow cannot terminate under PT timers)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      assert(q.awaitTermination(60000), s"run $name did not finish")
+    }
+    val text = (0 until 14).map(j => s"e${j * 5 % 23}").mkString(" ")
+    val other = (0 until 14).map(j => s"x${j * 7 % 29}").mkString(" ")
+    in.addData(NearDupDoc(1L, text))
+    runOnce("neardup_ttl_r1")
+    Thread.sleep(50) // let the 1 ms TTL lapse in processing time
+    in.addData(NearDupDoc(2L, other)) // unrelated: triggers the eviction
+    runOnce("neardup_ttl_r2")
+    in.addData(NearDupDoc(3L, text + " tail")) // doc 1's buckets are gone
+    runOnce("neardup_ttl_r3")
+    val rows = hits.toArray(Array.empty[(Long, Long)]).toSet
+    assert(rows.isEmpty, s"expected TTL eviction, got pairs $rows")
+  }
+
   test("per-bucket state is capped: maxPerBucket bounds detection memory, not correctness of stored members") {
     val s = spark
     import s.implicits._
