@@ -537,47 +537,42 @@ object Dedup {
     *     cheap scalar aggregate per round instead of a join + count.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    import pystreamsspark.operators.Pregel
     // undirected edge list, both directions; materialized once (every
     // propagation round re-reads it, and without the checkpoint each
     // round would recompute the whole upstream pair pipeline) and
-    // pre-partitioned on the per-round join key
-    val edges = truncateLineage(
+    // pre-partitioned on the per-round join key — Pregel.materializeOnce
+    val edges = Pregel.materializeOnce(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct()
-        .repartition(nPart, col("src")))
-    // first round folded into initialization: label = min(id, neighbors).
-    // persist (lazy) + the sum aggregate = ONE job that both materializes
-    // the round and tests the fixpoint; an eager checkpoint would cost a
-    // second job per round
-    var labels = edges
+        .distinct(),
+      partitionOn = Some("src"))
+    // first round folded into initialization: label = min(id, neighbors)
+    val labels0 = edges
       .select(col("src").as("id"), col("dst").as("label"))
       .union(edges.select(col("src").as("id"), col("src").as("label")))
       .groupBy("id").agg(min(col("label")).as("label"))
-      .persist()
-    // coalesce: an EMPTY pair set (nothing near-duplicated — the normal
-    // case on clean corpora) sums to NULL and must read as 0, not throw
-    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var converged = false
-    var iter = 1
-    while (!converged && iter < maxIter) {
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-      var next = labels.select(col("id"), col("label"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .persist()
-      // every few rounds, truncate the (linearly growing) iterative
-      // lineage so Catalyst re-analysis stays O(1) per round
-      if (iter % 5 == 0) next = truncateLineage(next)
-      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-      converged = nextSum == prevSum // labels are monotone non-increasing
-      prevSum = nextSum
-      labels.unpersist(blocking = false)
-      labels = next
-      iter += 1
+    // Pregel policy: persist-per-round (lazy) — the fixpoint SUM
+    // aggregate is then the ONE job that both materializes the round and
+    // tests convergence (an eager checkpoint would cost a second job per
+    // round); lineage truncation every 5 rounds keeps Catalyst
+    // re-analysis O(1) per round. Labels only DECREASE under
+    // min-propagation, so sum-unchanged IS the fixpoint; coalesce: an
+    // EMPTY pair set (nothing near-duplicated — the normal case on clean
+    // corpora) sums to NULL and must read as 0, not throw.
+    val (labels, _) = Pregel.iterate(labels0, maxIter - 1,
+      Pregel.Policy(truncateEvery = 5, persistRounds = true,
+        fingerprint = Some(df =>
+          df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)))) {
+      (labels, _) =>
+        // superstep: every node adopts min(own label, neighbors' labels)
+        // — self-state unions into the messages before ONE min aggregate
+        val neighborLabels = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label"))
+        labels.select(col("id"), col("label"))
+          .union(neighborLabels)
+          .groupBy("id").agg(min(col("label")).as("label"))
     }
     labels
   }
@@ -635,26 +630,24 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
     }
 
-    var fp = fingerprint(edges)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxIter) {
-      // LAZY checkpoint: the fingerprint aggregate right below both
-      // tests the fixpoint AND materializes the round — one job per
-      // round instead of two (eager checkpoint + separate agg)
-      val next = truncateLineage(smallStar(largeStar(edges)), eager = false)
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      fp = nfp
-      edges = next
-      rounds += 1
-    }
+    // Pregel policy: LAZY truncation every round — the fingerprint
+    // aggregate then both tests the fixpoint AND materializes the round
+    // (one job per round instead of eager checkpoint + separate agg).
     // A non-converged edge set is NOT a star forest — reading labels off
-    // it would silently return wrong components. Fail loudly instead.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponentsStar did not converge within $maxIter rounds; " +
-        "raise maxIter (chains of n nodes need ~log2(n)+2 rounds)")
+    // it would silently return wrong components; requireConverged makes
+    // Pregel fail loudly instead.
+    val (result, rounds) =
+      try pystreamsspark.operators.Pregel.iterate(edges, maxIter,
+        pystreamsspark.operators.Pregel.Policy(
+          truncateEvery = 1, eagerTruncate = false,
+          fingerprint = Some(fingerprint), requireConverged = true)) {
+        (e, _) => smallStar(largeStar(e))
+      } catch {
+        case _: IllegalStateException => throw new IllegalStateException(
+          s"connectedComponentsStar did not converge within $maxIter rounds; " +
+          "raise maxIter (chains of n nodes need ~log2(n)+2 rounds)")
+      }
+    edges = result
     // star forest: u -> root v; roots label themselves
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())

@@ -96,26 +96,28 @@ object GraphQueries {
     * an in-edge, so there are no dangling-mass or missing-row cases. */
   def pageRank(edges: DataFrame, iters: Int = 3,
                scale: Long = 1000000000000L): DataFrame = {
-    // materialize the adjacency ONCE (same move as the CC loop): without
+    import pystreamsspark.operators.Pregel
+    // adjacency materialized ONCE (Pregel owns the discipline): without
     // this every iteration's lineage re-scans the raw edge table twice —
     // at 100 TB that is iters x 2 full re-reads of the biggest input
-    val dir = pystreamsspark.operators.Lineage.truncate(
+    val dir = Pregel.materializeOnce(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
-    val deg = pystreamsspark.operators.Lineage.truncate(
+    val deg = Pregel.materializeOnce(
       dir.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
     val init = scale / n
     val base = (15L * init) / 100L
-    var ranks = deg.select(col("src").as("id"), col("deg"),
+    val ranks0 = deg.select(col("src").as("id"), col("deg"),
       lit(init).as("pr"))
-    for (_ <- 1 to iters) {
-      val shares = ranks.select(col("id").as("src"),
-        expr("pr div deg").as("share"))
-      val sums = dir.join(shares, "src")
-        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
-      ranks = deg.select(col("src").as("id"), col("deg"))
-        .join(sums.withColumnRenamed("dst", "id"), Seq("id"))
+    // superstep = the canonical aggregateMessages (share = pr div deg
+    // per out-edge, summed per destination) + the damping re-join
+    val (ranks, _) = Pregel.iterate(ranks0, iters) { (ranks, _) =>
+      val sums = Pregel.aggregateMessages(dir, ranks,
+        msgs = Seq(expr("pr div deg").as("share")),
+        aggs = Seq(sum(col("share")).as("s")))
+      deg.select(col("src").as("id"), col("deg"))
+        .join(sums, Seq("id"))
         .select(col("id"), col("deg"),
           (lit(base) + expr("(85 * s) div 100")).as("pr"))
     }
@@ -131,16 +133,19 @@ object GraphQueries {
     * min partial+final agg — the distance side broadcasts / co-
     * partitions; the big edge list is never re-keyed or windowed. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    import pystreamsspark.operators.Pregel
     // adjacency materialized once, as in pageRank — each relaxation
-    // round joins against it without re-deriving from the raw table
-    val dir = pystreamsspark.operators.Lineage.truncate(
+    // round joins against it without re-deriving from the raw table.
+    // The step keeps the one-join + ONE-agg round shape (self-state
+    // unions into the messages before the single min aggregate).
+    val dir = Pregel.materializeOnce(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
-    var dist = seeds.select(col("id"), lit(0L).as("hop"))
-    for (_ <- 1 to maxHops) {
+    val (dist, _) = Pregel.iterate(
+      seeds.select(col("id"), lit(0L).as("hop")), maxHops) { (dist, _) =>
       val next = dist.join(dir, dist("id") === dir("src"))
         .select(col("dst").as("id"), (col("hop") + 1).as("hop"))
-      dist = dist.unionAll(next).groupBy(col("id")).agg(min(col("hop")).as("hop"))
+      dist.unionAll(next).groupBy(col("id")).agg(min(col("hop")).as("hop"))
     }
     dist
   }
@@ -417,12 +422,22 @@ object GraphQueries {
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    import pystreamsspark.operators.Pregel
     val und = edges.select($"a".as("src"), $"b".as("dst"))
       .union(edges.select($"b".as("src"), $"a".as("dst")))
       .distinct()
     val nodes = und.select($"src".as("id")).distinct()
-    var labels = nodes.select($"id", $"id".as("label"))
-    for (_ <- 1 to iters) {
+    // Pregel policy: NO per-round materialization — AQE's runtime stage
+    // reuse dedupes the repeated und/labels exchanges across rounds
+    // (measured: eager per-round checkpointing was 3.5x SLOWER at x10
+    // because it serializes the rounds into separate jobs and
+    // re-materializes the edge list).
+    val (labels, _) = Pregel.iterate(
+      nodes.select($"id", $"id".as("label")), iters) { (labels, _) =>
+      // superstep: each node counts its neighbors' labels (the canonical
+      // message agg, keyed on the edge's src as destination here since
+      // und carries both directions) and adopts the deterministic
+      // arg-max (max count, ties to the smallest label)
       val counts = und
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy($"src", $"label")
@@ -431,17 +446,13 @@ object GraphQueries {
         .groupBy($"src")
         .agg(max(struct($"cnt", (-$"label").as("neg"), $"label".as("lab")))
           .getField("lab").as("new_label"))
-      labels = nodes
+      nodes
         .join(winner.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select($"id", coalesce($"new_label", $"id").as("label"))
     }
-    // the rounds stay LAZY — AQE's runtime stage reuse dedupes the
-    // repeated und/labels exchanges across rounds (measured: eager
-    // per-round checkpointing was 3.5x SLOWER at x10 because it
-    // serializes the rounds into separate jobs and re-materializes the
-    // edge list). Only the FINAL |V|-row label table is materialized,
-    // so consumers that join it twice (conductance, modularity) read a
-    // checkpoint instead of re-running the whole loop per reference.
+    // only the FINAL |V|-row label table is materialized, so consumers
+    // that join it twice (conductance, modularity) read a checkpoint
+    // instead of re-running the whole loop per reference.
     pystreamsspark.operators.Lineage.truncate(labels)
   }
 
@@ -501,19 +512,22 @@ object GraphQueries {
     * every round references it twice and re-deriving the orders ⋈
     * lineitem distinct per reference would dominate the cost. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = pystreamsspark.operators.Lineage.truncate(
+    import pystreamsspark.operators.Pregel
+    // Pregel with the EDGE SET as the iterated state; policy = eager
+    // truncation every round (each round shrinks the edge list, and the
+    // next round's two degree references + semi joins must reuse the
+    // pruned set instead of replaying the whole peel history)
+    val e0 = pystreamsspark.operators.Lineage.truncate(
       edges.select(col("a"), col("b")))
-    for (_ <- 1 to rounds) {
+    val (e, _) = Pregel.iterate(e0, rounds,
+      Pregel.Policy(truncateEvery = 1)) { (e, _) =>
       val deg = e.select(col("a").as("id"))
         .unionAll(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-      e = e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+      e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-      // each round shrinks the edge list; re-materialize so the next
-      // round's two degree references (and the semi joins) reuse the
-      // pruned set instead of replaying the whole peel history
-      e = pystreamsspark.operators.Lineage.truncate(e.select(col("a"), col("b")))
+        .select(col("a"), col("b"))
     }
     e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
@@ -572,14 +586,15 @@ object GraphQueries {
     * partial+final agg — the same O(rounds)-shuffles shape as
     * [[bfsHops]], which is the unit-weight special case. */
   def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val dir = pystreamsspark.operators.Lineage.truncate(
+    import pystreamsspark.operators.Pregel
+    val dir = Pregel.materializeOnce(
       edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w"))))
-    var dist = seeds.select(col("id"), lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
+    val (dist, _) = Pregel.iterate(
+      seeds.select(col("id"), lit(0L).as("dist")), rounds) { (dist, _) =>
       val relaxed = dist.join(dir, dist("id") === dir("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
+      dist.unionAll(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
     }
     dist
