@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL row-level DML (MERGE INTO / UPDATE / DELETE / INSERT) against
     // GraftCatalog snapshot tables — inert for every other relation
     ext.injectResolutionRule(_ => pystreamsspark.plans.SnapshotDmlRule)
+    // maintenance statements the ANSI grammar lacks (VACUUM / OPTIMIZE /
+    // DESCRIBE HISTORY on snapshot tables); everything else delegates
+    ext.injectParser((_, delegate) =>
+      new pystreamsspark.plans.GraftSqlParser(delegate))
   }
 }

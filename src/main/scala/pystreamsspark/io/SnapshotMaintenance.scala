@@ -1,0 +1,84 @@
+package pystreamsspark.io
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** Maintenance SQL for snapshot tables — the statements every table
+  * format grows beyond the ANSI grammar (vanilla Spark cannot parse
+  * them, which is exactly why [[pystreamsspark.plans.GraftSqlParser]]
+  * exists — the injectParser extension tier):
+  *
+  *  - `VACUUM graft.ns.t [RETAIN n VERSIONS]`   → [[SnapshotTable.vacuum]]
+  *  - `OPTIMIZE graft.ns.t [FILES n]`           → [[SnapshotTable.compact]]
+  *    (also materializes deletion vectors away — the MoR maintenance step)
+  *  - `DESCRIBE HISTORY graft.ns.t`             → [[SnapshotTable.history]]
+  *
+  * [[parse]] recognizes the statement shape and returns an
+  * eagerly-executed command; table-name RESOLUTION happens at run time
+  * through the session's catalog manager (same rule as the DML
+  * executors), so the parser stays session-independent. Both entry
+  * points share it: the injected parser (plain `spark.sql` on extension
+  * sessions) and [[SnapshotSql.sql]] (any session).
+  */
+object SnapshotMaintenance {
+
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
+
+  /** The maintenance plan for `sql`, when it is one of the three
+    * statements; None falls through to the normal parser. */
+  def parse(sql: String): Option[LogicalPlan] = sql match {
+    case Vacuum(t, n) => Some(SnapshotMaintenanceCommand("vacuum",
+      nameParts(t), Option(n).map(_.toInt).getOrElse(1)))
+    case Optimize(t, n) => Some(SnapshotMaintenanceCommand("optimize",
+      nameParts(t), Option(n).map(_.toInt).getOrElse(4)))
+    case History(t) => Some(SnapshotMaintenanceCommand("history",
+      nameParts(t), 0))
+    case _ => None
+  }
+
+  private def nameParts(t: String): Seq[String] =
+    t.split("\\.").toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+}
+
+/** Eagerly-executed maintenance command (see [[SnapshotMaintenance]]);
+  * resolves `nameParts` through the session's GraftCatalog at run. */
+case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
+                                      n: Int) extends LeafRunnableCommand {
+
+  override lazy val output: Seq[Attribute] = kind match {
+    case "history" => Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("op", StringType, nullable = false)(),
+      AttributeReference("parent", IntegerType, nullable = false)(),
+      AttributeReference("n_files", IntegerType, nullable = false)(),
+      AttributeReference("epoch", LongType, nullable = true)())
+    case "optimize" => Seq(
+      AttributeReference("version", IntegerType, nullable = false)())
+    case _ => Seq(
+      AttributeReference("kept_versions", IntegerType, nullable = false)())
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = SnapshotSql.resolveTable(spark, nameParts).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        nameParts))
+    kind match {
+      case "history" =>
+        SnapshotTable.history(spark, dir).collect().toSeq
+      case "optimize" =>
+        Seq(Row(SnapshotTable.compact(spark, dir, math.max(1, n))))
+      case "vacuum" =>
+        SnapshotTable.vacuum(dir, math.max(1, n))
+        Seq(Row(SnapshotTable.existingVersions(dir).size))
+      case other => throw new IllegalStateException(s"unknown $other")
+    }
+  }
+}

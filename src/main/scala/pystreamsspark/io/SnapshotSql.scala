@@ -54,6 +54,12 @@ object SnapshotSql {
     * graft tables, which the catalog serves natively — delegates to
     * `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame = {
+    // maintenance statements the ANSI grammar cannot parse (VACUUM /
+    // OPTIMIZE / DESCRIBE HISTORY) — recognized BEFORE the parser, the
+    // same plans the injected GraftSqlParser produces on ext. sessions
+    SnapshotMaintenance.parse(text).foreach { cmd =>
+      return GraftSqlShims.ofRows(spark, cmd)
+    }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
     parsed match {
       case DeleteFromTable(t, cond) =>
@@ -225,6 +231,13 @@ object SnapshotSql {
     case SubqueryAlias(_, child) => stripAlias(child)
     case other => other
   }
+
+  /** Resolve a (possibly catalog-qualified) table name to its
+    * SnapshotTable directory through the session's catalog manager —
+    * None when it is not a committed graft table. Shared by the DML
+    * executors and the maintenance commands. */
+  def resolveTable(spark: SparkSession, parts: Seq[String]): Option[String] =
+    resolveParts(spark, parts)
 
   private def resolveParts(spark: SparkSession,
                            parts: Seq[String]): Option[String] = {

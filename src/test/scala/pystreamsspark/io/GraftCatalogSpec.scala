@@ -209,6 +209,72 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) === 4000L)
   }
 
+  test("maintenance SQL: DESCRIBE HISTORY / OPTIMIZE / VACUUM " +
+    "(parsed-plan route + injected parser)") {
+    wh
+    val t = mkTable(freshName("mnt_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)")
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (2, 'B', 2.0)")
+    SnapshotSql.sql(spark, s"DELETE FROM graft.ns.$t WHERE id = 1")
+    val hist = SnapshotSql.sql(spark, s"DESCRIBE HISTORY graft.ns.$t")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(hist.map(_._2).toSeq ===
+      Seq("create", "append", "append", "delete"))
+    // OPTIMIZE compacts to the requested file count under a new version
+    val v = SnapshotSql.sql(spark, s"OPTIMIZE graft.ns.$t FILES 1")
+      .head.getInt(0)
+    assert(v === 5)
+    assert(SnapshotTable.filePaths(s"$wh/ns/$t").size === 1)
+    // VACUUM RETAIN 1 VERSIONS drops history; reads stay correct
+    val kept = SnapshotSql.sql(spark,
+      s"VACUUM graft.ns.$t RETAIN 1 VERSIONS").head.getInt(0)
+    assert(kept === 1)
+    assert(spark.sql(s"SELECT id FROM graft.ns.$t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    intercept[Exception] { // pre-vacuum versions are gone
+      spark.sql(s"SELECT * FROM graft.ns.$t VERSION AS OF 2").collect()
+    }
+    // the INJECTED PARSER route: plain ext.sql on an extensions session
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-parser")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new pystreamsspark.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      SnapshotSql.register(ext, wh)
+      val h2 = ext.sql(s"DESCRIBE HISTORY graft.ns.$t").collect()
+      assert(h2.map(_.getString(1)).toSeq === Seq("compact"))
+      // and plain SQL still parses normally through the delegate
+      assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("OPTIMIZE materializes deletion vectors away, restoring SQL reads") {
+    wh
+    val t = mkTable(freshName("mor_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES " +
+      "(1, 'A', 1.0), (2, 'B', 2.0), (3, 'C', 3.0)")
+    val dir = s"$wh/ns/$t"
+    SnapshotTable.deleteVectors(spark, dir, "id = 2")
+    // a raw V2 scan cannot apply the DV anti-join — refused loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.ns.$t").collect()
+    }
+    SnapshotSql.sql(spark, s"OPTIMIZE graft.ns.$t FILES 1")
+    assert(spark.sql(s"SELECT id FROM graft.ns.$t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
   test("unsupported MERGE forms fail loudly, not approximately") {
     import spark.implicits._
     wh
