@@ -95,6 +95,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, Some(v))
   }
 
+  /** Time travel by TIME: `SELECT … TIMESTAMP AS OF '…'` — Spark hands
+    * the instant as epoch MICROS; the latest commit at-or-before it is
+    * the snapshot (commit times recorded in every manifest header). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = SnapshotTable.versionAt(dir, timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version of ${ident} at or before " +
+          s"epoch-micros $timestampMicros"))
+    load(ident, Some(v))
+  }
+
   private def load(ident: Identifier, v: Option[Int]): SnapshotV2Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)

@@ -59,7 +59,8 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("op", StringType, nullable = false)(),
       AttributeReference("parent", IntegerType, nullable = false)(),
       AttributeReference("n_files", IntegerType, nullable = false)(),
-      AttributeReference("epoch", LongType, nullable = true)())
+      AttributeReference("epoch", LongType, nullable = true)(),
+      AttributeReference("ts", LongType, nullable = true)())
     case "optimize" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
     case _ => Seq(

@@ -99,6 +99,18 @@ object SnapshotTable {
   def latestVersion(dir: String): Int =
     existingVersions(dir).lastOption.getOrElse(0)
 
+  /** TIMESTAMP AS OF resolution: the latest existing version whose
+    * commit time is <= `tsMillis` — pure driver metadata (header reads
+    * over the surviving manifests). None when every surviving commit is
+    * newer than the asked time. Manifests without a `ts` header
+    * (pre-round-10 tables) resolve as epoch 0: always eligible, so old
+    * tables keep time-traveling rather than erroring. */
+  def versionAt(dir: String, tsMillis: Long): Option[Int] =
+    existingVersions(dir).reverseIterator.find { v =>
+      readManifest(dir, v).header.get("ts").map(_.toLong).getOrElse(0L) <=
+        tsMillis
+    }
+
   /** One manifest data-file line: RELATIVE path plus optional per-file
     * min/max stats for the table's cluster keys (both rendered as
     * strings; typed comparison happens at prune time against the
@@ -233,7 +245,11 @@ object SnapshotTable {
                      files: Seq[FileEntry], schema: Option[StructType] = None,
                      extras: Seq[(String, String)] = Nil): Unit = {
     Files.createDirectories(manifestDir(dir))
-    val header = (Seq("op" -> op, "parent" -> parent.toString) ++ extras ++
+    // every commit records its wall-clock time — what TIMESTAMP AS OF
+    // resolves against ([[versionAt]]); manifests written before the
+    // header existed resolve as epoch 0 (always eligible)
+    val header = (Seq("op" -> op, "parent" -> parent.toString,
+      "ts" -> System.currentTimeMillis.toString) ++ extras ++
       schema.map(s => "schema" -> s.json)) // JSON escapes tabs/newlines
       .map { case (k, value) => s"$k=$value" }.mkString("\t")
     val body = (header +: files.map(_.serialize)).mkString("\n")
@@ -1240,14 +1256,57 @@ object SnapshotTable {
   }
 
   /** Commit history as a DataFrame:
-    * (version, op, parent, n_files, epoch). Enumerates the manifests
-    * that EXIST — after vacuum the history is the surviving suffix. */
+    * (version, op, parent, n_files, epoch, ts). Enumerates the manifests
+    * that EXIST — after vacuum the history is the surviving suffix. `ts`
+    * is the commit wall-clock millis (null for pre-round-10 manifests). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     existingVersions(dir)
       .map(v => readManifest(dir, v))
       .map(m => (m.version, m.op, m.parent, m.files.size,
-        m.header.get("epoch").map(_.toLong)))
-      .toDF("version", "op", "parent", "n_files", "epoch")
+        m.header.get("epoch").map(_.toLong),
+        m.header.get("ts").map(_.toLong)))
+      .toDF("version", "op", "parent", "n_files", "epoch", "ts")
+  }
+
+  /** CDC-style NET row changes between two snapshots, computed from the
+    * manifest FILE diff — the scale property: only files that CHANGED
+    * between the versions are read, never the whole table (a 100 TB
+    * table whose day touched 3 files reads 3 files' worth from each
+    * side). Mechanics: entries identical in both manifests (same path
+    * AND same deletion-vector reference) cancel by construction; the
+    * remaining entries are read per side (each through its own
+    * manifest's schema + DVs) and NETTED with `exceptAll` both ways —
+    * a rewritten-but-identical row therefore cancels too, so the result
+    * equals the brute-force `read(v2) exceptAll read(v1)` /
+    * `read(v1) exceptAll read(v2)` over the full table (spec-asserted)
+    * while touching only the changed files. Returns the union of data
+    * columns plus `_change_type` ('insert' rows exist only in `toV`,
+    * 'delete' rows only in `fromV`); multiset semantics — a row whose
+    * duplicate count changed nets the difference. */
+  def changesBetween(spark: SparkSession, dir: String,
+                     fromV: Int, toV: Int): DataFrame = {
+    require(fromV >= 1 && toV >= 1, "versions are >= 1")
+    val a = readManifest(dir, fromV)
+    val b = readManifest(dir, toV)
+    def key(f: FileEntry) = (f.path, f.dv)
+    val bKeys = b.files.map(key).toSet
+    val aKeys = a.files.map(key).toSet
+    val aOnly = a.files.filterNot(f => bKeys.contains(key(f)))
+    val bOnly = b.files.filterNot(f => aKeys.contains(key(f)))
+    val oldRows = readEntries(spark, dir, a, aOnly)
+    val newRows = readEntries(spark, dir, b, bOnly)
+    // schema may have evolved between the versions: align by name,
+    // null-filling columns the other side predates
+    def aligned(df: DataFrame, other: DataFrame): DataFrame = {
+      val missing = other.columns.filterNot(df.columns.contains)
+      missing.foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+    }
+    val o = aligned(oldRows, newRows)
+    val n = aligned(newRows, oldRows).select(o.columns.map(col).toSeq: _*)
+    val inserts = n.exceptAll(o).withColumn("_change_type", lit("insert"))
+    val deletes = o.exceptAll(n).withColumn("_change_type", lit("delete"))
+    inserts.unionByName(deletes)
   }
 }

@@ -430,6 +430,37 @@ object Similarity {
         col("col._2").as(idCol), col("col._1").as("cosine"))
   }
 
+  /** SEMANTIC deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023 — public method): embedding-space near-dups
+    * that share no tokens (paraphrases, translations-of-boilerplate)
+    * are invisible to MinHash; here k-means CELLS are the blocking
+    * stage — the published insight that semantic duplicates co-locate
+    * under a coarse quantizer, so candidate pairs are within-cell only
+    * (never all-pairs; the same cell-blocking the IVF index uses) —
+    * then exact cosine ≥ `threshold` edges connect duplicates,
+    * connected components label clusters, and each cluster keeps its
+    * MIN-ID representative (unclustered rows survive trivially).
+    * Deterministic end-to-end (the Det-exact Lloyd fit + the fixed IEEE
+    * cosine sequence), so an oracle replays every stage. Scale shape:
+    * one broadcast-centroid assignment scan + a cell-keyed self-join +
+    * the Pregel CC loop — each audited pieces of this engine. Returns
+    * the surviving rows of `emb`. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("cell", "__cell")
+    val withCell = emb.join(assign, idCol)
+    val pairs = blockedPairs(withCell, idCol, vecCol, "__cell", threshold)
+    val labels = pystreamsspark.llm.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("label", "__cc")
+    emb.join(labels, Seq(idCol), "left")
+      .filter(col("__cc").isNull || col("__cc") === col(idCol))
+      .drop("__cc")
+  }
+
   /** Exact near-duplicate pairs within a blocking column (e.g. a label or
     * coarse-quantizer cell — the IVF pattern): all same-block pairs with
     * cosine >= threshold. Oracle-checkable. */

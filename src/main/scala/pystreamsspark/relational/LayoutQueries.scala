@@ -418,6 +418,64 @@ object LayoutQueries {
 
   val qDvDeleteSql: String = qTimeTravelSql
 
+  /** CDC over the snapshot layer ([[pystreamsspark.io.SnapshotTable.changesBetween]]):
+    * the NET row changes between the pre-merge and post-merge versions
+    * of the q_acid_merge fixture, computed from the manifest FILE diff —
+    * only the files the merge actually touched are read (at 100 TB a
+    * narrow merge's CDC reads the covering files, never the table), and
+    * rewritten-but-identical rows cancel via the bounded exceptAll, so
+    * the result equals the full-table `v2 EXCEPT ALL v1 / v1 EXCEPT ALL
+    * v2` the oracle reconstructs relationally. Green proves the
+    * file-diff CDC is exactly the logical row diff. */
+  def qSnapshotCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"cdc_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.createClustered(spark, dir,
+      orders.filter($"o_orderkey" % 4 =!= 3)
+        .repartitionByRange(8, $"o_orderkey"),
+      clusterCols = Seq("o_orderkey"))
+    val updates = orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+    pystreamsspark.io.SnapshotTable.merge(spark, dir, updates,
+      Seq("o_orderkey"))
+    pystreamsspark.io.SnapshotTable.changesBetween(spark, dir, 1, 2)
+      .groupBy($"_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"_change_type")
+  }
+
+  val qSnapshotCdcSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 <> 3
+       |), upd AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |), merged AS (
+       |  SELECT * FROM base
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd
+       |), changes AS (
+       |  SELECT 'insert' AS _change_type, *
+       |  FROM (SELECT * FROM merged EXCEPT ALL SELECT * FROM base)
+       |  UNION ALL
+       |  SELECT 'delete' AS _change_type, *
+       |  FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM merged)
+       |)
+       |SELECT _change_type, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM changes
+       |GROUP BY _change_type
+       |ORDER BY _change_type""".stripMargin
+
   /** STATS-PRUNED snapshot read (data skipping): orders written as a
     * key-clustered snapshot table (range-partitioned on o_orderkey, 16
     * files, per-file min/max recorded in the manifest), then a narrow
@@ -507,6 +565,7 @@ object LayoutQueries {
     "q_acid_merge"      -> (qAcidMerge _),
     "q_time_travel"     -> (qTimeTravel _),
     "q_dv_delete"       -> (qDvDelete _),
+    "q_snapshot_cdc"    -> (qSnapshotCdc _),
     "q_dpp_join"        -> (qDppJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
@@ -521,6 +580,7 @@ object LayoutQueries {
     "q_acid_merge"      -> qAcidMergeSql,
     "q_time_travel"     -> qTimeTravelSql,
     "q_dv_delete"       -> qDvDeleteSql,
+    "q_snapshot_cdc"    -> qSnapshotCdcSql,
     "q_dpp_join"        -> qDppJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,

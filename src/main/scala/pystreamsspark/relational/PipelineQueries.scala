@@ -780,6 +780,61 @@ object PipelineQueries {
       |  FROM scored) WHERE rn <= 10
       |ORDER BY pid, rn""".stripMargin
 
+  /** SEMANTIC dedup (SemDeDup-style — [[Similarity.semanticDedup]]):
+    * k-means cells block the candidate pairs, exact cosine ≥ 0.4 edges
+    * connect embedding-space duplicates (this synthetic corpus's
+    * cosines top out near 0.5/0.6 — 0.4 plays the role the published
+    * method's high threshold plays on real embeddings, and prunes
+    * non-trivially at every SF), connected components label clusters,
+    * min-id representatives survive. The oracle replays the
+    * ENTIRE funnel: the shared bit-identical Lloyd fit
+    * (kmeansReplayPrefix), the within-cell cosine pairs (same per-row
+    * IEEE sequence, so the ≥ threshold cut is cross-engine exact), a
+    * recursive reach CTE for the components, and the min-id survivor
+    * rule — aggregated per embedding label with an exact id checksum,
+    * so any stage drifting (fit, blocking, threshold, clustering,
+    * survivor policy) breaks the hash. */
+  def qSemanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.semanticDedup(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", k = 8, iters = 1, threshold = 0.4)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum($"vec_id").as("id_sum"))
+      .orderBy($"label")
+  }
+
+  val qSemanticDedupSql: String =
+    kmeansReplayPrefix.replaceFirst("^WITH ",
+      """WITH RECURSIVE reach AS (
+        |    SELECT s AS id, s AS r FROM und
+        |    UNION
+        |    SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s
+        |), """.stripMargin) +
+    """,
+      |prs AS (
+      |  SELECT x.id AS s, y.id AS d
+      |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.id < y.id
+      |  JOIN e ex ON ex.id = x.id
+      |  JOIN e ey ON ey.id = y.id
+      |  WHERE list_dot_product(ex.v, ey.v) /
+      |        (sqrt(list_dot_product(ex.v, ex.v)) *
+      |         sqrt(list_dot_product(ey.v, ey.v))) >= 0.4
+      |), und AS (
+      |  SELECT s, d FROM prs UNION SELECT d AS s, s AS d FROM prs
+      |), lab AS (
+      |  SELECT id, MIN(r) AS cc FROM reach GROUP BY id
+      |), surv AS (
+      |  SELECT emb.vec_id, emb.label
+      |  FROM embeddings emb
+      |  WHERE emb.vec_id NOT IN (SELECT id FROM lab WHERE cc < id)
+      |)
+      |SELECT label, COUNT(*) AS n_survivors,
+      |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM surv
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** Per-group feature scaling — min-max normalization and z-score in
     * one pass, the standard preprocessing step before features feed a
     * trainer. Group stats (min/max/count and decimal-exact Σx, Σx²)
@@ -1606,6 +1661,7 @@ object PipelineQueries {
     "q_scale_norm"       -> (qScaleNorm _),
     "q_ivf_recall"       -> (qIvfRecall _),
     "q_ivf_knn"          -> (qIvfKnn _),
+    "q_semantic_dedup"   -> (qSemanticDedup _),
     "q_cluster_purity"   -> (qClusterPurity _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
     "q_scd2"             -> (qScd2 _),
@@ -1648,6 +1704,7 @@ object PipelineQueries {
     "q_scale_norm"       -> qScaleNormSql,
     "q_ivf_recall"       -> qIvfRecallSql,
     "q_ivf_knn"          -> qIvfKnnSql,
+    "q_semantic_dedup"   -> qSemanticDedupSql,
     "q_cluster_purity"   -> qClusterPuritySql,
     "q_chunk_overlap"    -> qChunkOverlapSql,
     "q_scd2"             -> qScd2Sql,

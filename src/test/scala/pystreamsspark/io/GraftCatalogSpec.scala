@@ -128,6 +128,30 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("TIMESTAMP AS OF time travel through plain spark.sql") {
+    wh
+    val t = mkTable(freshName("tts_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)") // v2
+    Thread.sleep(30)
+    val between = System.currentTimeMillis
+    Thread.sleep(30)
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (2, 'B', 2.0)") // v3
+    // render the instant in the session timezone (UTC in this suite)
+    val lit = java.time.Instant.ofEpochMilli(between)
+      .atZone(java.time.ZoneId.of("UTC"))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.ns.$t TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns.$t").head.getLong(0) === 2L)
+    // asking for a time before any commit fails loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.ns.$t TIMESTAMP AS OF " +
+        "'1999-01-01 00:00:00'").collect()
+    }
+  }
+
   test("plain spark.sql DML works on a GraftExtensions session") {
     wh // force shared-session catalog + namespace first
     val prevActive = SparkSession.getActiveSession
