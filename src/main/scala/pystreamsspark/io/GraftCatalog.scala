@@ -234,7 +234,7 @@ class SnapshotV2Table(fullName: String, val dir: String,
     SnapshotTable.schemaOf(dir, versionAsOf)
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def properties(): util.Map[String, String] = {
     val v = versionAsOf.getOrElse(SnapshotTable.latestVersion(dir))
@@ -252,8 +252,11 @@ class SnapshotV2Table(fullName: String, val dir: String,
       throw new UnsupportedOperationException(
         s"$fullName carries deletion vectors (programmatic deleteVectors); " +
           "SQL reads need a compact() first, or read via SnapshotTable.read")
-    ParquetTable(fullName, GraftSqlShims.activeClassic(), options,
+    val pt = ParquetTable(fullName, GraftSqlShims.activeClassic(), options,
       SnapshotTable.filePaths(dir, versionAsOf), Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+      classOf[ParquetFileFormat])
+    // the ParquetScanBuilder SUBCLASS: full native pushdown inherited
+    // for batch, plus toMicroBatchStream for `readStream.table(...)`
+    new GraftScanBuilder(dir, pt.fileIndex, schema, pt.dataSchema, options)
   }
 }

@@ -434,6 +434,18 @@ object SnapshotTable {
       throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
   }
 
+  /** (path, dv) entries of a version's manifest — driver metadata for
+    * the streaming source's append-only diff. Fails loudly when the
+    * version's manifest was vacuumed (a checkpointed stream offset must
+    * not silently skip data). */
+  private[io] def manifestEntries(dir: String,
+                                  v: Int): Seq[(String, Option[String])] = {
+    require(Files.exists(manifestPath(dir, v)),
+      s"version $v at $dir does not exist (vacuumed?) — raise vacuum " +
+        "retention or restart the stream from a newer startingVersion")
+    readManifest(dir, v).files.map(f => (f.path, f.dv))
+  }
+
   /** The snapshot's data files as ABSOLUTE paths — what a V2 scan over
     * the table reads. Driver metadata only. */
   def filePaths(dir: String, versionAsOf: Option[Int] = None): Seq[String] = {
