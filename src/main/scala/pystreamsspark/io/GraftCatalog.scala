@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -226,15 +228,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * copy-on-write machinery instead. */
 class SnapshotV2Table(fullName: String, val dir: String,
                       val versionAsOf: Option[Int])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = fullName
 
   override lazy val schema: StructType =
     SnapshotTable.schemaOf(dir, versionAsOf)
 
+  // STREAMING_WRITE only on the write side: batch INSERT/MERGE/UPDATE/
+  // DELETE are rewritten by SnapshotDmlRule onto the clustered
+  // copy-on-write executors before V2 write planning would ever run, so
+  // advertising BATCH_WRITE would only create a second, weaker path.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
+
+  /** `df.writeStream.toTable("graft.ns.t")`: exactly-once epoch appends
+    * with executor-written files — see [[SnapshotStreamingWrite]]. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to version-pinned snapshot $fullName")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new SnapshotStreamingWrite(dir, info.schema())
+      }
+    }
+  }
 
   override def properties(): util.Map[String, String] = {
     val v = versionAsOf.getOrElse(SnapshotTable.latestVersion(dir))

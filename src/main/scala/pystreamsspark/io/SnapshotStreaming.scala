@@ -1,12 +1,23 @@
 package pystreamsspark.io
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.GraftSqlShims
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Streaming READ of a snapshot table — `spark.readStream.table(
@@ -144,4 +155,254 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(dir, tableSchema, tblOptions)
+}
+
+// ---------------------------------------------------------------------
+// Streaming WRITE: `df.writeStream.toTable("graft.ns.t")` — the write
+// twin of SnapshotMicroBatchStream, and the 100 TB-correct shape:
+//
+//  - rows NEVER pass through the driver: each executor task streams its
+//    partition straight into a parquet file in the table directory via
+//    Spark's own vectorized parquet OutputWriter (the identical write
+//    path `df.write.parquet` uses), tracking per-file min/max for the
+//    table's cluster-stat columns as it goes;
+//  - the driver's per-epoch commit is pure manifest metadata — it folds
+//    the tasks' (path, stats) commit messages into one append commit
+//    under the epoch range-set, so a replayed micro-batch (failure
+//    recovery) is recognized as already-committed and its re-written
+//    files are deleted instead of double-applied: EXACTLY-ONCE from
+//    at-least-once delivery, the same discipline as appendEpoch but
+//    with the data plane fully distributed;
+//  - a task that receives no rows writes no file (empty-partition
+//    batches stay metadata-only), and an aborted epoch deletes its
+//    batch directory — a failed job looks absent, never partial.
+//
+// Per-file stats keep stats-pruned reads/merges working on appended
+// data; HOW selective they are depends on the upstream partitioning
+// (repartition the stream by the cluster keys for tight ranges — the
+// sink must not reshuffle inside a micro-batch, that is the query's
+// plan to choose).
+// ---------------------------------------------------------------------
+
+/** Per-epoch streaming write into a snapshot table directory. */
+private[io] class SnapshotStreamingWrite(dir: String, schema: StructType)
+  extends StreamingWrite {
+
+  // the epoch currently being written: createStreamingWriterFactory and
+  // the matching commit/abort arrive strictly in sequence per micro-batch
+  @volatile private var currentBatchRel: String = _
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = GraftSqlShims.activeClassic()
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty[String, String], schema)
+    // ship the configured job conf (carries the parquet write schema,
+    // compression, committer settings) to executors as Writable bytes
+    val bos = new ByteArrayOutputStream()
+    job.getConfiguration.write(new DataOutputStream(bos))
+    currentBatchRel = s"data/${UUID.randomUUID().toString.take(8)}"
+    val statsCols = try SnapshotTable.statsColsOf(dir) catch {
+      case _: Exception => Nil
+    }
+    new SnapshotWriterFactory(owf, bos.toByteArray, schema,
+      statsCols.filter(schema.fieldNames.contains),
+      java.nio.file.Paths.get(dir, currentBatchRel).toString, currentBatchRel)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case w: WrittenFileMsg if w.relPath != null =>
+        SnapshotTable.FileEntry(w.relPath,
+          w.statNames.zip(w.statLos.zip(w.statHis)).toMap)
+    }.toSeq.sortBy(_.path)
+    val committed =
+      SnapshotTable.appendEpochFiles(dir, epochId, files, schema)
+    if (!committed) files.foreach { f => // replayed epoch: drop orphans
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f.path))
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    // a failed epoch must look absent: drop the whole batch directory
+    // (covers files from tasks that died before sending a message)
+    val rel = currentBatchRel
+    if (rel != null) {
+      val p = java.nio.file.Paths.get(dir, rel)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.foreach(f =>
+          java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+    }
+  }
+}
+
+/** Task commit message: the file this task wrote (null when the task
+  * saw no rows) plus its typed min/max stats, pre-rendered in the
+  * manifest's string format (epoch-micros for timestamps, ISO for
+  * dates). */
+private[io] final case class WrittenFileMsg(relPath: String, rows: Long,
+                                            statNames: Array[String],
+                                            statLos: Array[String],
+                                            statHis: Array[String])
+  extends WriterCommitMessage
+
+private[io] class SnapshotWriterFactory(owf: OutputWriterFactory,
+                                        confBytes: Array[Byte],
+                                        schema: StructType,
+                                        statsCols: Seq[String],
+                                        absBatchDir: String,
+                                        relBatchDir: String)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(owf, confBytes, schema, statsCols, absBatchDir,
+      relBatchDir, partitionId, taskId)
+}
+
+/** Executor-side writer: lazily opens Spark's parquet OutputWriter on
+  * the first row (empty partitions write nothing), tracks cluster-key
+  * min/max with the SAME comparison semantics the prune side uses
+  * (numeric families and timestamps numerically, strings/dates
+  * lexically on their rendered form). */
+private[io] class SnapshotDataWriter(owf: OutputWriterFactory,
+                                     confBytes: Array[Byte],
+                                     schema: StructType,
+                                     statsCols: Seq[String],
+                                     absBatchDir: String,
+                                     relBatchDir: String,
+                                     partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private var writer: OutputWriter = null
+  private var fileName: String = null
+  private var rows = 0L
+  private val trackers = statsCols.map { c =>
+    new ColStatsTracker(c, schema.fieldIndex(c), schema(c).dataType)
+  }
+
+  private def open(): Unit = {
+    val conf = new Configuration(false)
+    conf.readFields(
+      new DataInputStream(new ByteArrayInputStream(confBytes)))
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graftstream", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new TaskAttemptContextImpl(conf, attempt)
+    fileName = f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.parquet"
+    writer = owf.newInstance(s"$absBatchDir/$fileName", schema, ctx)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) open()
+    trackers.foreach(_.update(record))
+    writer.write(record)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    val withStats = trackers.filter(_.hasValue)
+    WrittenFileMsg(
+      if (fileName == null) null else s"$relBatchDir/$fileName", rows,
+      withStats.map(_.name).toArray,
+      withStats.map(_.loString).toArray,
+      withStats.map(_.hiString).toArray)
+  }
+
+  override def abort(): Unit = if (writer != null) {
+    writer.close()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(absBatchDir, fileName))
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Typed per-file min/max for one stat column, rendered in the manifest
+  * stats format (see SnapshotTable.statAgg: epoch-micros strings for
+  * TimestampType, ISO for dates, plain casts otherwise). Unsupported
+  * types and all-null columns record no stats — conservative-correct
+  * (the file is never pruned). */
+private[io] final class ColStatsTracker(val name: String, ordinal: Int,
+                                        dt: DataType) {
+  private var loL = 0L; private var hiL = 0L        // integral/ts/date
+  private var loD = 0.0; private var hiD = 0.0      // float family
+  private var loS: String = null; private var hiS: String = null
+  private var loDec: java.math.BigDecimal = null
+  private var hiDec: java.math.BigDecimal = null
+  private var seen = false
+  private val (prec, scale) = dt match {
+    case d: DecimalType => (d.precision, d.scale)
+    case _              => (0, 0)
+  }
+  private val supported = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: TimestampType | _: DateType | _: FloatType | _: DoubleType |
+         _: DecimalType | _: StringType => true
+    case _ => false
+  }
+
+  def update(r: InternalRow): Unit = {
+    if (!supported || r.isNullAt(ordinal)) return
+    dt match {
+      case _: ByteType => updL(r.getByte(ordinal).toLong)
+      case _: ShortType => updL(r.getShort(ordinal).toLong)
+      case _: IntegerType | _: DateType => updL(r.getInt(ordinal).toLong)
+      case _: LongType | _: TimestampType => updL(r.getLong(ordinal))
+      case _: FloatType => updD(r.getFloat(ordinal).toDouble)
+      case _: DoubleType => updD(r.getDouble(ordinal))
+      case _: DecimalType =>
+        val v = r.getDecimal(ordinal, prec, scale).toJavaBigDecimal
+        if (!seen || v.compareTo(loDec) < 0) loDec = v
+        if (!seen || v.compareTo(hiDec) > 0) hiDec = v
+      case _: StringType =>
+        val v = r.getUTF8String(ordinal).toString
+        if (!seen || v.compareTo(loS) < 0) loS = v
+        if (!seen || v.compareTo(hiS) > 0) hiS = v
+      case _ => return
+    }
+    seen = true
+  }
+  private def updL(v: Long): Unit = {
+    if (!seen || v < loL) loL = v
+    if (!seen || v > hiL) hiL = v
+  }
+  private def updD(v: Double): Unit = {
+    // NaN: never min/max under IEEE compares — matches the SQL min/max
+    // aggregate (NaN sorts highest in Spark; a NaN-only file records no
+    // stats here, which only loses pruning, never correctness)
+    if (!seen || v < loD) loD = v
+    if (!seen || v > hiD) hiD = v
+  }
+
+  def hasValue: Boolean = seen
+  private def render(long: Long, dbl: Double): String = dt match {
+    case _: DateType => java.time.LocalDate.ofEpochDay(long).toString
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: TimestampType => long.toString
+    case _: FloatType | _: DoubleType => dbl.toString
+    case _: DecimalType => (if (long == 0L) loDec else hiDec).toString
+    case _ => if (long == 0L) loS else hiS
+  }
+  def loString: String = dt match {
+    case _: DecimalType => loDec.toString
+    case _: StringType  => loS
+    case _              => render(loL, loD)
+  }
+  def hiString: String = dt match {
+    case _: DecimalType => hiDec.toString
+    case _: StringType  => hiS
+    case _              => render(hiL, hiD)
+  }
 }

@@ -883,6 +883,56 @@ object SnapshotTable {
     }
   }
 
+  /** The table's declared cluster-stat columns — what a streaming
+    * writer must track per-file min/max for. Driver metadata. */
+  private[io] def statsColsOf(dir: String): Seq[String] = {
+    val v = latestVersion(dir)
+    if (v < 1) Nil else readManifest(dir, v).statsCols
+  }
+
+  /** The V2 StreamingWrite commit: append files ALREADY WRITTEN by
+    * executor tasks (the writeStream.toTable path — rows never pass
+    * through the driver; this call is pure manifest metadata) under
+    * `epochId` with the same idempotency/rebase discipline as
+    * [[appendEpoch]]. Returns true when this call committed, false when
+    * the epoch was already present — the caller then deletes its
+    * now-orphaned batch files (a replayed epoch re-writes data before
+    * the skip can be seen; the data is UUID-pathed so deletion is
+    * safe). */
+  private[io] def appendEpochFiles(dir: String, epochId: Long,
+                                   files: Seq[FileEntry],
+                                   writeSchema: StructType,
+                                   maxRetries: Int = 5): Boolean = {
+    var attempt = 0
+    while (true) {
+      val versions = existingVersions(dir)
+      val latest = versions.lastOption.getOrElse(0)
+      val latestM = if (latest == 0) None else Some(readManifest(dir, latest))
+      val ranges = latestM.flatMap(_.header.get("epochs")).map(parseRanges)
+        .getOrElse(
+          versions.flatMap(v => readManifest(dir, v).header.get("epoch"))
+            .map(_.toLong)
+            .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
+      if (rangesContain(ranges, epochId)) return false
+      val prior = latestM.map(_.files).getOrElse(Seq.empty)
+      val evolved = latestM.flatMap(_.schema)
+        .map(unionSchema(_, writeSchema)).getOrElse(writeSchema)
+      val carried = latestM.map(_.carried.filterNot(_._1 == "epochs"))
+        .getOrElse(Nil)
+      try {
+        commit(dir, latest + 1, "append", latest, prior ++ files,
+          Some(evolved), carried ++ Seq("epoch" -> epochId.toString,
+            "epochs" -> encodeRanges(addToRanges(ranges, epochId))))
+        return true
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   /** TYPED overlap test between two [min,max] ranges rendered as
     * strings: numerics AND TimestampType compare numerically
     * (timestamps render as epoch-micros — a session-local-time string
