@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuild
 import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** V2 `TableCatalog` over [[SnapshotTable]] directories — the catalog
@@ -136,11 +136,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS (…)`: schema evolution as ONE metadata
+    * commit — existing files null-fill the new columns on read. Other
+    * changes are refused (drops/renames would need column-id mapping;
+    * this format identifies columns by name, deliberately). */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: evolve graft tables by appending a batch with the " +
-        "new columns (schema evolution is a manifest property)")
+                          changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      "graft ALTER TABLE supports ADD COLUMNS only (files null-fill); " +
+        s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
+    adds.foreach(a => require(a.fieldNames.length == 1,
+      s"ADD COLUMNS adds top-level columns, got nested " +
+        a.fieldNames.mkString(".")))
+    SnapshotTable.evolveSchema(dir, StructType(adds.map(a =>
+      StructField(a.fieldNames.head, a.dataType, nullable = true))))
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(tableDir(ident))

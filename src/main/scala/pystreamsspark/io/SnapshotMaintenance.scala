@@ -31,8 +31,12 @@ object SnapshotMaintenance {
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
+  private val RestoreV =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreT =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
-  /** The maintenance plan for `sql`, when it is one of the three
+  /** The maintenance plan for `sql`, when it is one of the recognized
     * statements; None falls through to the normal parser. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case Vacuum(t, n) => Some(SnapshotMaintenanceCommand("vacuum",
@@ -41,6 +45,10 @@ object SnapshotMaintenance {
       nameParts(t), Option(n).map(_.toInt).getOrElse(4)))
     case History(t) => Some(SnapshotMaintenanceCommand("history",
       nameParts(t), 0))
+    case RestoreV(t, v) => Some(SnapshotMaintenanceCommand("restore",
+      nameParts(t), v.toInt))
+    case RestoreT(t, ts) => Some(SnapshotMaintenanceCommand("restore_ts",
+      nameParts(t), 0, ts))
     case _ => None
   }
 
@@ -51,7 +59,8 @@ object SnapshotMaintenance {
 /** Eagerly-executed maintenance command (see [[SnapshotMaintenance]]);
   * resolves `nameParts` through the session's GraftCatalog at run. */
 case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
-                                      n: Int) extends LeafRunnableCommand {
+                                      n: Int, ts: String = null)
+  extends LeafRunnableCommand {
 
   override lazy val output: Seq[Attribute] = kind match {
     case "history" => Seq(
@@ -61,7 +70,7 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("n_files", IntegerType, nullable = false)(),
       AttributeReference("epoch", LongType, nullable = true)(),
       AttributeReference("ts", LongType, nullable = true)())
-    case "optimize" => Seq(
+    case "optimize" | "restore" | "restore_ts" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
     case _ => Seq(
       AttributeReference("kept_versions", IntegerType, nullable = false)())
@@ -79,6 +88,20 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       case "vacuum" =>
         SnapshotTable.vacuum(dir, math.max(1, n))
         Seq(Row(SnapshotTable.existingVersions(dir).size))
+      case "restore" =>
+        Seq(Row(SnapshotTable.restore(dir, n)))
+      case "restore_ts" =>
+        // the timestamp parses in the SESSION timezone, like every SQL
+        // timestamp literal
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val millis = java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          .atZone(zone).toInstant.toEpochMilli
+        val v = SnapshotTable.versionAt(dir, millis).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version of ${nameParts.mkString(".")} at or " +
+              s"before '$ts'"))
+        Seq(Row(SnapshotTable.restore(dir, v)))
       case other => throw new IllegalStateException(s"unknown $other")
     }
   }

@@ -1317,6 +1317,44 @@ object SnapshotTable {
     }
   }
 
+  /** RESTORE: make `toVersion`'s contents the NEW latest version — a
+    * pure-metadata commit that re-points at the old manifest's file
+    * entries (schema included), never copying data. History is kept,
+    * not rewritten: the restore is itself a commit, so the undone
+    * versions stay time-travelable until [[vacuum]] and the restored
+    * files are referenced by the new head (vacuum keeps them). The
+    * committed-EPOCH set carries forward from the CURRENT head, not the
+    * restored version — epochs applied after `toVersion` stay recorded,
+    * so a restore can never let a replayed micro-batch double-apply. */
+  def restore(dir: String, toVersion: Int, maxRetries: Int = 5): Int = {
+    require(Files.exists(manifestPath(dir, toVersion)),
+      s"version $toVersion at $dir does not exist (vacuumed?)")
+    val target = readManifest(dir, toVersion)
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val v = base + 1
+      commit(dir, v, "restore", base, target.files, target.schema, m.carried)
+      v
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMNS: evolve the table schema by METADATA ONLY —
+    * one commit whose manifest records the widened schema; existing
+    * files are untouched and null-fill the new columns on read (the
+    * same evolution law appends with new columns already follow). */
+  def evolveSchema(dir: String, newCols: StructType,
+                   maxRetries: Int = 5): Int =
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val cur = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest v$base at $dir records no schema"))
+      newCols.fields.foreach(f => require(!cur.fieldNames.contains(f.name),
+        s"column ${f.name} already exists"))
+      val v = base + 1
+      commit(dir, v, "evolve", base, m.files,
+        Some(unionSchema(cur, deepNullable(newCols).asInstanceOf[StructType])),
+        m.carried)
+      v
+    }
+
   /** Commit history as a DataFrame:
     * (version, op, parent, n_files, epoch, ts). Enumerates the manifests
     * that EXIST — after vacuum the history is the surviving suffix. `ts`

@@ -299,6 +299,79 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves schema metadata-only; old rows " +
+    "null-fill") {
+    wh
+    val t = mkTable(freshName("alter_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)")
+    spark.sql(s"ALTER TABLE graft.ns.$t ADD COLUMNS (qty INT, note STRING)")
+    val row = spark.table(s"graft.ns.$t").collect().head
+    assert(row.length === 5 && row.isNullAt(3) && row.isNullAt(4))
+    // new appends carry the evolved columns; old files keep null-filling
+    SnapshotSql.sql(spark,
+      s"INSERT INTO graft.ns.$t VALUES (2, 'B', 2.0, 7, 'x')")
+    val rows = spark.table(s"graft.ns.$t").collect().sortBy(_.getLong(0))
+    assert(rows(0).isNullAt(3) && rows(1).getInt(3) === 7)
+    // no data files were rewritten by the evolve commit itself
+    val dir = s"$wh/ns/$t"
+    val hist = SnapshotTable.history(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(hist.values.toSeq.contains("evolve"))
+    // anything other than ADD COLUMNS is refused loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.ns.$t DROP COLUMN note")
+    }
+  }
+
+  test("RESTORE TABLE TO VERSION AS OF undoes a delete; epochs stay " +
+    "committed") {
+    wh
+    val t = mkTable(freshName("rest_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES " +
+      "(1, 'A', 1.0), (2, 'B', 2.0), (3, 'C', 3.0)") // v2
+    val dir = s"$wh/ns/$t"
+    // a streaming epoch lands before the damage
+    SnapshotTable.appendEpoch(spark, dir,
+      spark.sql("SELECT CAST(4 AS BIGINT) id, 'D' status, CAST(4.0 AS DOUBLE) price"),
+      epochId = 17L) // v3
+    SnapshotSql.sql(spark, s"DELETE FROM graft.ns.$t WHERE id <= 2") // v4
+    assert(spark.table(s"graft.ns.$t").count() === 2)
+    val out = SnapshotSql.sql(spark,
+      s"RESTORE TABLE graft.ns.$t TO VERSION AS OF 3")
+    assert(out.head.getInt(0) === 5) // the restore is itself a commit
+    assert(spark.table(s"graft.ns.$t").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 4L))
+    // the undone version stays time-travelable
+    assert(spark.sql(s"SELECT * FROM graft.ns.$t VERSION AS OF 4").count() === 2)
+    // epoch 17 is STILL recorded: a replay after restore must not
+    // double-apply
+    val before = SnapshotTable.latestVersion(dir)
+    SnapshotTable.appendEpoch(spark, dir,
+      spark.sql("SELECT CAST(9 AS BIGINT) id, 'Z' status, CAST(9.0 AS DOUBLE) price"),
+      epochId = 17L)
+    assert(SnapshotTable.latestVersion(dir) === before)
+    // vacuum after restore keeps the restored files readable
+    SnapshotSql.sql(spark, s"VACUUM graft.ns.$t RETAIN 1 VERSIONS")
+    assert(spark.table(s"graft.ns.$t").count() === 4)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves by commit time") {
+    wh
+    val t = mkTable(freshName("restts_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)")
+    Thread.sleep(30)
+    val mid = java.time.LocalDateTime.now(java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(30)
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (2, 'B', 2.0)")
+    SnapshotSql.sql(spark,
+      s"RESTORE TABLE graft.ns.$t TO TIMESTAMP AS OF '$mid'")
+    assert(spark.table(s"graft.ns.$t").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
   test("unsupported MERGE forms fail loudly, not approximately") {
     import spark.implicits._
     wh
