@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.GraftSqlShims
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stats recording from the first append (the write-side half of the
   * stats-pruned MERGE/read story).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -132,7 +133,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(Paths.get(dir))
     val clusterCols = Option(properties.get("clustercols"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    SnapshotTable.createEmpty(dir, schema, clusterCols)
+    // TBLPROPERTIES('bucketcols'='id','buckets'='8') declares the
+    // hash-bucket layout behind zero-shuffle storage-partitioned joins
+    val bucketSpec = Option(properties.get("bucketcols")).map { c =>
+      (c.trim, Option(properties.get("buckets")).map(_.trim.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          "bucketcols requires TBLPROPERTIES('buckets'='<n>')")))
+    }
+    SnapshotTable.createEmpty(dir, schema, clusterCols, bucketSpec)
     load(ident, None)
   }
 
@@ -181,6 +189,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val s = Files.list(p)
     try s.iterator().asScala.toSeq finally s.close()
   }
+
+  // ------------------------------------------------------- functions
+
+  /** The one catalog function: `bucket(n, col)` — how Spark resolves a
+    * bucketed scan's reported `KeyGroupedPartitioning(bucket(n, col))`
+    * into a catalyst TransformExpression (storage-partitioned joins
+    * compare the two sides' canonical function + numBuckets, and the
+    * V2-bucketing shuffle path evaluates it to co-partition an unkeyed
+    * side). Must agree with the WRITE layout: `repartition(n, col)`
+    * places rows at pmod(murmur3(col), n), which is exactly what
+    * [[GraftBucketFunction]] computes. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) new GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("bucket")
 
   // ------------------------------------------------------ namespaces
 
@@ -290,7 +318,64 @@ class SnapshotV2Table(fullName: String, val dir: String,
       SnapshotTable.filePaths(dir, versionAsOf), Some(schema),
       classOf[ParquetFileFormat])
     // the ParquetScanBuilder SUBCLASS: full native pushdown inherited
-    // for batch, plus toMicroBatchStream for `readStream.table(...)`
-    new GraftScanBuilder(dir, pt.fileIndex, schema, pt.dataSchema, options)
+    // for batch, plus toMicroBatchStream for `readStream.table(...)`,
+    // plus KeyGroupedPartitioning on bucketed tables (zero-shuffle SPJ)
+    new GraftScanBuilder(dir, pt.fileIndex, schema, pt.dataSchema, options,
+      SnapshotTable.bucketSpecOf(dir, versionAsOf),
+      SnapshotTable.fileBuckets(dir, versionAsOf))
+  }
+}
+
+/** The V2 catalog `bucket(numBuckets, col)` function — the SAME hash the
+  * write layout uses: `df.repartition(n, col)` places each row in
+  * partition index `pmod(murmur3(col), n)` (Spark's HashPartitioning,
+  * seed 42), so a bound bucket(n, col) evaluated on a join key yields
+  * exactly the file bucket that key's rows live in. Integral key types
+  * only (the create-time contract); null keys hash to the seed, exactly
+  * like Murmur3Hash over a null column. */
+class GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32.{hashInt, hashLong}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): pmod(murmur3(col), numBuckets) — the " +
+      "graft bucketed-table layout function"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, col), got ${inputType.simpleString}")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => ()
+      case dt => throw new UnsupportedOperationException(
+        s"graft bucket() supports integral key columns, got $dt")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        // Murmur3Hash semantics: byte/short/int hash as ints, longs as
+        // longs, a NULL key leaves the hash at the seed (42)
+        val h =
+          if (input.isNullAt(1)) 42
+          else keyType match {
+            case _: LongType => hashLong(input.getLong(1), 42)
+            case _: IntegerType => hashInt(input.getInt(1), 42)
+            case _: ShortType => hashInt(input.getShort(1).toInt, 42)
+            case _ => hashInt(input.getByte(1).toInt, 42)
+          }
+        ((h % n) + n) % n
+      }
+    }
   }
 }

@@ -10,11 +10,14 @@ import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.GraftSqlShims
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.{FilePartition, OutputWriter, OutputWriterFactory, PartitioningAwareFileIndex}
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.types._
@@ -126,18 +129,31 @@ private[io] class SnapshotMicroBatchStream(dir: String, schema: StructType,
   * pruning, aggregate pushdown) is INHERITED for batch reads, and
   * `build()` re-wraps the built scan as a [[GraftParquetScan]] so
   * streaming reads get [[SnapshotMicroBatchStream]] from the same
-  * table. */
+  * table. On a BUCKETED table with V2 bucketing enabled, the re-wrap is
+  * the [[GraftBucketedParquetScan]] that groups files by their manifest
+  * bucket ids and reports `KeyGroupedPartitioning(bucket(n, col))` —
+  * the storage-partitioned-join path. */
 private[io] class GraftScanBuilder(dir: String,
                                    fileIndex: PartitioningAwareFileIndex,
                                    schema: StructType,
                                    dataSchema: StructType,
-                                   options: CaseInsensitiveStringMap)
+                                   options: CaseInsensitiveStringMap,
+                                   bucketSpec: Option[(String, Int)] = None,
+                                   fileBuckets: Map[String, Int] = Map.empty)
   extends ParquetScanBuilder(GraftSqlShims.activeClassic(), fileIndex,
     schema, dataSchema, options) {
 
   override def build(): ParquetScan = {
     val s = super.build()
-    new GraftParquetScan(dir, schema, options, s)
+    val v2Bucketing = GraftSqlShims.activeClassic().sessionState.conf
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+      .toBoolean
+    bucketSpec match {
+      case Some((c, n)) if v2Bucketing && fileBuckets.nonEmpty =>
+        new GraftBucketedParquetScan(dir, schema, options, s, c, n,
+          fileBuckets)
+      case _ => new GraftParquetScan(dir, schema, options, s)
+    }
   }
 }
 
@@ -155,6 +171,85 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(dir, tableSchema, tblOptions)
+}
+
+/** The storage-partitioned scan of a BUCKETED snapshot table: the
+  * manifest records every file's bucket id (files are bucket-pure by
+  * the write law), so the scan
+  *
+  *  - groups its (pushdown-pruned, possibly split) input files into ONE
+  *    input partition per bucket, each carrying its bucket id as the
+  *    partition key ([[org.apache.spark.sql.connector.read.HasPartitionKey]],
+  *    empty buckets included so both join sides report identical key
+  *    sets), and
+  *  - reports `KeyGroupedPartitioning(bucket(n, col), n)`, resolved
+  *    through [[GraftCatalog.loadFunction]]'s bucket function.
+  *
+  * Two graft tables bucketed the same way joined on the bucket column
+  * then plan with ZERO Exchange on either side (Spark's
+  * storage-partitioned join, `spark.sql.sources.v2.bucketing.enabled`)
+  * — at 100 TB the entire join shuffle disappears; and with
+  * `…bucketing.shuffle.enabled` Spark can instead shuffle ONLY a small
+  * unkeyed side by evaluating the same bucket function. Reading stays
+  * Spark's own vectorized parquet machinery — the reader factory just
+  * unwraps the bucket envelope. */
+private[io] class GraftBucketedParquetScan(dir: String,
+                                           tableSchema: StructType,
+                                           tblOptions: CaseInsensitiveStringMap,
+                                           s: ParquetScan,
+                                           bucketCol: String,
+                                           numBuckets: Int,
+                                           fileBuckets: Map[String, Int])
+  extends GraftParquetScan(dir, tableSchema, tblOptions, s)
+  with SupportsReportPartitioning {
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(numBuckets, bucketCol)), numBuckets)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // manifest rel path "data/<uuid>/<name>" → key on the last two
+    // segments, unique by construction (uuid batch dirs)
+    val byTail = fileBuckets.map { case (rel, b) =>
+      rel.split('/').takeRight(2).mkString("/") -> b }
+    val grouped = partitions.flatMap(_.files).groupBy { pf =>
+      val p = pf.toPath.toUri.getPath
+      val tail = p.split('/').takeRight(2).mkString("/")
+      byTail.getOrElse(tail, throw new IllegalStateException(
+        s"bucketed table $dir has a file without a bucket id: $p — " +
+          "was it written before the bucket layout was declared?"))
+    }
+    (0 until numBuckets).map { b =>
+      BucketedFilePartition(b, FilePartition(b,
+        grouped.getOrElse(b, Seq.empty).toArray)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BucketedReaderFactory(super.createReaderFactory())
+}
+
+/** One bucket's files + the bucket id as the V2 partition key. */
+private[io] case class BucketedFilePartition(bucket: Int,
+                                             inner: FilePartition)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Unwraps [[BucketedFilePartition]] and delegates to the parquet
+  * reader factory (vectorized/columnar behavior inherited verbatim). */
+private[io] class BucketedReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition =
+    p.asInstanceOf[BucketedFilePartition].inner
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }
 
 // ---------------------------------------------------------------------

@@ -125,16 +125,20 @@ object SnapshotTable {
     * so arbitrary string keys cannot corrupt the tab/`;`/`,` framing. */
   private[io] case class FileEntry(path: String,
                                    stats: Map[String, (String, String)],
-                                   dv: Option[String] = None) {
+                                   dv: Option[String] = None,
+                                   bucket: Option[Int] = None) {
     def serialize: String = {
       val statsStr = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
       }.mkString(";")
-      dv match {
-        case Some(d)                   => s"$path\t$statsStr\tdv=$d"
-        case None if stats.nonEmpty    => s"$path\t$statsStr"
-        case None                      => path
-      }
+      // positional: field 2 is always the (possibly empty) stats string
+      // when ANY tagged field follows; fields 3+ are `key=value` tagged
+      // (dv=…, bucket=…) so older and newer readers agree on framing
+      val tagged = dv.map(d => s"dv=$d").toSeq ++
+        bucket.map(b => s"bucket=$b").toSeq
+      if (tagged.nonEmpty) (Seq(path, statsStr) ++ tagged).mkString("\t")
+      else if (stats.nonEmpty) s"$path\t$statsStr"
+      else path
     }
   }
 
@@ -150,11 +154,14 @@ object SnapshotTable {
     def parse(line: String): FileEntry = line.split("\t") match {
       case Array(p)           => FileEntry(p, Map.empty)
       case Array(p, statsStr) => FileEntry(p, parseStats(statsStr))
-      case Array(p, statsStr, dvStr) =>
-        FileEntry(p, parseStats(statsStr),
-          Some(dvStr.stripPrefix("dv=")))
+      case parts if parts.length >= 3 =>
+        val tagged = parts.drop(2).map { f =>
+          val Array(k, v) = f.split("=", 2); k -> v
+        }.toMap
+        FileEntry(parts(0), parseStats(parts(1)),
+          tagged.get("dv"), tagged.get("bucket").map(_.toInt))
       case other => throw new IllegalStateException(
-        s"malformed manifest line: $line")
+        s"malformed manifest line: ${other.mkString("\\t")}")
     }
   }
 
@@ -170,13 +177,22 @@ object SnapshotTable {
     def statsCols: Seq[String] =
       header.get("statscols").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Nil)
+    /** Hash-bucket layout declared at create time: (column, numBuckets).
+      * Every data file of a bucketed table is bucket-PURE and carries
+      * its bucket id — what storage-partitioned joins group on. */
+    def bucketSpec: Option[(String, Int)] = for {
+      c <- header.get("bucketcols"); n <- header.get("buckets")
+    } yield (c, n.toInt)
     /** Headers every child commit must carry forward so vacuum cannot
       * destroy them: the committed-epoch range-set, the cluster-key
-      * stats column list, and the stats-format marker. */
+      * stats column list, the stats-format marker, and the bucket
+      * layout. */
     def carried: Seq[(String, String)] =
       (header.get("epochs").map("epochs" -> _) ++
         header.get("statscols").map("statscols" -> _) ++
-        header.get("statsfmt").map("statsfmt" -> _)).toSeq
+        header.get("statsfmt").map("statsfmt" -> _) ++
+        header.get("bucketcols").map("bucketcols" -> _) ++
+        header.get("buckets").map("buckets" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -325,14 +341,39 @@ object SnapshotTable {
                          statsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
     val out = Paths.get(dir, batch)
-    val shaped = numFiles.map(df.repartition(_)).getOrElse(df)
+    // a BUCKETED table's files must stay bucket-pure: `repartition(n,
+    // col)` puts every row in partition index pmod(murmur3(col), n) —
+    // exactly the layout's bucket function — so the task/part index IS
+    // the bucket id and every write path (append, merge rewrite,
+    // compact) preserves the invariant by construction. Overrides any
+    // caller shaping: bucket purity is the layout's hard contract.
+    val bucketSpec =
+      if (latestVersion(dir) >= 1) readManifest(dir, latestVersion(dir))
+        .bucketSpec
+      else None
+    bucketSpec.foreach { case (c, _) => require(df.columns.contains(c),
+      s"bucketed table $dir requires column $c in every write batch") }
+    val shaped = bucketSpec match {
+      case Some((c, n)) => df.repartition(n, col(c))
+      case None         => numFiles.map(df.repartition(_)).getOrElse(df)
+    }
     shaped.write.parquet(out.toString)
+    val partIdx = "^part-(\\d+)-.*".r
+    def bucketOf(name: String): Option[Int] = bucketSpec.flatMap(_ =>
+      name match {
+        case partIdx(i) => Some(i.toInt)
+        case _ => throw new IllegalStateException(
+          s"bucketed write produced unparseable file name $name")
+      })
     val rel = listDir(out)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$batch/$n").sorted
+    def entryOf(p: String, stats: Map[String, (String, String)]): FileEntry =
+      FileEntry(p, stats,
+        bucket = bucketOf(p.substring(p.lastIndexOf('/') + 1)))
     val presentStats = statsCols.filter(df.schema.fieldNames.contains)
-    if (presentStats.isEmpty) rel.map(FileEntry(_, Map.empty))
+    if (presentStats.isEmpty) rel.map(entryOf(_, Map.empty))
     else {
       // per-file min/max in ONE scan of the new batch's stat columns;
       // values rendered via statAgg (epoch-micros for timestamps,
@@ -356,7 +397,7 @@ object SnapshotTable {
         val stats = byFile.collectFirst {
           case (uri, s) if uri.endsWith(p) => s
         }.getOrElse(Map.empty[String, (String, String)])
-        FileEntry(p, stats)
+        entryOf(p, stats)
       }
     }
   }
@@ -413,16 +454,51 @@ object SnapshotTable {
     * no data files. `clusterCols` arms stats recording for every later
     * append/merge exactly like [[createClustered]]. */
   def createEmpty(dir: String, schema: StructType,
-                  clusterCols: Seq[String] = Nil): Int = {
+                  clusterCols: Seq[String] = Nil,
+                  bucketSpec: Option[(String, Int)] = None): Int = {
     clusterCols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
+    bucketSpec.foreach { case (c, n) =>
+      require(clusterCols.isEmpty,
+        "a table is either range-CLUSTERED (clustercols — stats-pruned " +
+          "reads/merges) or hash-BUCKETED (bucketcols — zero-shuffle " +
+          "storage-partitioned joins), not both: the two layouts impose " +
+          "contradictory file shapes")
+      require(n >= 1, s"buckets must be >= 1, got $n")
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucket column $c not in ${schema.fieldNames.mkString(",")}"))
+      require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+        dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+        s"bucket column $c must be integral (join-key ids), got $dt")
+    }
     val extras =
-      if (clusterCols.isEmpty) Nil
-      else Seq("statscols" -> clusterCols.mkString(","),
-        "statsfmt" -> STATS_FMT)
+      (if (clusterCols.isEmpty) Nil
+       else Seq("statscols" -> clusterCols.mkString(","),
+         "statsfmt" -> STATS_FMT)) ++
+        bucketSpec.toSeq.flatMap { case (c, n) =>
+          Seq("bucketcols" -> c, "buckets" -> n.toString) }
     commit(dir, 1, "create", 0, Nil, Some(deepNullable(schema)
       .asInstanceOf[StructType]), extras)
     1
+  }
+
+  /** The table's declared hash-bucket layout, if any: (column,
+    * numBuckets). Driver metadata. */
+  def bucketSpecOf(dir: String,
+                   versionAsOf: Option[Int] = None): Option[(String, Int)] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) None else readManifest(dir, v).bucketSpec
+  }
+
+  /** relative-path → bucket id for a bucketed snapshot — what the
+    * storage-partitioned scan groups files by. Driver metadata. */
+  private[io] def fileBuckets(dir: String,
+                              versionAsOf: Option[Int] = None): Map[String, Int] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) Map.empty
+    else readManifest(dir, v).files.flatMap(f =>
+      f.bucket.map(b => f.path -> b)).toMap
   }
 
   /** The snapshot's schema — pure driver metadata (one manifest read),

@@ -151,15 +151,63 @@ object DmlQueries {
 
   val qSqlTimetravelSql: String = LayoutQueries.qTimeTravelSql
 
+  /** STORAGE-PARTITIONED JOIN over hash-bucketed snapshot tables: both
+    * sides created with `TBLPROPERTIES('bucketcols'=<join key>,
+    * 'buckets'='8')`, so every file is bucket-pure (bucket = pmod(
+    * murmur3(key), 8), recorded in the manifest) and the V2 scans
+    * report `KeyGroupedPartitioning(bucket(8, key))` — the MERGE-hinted
+    * join then plans with ZERO exchanges on either side (the plan shape
+    * is asserted in BucketedJoinSpec; at 100 TB the join shuffle is the
+    * dominant cost and this layout removes it). The oracle replays the
+    * same join over the original parquet — a green row proves the
+    * bucketed round-trip holds exactly the source rows AND the
+    * exchange-free plan computes the same answer as the naive one. */
+  def qSpjSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    SnapshotSql.register(spark, warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val co = s"graft.main.spjo_$tag"
+    val cc = s"graft.main.spjc_$tag"
+    spark.sql(s"CREATE TABLE $co (o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('bucketcols'='o_custkey', 'buckets'='8')")
+    spark.sql(s"CREATE TABLE $cc (c_custkey BIGINT, c_acctbal DOUBLE) " +
+      "TBLPROPERTIES ('bucketcols'='c_custkey', 'buckets'='8')")
+    Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_totalprice"))
+      .createOrReplaceTempView("spj_orders_src")
+    Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("spj_cust_src")
+    SnapshotSql.sql(spark, s"INSERT INTO $co SELECT * FROM spj_orders_src")
+    SnapshotSql.sql(spark, s"INSERT INTO $cc SELECT * FROM spj_cust_src")
+    spark.sql(
+      s"""SELECT /*+ MERGE(c) */ pmod(c.c_custkey, 7) AS grp,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum,
+         |  ${Det.sqlSum("o.o_totalprice")} AS sum_price
+         |FROM $co o JOIN $cc c ON o.o_custkey = c.c_custkey
+         |GROUP BY pmod(c.c_custkey, 7)
+         |ORDER BY grp""".stripMargin)
+  }
+
+  val qSpjSnapshotSql: String =
+    s"""SELECT c.c_custkey % 7 AS grp, COUNT(*) AS n_orders,
+       |  CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o.o_totalprice")} AS sum_price
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY c.c_custkey % 7
+       |ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge"      -> (qSqlMerge _),
     "q_sql_update"     -> (qSqlUpdate _),
     "q_sql_delete"     -> (qSqlDelete _),
-    "q_sql_timetravel" -> (qSqlTimetravel _))
+    "q_sql_timetravel" -> (qSqlTimetravel _),
+    "q_spj_snapshot"   -> (qSpjSnapshot _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_merge"      -> qSqlMergeSql,
     "q_sql_update"     -> qSqlUpdateSql,
     "q_sql_delete"     -> qSqlDeleteSql,
-    "q_sql_timetravel" -> qSqlTimetravelSql)
+    "q_sql_timetravel" -> qSqlTimetravelSql,
+    "q_spj_snapshot"   -> qSpjSnapshotSql)
 }

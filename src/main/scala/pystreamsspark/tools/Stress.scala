@@ -219,6 +219,59 @@ object Stress {
       deleteRec(new java.io.File(dvT)); deleteRec(new java.io.File(cowT))
     }
 
+    // storage-partitioned join over hash-BUCKETED snapshot tables
+    // (round-10): both sides pre-bucketed on the join key at write time
+    // (16 buckets, file bucket = pmod(murmur3(key), 16) recorded in the
+    // manifest), scans report KeyGroupedPartitioning -> the join plans
+    // with ZERO exchanges; the contrast probe is the identical join as
+    // plain shuffle-both-sides. The SPJ side's advantage is the two
+    // amplified-side shuffles it never pays — the term that grows with
+    // the fact tables at 100 TB. Build (create+insert) is untimed: the
+    // layout is written once, amortized over every downstream join.
+    if (only.isEmpty || only.exists(o => Seq(s"spj_bucketed_join x$mult",
+        s"spj_shuffle_join x$mult").exists(_.contains(o)))) {
+      val owh = s"${System.getProperty("java.io.tmpdir")}/graft_stress_spj_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      pystreamsspark.io.SnapshotSql.register(spark, owh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+      val custAmp = amplified(
+        pystreamsspark.io.Tables.customer(spark, sfDir),
+        Seq("c_custkey"), 100000000L)
+        .select($"c_custkey", $"c_acctbal")
+      val ordKeyAmp = amplified(
+        pystreamsspark.io.Tables.orders(spark, sfDir),
+        Seq("o_custkey"), 100000000L)
+        .select($"o_custkey", $"o_totalprice")
+      spark.sql("CREATE TABLE graft.st.spjo (o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) TBLPROPERTIES " +
+        "('bucketcols'='o_custkey','buckets'='16')")
+      spark.sql("CREATE TABLE graft.st.spjc (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) TBLPROPERTIES " +
+        "('bucketcols'='c_custkey','buckets'='16')")
+      val od = pystreamsspark.io.SnapshotSql.resolveTable(spark,
+        Seq("graft", "st", "spjo")).get
+      val cd = pystreamsspark.io.SnapshotSql.resolveTable(spark,
+        Seq("graft", "st", "spjc")).get
+      pystreamsspark.io.SnapshotTable.append(spark, od, ordKeyAmp)
+      pystreamsspark.io.SnapshotTable.append(spark, cd, custAmp)
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time(s"spj_bucketed_join x$mult") {
+        spark.table("graft.st.spjo")
+          .join(spark.table("graft.st.spjc").hint("merge"),
+            $"o_custkey" === $"c_custkey")
+          .agg(sum($"o_totalprice" + $"c_acctbal")).forcedSum
+      }
+      time(s"spj_shuffle_join x$mult") {
+        ordKeyAmp.join(custAmp.hint("merge"),
+            $"o_custkey" === $"c_custkey")
+          .agg(sum($"o_totalprice" + $"c_acctbal")).forcedSum
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      deleteRec(new java.io.File(owh))
+    }
+
     // token-perturbed doc amplification: suffix every token with the
     // replica tag so replicas share NO n-grams/sketch bits — a plain
     // self-union would fabricate 10 exact copies of every doc (quadratic

@@ -29,6 +29,13 @@ class GraftCatalogSpec extends SparkSpec {
   private def freshName(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.take(8)
 
+  // the JVM-wide catalog instance pins ITS first-registered warehouse;
+  // resolve the table's real directory through the session (what the
+  // DML executor does) instead of assuming this suite's wh won the race
+  private def dirOf(t: String): String =
+    SnapshotSql.resolveTable(spark, Seq("graft", "ns", t)).getOrElse(
+      fail(s"graft.ns.$t did not resolve"))
+
   import org.apache.spark.sql.Row
 
   private def mkTable(name: String, clustered: Boolean = false): String = {
@@ -203,7 +210,7 @@ class GraftCatalogSpec extends SparkSpec {
         ($"id" * 1.0).as("price"))
       .createOrReplaceTempView("clus_base")
     SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t SELECT * FROM clus_base")
-    val dir = s"$wh/ns/$t"
+    val dir = dirOf(t)
     val preFiles = SnapshotTable.filePaths(dir).toSet
     assert(preFiles.size >= 4)
     // a narrow-key update batch: ids 100..119 — covered by ONE file
@@ -248,7 +255,7 @@ class GraftCatalogSpec extends SparkSpec {
     val v = SnapshotSql.sql(spark, s"OPTIMIZE graft.ns.$t FILES 1")
       .head.getInt(0)
     assert(v === 5)
-    assert(SnapshotTable.filePaths(s"$wh/ns/$t").size === 1)
+    assert(SnapshotTable.filePaths(dirOf(t)).size === 1)
     // VACUUM RETAIN 1 VERSIONS drops history; reads stay correct
     val kept = SnapshotSql.sql(spark,
       s"VACUUM graft.ns.$t RETAIN 1 VERSIONS").head.getInt(0)
@@ -288,7 +295,7 @@ class GraftCatalogSpec extends SparkSpec {
     val t = mkTable(freshName("mor_"))
     SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES " +
       "(1, 'A', 1.0), (2, 'B', 2.0), (3, 'C', 3.0)")
-    val dir = s"$wh/ns/$t"
+    val dir = dirOf(t)
     SnapshotTable.deleteVectors(spark, dir, "id = 2")
     // a raw V2 scan cannot apply the DV anti-join — refused loudly
     intercept[Exception] {
@@ -313,7 +320,7 @@ class GraftCatalogSpec extends SparkSpec {
     val rows = spark.table(s"graft.ns.$t").collect().sortBy(_.getLong(0))
     assert(rows(0).isNullAt(3) && rows(1).getInt(3) === 7)
     // no data files were rewritten by the evolve commit itself
-    val dir = s"$wh/ns/$t"
+    val dir = dirOf(t)
     val hist = SnapshotTable.history(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1))).toMap
     assert(hist.values.toSeq.contains("evolve"))
@@ -329,7 +336,7 @@ class GraftCatalogSpec extends SparkSpec {
     val t = mkTable(freshName("rest_"))
     SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES " +
       "(1, 'A', 1.0), (2, 'B', 2.0), (3, 'C', 3.0)") // v2
-    val dir = s"$wh/ns/$t"
+    val dir = dirOf(t)
     // a streaming epoch lands before the damage
     SnapshotTable.appendEpoch(spark, dir,
       spark.sql("SELECT CAST(4 AS BIGINT) id, 'D' status, CAST(4.0 AS DOUBLE) price"),

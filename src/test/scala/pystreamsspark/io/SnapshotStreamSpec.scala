@@ -21,6 +21,13 @@ class SnapshotStreamSpec extends SparkSpec {
   private def freshName(p: String): String =
     p + java.util.UUID.randomUUID().toString.take(8)
 
+  // the JVM-wide catalog instance pins ITS first-registered warehouse;
+  // resolve the table's real directory through the session (what the
+  // DML executor does) instead of assuming this suite's wh won the race
+  private def dirOf(t: String): String =
+    SnapshotSql.resolveTable(spark, Seq("graft", "ns", t)).getOrElse(
+      fail(s"graft.ns.$t did not resolve"))
+
   private def mk(name: String): String = {
     spark.sql(s"CREATE TABLE graft.ns.$name (id BIGINT, v DOUBLE)")
     name
@@ -128,7 +135,7 @@ class SnapshotStreamSpec extends SparkSpec {
     // the epoch range-set is recorded — a manual replay of epoch 0 is
     // refused at the manifest layer (the exactly-once guarantee the
     // engine's checkpoint normally enforces)
-    val dir = s"$wh/ns/$t"
+    val dir = dirOf(t)
     val before = SnapshotTable.latestVersion(dir)
     SnapshotTable.appendEpoch(spark, dir,
       spark.range(99, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
@@ -159,7 +166,7 @@ class SnapshotStreamSpec extends SparkSpec {
       .toTable(s"graft.ns.$t")
     assert(q.awaitTermination(60000))
 
-    val dir = s"$wh/ns/$t"
+    val dir = dirOf(t)
     // every streamed file records id min/max in the manifest
     val entries = SnapshotTable.manifestEntries(dir,
       SnapshotTable.latestVersion(dir))
