@@ -319,10 +319,17 @@ class SnapshotV2Table(fullName: String, val dir: String,
       classOf[ParquetFileFormat])
     // the ParquetScanBuilder SUBCLASS: full native pushdown inherited
     // for batch, plus toMicroBatchStream for `readStream.table(...)`,
-    // plus KeyGroupedPartitioning on bucketed tables (zero-shuffle SPJ)
+    // plus KeyGroupedPartitioning on bucketed tables (zero-shuffle SPJ).
+    // Bucketed-scan mode needs EVERY live file to carry a bucket id —
+    // a file written outside the bucket law (e.g. a streamed append,
+    // whose partitioning belongs to the query) has none, and the scan
+    // must degrade to the plain split plan rather than guess.
+    val buckets = SnapshotTable.fileBuckets(dir, versionAsOf)
+    val allBucketed =
+      buckets.size == SnapshotTable.filePaths(dir, versionAsOf).size
     new GraftScanBuilder(dir, pt.fileIndex, schema, pt.dataSchema, options,
       SnapshotTable.bucketSpecOf(dir, versionAsOf),
-      SnapshotTable.fileBuckets(dir, versionAsOf))
+      if (allBucketed) buckets else Map.empty)
   }
 }
 

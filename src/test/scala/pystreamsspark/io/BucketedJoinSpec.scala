@@ -140,6 +140,30 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("a streamed (bucket-less) append degrades the scan to the plain " +
+    "plan instead of guessing") {
+    wh
+    val t = mkBucketed(freshName("bst_"))
+    fill(t, 0 until 200, 1.0)
+    // a streaming write's partitioning belongs to the query — its files
+    // carry no bucket ids
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    in.addData(200L until 250L: _*)
+    val ckpt = java.nio.file.Files.createTempDirectory("bst_ckpt_").toString
+    val q = in.toDF().selectExpr("value AS id", "CAST(value AS DOUBLE) AS v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable(s"graft.ns.$t")
+    assert(q.awaitTermination(60000))
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // mixed manifest: the scan must fall back (no crash, exact rows)
+      assert(spark.table(s"graft.ns.$t").count() === 250)
+    }
+  }
+
   test("bucketcols and clustercols are mutually exclusive; non-integral " +
     "bucket keys refused") {
     wh
