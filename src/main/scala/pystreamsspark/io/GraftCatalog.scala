@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNa
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+import org.apache.spark.sql.{DataFrame, GraftSqlShims}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.write.streaming.StreamingWrite
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -277,23 +279,43 @@ class SnapshotV2Table(fullName: String, val dir: String,
   override lazy val schema: StructType =
     SnapshotTable.schemaOf(dir, versionAsOf)
 
-  // STREAMING_WRITE only on the write side: batch INSERT/MERGE/UPDATE/
-  // DELETE are rewritten by SnapshotDmlRule onto the clustered
-  // copy-on-write executors before V2 write planning would ever run, so
-  // advertising BATCH_WRITE would only create a second, weaker path.
+  // Batch writes are V1-FALLBACK (V1_BATCH_WRITE): the insert arrives
+  // as a driver-side DataFrame and maps 1:1 onto the manifest commit
+  // protocol (SnapshotTable.append / overwrite with its rebase +
+  // clustering/bucketing write laws) — this is what makes CTAS,
+  // `df.writeTo(t).append()` and plain-session `INSERT INTO` work
+  // natively. Where the SnapshotDmlRule / SnapshotSql routes are active
+  // they still intercept INSERT first (same executors either way).
+  // Streaming writes are the full V2 StreamingWrite with
+  // executor-written files.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
 
-  /** `df.writeStream.toTable("graft.ns.t")`: exactly-once epoch appends
-    * with executor-written files — see [[SnapshotStreamingWrite]]. */
+  /** `df.writeStream.toTable` (exactly-once epoch appends with
+    * executor-written files — [[SnapshotStreamingWrite]]) and the V1
+    * batch fallback (append/overwrite through the manifest commit). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot write to version-pinned snapshot $fullName")
-    new WriteBuilder {
-      override def build(): Write = new Write {
+    new WriteBuilder with SupportsTruncate {
+      private var truncateRequested = false
+      override def truncate(): WriteBuilder = {
+        truncateRequested = true; this
+      }
+      override def build(): Write = new V1Write {
         override def toStreaming: StreamingWrite =
           new SnapshotStreamingWrite(dir, info.schema())
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, overwrite: Boolean) => {
+            if (truncateRequested || overwrite)
+              SnapshotTable.overwrite(GraftSqlShims.activeClassic(), dir,
+                data)
+            else
+              SnapshotTable.append(GraftSqlShims.activeClassic(), dir, data)
+            ()
+          }
       }
     }
   }

@@ -31,6 +31,8 @@ object SnapshotMaintenance {
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+?)\s*;?\s*""".r
   private val RestoreV =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreT =
@@ -44,6 +46,8 @@ object SnapshotMaintenance {
     case Optimize(t, n) => Some(SnapshotMaintenanceCommand("optimize",
       nameParts(t), Option(n).map(_.toInt).getOrElse(4)))
     case History(t) => Some(SnapshotMaintenanceCommand("history",
+      nameParts(t), 0))
+    case Detail(t) => Some(SnapshotMaintenanceCommand("detail",
       nameParts(t), 0))
     case RestoreV(t, v) => Some(SnapshotMaintenanceCommand("restore",
       nameParts(t), v.toInt))
@@ -72,6 +76,15 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("ts", LongType, nullable = true)())
     case "optimize" | "restore" | "restore_ts" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
+    case "detail" => Seq(
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("n_files", IntegerType, nullable = false)(),
+      AttributeReference("n_dv_files", IntegerType, nullable = false)(),
+      AttributeReference("clustercols", StringType, nullable = true)(),
+      AttributeReference("bucketcols", StringType, nullable = true)(),
+      AttributeReference("buckets", IntegerType, nullable = true)(),
+      AttributeReference("epochs", StringType, nullable = true)())
     case _ => Seq(
       AttributeReference("kept_versions", IntegerType, nullable = false)())
   }
@@ -88,6 +101,8 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       case "vacuum" =>
         SnapshotTable.vacuum(dir, math.max(1, n))
         Seq(Row(SnapshotTable.existingVersions(dir).size))
+      case "detail" =>
+        Seq(Row.fromSeq(SnapshotTable.detail(dir)))
       case "restore" =>
         Seq(Row(SnapshotTable.restore(dir, n)))
       case "restore_ts" =>

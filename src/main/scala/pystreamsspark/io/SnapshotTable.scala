@@ -1431,6 +1431,20 @@ object SnapshotTable {
       v
     }
 
+  /** DESCRIBE DETAIL row: (location, version, n_files, n_dv_files,
+    * clustercols, bucketcols, buckets, epochs) — pure driver metadata
+    * from the latest manifest. */
+  def detail(dir: String): Seq[Any] = {
+    val v = latestVersion(dir)
+    require(v >= 1, s"no committed version at $dir")
+    val m = readManifest(dir, v)
+    Seq(dir, v, m.files.size, m.files.count(_.dv.isDefined),
+      if (m.statsCols.isEmpty) null else m.statsCols.mkString(","),
+      m.bucketSpec.map(_._1).orNull,
+      m.bucketSpec.map(b => Int.box(b._2)).orNull,
+      m.header.get("epochs").orNull)
+  }
+
   /** Commit history as a DataFrame:
     * (version, op, parent, n_files, epoch, ts). Enumerates the manifests
     * that EXIST — after vacuum the history is the surviving suffix. `ts`

@@ -379,6 +379,57 @@ class GraftCatalogSpec extends SparkSpec {
       === Seq(1L))
   }
 
+  test("CTAS / writeTo / plain-session INSERT ride the V1 write fallback") {
+    import spark.implicits._
+    wh
+    val t = freshName("ctas_")
+    // CREATE TABLE AS SELECT end-to-end (create + batch append)
+    spark.sql(s"CREATE TABLE graft.ns.$t AS " +
+      "SELECT id, id * 2.0 AS v FROM range(10)")
+    assert(spark.table(s"graft.ns.$t").count() === 10)
+    // plain spark.sql INSERT INTO — no SnapshotSql, no extensions
+    spark.sql(s"INSERT INTO graft.ns.$t SELECT id, id * 2.0 FROM range(10, 12)")
+    assert(spark.table(s"graft.ns.$t").count() === 12)
+    // DataFrameWriterV2 append
+    Seq((100L, 1.5)).toDF("id", "v").writeTo(s"graft.ns.$t").append()
+    assert(spark.table(s"graft.ns.$t").count() === 13)
+    // INSERT OVERWRITE truncates under a new version; history intact
+    spark.sql(s"INSERT OVERWRITE graft.ns.$t SELECT id, 0.0 FROM range(3)")
+    assert(spark.table(s"graft.ns.$t").count() === 3)
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns.$t VERSION AS OF 4")
+      .head.getLong(0) === 13)
+    // a version-pinned snapshot refuses writes
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.ns.$t VERSION AS OF 2 VALUES (9, 9.0)")
+    }
+  }
+
+  test("DESCRIBE DETAIL reports the table layout") {
+    wh
+    val t = freshName("det_")
+    spark.sql(s"CREATE TABLE graft.ns.$t " +
+      "TBLPROPERTIES ('bucketcols'='id', 'buckets'='4') AS " +
+      "SELECT id, id * 1.0 AS v FROM range(50)")
+    val r = SnapshotSql.sql(spark, s"DESCRIBE DETAIL graft.ns.$t").head
+    assert(r.getString(0) === dirOf(t))
+    assert(r.getInt(1) === 2 && r.getInt(2) > 0 && r.getInt(3) === 0)
+    assert(r.isNullAt(4) && r.getString(5) === "id" && r.getInt(6) === 4)
+  }
+
+  test("CTAS into a bucketed layout keeps the write law") {
+    wh
+    val t = freshName("ctasb_")
+    spark.sql(s"CREATE TABLE graft.ns.$t " +
+      "TBLPROPERTIES ('bucketcols'='id', 'buckets'='4') AS " +
+      "SELECT id, id * 1.0 AS v FROM range(100)")
+    assert(spark.table(s"graft.ns.$t").count() === 100)
+    val dir = dirOf(t)
+    val buckets = SnapshotTable.fileBuckets(dir)
+    assert(buckets.nonEmpty &&
+      buckets.size === SnapshotTable.filePaths(dir).size,
+      "CTAS batch must land bucket-tagged")
+  }
+
   test("unsupported MERGE forms fail loudly, not approximately") {
     import spark.implicits._
     wh
