@@ -322,8 +322,17 @@ class SnapshotV2Table(fullName: String, val dir: String,
 
   override def properties(): util.Map[String, String] = {
     val v = versionAsOf.getOrElse(SnapshotTable.latestVersion(dir))
-    Map("location" -> dir, "version" -> v.toString,
-      "provider" -> "graft-snapshot").asJava
+    val layout =
+      SnapshotTable.statsColsOfPublic(dir, versionAsOf) match {
+        case cols if cols.nonEmpty => Map("clustercols" -> cols.mkString(","))
+        case _ => SnapshotTable.bucketSpecOf(dir, versionAsOf) match {
+          case Some((c, n)) =>
+            Map("bucketcols" -> c, "buckets" -> n.toString)
+          case None => Map.empty[String, String]
+        }
+      }
+    (Map("location" -> dir, "version" -> v.toString,
+      "provider" -> "graft-snapshot") ++ layout).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -50,6 +50,18 @@ private[io] class SnapshotMicroBatchStream(dir: String, schema: StructType,
 
   private val startingVersion: Int =
     Option(options.get("startingversion")).map(_.toInt).getOrElse(1)
+  // startingTimestamp: consume versions committed AT OR AFTER the
+  // instant (Delta's semantics) — the initial offset is the last
+  // version committed strictly before it. ISO local-date-time, session
+  // timezone is NOT consulted (pass UTC or epoch millis).
+  private val startingTsVersion: Option[Int] =
+    Option(options.get("startingtimestamp")).map { ts =>
+      val millis =
+        if (ts.forall(c => c.isDigit)) ts.toLong
+        else java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      SnapshotTable.versionAt(dir, millis - 1).getOrElse(0)
+    }
   private val ignoreChanges: Boolean =
     Option(options.get("ignorechanges")).exists(_.toBoolean)
 
@@ -70,7 +82,7 @@ private[io] class SnapshotMicroBatchStream(dir: String, schema: StructType,
     VOffset(SnapshotTable.latestVersion(dir))
 
   override def initialOffset(): Offset =
-    VOffset(math.max(0, startingVersion - 1))
+    VOffset(startingTsVersion.getOrElse(math.max(0, startingVersion - 1)))
   override def latestOffset(): Offset =
     VOffset(SnapshotTable.latestVersion(dir))
   override def deserializeOffset(json: String): Offset = VOffset(json.toInt)

@@ -966,6 +966,14 @@ object SnapshotTable {
     if (v < 1) Nil else readManifest(dir, v).statsCols
   }
 
+  /** Cluster-stat columns of a (possibly pinned) snapshot — the
+    * catalog's TBLPROPERTIES surface. Driver metadata. */
+  def statsColsOfPublic(dir: String,
+                        versionAsOf: Option[Int] = None): Seq[String] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) Nil else readManifest(dir, v).statsCols
+  }
+
   /** The V2 StreamingWrite commit: append files ALREADY WRITTEN by
     * executor tasks (the writeStream.toTable path — rows never pass
     * through the driver; this call is pure manifest metadata) under

@@ -140,6 +140,23 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY on the bucket key aggregates with ZERO exchanges") {
+    wh
+    val t = mkBucketed(freshName("bag_"))
+    SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t " +
+      "SELECT id % 50, CAST(id AS DOUBLE) FROM range(1000)")
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(
+        s"SELECT id, count(*) AS n, ${"sum(v)"} AS s FROM graft.ns.$t " +
+          "GROUP BY id")
+      val rows = df.collect()
+      assert(rows.length === 50 && rows.map(_.getLong(1)).sum === 1000L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-keyed aggregate must not shuffle:\n$plan")
+    }
+  }
+
   test("a streamed (bucket-less) append degrades the scan to the plain " +
     "plan instead of guessing") {
     wh

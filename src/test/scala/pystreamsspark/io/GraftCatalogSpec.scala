@@ -404,6 +404,27 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT replaces contents and schema") {
+    wh
+    val t = freshName("rtas_")
+    spark.sql(s"CREATE TABLE graft.ns.$t AS SELECT id FROM range(5)")
+    spark.sql(s"CREATE OR REPLACE TABLE graft.ns.$t AS " +
+      "SELECT id, id * 2 AS v FROM range(7)")
+    val df = spark.table(s"graft.ns.$t")
+    assert(df.count() === 7 && df.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("SHOW TBLPROPERTIES exposes the declared layout") {
+    wh
+    val t = freshName("props_")
+    spark.sql(s"CREATE TABLE graft.ns.$t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('bucketcols'='id', 'buckets'='4')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.ns.$t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("bucketcols").contains("id") &&
+      props.get("buckets").contains("4"))
+  }
+
   test("DESCRIBE DETAIL reports the table layout") {
     wh
     val t = freshName("det_")

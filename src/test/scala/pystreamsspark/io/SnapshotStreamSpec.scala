@@ -97,6 +97,20 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(drain(t, ckpt, Map("startingVersion" -> "3")) === Seq(2L))
   }
 
+  test("startingTimestamp consumes commits at-or-after the instant") {
+    wh
+    val t = mk(freshName("stt_"))
+    val ckpt = java.nio.file.Files.createTempDirectory("stt_ckpt_").toString
+    ins(t, 1L)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis
+    Thread.sleep(30)
+    ins(t, 2L)
+    ins(t, 3L)
+    assert(drain(t, ckpt,
+      Map("startingTimestamp" -> mid.toString)) === Seq(2L, 3L))
+  }
+
   // ------------------------------------------------------------ writes
 
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
