@@ -29,6 +29,8 @@ object SnapshotMaintenance {
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val OptimizeZ =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+?)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
   private val Detail =
@@ -43,6 +45,10 @@ object SnapshotMaintenance {
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case Vacuum(t, n) => Some(SnapshotMaintenanceCommand("vacuum",
       nameParts(t), Option(n).map(_.toInt).getOrElse(1)))
+    case OptimizeZ(t, colList, n) => Some(SnapshotMaintenanceCommand(
+      "zorder", nameParts(t), Option(n).map(_.toInt).getOrElse(16),
+      cols = colList.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
     case Optimize(t, n) => Some(SnapshotMaintenanceCommand("optimize",
       nameParts(t), Option(n).map(_.toInt).getOrElse(4)))
     case History(t) => Some(SnapshotMaintenanceCommand("history",
@@ -63,7 +69,8 @@ object SnapshotMaintenance {
 /** Eagerly-executed maintenance command (see [[SnapshotMaintenance]]);
   * resolves `nameParts` through the session's GraftCatalog at run. */
 case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
-                                      n: Int, ts: String = null)
+                                      n: Int, ts: String = null,
+                                      cols: Seq[String] = Nil)
   extends LeafRunnableCommand {
 
   override lazy val output: Seq[Attribute] = kind match {
@@ -74,7 +81,7 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("n_files", IntegerType, nullable = false)(),
       AttributeReference("epoch", LongType, nullable = true)(),
       AttributeReference("ts", LongType, nullable = true)())
-    case "optimize" | "restore" | "restore_ts" => Seq(
+    case "optimize" | "restore" | "restore_ts" | "zorder" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
     case "detail" => Seq(
       AttributeReference("location", StringType, nullable = false)(),
@@ -98,6 +105,8 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
         SnapshotTable.history(spark, dir).collect().toSeq
       case "optimize" =>
         Seq(Row(SnapshotTable.compact(spark, dir, math.max(1, n))))
+      case "zorder" =>
+        Seq(Row(SnapshotTable.zorderBy(spark, dir, cols, math.max(1, n))))
       case "vacuum" =>
         SnapshotTable.vacuum(dir, math.max(1, n))
         Seq(Row(SnapshotTable.existingVersions(dir).size))

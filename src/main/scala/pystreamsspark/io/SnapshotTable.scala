@@ -1356,6 +1356,84 @@ object SnapshotTable {
     v
   }
 
+  /** `OPTIMIZE t ZORDER BY (a, b[, c])`: rewrite the snapshot
+    * Morton-clustered on up to three NUMERIC dimensions so every output
+    * file covers a small HYPER-RECTANGLE of the key space — a
+    * multi-column box predicate ([[readWhere]]) then prunes on EVERY
+    * dimension, where a lexicographic sort only ever prunes its leading
+    * column. Mechanics:
+    *
+    *  - each dimension is bucketed into 2^bitsPerDim quantile cells
+    *    (cuts from `approxQuantile`, so skewed columns still split
+    *    evenly — a uniform-width grid would put most rows in one cell);
+    *  - cell indices bit-interleave into the Morton key, the rewrite
+    *    range-partitions + sorts on it, and the declared dimensions
+    *    become the table's `statscols` — recorded per file and carried
+    *    forward, so ALL later reads/merges prune on them;
+    *  - deletion vectors materialize away (the rewrite reads through
+    *    the DV-aware reader), like [[compact]].
+    *
+    * Cost: one full-table rewrite (the same bill every table format
+    * charges for OPTIMIZE ZORDER) — paid once, amortized over every
+    * subsequent pruned read. Refused on hash-bucketed tables (the two
+    * layouts impose contradictory file shapes). */
+  def zorderBy(spark: SparkSession, dir: String, cols: Seq[String],
+               numFiles: Int = 16, bitsPerDim: Int = 6): Int = {
+    require(cols.nonEmpty && cols.size <= 3,
+      s"ZORDER BY takes 1-3 columns, got ${cols.size}")
+    val base = latestVersion(dir)
+    val m = readManifest(dir, base)
+    require(m.bucketSpec.isEmpty,
+      "ZORDER BY on a hash-bucketed table: the bucket layout owns the " +
+        "file shape (zero-shuffle joins); z-ordering would destroy it")
+    val snapshot = read(spark, dir)
+    cols.foreach { c =>
+      val dt = snapshot.schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $c in ${snapshot.columns.mkString(",")}"))
+      require(dt.isInstanceOf[NumericType] || dt.isInstanceOf[DateType] ||
+        dt.isInstanceOf[TimestampType],
+        s"ZORDER BY needs orderable numeric/date/timestamp columns; $c is $dt")
+    }
+    val nCells = 1 << bitsPerDim
+    def asDouble(c: String): org.apache.spark.sql.Column =
+      snapshot.schema(c).dataType match {
+        case _: TimestampType => unix_micros(col(c)).cast("double")
+        case _                => col(c).cast("double")
+      }
+    val probs = (1 until nCells).map(_.toDouble / nCells).toArray
+    // one pass over the declared dimensions; 1% quantile error only
+    // shifts cell BOUNDARIES (never correctness — stats are recorded
+    // from the actual written values)
+    val dims = snapshot.select(cols.map(c => asDouble(c).as(c)): _*)
+    val cuts = dims.stat.approxQuantile(cols.toArray, probs, 0.01)
+    // cell index = #cuts <= value (null sorts to cell 0); interleave
+    // bitsPerDim bits per dimension, dimension 0 in the LOW bits
+    val cells = cols.zip(cuts.toSeq).map { case (c, cut) =>
+      val arr = array(cut.toSeq.map(lit): _*)
+      when(col(c).isNull, lit(0))
+        .otherwise(size(filter(arr, x => x <= asDouble(c)))).cast("long")
+    }
+    val zkey = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, bit) =>
+      cells.zipWithIndex.foldLeft(acc) { case (a, (cell, d)) =>
+        a.bitwiseOR(shiftleft(
+          cell.bitwiseAND(lit(1L << bit)).cast("long"),
+          bit * (cells.size - 1) + d))
+      }
+    }
+    val laid = snapshot.withColumn("__zkey", zkey)
+      .repartitionByRange(math.max(1, numFiles), col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+    val files = writeBatch(laid, dir, None, cols)
+    val v = base + 1
+    val extras = m.carried
+      .filterNot(e => e._1 == "statscols" || e._1 == "statsfmt") ++
+      Seq("statscols" -> cols.mkString(","), "statsfmt" -> STATS_FMT)
+    commit(dir, v, "zorder", base, files, Some(snapshot.schema), extras)
+    v
+  }
+
   /** Drop every data file not referenced by the latest `keepVersions`
     * EXISTING manifests, and the older manifests themselves — after
     * vacuum, time travel reaches only the kept versions. Also reclaims

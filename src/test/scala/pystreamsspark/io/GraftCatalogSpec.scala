@@ -451,6 +451,49 @@ class GraftCatalogSpec extends SparkSpec {
       "CTAS batch must land bucket-tagged")
   }
 
+  test("OPTIMIZE ZORDER BY re-clusters for multi-dimensional pruning") {
+    wh
+    val t = freshName("zord_")
+    // two INDEPENDENT uniform dims: a lexicographic sort on x would
+    // leave y full-range in every file — the z-layout must prune BOTH
+    spark.sql(s"CREATE TABLE graft.ns.$t AS " +
+      "SELECT id, CAST(id % 97 AS BIGINT) AS x, " +
+      "CAST((id * 31) % 89 AS BIGINT) AS y FROM range(20000)")
+    val dir = dirOf(t)
+    val before = spark.table(s"graft.ns.$t").collect()
+      .map(_.getLong(0)).sorted
+    val out = SnapshotSql.sql(spark,
+      s"OPTIMIZE graft.ns.$t ZORDER BY (x, y) FILES 16")
+    assert(out.head.getInt(0) === 3) // CTAS create=1, insert=2, zorder=3
+    // content identical through the rewrite
+    assert(spark.table(s"graft.ns.$t").collect().map(_.getLong(0)).sorted
+      === before)
+    // the declared dims became the table's stats columns…
+    val det = SnapshotSql.sql(spark, s"DESCRIBE DETAIL graft.ns.$t").head
+    assert(det.getString(4) === "x,y")
+    // …and a 2-D box opens a small fraction of the files on BOTH dims
+    val total = SnapshotTable.filePaths(dir).size
+    val boxed = SnapshotTable.readCandidates(dir,
+      Map("x" -> ("10", "30"), "y" -> ("10", "30")), None)
+    assert(boxed.size < total,
+      s"z-layout must prune the box: ${boxed.size} of $total")
+    // exactness: pruned read ≡ filtered full read
+    val got = SnapshotTable.readWhere(spark, dir,
+      Map("x" -> ("10", "30"), "y" -> ("10", "30")))
+      .collect().map(_.getLong(0)).sorted
+    val want = spark.table(s"graft.ns.$t")
+      .filter("x BETWEEN 10 AND 30 AND y BETWEEN 10 AND 30")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === want && got.nonEmpty)
+    // refused on bucketed tables (contradictory layouts)
+    val b = freshName("zordb_")
+    spark.sql(s"CREATE TABLE graft.ns.$b (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('bucketcols'='id','buckets'='4')")
+    intercept[Exception] {
+      SnapshotSql.sql(spark, s"OPTIMIZE graft.ns.$b ZORDER BY (id)")
+    }
+  }
+
   test("unsupported MERGE forms fail loudly, not approximately") {
     import spark.implicits._
     wh
