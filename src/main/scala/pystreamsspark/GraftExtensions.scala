@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL row-level DML (MERGE INTO / UPDATE / DELETE / INSERT) against
     // GraftCatalog snapshot tables — inert for every other relation
     ext.injectResolutionRule(_ => pystreamsspark.plans.SnapshotDmlRule)
+    // DV-aware SQL reads of merge-on-read snapshot tables (relations
+    // over DV-free snapshots keep the fully native V2 scan)
+    ext.injectResolutionRule(_ => pystreamsspark.plans.SnapshotDvReadRule)
     // maintenance statements the ANSI grammar lacks (VACUUM / OPTIMIZE /
     // DESCRIBE HISTORY on snapshot tables); everything else delegates
     ext.injectParser((_, delegate) =>

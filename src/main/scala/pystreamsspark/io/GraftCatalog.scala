@@ -142,7 +142,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(throw new IllegalArgumentException(
           "bucketcols requires TBLPROPERTIES('buckets'='<n>')")))
     }
-    SnapshotTable.createEmpty(dir, schema, clusterCols, bucketSpec)
+    // TBLPROPERTIES('delete.mode'/'update.mode'='merge-on-read') routes
+    // SQL DELETE/UPDATE to the deletion-vector paths (SnapshotSql)
+    SnapshotTable.createEmpty(dir, schema, clusterCols, bucketSpec,
+      Option(properties.get("delete.mode")).map(_.trim),
+      Option(properties.get("update.mode")).map(_.trim))
     load(ident, None)
   }
 
@@ -331,20 +335,31 @@ class SnapshotV2Table(fullName: String, val dir: String,
           case None => Map.empty[String, String]
         }
       }
+    val rowLevel =
+      (SnapshotTable.deleteModeOf(dir) match {
+        case "merge-on-read" => Map("delete.mode" -> "merge-on-read")
+        case _ => Map.empty[String, String]
+      }) ++ (SnapshotTable.updateModeOf(dir) match {
+        case "merge-on-read" => Map("update.mode" -> "merge-on-read")
+        case _ => Map.empty[String, String]
+      })
     (Map("location" -> dir, "version" -> v.toString,
-      "provider" -> "graft-snapshot") ++ layout).asJava
+      "provider" -> "graft-snapshot") ++ layout ++ rowLevel).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a V2 scan is a raw file read: it cannot apply the merge-on-read
-    // deletion-vector anti-join. Refuse loudly rather than resurrect
-    // deleted rows — compact() materializes DVs away and restores SQL
-    // readability (SQL DELETE itself stays copy-on-write, so tables
-    // mutated only through SQL never hit this).
+    // deletion-vector anti-join. On a GraftExtensions session the
+    // SnapshotDvReadRule rewrites the relation into the DV-aware plan
+    // BEFORE any scan is built; reaching this point with live DVs means
+    // a plain session — refuse loudly rather than resurrect deleted
+    // rows (compact()/OPTIMIZE materializes DVs away and restores plain
+    // readability).
     if (SnapshotTable.hasDeletionVectors(dir, versionAsOf))
       throw new UnsupportedOperationException(
-        s"$fullName carries deletion vectors (programmatic deleteVectors); " +
-          "SQL reads need a compact() first, or read via SnapshotTable.read")
+        s"$fullName carries deletion vectors (merge-on-read DELETE/" +
+          "UPDATE); read it on a GraftExtensions session (DV-aware " +
+          "rewrite), via SnapshotTable.read, or OPTIMIZE/compact() first")
     val pt = ParquetTable(fullName, GraftSqlShims.activeClassic(), options,
       SnapshotTable.filePaths(dir, versionAsOf), Some(schema),
       classOf[ParquetFileFormat])

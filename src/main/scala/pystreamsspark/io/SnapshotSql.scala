@@ -28,16 +28,20 @@ import org.apache.spark.sql.functions.col
   *       WHEN NOT MATCHED THEN INSERT *`           → [[SnapshotTable.merge]]
   *  - `MERGE INTO t USING s ON … WHEN MATCHED THEN DELETE`
   *                                                 → [[SnapshotTable.deleteMatched]]
+  *  - every OTHER `MERGE` clause shape — conditional actions, multiple
+  *    `WHEN MATCHED` clauses (first applicable wins), non-star
+  *    assignments, conditional/non-star `INSERT`, and `WHEN NOT MATCHED
+  *    BY SOURCE THEN UPDATE|DELETE`                → [[SnapshotTable.generalMerge]]
   *  - `INSERT INTO t …` / `INSERT OVERWRITE t …`   → [[SnapshotTable.append]] / overwrite
   * plus, natively through the catalog (no interception needed):
   * `SELECT … [VERSION AS OF n]`, `CREATE TABLE`, `DROP TABLE`.
   *
-  * Conditions/assignment values are re-rendered to SQL text (qualifiers
-  * stripped — DML predicates reference only the target table) and
-  * evaluated by the table primitives; richer MERGE action forms
-  * (conditional actions, non-star assignments that are not the identity
-  * mapping, NOT MATCHED BY SOURCE) throw with a clear message rather
-  * than silently approximating.
+  * Conditions/assignment values are re-rendered to SQL text: UPDATE/
+  * DELETE predicates with qualifiers stripped (they reference only the
+  * target table), MERGE expressions side-classified into the joined-row
+  * namespace ([[MergeRenderer]] — target columns by plain name, source
+  * columns `_s_`-prefixed), so one rendering serves both the parsed
+  * (unresolved) and analyzer-rule (resolved) entry routes.
   */
 object SnapshotSql {
 
@@ -65,7 +69,7 @@ object SnapshotSql {
       case DeleteFromTable(t, cond) =>
         tableDirOf(spark, t) match {
           case Some(dir) =>
-            SnapshotTable.delete(spark, dir, renderCond(cond))
+            runDelete(spark, dir, renderCond(cond))
             spark.emptyDataFrame
           case None => spark.sql(text)
         }
@@ -79,10 +83,7 @@ object SnapshotSql {
       case m: MergeIntoTable =>
         tableDirOf(spark, m.targetTable) match {
           case Some(dir) =>
-            runMerge(spark, dir,
-              GraftSqlShims.ofRows(spark, m.sourceTable),
-              m.mergeCondition, m.matchedActions, m.notMatchedActions,
-              m.notMatchedBySourceActions)
+            runMergePlan(spark, dir, m)
             spark.emptyDataFrame
           case None => spark.sql(text)
         }
@@ -101,8 +102,21 @@ object SnapshotSql {
 
   // ------------------------------------------------- shared executors
 
-  /** UPDATE: assignments become (column, SQL-expression) pairs for
-    * [[SnapshotTable.update]]; no WHERE means every row. */
+  /** DELETE routed by the table's declared mode: merge-on-read tables
+    * (TBLPROPERTIES('delete.mode'='merge-on-read')) take the
+    * deletion-vector path — O(batch) sidecar write, zero data-file
+    * rewrites; everything else stays copy-on-write. */
+  def runDelete(spark: SparkSession, dir: String, condSql: String): Int =
+    if (SnapshotTable.deleteModeOf(dir) == "merge-on-read")
+      SnapshotTable.deleteVectors(spark, dir, condSql)
+    else SnapshotTable.delete(spark, dir, condSql)
+
+  /** UPDATE: assignments become (column, SQL-expression) pairs, routed
+    * by the table's declared mode — merge-on-read tables
+    * (TBLPROPERTIES('update.mode'='merge-on-read')) take
+    * [[SnapshotTable.updateVectors]] (DV-mark + append images, no file
+    * rewrites), the rest [[SnapshotTable.update]]; no WHERE means every
+    * row. */
   def runUpdate(spark: SparkSession, dir: String,
                 assignments: Seq[Assignment],
                 cond: Option[Expression]): Int = {
@@ -110,39 +124,185 @@ object SnapshotSql {
       (attrName(a.key,
         "UPDATE SET targets must be plain columns"), renderCond(a.value))
     }
-    SnapshotTable.update(spark, dir,
-      cond.map(renderCond).getOrElse("true"), sets)
+    runUpdateSets(spark, dir, cond.map(renderCond).getOrElse("true"), sets)
   }
 
-  /** MERGE: classify the action shape and dispatch. Upsert (`UPDATE SET
-    * *` / identity assignments + `INSERT *`) → [[SnapshotTable.merge]];
-    * matched-DELETE with no insert → [[SnapshotTable.deleteMatched]]. */
-  def runMerge(spark: SparkSession, dir: String, source: DataFrame,
-               cond: Expression, matched: Seq[MergeAction],
-               notMatched: Seq[MergeAction],
-               notMatchedBySource: Seq[MergeAction]): Int = {
-    require(notMatchedBySource.isEmpty,
-      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
-    val keyCols = keyColsOf(cond)
-    (matched, notMatched) match {
-      case (Seq(u), Seq(ins)) if isStarUpdate(u) && isStarInsert(ins) =>
-        runMergeUpsert(spark, dir, source, keyCols)
-      case (Seq(u), Seq()) if isStarUpdate(u) =>
-        // update-only merge: matched rows replaced, nothing inserted —
-        // expressible as replace-matched = delete-matched + append of
-        // the source rows that matched. Keep it honest and simple:
-        // require the caller to add INSERT * (the common upsert) —
-        // partial-merge forms land with deletion vectors.
-        throw new UnsupportedOperationException(
-          "graft MERGE supports UPDATE SET * WHEN NOT MATCHED INSERT * " +
-            "(upsert) or WHEN MATCHED THEN DELETE; add INSERT * for upsert")
-      case (Seq(DeleteAction(None)), Seq()) =>
-        runMergeDelete(spark, dir, source, keyCols)
-      case _ =>
-        throw new UnsupportedOperationException(
-          "graft MERGE supports WHEN MATCHED THEN UPDATE SET * + WHEN NOT " +
-            "MATCHED THEN INSERT * (upsert), or a lone WHEN MATCHED THEN " +
-            s"DELETE; got matched=$matched notMatched=$notMatched")
+  /** Mode-routed UPDATE executor shared with the analyzer-rule route. */
+  def runUpdateSets(spark: SparkSession, dir: String, condSql: String,
+                    sets: Seq[(String, String)]): Int =
+    if (SnapshotTable.updateModeOf(dir) == "merge-on-read")
+      SnapshotTable.updateVectors(spark, dir, condSql, sets)
+    else SnapshotTable.update(spark, dir, condSql, sets)
+
+  /** Full MERGE dispatch from a parsed (or analyzed) [[MergeIntoTable]]:
+    * the unconditioned star-upsert and lone matched-DELETE keep their
+    * dedicated primitives ([[SnapshotTable.merge]] — incl. merge-side
+    * schema evolution — and [[SnapshotTable.deleteMatched]]); EVERY
+    * other clause shape — conditional actions, multiple clauses,
+    * non-star assignments, `WHEN NOT MATCHED BY SOURCE` — renders into
+    * [[SnapshotTable.MergeClause]]s (each attribute side-classified to
+    * the target's plain name or the source's `_s_` prefix) and runs
+    * [[SnapshotTable.generalMerge]] on the same file-granular
+    * copy-on-write machinery. */
+  def runMergePlan(spark: SparkSession, dir: String,
+                   m: MergeIntoTable): Int = {
+    val source = GraftSqlShims.ofRows(spark, m.sourceTable)
+    val fastKeys =
+      try Some(keyColsOf(m.mergeCondition))
+      catch { case _: UnsupportedOperationException => None }
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(u), Seq(ins)) if m.notMatchedBySourceActions.isEmpty &&
+          fastKeys.isDefined && isStarUpdate(u) && isStarInsert(ins) =>
+        return runMergeUpsert(spark, dir, source, fastKeys.get)
+      case (Seq(DeleteAction(None)), Seq())
+          if m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined =>
+        return runMergeDelete(spark, dir, source, fastKeys.get)
+      case _ => ()
+    }
+    val (keys, onSql, ma, nm, nmbs) =
+      generalMergeArgs(dir, m, source.schema.fieldNames.toSeq)
+    SnapshotTable.generalMerge(spark, dir, source, keys, onSql, ma, nm, nmbs)
+  }
+
+  /** Render a [[MergeIntoTable]]'s condition and clauses into
+    * [[SnapshotTable.generalMerge]]'s inputs: `(pruneKeys, onSql,
+    * matched, notMatched, notMatchedBySource)`. Shared by the
+    * parsed-plan route above and the analyzer-rule route
+    * ([[pystreamsspark.plans.SnapshotDmlRule]], which calls it with
+    * resolved attributes at rule time). */
+  def generalMergeArgs(dir: String, m: MergeIntoTable,
+                       srcColNames: Seq[String])
+      : (Seq[String], String, Seq[SnapshotTable.MergeClause],
+         Seq[SnapshotTable.MergeClause], Seq[SnapshotTable.MergeClause]) = {
+    val r = new MergeRenderer(dir, m, srcColNames)
+    (r.pruneKeys(m.mergeCondition),
+      r.render(m.mergeCondition, forbidSource = false, forbidTarget = false),
+      m.matchedActions.map(r.clauseOf(_, forbidSource = false,
+        forbidTarget = false)),
+      // ANSI: INSERT clauses see only the source row, NOT-MATCHED-BY-
+      // SOURCE clauses only the target row — referencing the other side
+      // would silently evaluate against NULLs, so it throws instead
+      m.notMatchedActions.map(r.clauseOf(_, forbidSource = false,
+        forbidTarget = true)),
+      m.notMatchedBySourceActions.map(r.clauseOf(_, forbidSource = true,
+        forbidTarget = false)))
+  }
+
+  /** Renders MERGE expressions into the joined-row namespace
+    * [[SnapshotTable.generalMerge]] evaluates: target attributes by
+    * plain name, source attributes as `` `_s_<name>` ``. Classification
+    * works on BOTH plan forms — parsed ([[UnresolvedAttribute]]: by
+    * alias qualifier, else by unambiguous column-name membership) and
+    * analyzed ([[AttributeReference]]: by expression id against the
+    * side's output set). */
+  private final class MergeRenderer(dir: String, m: MergeIntoTable,
+                                    srcColNames: Seq[String]) {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    private val tgtCols =
+      SnapshotTable.schemaOf(dir).fieldNames.map(_.toLowerCase).toSet
+    private val srcCols = srcColNames.map(_.toLowerCase).toSet
+    private def aliasesOf(plan: LogicalPlan): Set[String] = plan match {
+      case SubqueryAlias(id, child) => aliasesOf(child) + id.name.toLowerCase
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Set(u.multipartIdentifier.last.toLowerCase)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        Set(r.table.name().split('.').last.toLowerCase)
+      case _ => Set.empty
+    }
+    private val tgtAliases = aliasesOf(m.targetTable)
+    private val srcAliases = aliasesOf(m.sourceTable)
+    private val tgtRefs =
+      if (m.targetTable.resolved) m.targetTable.outputSet else AttributeSet.empty
+    private val srcRefs =
+      if (m.sourceTable.resolved) m.sourceTable.outputSet else AttributeSet.empty
+
+    /** Side of an attribute: true = source, false = target. */
+    private def classifyName(nameParts: Seq[String], sql: String): Boolean = {
+      val parts = nameParts.map(_.toLowerCase)
+      if (parts.length >= 2) {
+        val q = parts(parts.length - 2)
+        (srcAliases.contains(q), tgtAliases.contains(q)) match {
+          case (true, false) => true
+          case (false, true) => false
+          case (true, true) => throw new UnsupportedOperationException(
+            s"ambiguous qualifier `$q` in MERGE expression $sql — " +
+              "source and target share the alias")
+          case _ => throw new UnsupportedOperationException(
+            s"unknown qualifier `$q` in MERGE expression $sql")
+        }
+      } else {
+        val n = parts.last
+        (srcCols.contains(n), tgtCols.contains(n)) match {
+          case (true, false) => true
+          case (false, true) => false
+          case (true, true) => throw new UnsupportedOperationException(
+            s"ambiguous column `$n` in MERGE expression $sql — " +
+              "qualify it with the source or target alias")
+          case _ => throw new UnsupportedOperationException(
+            s"unknown column `$n` in MERGE expression $sql")
+        }
+      }
+    }
+
+    def render(e: Expression, forbidSource: Boolean,
+               forbidTarget: Boolean): String = {
+      def emit(isSrc: Boolean, name: String, sql: String): Expression = {
+        if (isSrc) require(!forbidSource,
+          s"this MERGE clause may reference only TARGET columns, got $sql")
+        else require(!forbidTarget,
+          s"this MERGE clause may reference only SOURCE columns, got $sql")
+        UnresolvedAttribute(Seq(if (isSrc) s"_s_$name" else name))
+      }
+      e.transform {
+        case u: UnresolvedAttribute =>
+          emit(classifyName(u.nameParts, u.sql), u.nameParts.last, u.sql)
+        case a: AttributeReference =>
+          val isSrc =
+            if (srcRefs.contains(a)) true
+            else if (tgtRefs.contains(a)) false
+            else classifyName(a.qualifier :+ a.name, a.sql)
+          emit(isSrc, a.name, a.sql)
+      }.sql
+    }
+
+    /** Same-name equi conjuncts of the ON condition — the conservative
+      * pruning keys: matching REQUIRES each of them, so manifest stats
+      * may skip files whose key range cannot overlap the source box.
+      * Non-equi / cross-name terms contribute nothing (never unsound —
+      * an empty result just reads every candidate). */
+    def pruneKeys(cond: Expression): Seq[String] = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case o => Seq(o)
+      }
+      conjuncts(cond).flatMap {
+        case EqualTo(l, r) =>
+          val (a, b) = (attrNameOpt(l), attrNameOpt(r))
+          if (a.isDefined && a == b) a else None
+        case _ => None
+      }.distinct
+    }
+
+    def clauseOf(a: MergeAction, forbidSource: Boolean,
+                 forbidTarget: Boolean): SnapshotTable.MergeClause = {
+      def r(e: Expression): String = render(e, forbidSource, forbidTarget)
+      def sets(asn: Seq[Assignment]): Seq[(String, String)] = asn.map(x =>
+        (attrName(x.key, "assignment targets must be plain columns"), r(x.value)))
+      a match {
+        case UpdateStarAction(c) =>
+          SnapshotTable.MergeClause("update", c.map(r), Nil)
+        case UpdateAction(c, asn, fromStar) =>
+          if (fromStar) SnapshotTable.MergeClause("update", c.map(r), Nil)
+          else SnapshotTable.MergeClause("update", c.map(r), sets(asn))
+        case DeleteAction(c) =>
+          SnapshotTable.MergeClause("delete", c.map(r), Nil)
+        case InsertStarAction(c) =>
+          SnapshotTable.MergeClause("insert", c.map(r), Nil)
+        case InsertAction(c, asn) =>
+          SnapshotTable.MergeClause("insert", c.map(r), sets(asn))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported MERGE action $other")
+      }
     }
   }
 

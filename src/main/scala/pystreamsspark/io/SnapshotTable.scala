@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -192,7 +192,9 @@ object SnapshotTable {
         header.get("statscols").map("statscols" -> _) ++
         header.get("statsfmt").map("statsfmt" -> _) ++
         header.get("bucketcols").map("bucketcols" -> _) ++
-        header.get("buckets").map("buckets" -> _)).toSeq
+        header.get("buckets").map("buckets" -> _) ++
+        header.get("deletemode").map("deletemode" -> _) ++
+        header.get("updatemode").map("updatemode" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -455,7 +457,15 @@ object SnapshotTable {
     * append/merge exactly like [[createClustered]]. */
   def createEmpty(dir: String, schema: StructType,
                   clusterCols: Seq[String] = Nil,
-                  bucketSpec: Option[(String, Int)] = None): Int = {
+                  bucketSpec: Option[(String, Int)] = None,
+                  deleteMode: Option[String] = None,
+                  updateMode: Option[String] = None): Int = {
+    Seq("delete.mode" -> deleteMode, "update.mode" -> updateMode).foreach {
+      case (k, Some(mo)) => require(
+        mo == "copy-on-write" || mo == "merge-on-read",
+        s"$k must be copy-on-write or merge-on-read, got $mo")
+      case _ => ()
+    }
     clusterCols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
     bucketSpec.foreach { case (c, n) =>
@@ -477,7 +487,9 @@ object SnapshotTable {
        else Seq("statscols" -> clusterCols.mkString(","),
          "statsfmt" -> STATS_FMT)) ++
         bucketSpec.toSeq.flatMap { case (c, n) =>
-          Seq("bucketcols" -> c, "buckets" -> n.toString) }
+          Seq("bucketcols" -> c, "buckets" -> n.toString) } ++
+        deleteMode.filter(_ == "merge-on-read").map("deletemode" -> _) ++
+        updateMode.filter(_ == "merge-on-read").map("updatemode" -> _)
     commit(dir, 1, "create", 0, Nil, Some(deepNullable(schema)
       .asInstanceOf[StructType]), extras)
     1
@@ -1272,6 +1284,201 @@ object SnapshotTable {
     v
   }
 
+  /** One action clause of a [[generalMerge]]. `kind` is `"update"`,
+    * `"delete"` or `"insert"`; `condition` is an optional SQL predicate
+    * over the JOINED row namespace — target columns by plain name,
+    * source columns as `` `_s_<name>` `` — and `sets` maps target
+    * column → SQL expression in the same namespace. An EMPTY `sets` is
+    * the star form: every target column takes the same-named source
+    * column where the source has one (update keeps the target value
+    * otherwise; insert null-fills). Rendering from parsed/analyzed SQL
+    * — including the side classification that produces the `_s_`
+    * prefix — lives in [[SnapshotSql.runMergePlan]]. */
+  case class MergeClause(kind: String, condition: Option[String],
+                         sets: Seq[(String, String)] = Nil)
+
+  /** GENERAL MERGE — the full ANSI/Delta clause surface over the same
+    * file-granular copy-on-write machinery as [[merge]]: any number of
+    * `WHEN MATCHED [AND c] THEN UPDATE SET …|DELETE` clauses (first
+    * applicable wins, per row), `WHEN NOT MATCHED [AND c] THEN INSERT`
+    * clauses over the source rows with no target match, and `WHEN NOT
+    * MATCHED BY SOURCE [AND c] THEN UPDATE|DELETE` clauses over the
+    * target rows with no source match.
+    *
+    * Plan shape (one discovery join + one rewrite, both distributed):
+    * candidate files — stats-pruned on the `keyCols` bounding box when
+    * the ON condition yielded same-name equi keys, EVERY file when a
+    * NOT-MATCHED-BY-SOURCE clause exists (such a clause inspects every
+    * target row by definition) — are read DV-aware and tagged with
+    * (file, pos) row identity, outer-joined once against the source on
+    * `onSql`, and each row's first applicable clause becomes its
+    * `_action`. Only files holding at least one actioned row rewrite;
+    * every other candidate carries by reference, so reading a file for
+    * discovery never forces its rewrite. The ANSI cardinality rule is
+    * enforced distributedly: a target row matched by MORE than one
+    * applicable source row fails loudly (nondeterministic result)
+    * rather than applying an arbitrary winner. Unlike the star-upsert
+    * fast path ([[merge]]), the general path never evolves the schema:
+    * assignments must target declared columns (values CAST to the
+    * declared types, ANSI errors surfacing at run time), star inserts
+    * null-fill missing source columns.
+    *
+    * At 100 TB the narrow-key forms keep [[merge]]'s posture — a
+    * clustered-key merge is a covering-file join + rewrite, not a table
+    * scan — while NOT MATCHED BY SOURCE is honestly a full-table
+    * operation (as in every table format). The joined frame persists
+    * across the discovery/cardinality/rewrite passes and unpersists
+    * before commit. */
+  def generalMerge(spark: SparkSession, dir: String, source: DataFrame,
+                   keyCols: Seq[String], onSql: String,
+                   matched: Seq[MergeClause],
+                   notMatched: Seq[MergeClause],
+                   notMatchedBySource: Seq[MergeClause],
+                   numFiles: Int = 4, fromVersion: Option[Int] = None,
+                   maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
+    val schemaNow = m.schema.getOrElse(throw new IllegalStateException(
+      s"manifest at $dir records no schema"))
+    matched.foreach(c => require(c.kind == "update" || c.kind == "delete",
+      s"WHEN MATCHED clause must be update/delete, got ${c.kind}"))
+    notMatched.foreach(c => require(c.kind == "insert",
+      s"WHEN NOT MATCHED clause must be insert, got ${c.kind}"))
+    notMatchedBySource.foreach(c =>
+      require(c.kind == "update" || c.kind == "delete",
+        s"WHEN NOT MATCHED BY SOURCE clause must be update/delete, got ${c.kind}"))
+    val srcCols = source.columns.toSet
+    val srcR = source
+      .select(source.columns.toSeq.map(c => col(c).as(s"_s_$c")): _*)
+      .withColumn("_s_exists", lit(true))
+    // discovery candidates: the matched/insert determination only needs
+    // files whose cluster-key range can overlap the source keys' box
+    // (conservative — see pruneCandidates); an NMBS clause must see
+    // every target row, so pruning is off then
+    val prunable = keyCols.filter(c =>
+      schemaNow.fieldNames.contains(c) && srcCols.contains(c))
+    val candidates =
+      if (notMatchedBySource.nonEmpty || prunable.isEmpty) m.files
+      else pruneCandidates(m, source, prunable)
+    val tagged = readEntries(spark, dir, m, candidates, tagged = true)
+      .withColumn("_t_exists", lit(true))
+    val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
+    val tEx = coalesce(col("_t_exists"), lit(false))
+    val sEx = coalesce(col("_s_exists"), lit(false))
+    // first applicable clause per row — CaseWhen gives the in-order,
+    // first-match-wins semantics; a None condition is uncondition(ally)
+    // applicable
+    def firstIdx(clauses: Seq[MergeClause], offset: Int): Column =
+      clauses.zipWithIndex.foldRight(lit(null).cast("int")) {
+        case ((cl, i), els) =>
+          when(cl.condition.map(expr).getOrElse(lit(true)),
+            lit(i + offset)).otherwise(els)
+      }
+    val action =
+      when(tEx && sEx,
+        if (matched.isEmpty) lit(null).cast("int") else firstIdx(matched, 0))
+        .when(tEx && !sEx,
+          if (notMatchedBySource.isEmpty) lit(null).cast("int")
+          else firstIdx(notMatchedBySource, 1000))
+        .otherwise(lit(null).cast("int"))
+    val joined = tagged.join(srcR, expr(onSql), joinType)
+      .withColumn("_action", action)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ANSI cardinality rule: >1 APPLICABLE source match for one
+      // target row is nondeterministic — fail loudly (matches with no
+      // applicable clause are harmless: the row carries once)
+      if (matched.nonEmpty) {
+        val dup = joined
+          .filter(tEx && sEx && col("_action").isNotNull)
+          .groupBy(col("_src_file"), col("_src_pos"))
+          .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head().get(0)
+        if (dup != null && dup.asInstanceOf[Long] > 1L)
+          throw new IllegalStateException(
+            "MERGE cardinality violation: a target row matched more " +
+              "than one applicable source row; make the ON condition " +
+              "or the clause conditions more selective")
+      }
+      val touchedRel = joined
+        .filter(tEx && col("_action").isNotNull)
+        .select(col("_src_file")).distinct()
+        .collect().map(_.getString(0)).toSet // O(#files) driver metadata
+      val touched = m.files.filter(f => touchedRel.contains(f.path))
+      val untouched = m.files.filterNot(f => touchedRel.contains(f.path))
+      // one representative row per (file, pos) target row in a touched
+      // file: the applied pair if one exists (cardinality-checked ≤ 1),
+      // else any pair — a carried row uses only its target columns
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_src_file"), col("_src_pos"))
+        .orderBy(col("_action").asc_nulls_last)
+      val deleteActions: Seq[Int] =
+        matched.zipWithIndex.collect { case (c, i) if c.kind == "delete" => i } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (c, i) if c.kind == "delete" => i + 1000 }
+      def setExpr(f: StructField, cl: MergeClause): Column =
+        if (cl.sets.isEmpty) { // star: same-named source column
+          if (srcCols.contains(f.name)) col(s"_s_${f.name}")
+          else col(f.name) // update keeps target where source lacks
+        } else cl.sets.find(_._1 == f.name) match {
+          case Some((_, e)) => expr(e)
+          case None         => col(f.name)
+        }
+      val updateByAction: Seq[(Int, MergeClause)] =
+        matched.zipWithIndex.collect {
+          case (c, i) if c.kind == "update" => (i, c) } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (c, i) if c.kind == "update" => (i + 1000, c) }
+      val outCols = schemaNow.fields.toSeq.map { f =>
+        updateByAction.foldRight(col(f.name)) { case ((idx, cl), els) =>
+          when(col("_action") === idx, setExpr(f, cl)).otherwise(els)
+        }.cast(f.dataType).as(f.name)
+      }
+      val survivors =
+        if (touchedRel.isEmpty) None
+        else Some(joined
+          .filter(tEx && col("_src_file").isin(touchedRel.toSeq: _*))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .filter(if (deleteActions.isEmpty) lit(true)
+            else col("_action").isNull ||
+              !col("_action").isin(deleteActions: _*))
+          .select(outCols: _*))
+      val inserts =
+        if (notMatched.isEmpty) None
+        else {
+          val unmatched = joined.filter(!tEx && sEx)
+            .withColumn("_ins", firstIdx(notMatched, 0))
+          val perClause = notMatched.zipWithIndex.map { case (cl, i) =>
+            unmatched.filter(col("_ins") === i)
+              .select(schemaNow.fields.toSeq.map { f =>
+                (if (cl.sets.isEmpty) {
+                  if (srcCols.contains(f.name)) col(s"_s_${f.name}")
+                  else lit(null)
+                } else cl.sets.find(_._1 == f.name) match {
+                  case Some((_, e)) => expr(e)
+                  case None         => lit(null)
+                }).cast(f.dataType).as(f.name)
+              }: _*)
+          }
+          perClause.reduceOption(_ unionByName _)
+        }
+      val out = (survivors, inserts) match {
+        case (Some(s), Some(i)) => Some(s.unionByName(i))
+        case (s, i)             => s.orElse(i)
+      }
+      // nothing touched and no insert rows → no-op, commit nothing
+      if (touchedRel.isEmpty &&
+        out.forall(df => df.limit(1).collect().isEmpty)) base
+      else {
+        val files = out match {
+          case None     => Seq.empty
+          case Some(df) => writeShaped(df, dir, numFiles, m.statsCols)
+        }
+        val v = base + 1
+        commit(dir, v, "merge", base, untouched ++ files, m.schema, m.carried)
+        v
+      }
+    } finally joined.unpersist()
+  }
+
   /** MERGE-ON-READ DELETE (deletion vectors): mark the rows matching
     * `predicate` deleted WITHOUT rewriting their files — the point-
     * delete path every modern table format grew, because copy-on-write
@@ -1325,6 +1532,89 @@ object SnapshotTable {
       val v = base + 1
       commit(dir, v, "delete-dv", base, files, m.schema, m.carried)
       v
+    }
+  }
+
+  /** The table's declared DELETE mode: `"merge-on-read"` routes SQL
+    * DELETE to [[deleteVectors]] (declared at create time via
+    * `TBLPROPERTIES('delete.mode'='merge-on-read')`), anything else is
+    * the default copy-on-write. */
+  def deleteModeOf(dir: String): String =
+    if (latestVersion(dir) < 1) "copy-on-write"
+    else readManifest(dir, latestVersion(dir)).header
+      .getOrElse("deletemode", "copy-on-write")
+
+  /** The table's declared UPDATE mode — same contract as
+    * [[deleteModeOf]] for `TBLPROPERTIES('update.mode'=…)` and
+    * [[updateVectors]]. */
+  def updateModeOf(dir: String): String =
+    if (latestVersion(dir) < 1) "copy-on-write"
+    else readManifest(dir, latestVersion(dir)).header
+      .getOrElse("updatemode", "copy-on-write")
+
+  /** MERGE-ON-READ UPDATE: the point-update twin of [[deleteVectors]] —
+    * the rows matching `predicate` are DV-marked deleted in their
+    * (untouched) files AND their rewritten images (the `sets`
+    * assignments applied, values CAST to the declared types) are
+    * appended as a fresh batch, all in ONE commit (op `update-dv`). A
+    * narrow UPDATE into a 100 TB table is therefore O(matched rows)
+    * write — a small DV sidecar plus a small data batch — instead of
+    * copy-on-write's covering-file rewrite; the read-side price is the
+    * same broadcast DV anti-join every reader already pays, and
+    * [[compact]] materializes it away. The matched set is read LIVE
+    * (existing DVs applied), so stacked updates compose; the appended
+    * batch keeps the clustering law (range-shaped with recorded stats
+    * on a clustered table), so later pruned reads stay pruned. */
+  def updateVectors(spark: SparkSession, dir: String, predicate: String,
+                    sets: Seq[(String, String)], numFiles: Int = 1,
+                    fromVersion: Option[Int] = None,
+                    maxRetries: Int = 5): Int = commitWithRebase(
+      dir, fromVersion, maxRetries) { (base, m) =>
+    val schemaNow = m.schema.getOrElse(throw new IllegalStateException(
+      s"manifest at $dir records no schema"))
+    sets.foreach { case (c, _) => require(schemaNow.fieldNames.contains(c),
+      s"UPDATE of unknown column $c (have ${schemaNow.fieldNames.mkString(",")})") }
+    if (m.files.isEmpty) base
+    else {
+      val matches = readEntries(spark, dir, m, m.files, tagged = true)
+        .filter(predicate)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touchedRel = matches.select(col("_src_file")).distinct()
+          .collect().map(_.getString(0)).toSet // O(#files) driver metadata
+        if (touchedRel.isEmpty) base
+        else {
+          // the rewritten images of the matched rows (no CASE needed —
+          // every row here matched the predicate)
+          val rewritten = matches.select(schemaNow.fields.toSeq.map { f =>
+            sets.find(_._1 == f.name) match {
+              case Some((_, e)) => expr(e).cast(f.dataType).as(f.name)
+              case None         => col(f.name)
+            }
+          }: _*)
+          val newFiles = writeShaped(rewritten, dir, numFiles, m.statsCols)
+          // DV rows: the matched positions, unioned with the touched
+          // files' existing deletion sets (entries point at ONE batch)
+          val dvRows = matches.select(col("_src_file").as("file"),
+            col("_src_pos").as("pos"))
+          val touched = m.files.filter(f => touchedRel.contains(f.path))
+          val oldDvDirs = touched.flatMap(_.dv).distinct
+          val oldRows =
+            if (oldDvDirs.isEmpty) None
+            else Some(spark.read
+              .parquet(oldDvDirs.map(d => Paths.get(dir, d).toString): _*)
+              .filter(col("file").isin(touchedRel.toSeq: _*)))
+          val allRows = oldRows.map(dvRows.unionByName(_)).getOrElse(dvRows)
+          val batch = s"dv/${java.util.UUID.randomUUID().toString.take(8)}"
+          allRows.coalesce(1).write.parquet(Paths.get(dir, batch).toString)
+          val entries = m.files.map(f =>
+            if (touchedRel.contains(f.path)) f.copy(dv = Some(batch)) else f)
+          val v = base + 1
+          commit(dir, v, "update-dv", base, entries ++ newFiles, m.schema,
+            m.carried)
+          v
+        }
+      } finally matches.unpersist()
     }
   }
 

@@ -48,19 +48,32 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.sourceTable.resolved =>
       m.targetTable match {
         case GraftRel(t) =>
-          SnapshotDmlCommand("merge", t.dir,
-            keyCols = SnapshotSql.keyColsOf(m.mergeCondition),
-            source = Some(m.sourceTable),
-            matchedDelete = m.matchedActions match {
-              case Seq(DeleteAction(None)) => true
-              case ms =>
-                require(ms.forall(SnapshotSql.isStarUpdate) &&
-                  m.notMatchedActions.forall(SnapshotSql.isStarInsert) &&
-                  m.notMatchedBySourceActions.isEmpty,
-                  "graft MERGE via SQL supports UPDATE SET * / INSERT * " +
-                    "(upsert) or WHEN MATCHED THEN DELETE")
-                false
-            })
+          val fastKeys =
+            try Some(SnapshotSql.keyColsOf(m.mergeCondition))
+            catch { case _: UnsupportedOperationException => None }
+          (m.matchedActions, m.notMatchedActions) match {
+            // the two fast-path shapes keep their dedicated primitives
+            case (Seq(DeleteAction(None)), Seq())
+                if m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined =>
+              SnapshotDmlCommand("merge", t.dir, keyCols = fastKeys.get,
+                source = Some(m.sourceTable), matchedDelete = true)
+            case (Seq(u), Seq(ins))
+                if m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined &&
+                  SnapshotSql.isStarUpdate(u) && SnapshotSql.isStarInsert(ins) =>
+              SnapshotDmlCommand("merge", t.dir, keyCols = fastKeys.get,
+                source = Some(m.sourceTable))
+            // everything else — conditional / multi-clause / non-star /
+            // NOT MATCHED BY SOURCE — is the general path; it renders
+            // resolved attributes, so wait for the whole node to resolve
+            // (the fixed point keeps iterating until then)
+            case _ if m.resolved =>
+              val (keys, onSql, ma, nm, nmbs) = SnapshotSql.generalMergeArgs(
+                t.dir, m, m.sourceTable.output.map(_.name))
+              SnapshotDmlCommand("merge_general", t.dir, keyCols = keys,
+                source = Some(m.sourceTable), onSql = Some(onSql),
+                mergeMatched = ma, mergeNotMatched = nm, mergeNmbs = nmbs)
+            case _ => m
+          }
         case _ => m
       }
     case i: InsertIntoStatement if i.query.resolved =>
@@ -106,7 +119,11 @@ case class SnapshotDmlCommand(kind: String, dir: String,
                               userCols: Seq[String] = Nil,
                               overwrite: Boolean = false,
                               byName: Boolean = false,
-                              hasPartitionSpec: Boolean = false)
+                              hasPartitionSpec: Boolean = false,
+                              onSql: Option[String] = None,
+                              mergeMatched: Seq[SnapshotTable.MergeClause] = Nil,
+                              mergeNotMatched: Seq[SnapshotTable.MergeClause] = Nil,
+                              mergeNmbs: Seq[SnapshotTable.MergeClause] = Nil)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
@@ -115,13 +132,17 @@ case class SnapshotDmlCommand(kind: String, dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     kind match {
       case "delete" =>
-        SnapshotTable.delete(spark, dir, condSql.getOrElse("true"))
+        SnapshotSql.runDelete(spark, dir, condSql.getOrElse("true"))
       case "update" =>
-        SnapshotTable.update(spark, dir, condSql.getOrElse("true"), sets)
+        SnapshotSql.runUpdateSets(spark, dir, condSql.getOrElse("true"), sets)
       case "merge" =>
         val src = GraftSqlShims.ofRows(spark, source.get)
         if (matchedDelete) SnapshotSql.runMergeDelete(spark, dir, src, keyCols)
         else SnapshotSql.runMergeUpsert(spark, dir, src, keyCols)
+      case "merge_general" =>
+        SnapshotTable.generalMerge(spark, dir,
+          GraftSqlShims.ofRows(spark, source.get), keyCols, onSql.get,
+          mergeMatched, mergeNotMatched, mergeNmbs)
       case "insert" =>
         SnapshotSql.runInsert(spark, dir,
           GraftSqlShims.ofRows(spark, source.get), userCols, overwrite,

@@ -34,12 +34,13 @@ object DmlQueries {
     * (o_orderkey % 4 <> 3 — the shared acid fixture). Returns the fully
     * qualified table name. */
   private def freshOrdersTable(spark: SparkSession, sfDir: String,
-                               what: String): String = {
+                               what: String, props: String = ""): String = {
     SnapshotSql.register(spark, warehouse)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
     val t = s"graft.main.${what}_${java.util.UUID.randomUUID().toString.take(8)}"
     spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING, " +
-      "o_totalprice DOUBLE)")
+      "o_totalprice DOUBLE)" +
+      (if (props.nonEmpty) s" TBLPROPERTIES($props)" else ""))
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .filter(col("o_orderkey") % 4 =!= 3)
@@ -70,6 +71,71 @@ object DmlQueries {
   }
 
   val qSqlMergeSql: String = LayoutQueries.qAcidMergeSql
+
+  /** GENERAL `MERGE INTO` by SQL (round-10 cont.) — the full ANSI
+    * clause surface through [[SnapshotTable.generalMerge]] in one
+    * statement: a conditional non-star matched UPDATE (cheap rows
+    * re-priced source+target, flagged 'M'), a fall-through matched
+    * DELETE (expensive matches removed), a conditional non-star INSERT
+    * (only %20 keys, at half the source price), and a conditional
+    * `WHEN NOT MATCHED BY SOURCE` UPDATE (%7 stale rows flagged 'S').
+    * The oracle reconstructs the same four-way outcome relationally
+    * with LEFT JOINs + CASE from the original parquet — a green row
+    * proves clause ordering, side classification, the insert filter
+    * and the NMBS leg all match the reference semantics. */
+  def qSqlMergeRich(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqlmergerich")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .createOrReplaceTempView("dml_mergerich_src")
+    SnapshotSql.sql(spark, s"MERGE INTO $t t USING dml_mergerich_src s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED AND t.o_totalprice < 100000.0 THEN UPDATE SET " +
+      "  o_totalprice = s.o_totalprice + t.o_totalprice, o_orderstatus = 'M' " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED AND s.o_orderkey % 20 = 0 THEN " +
+      "  INSERT (o_orderkey, o_orderstatus, o_totalprice) " +
+      "  VALUES (s.o_orderkey, 'N', s.o_totalprice / 2) " +
+      "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0 THEN " +
+      "  UPDATE SET o_orderstatus = 'S'")
+    spark.sql(s"SELECT o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlMergeRichSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 <> 3),
+       |src AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |kept AS (
+       |  SELECT b.o_orderkey,
+       |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+       |         WHEN b.o_orderkey % 7 = 0 THEN 'S'
+       |         ELSE b.o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN s.o_orderkey IS NOT NULL
+       |         THEN s.o_totalprice + b.o_totalprice
+       |         ELSE b.o_totalprice END AS o_totalprice
+       |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+       |  WHERE s.o_orderkey IS NULL OR b.o_totalprice < 100000.0),
+       |ins AS (
+       |  SELECT s.o_orderkey, 'N' AS o_orderstatus,
+       |    s.o_totalprice / 2 AS o_totalprice
+       |  FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+       |  WHERE b.o_orderkey IS NULL AND s.o_orderkey % 20 = 0),
+       |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM final
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
 
   /** `UPDATE … SET … WHERE` by SQL: every %10==0 order in the base
     * subset re-priced ×2 with status 'U' in place (no inserts — UPDATE
@@ -117,6 +183,62 @@ object DmlQueries {
        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 7 <> 0
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
+
+  /** MERGE-ON-READ `DELETE` by SQL: the q_sql_delete fixture on a
+    * `TBLPROPERTIES('delete.mode'='merge-on-read')` table — the DELETE
+    * routes to [[pystreamsspark.io.SnapshotTable.deleteVectors]] (a
+    * (file, row-position) sidecar write, ZERO data-file rewrites —
+    * asserted here), and the answer reads through the DV-aware reader.
+    * Same oracle as q_sql_delete: a green row proves the DV read path
+    * and the CoW path compute identical survivors through SQL. */
+  def qSqlDeleteMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqldelmor",
+      "'delete.mode'='merge-on-read'")
+    val dir = pystreamsspark.io.SnapshotSql
+      .resolveTable(spark, t.split('.').toSeq).get
+    val preFiles = pystreamsspark.io.SnapshotTable.filePaths(dir).toSet
+    SnapshotSql.sql(spark, s"DELETE FROM $t WHERE o_orderkey % 7 = 0")
+    require(pystreamsspark.io.SnapshotTable.filePaths(dir).toSet == preFiles,
+      "merge-on-read DELETE must not rewrite data files")
+    require(pystreamsspark.io.SnapshotTable.hasDeletionVectors(dir),
+      "merge-on-read DELETE must record deletion vectors")
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .createOrReplaceTempView("dml_mor_del_state")
+    spark.sql("SELECT o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price " +
+      "FROM dml_mor_del_state " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlDeleteMorSql: String = qSqlDeleteSql
+
+  /** MERGE-ON-READ `UPDATE` by SQL: the q_sql_update fixture on an
+    * `'update.mode'='merge-on-read'` table —
+    * [[pystreamsspark.io.SnapshotTable.updateVectors]] DV-marks the
+    * matched rows and appends their rewritten images in one commit
+    * (every pre-update data file still present — asserted). Same oracle
+    * as q_sql_update. */
+  def qSqlUpdateMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqlupdmor",
+      "'update.mode'='merge-on-read'")
+    val dir = pystreamsspark.io.SnapshotSql
+      .resolveTable(spark, t.split('.').toSeq).get
+    val preFiles = pystreamsspark.io.SnapshotTable.filePaths(dir).toSet
+    SnapshotSql.sql(spark, s"UPDATE $t SET o_totalprice = o_totalprice * 2, " +
+      "o_orderstatus = 'U' WHERE o_orderkey % 10 = 0")
+    require(preFiles.subsetOf(
+      pystreamsspark.io.SnapshotTable.filePaths(dir).toSet),
+      "merge-on-read UPDATE must keep every pre-update data file")
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .createOrReplaceTempView("dml_mor_upd_state")
+    spark.sql("SELECT o_orderstatus, COUNT(*) AS n, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price " +
+      "FROM dml_mor_upd_state " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlUpdateMorSql: String = qSqlUpdateSql
 
   /** `VERSION AS OF` by SQL — the q_time_travel fixture through the
     * catalog's time-travel loadTable: v2 = the SQL-inserted base, v3 =
@@ -199,15 +321,21 @@ object DmlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge"      -> (qSqlMerge _),
+    "q_sql_merge_rich" -> (qSqlMergeRich _),
     "q_sql_update"     -> (qSqlUpdate _),
     "q_sql_delete"     -> (qSqlDelete _),
+    "q_sql_delete_mor" -> (qSqlDeleteMor _),
+    "q_sql_update_mor" -> (qSqlUpdateMor _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_spj_snapshot"   -> (qSpjSnapshot _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_merge"      -> qSqlMergeSql,
+    "q_sql_merge_rich" -> qSqlMergeRichSql,
     "q_sql_update"     -> qSqlUpdateSql,
     "q_sql_delete"     -> qSqlDeleteSql,
+    "q_sql_delete_mor" -> qSqlDeleteMorSql,
+    "q_sql_update_mor" -> qSqlUpdateMorSql,
     "q_sql_timetravel" -> qSqlTimetravelSql,
     "q_spj_snapshot"   -> qSpjSnapshotSql)
 }

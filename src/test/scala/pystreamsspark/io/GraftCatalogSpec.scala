@@ -494,21 +494,27 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("unsupported MERGE forms fail loudly, not approximately") {
+  test("formerly-unsupported MERGE forms run on the general path: " +
+    "non-star assignments and a theta ON condition") {
     import spark.implicits._
     wh
-    val t = mkTable(freshName("bad_"))
+    val t = mkTable(freshName("gen_"))
     SnapshotSql.sql(spark, s"INSERT INTO graft.ns.$t VALUES (1, 'A', 1.0)")
-    Seq((1L, "X", 0.0)).toDF("id", "status", "price")
-      .createOrReplaceTempView("bad_src")
-    intercept[UnsupportedOperationException] {
-      SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING bad_src s " +
-        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.price = s.price + 1")
-    }
-    intercept[UnsupportedOperationException] {
-      SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING bad_src s " +
-        "ON t.id > s.id " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-    }
+    Seq((1L, "X", 10.0)).toDF("id", "status", "price")
+      .createOrReplaceTempView("gen_src")
+    // non-star assignment (round-9 refusal #1) → generalMerge
+    SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING gen_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET price = s.price + 1")
+    assert(spark.sql(s"SELECT price FROM graft.ns.$t").head.getDouble(0)
+      === 11.0)
+    // theta ON (round-9 refusal #2): 1 > 1 is false → no match → the
+    // star INSERT fires; the table then holds both id=1 rows
+    SnapshotSql.sql(spark, s"MERGE INTO graft.ns.$t t USING gen_src s " +
+      "ON t.id > s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql(s"SELECT id, status, price FROM graft.ns.$t " +
+      "ORDER BY price").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1L, "X", 10.0), (1L, "A", 11.0)))
   }
 }
