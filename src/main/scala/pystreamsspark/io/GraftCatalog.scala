@@ -146,7 +146,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // SQL DELETE/UPDATE to the deletion-vector paths (SnapshotSql)
     SnapshotTable.createEmpty(dir, schema, clusterCols, bucketSpec,
       Option(properties.get("delete.mode")).map(_.trim),
-      Option(properties.get("update.mode")).map(_.trim))
+      Option(properties.get("update.mode")).map(_.trim),
+      Option(properties.get("merge.mode")).map(_.trim))
     load(ident, None)
   }
 
@@ -341,6 +342,9 @@ class SnapshotV2Table(fullName: String, val dir: String,
         case _ => Map.empty[String, String]
       }) ++ (SnapshotTable.updateModeOf(dir) match {
         case "merge-on-read" => Map("update.mode" -> "merge-on-read")
+        case _ => Map.empty[String, String]
+      }) ++ (SnapshotTable.mergeModeOf(dir) match {
+        case "merge-on-read" => Map("merge.mode" -> "merge-on-read")
         case _ => Map.empty[String, String]
       })
     (Map("location" -> dir, "version" -> v.toString,

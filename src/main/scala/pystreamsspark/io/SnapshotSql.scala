@@ -150,12 +150,15 @@ object SnapshotSql {
     val fastKeys =
       try Some(keyColsOf(m.mergeCondition))
       catch { case _: UnsupportedOperationException => None }
+    // a merge-on-read table takes the general executor for EVERY shape
+    // (its write phase is the DV form); CoW tables keep the fast paths
+    val cow = SnapshotTable.mergeModeOf(dir) != "merge-on-read"
     (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(u), Seq(ins)) if m.notMatchedBySourceActions.isEmpty &&
+      case (Seq(u), Seq(ins)) if cow && m.notMatchedBySourceActions.isEmpty &&
           fastKeys.isDefined && isStarUpdate(u) && isStarInsert(ins) =>
         return runMergeUpsert(spark, dir, source, fastKeys.get)
       case (Seq(DeleteAction(None)), Seq())
-          if m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined =>
+          if cow && m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined =>
         return runMergeDelete(spark, dir, source, fastKeys.get)
       case _ => ()
     }

@@ -194,7 +194,8 @@ object SnapshotTable {
         header.get("bucketcols").map("bucketcols" -> _) ++
         header.get("buckets").map("buckets" -> _) ++
         header.get("deletemode").map("deletemode" -> _) ++
-        header.get("updatemode").map("updatemode" -> _)).toSeq
+        header.get("updatemode").map("updatemode" -> _) ++
+        header.get("mergemode").map("mergemode" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -459,8 +460,10 @@ object SnapshotTable {
                   clusterCols: Seq[String] = Nil,
                   bucketSpec: Option[(String, Int)] = None,
                   deleteMode: Option[String] = None,
-                  updateMode: Option[String] = None): Int = {
-    Seq("delete.mode" -> deleteMode, "update.mode" -> updateMode).foreach {
+                  updateMode: Option[String] = None,
+                  mergeMode: Option[String] = None): Int = {
+    Seq("delete.mode" -> deleteMode, "update.mode" -> updateMode,
+      "merge.mode" -> mergeMode).foreach {
       case (k, Some(mo)) => require(
         mo == "copy-on-write" || mo == "merge-on-read",
         s"$k must be copy-on-write or merge-on-read, got $mo")
@@ -489,7 +492,8 @@ object SnapshotTable {
         bucketSpec.toSeq.flatMap { case (c, n) =>
           Seq("bucketcols" -> c, "buckets" -> n.toString) } ++
         deleteMode.filter(_ == "merge-on-read").map("deletemode" -> _) ++
-        updateMode.filter(_ == "merge-on-read").map("updatemode" -> _)
+        updateMode.filter(_ == "merge-on-read").map("updatemode" -> _) ++
+        mergeMode.filter(_ == "merge-on-read").map("mergemode" -> _)
     commit(dir, 1, "create", 0, Nil, Some(deepNullable(schema)
       .asInstanceOf[StructType]), extras)
     1
@@ -1326,9 +1330,13 @@ object SnapshotTable {
     * At 100 TB the narrow-key forms keep [[merge]]'s posture — a
     * clustered-key merge is a covering-file join + rewrite, not a table
     * scan — while NOT MATCHED BY SOURCE is honestly a full-table
-    * operation (as in every table format). The joined frame persists
-    * across the discovery/cardinality/rewrite passes and unpersists
-    * before commit. */
+    * operation (as in every table format). On a
+    * `TBLPROPERTIES('merge.mode'='merge-on-read')` table the write
+    * phase switches to the DV form: actioned rows DV-mark in place,
+    * updated images + inserts append as one batch (op `merge-dv`) —
+    * O(actioned rows) write, the streaming-upsert posture. The joined
+    * frame persists across the discovery/cardinality/rewrite passes
+    * and unpersists before commit. */
   def generalMerge(spark: SparkSession, dir: String, source: DataFrame,
                    keyCols: Seq[String], onSql: String,
                    matched: Seq[MergeClause],
@@ -1432,15 +1440,6 @@ object SnapshotTable {
           when(col("_action") === idx, setExpr(f, cl)).otherwise(els)
         }.cast(f.dataType).as(f.name)
       }
-      val survivors =
-        if (touchedRel.isEmpty) None
-        else Some(joined
-          .filter(tEx && col("_src_file").isin(touchedRel.toSeq: _*))
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .filter(if (deleteActions.isEmpty) lit(true)
-            else col("_action").isNull ||
-              !col("_action").isin(deleteActions: _*))
-          .select(outCols: _*))
       val inserts =
         if (notMatched.isEmpty) None
         else {
@@ -1460,6 +1459,53 @@ object SnapshotTable {
           }
           perClause.reduceOption(_ unionByName _)
         }
+      if (m.header.getOrElse("mergemode", "copy-on-write")
+          == "merge-on-read") {
+        // MERGE-ON-READ write phase: every actioned target row (update
+        // OR delete) is DV-marked in its untouched file, updated rows'
+        // rewritten IMAGES and the inserts append as one fresh batch —
+        // a narrow streaming upsert into a 100 TB table writes
+        // O(actioned rows), never a covering-file rewrite. The
+        // cardinality check already guarantees ≤ 1 applied pair per
+        // target row, so no per-row dedup window is needed here.
+        val actioned = joined.filter(tEx && col("_action").isNotNull)
+        val images =
+          if (updateByAction.isEmpty) None
+          else Some(actioned
+            .filter(if (deleteActions.isEmpty) lit(true)
+              else !col("_action").isin(deleteActions: _*))
+            .select(outCols: _*))
+        val appended = (images, inserts) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b)             => a.orElse(b)
+        }
+        if (touchedRel.isEmpty &&
+          appended.forall(df => df.limit(1).collect().isEmpty)) base
+        else {
+          val newFiles = appended match {
+            case None     => Seq.empty
+            case Some(df) => writeShaped(df, dir, numFiles, m.statsCols)
+          }
+          val entries =
+            if (touchedRel.isEmpty) m.files
+            else attachDv(spark, dir, m, touchedRel,
+              actioned.select(col("_src_file").as("file"),
+                col("_src_pos").as("pos")))
+          val v = base + 1
+          commit(dir, v, "merge-dv", base, entries ++ newFiles, m.schema,
+            m.carried)
+          v
+        }
+      } else {
+      val survivors =
+        if (touchedRel.isEmpty) None
+        else Some(joined
+          .filter(tEx && col("_src_file").isin(touchedRel.toSeq: _*))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .filter(if (deleteActions.isEmpty) lit(true)
+            else col("_action").isNull ||
+              !col("_action").isin(deleteActions: _*))
+          .select(outCols: _*))
       val out = (survivors, inserts) match {
         case (Some(s), Some(i)) => Some(s.unionByName(i))
         case (s, i)             => s.orElse(i)
@@ -1476,7 +1522,33 @@ object SnapshotTable {
         commit(dir, v, "merge", base, untouched ++ files, m.schema, m.carried)
         v
       }
+      }
     } finally joined.unpersist()
+  }
+
+  /** Shared DV-attach step of the merge-on-read writers
+    * ([[deleteVectors]], [[updateVectors]], and [[generalMerge]] in
+    * merge-on-read mode): write ONE dv batch holding `newRows`
+    * ((file, pos) pairs) unioned with the touched files' existing
+    * deletion sets (each entry points at a single batch), and return
+    * the manifest entries with every touched file re-pointed at it. */
+  private def attachDv(spark: SparkSession, dir: String, m: Manifest,
+                       touchedRel: Set[String],
+                       newRows: DataFrame): Seq[FileEntry] = {
+    val touched = m.files.filter(f => touchedRel.contains(f.path))
+    val oldDvDirs = touched.flatMap(_.dv).distinct
+    val oldRows =
+      if (oldDvDirs.isEmpty) None
+      else Some(spark.read
+        .parquet(oldDvDirs.map(d => Paths.get(dir, d).toString): _*)
+        .filter(col("file").isin(touchedRel.toSeq: _*)))
+    val allRows = oldRows.map(newRows.unionByName(_)).getOrElse(newRows)
+    val batch = s"dv/${java.util.UUID.randomUUID().toString.take(8)}"
+    // DVs are point-mutation-sized by contract: one file suffices and
+    // keeps the read-side broadcast build trivial
+    allRows.coalesce(1).write.parquet(Paths.get(dir, batch).toString)
+    m.files.map(f =>
+      if (touchedRel.contains(f.path)) f.copy(dv = Some(batch)) else f)
   }
 
   /** MERGE-ON-READ DELETE (deletion vectors): mark the rows matching
@@ -1513,22 +1585,7 @@ object SnapshotTable {
       .collect().map(_.getString(0)).toSet
     if (touchedRel.isEmpty) base
     else {
-      val touched = m.files.filter(f => touchedRel.contains(f.path))
-      // the new deletion set per touched file = its old DV rows ∪ the
-      // new matches (entries point at ONE dv batch, so carry the union)
-      val oldDvDirs = touched.flatMap(_.dv).distinct
-      val oldRows =
-        if (oldDvDirs.isEmpty) None
-        else Some(spark.read
-          .parquet(oldDvDirs.map(d => Paths.get(dir, d).toString): _*)
-          .filter(col("file").isin(touchedRel.toSeq: _*)))
-      val allRows = oldRows.map(matches.unionByName(_)).getOrElse(matches)
-      val batch = s"dv/${java.util.UUID.randomUUID().toString.take(8)}"
-      // DVs are point-delete-sized by contract: one file suffices and
-      // keeps the read-side broadcast build trivial
-      allRows.coalesce(1).write.parquet(Paths.get(dir, batch).toString)
-      val files = m.files.map(f =>
-        if (touchedRel.contains(f.path)) f.copy(dv = Some(batch)) else f)
+      val files = attachDv(spark, dir, m, touchedRel, matches)
       val v = base + 1
       commit(dir, v, "delete-dv", base, files, m.schema, m.carried)
       v
@@ -1551,6 +1608,16 @@ object SnapshotTable {
     if (latestVersion(dir) < 1) "copy-on-write"
     else readManifest(dir, latestVersion(dir)).header
       .getOrElse("updatemode", "copy-on-write")
+
+  /** The table's declared MERGE mode — `"merge-on-read"`
+    * (`TBLPROPERTIES('merge.mode'='merge-on-read')`) makes
+    * [[generalMerge]] DV-mark actioned rows and append images instead
+    * of rewriting touched files (and routes the star-upsert fast path
+    * through the general executor). */
+  def mergeModeOf(dir: String): String =
+    if (latestVersion(dir) < 1) "copy-on-write"
+    else readManifest(dir, latestVersion(dir)).header
+      .getOrElse("mergemode", "copy-on-write")
 
   /** MERGE-ON-READ UPDATE: the point-update twin of [[deleteVectors]] —
     * the rows matching `predicate` are DV-marked deleted in their
@@ -1594,21 +1661,10 @@ object SnapshotTable {
           }: _*)
           val newFiles = writeShaped(rewritten, dir, numFiles, m.statsCols)
           // DV rows: the matched positions, unioned with the touched
-          // files' existing deletion sets (entries point at ONE batch)
-          val dvRows = matches.select(col("_src_file").as("file"),
-            col("_src_pos").as("pos"))
-          val touched = m.files.filter(f => touchedRel.contains(f.path))
-          val oldDvDirs = touched.flatMap(_.dv).distinct
-          val oldRows =
-            if (oldDvDirs.isEmpty) None
-            else Some(spark.read
-              .parquet(oldDvDirs.map(d => Paths.get(dir, d).toString): _*)
-              .filter(col("file").isin(touchedRel.toSeq: _*)))
-          val allRows = oldRows.map(dvRows.unionByName(_)).getOrElse(dvRows)
-          val batch = s"dv/${java.util.UUID.randomUUID().toString.take(8)}"
-          allRows.coalesce(1).write.parquet(Paths.get(dir, batch).toString)
-          val entries = m.files.map(f =>
-            if (touchedRel.contains(f.path)) f.copy(dv = Some(batch)) else f)
+          // files' existing deletion sets by the shared attach step
+          val entries = attachDv(spark, dir, m, touchedRel,
+            matches.select(col("_src_file").as("file"),
+              col("_src_pos").as("pos")))
           val v = base + 1
           commit(dir, v, "update-dv", base, entries ++ newFiles, m.schema,
             m.carried)

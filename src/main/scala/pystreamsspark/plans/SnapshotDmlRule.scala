@@ -51,14 +51,19 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
           val fastKeys =
             try Some(SnapshotSql.keyColsOf(m.mergeCondition))
             catch { case _: UnsupportedOperationException => None }
+          // merge-on-read tables take the general executor for every
+          // shape (DV write phase); CoW tables keep the fast paths
+          val cow = SnapshotTable.mergeModeOf(t.dir) != "merge-on-read"
           (m.matchedActions, m.notMatchedActions) match {
             // the two fast-path shapes keep their dedicated primitives
             case (Seq(DeleteAction(None)), Seq())
-                if m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined =>
+                if cow && m.notMatchedBySourceActions.isEmpty &&
+                  fastKeys.isDefined =>
               SnapshotDmlCommand("merge", t.dir, keyCols = fastKeys.get,
                 source = Some(m.sourceTable), matchedDelete = true)
             case (Seq(u), Seq(ins))
-                if m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined &&
+                if cow && m.notMatchedBySourceActions.isEmpty &&
+                  fastKeys.isDefined &&
                   SnapshotSql.isStarUpdate(u) && SnapshotSql.isStarInsert(ins) =>
               SnapshotDmlCommand("merge", t.dir, keyCols = fastKeys.get,
                 source = Some(m.sourceTable))

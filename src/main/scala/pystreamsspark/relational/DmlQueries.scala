@@ -240,6 +240,42 @@ object DmlQueries {
 
   val qSqlUpdateMorSql: String = qSqlUpdateSql
 
+  /** MERGE-ON-READ `MERGE INTO` by SQL: the q_sql_merge upsert fixture
+    * on a `TBLPROPERTIES('merge.mode'='merge-on-read')` table — every
+    * shape (incl. this star upsert) takes
+    * [[pystreamsspark.io.SnapshotTable.generalMerge]]'s DV write phase:
+    * matched rows DV-mark in their untouched files, images + inserts
+    * append as one batch (op `merge-dv`; every pre-merge data file
+    * still present — asserted). Same oracle as q_sql_merge. */
+  def qSqlMergeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqlmrgmor",
+      "'merge.mode'='merge-on-read'")
+    val dir = pystreamsspark.io.SnapshotSql
+      .resolveTable(spark, t.split('.').toSeq).get
+    val preFiles = pystreamsspark.io.SnapshotTable.filePaths(dir).toSet
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .createOrReplaceTempView("dml_mergemor_src")
+    SnapshotSql.sql(spark, s"MERGE INTO $t t USING dml_mergemor_src s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    require(preFiles.subsetOf(
+      pystreamsspark.io.SnapshotTable.filePaths(dir).toSet),
+      "merge-on-read MERGE must keep every pre-merge data file")
+    require(pystreamsspark.io.SnapshotTable.hasDeletionVectors(dir),
+      "merge-on-read MERGE must record deletion vectors")
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .createOrReplaceTempView("dml_mor_mrg_state")
+    spark.sql("SELECT o_orderstatus, COUNT(*) AS n, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price " +
+      "FROM dml_mor_mrg_state " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlMergeMorSql: String = qSqlMergeSql
+
   /** `VERSION AS OF` by SQL — the q_time_travel fixture through the
     * catalog's time-travel loadTable: v2 = the SQL-inserted base, v3 =
     * after the SQL DELETE; both versions of the SAME table read side by
@@ -326,6 +362,7 @@ object DmlQueries {
     "q_sql_delete"     -> (qSqlDelete _),
     "q_sql_delete_mor" -> (qSqlDeleteMor _),
     "q_sql_update_mor" -> (qSqlUpdateMor _),
+    "q_sql_merge_mor"  -> (qSqlMergeMor _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_spj_snapshot"   -> (qSpjSnapshot _))
 
@@ -336,6 +373,7 @@ object DmlQueries {
     "q_sql_delete"     -> qSqlDeleteSql,
     "q_sql_delete_mor" -> qSqlDeleteMorSql,
     "q_sql_update_mor" -> qSqlUpdateMorSql,
+    "q_sql_merge_mor"  -> qSqlMergeMorSql,
     "q_sql_timetravel" -> qSqlTimetravelSql,
     "q_spj_snapshot"   -> qSpjSnapshotSql)
 }

@@ -219,6 +219,36 @@ object Stress {
       deleteRec(new java.io.File(dvT)); deleteRec(new java.io.File(cowT))
     }
 
+    // point-UPDATE write amplification (round-10 cont.): the same
+    // narrow predicate as the delete probe, updateVectors (DV-mark +
+    // tiny image append — must stay flat as the table x-folds) vs CoW
+    // update (rewrites every covering file).
+    if (only.isEmpty || only.exists(o => Seq(s"mor_point_update x$mult",
+        s"cow_point_update x$mult").exists(_.contains(o)))) {
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartitionByRange(16, $"o_orderkey")
+      def freshTable(): String = {
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_upd_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        pystreamsspark.io.SnapshotTable.createClustered(spark, d, base,
+          clusterCols = Seq("o_orderkey"))
+        d
+      }
+      val pred = "o_orderkey % 500000 = 17"
+      val sets = Seq("o_totalprice" -> "o_totalprice * 2",
+        "o_orderstatus" -> "'U'")
+      val morT = freshTable()
+      time(s"mor_point_update x$mult") {
+        pystreamsspark.io.SnapshotTable.updateVectors(spark, morT, pred,
+          sets).toLong
+      }
+      val cowT = freshTable()
+      time(s"cow_point_update x$mult") {
+        pystreamsspark.io.SnapshotTable.update(spark, cowT, pred, sets).toLong
+      }
+      deleteRec(new java.io.File(morT)); deleteRec(new java.io.File(cowT))
+    }
+
     // storage-partitioned join over hash-BUCKETED snapshot tables
     // (round-10): both sides pre-bucketed on the join key at write time
     // (16 buckets, file bucket = pmod(murmur3(key), 16) recorded in the

@@ -95,6 +95,48 @@ class MorSqlSpec extends SparkSpec {
     assert(readRows(dir).map(_._1) === Seq(2L, 3L, 4L, 5L))
   }
 
+  test("SQL MERGE on a merge.mode=merge-on-read table DV-marks actioned " +
+    "rows and appends images+inserts; content matches the CoW twin") {
+    val t = mkMorTable("'merge.mode'='merge-on-read'")
+    val tCow = mkMorTable("'delete.mode'='copy-on-write'")
+    val dir = dirOf(t); val dirCow = dirOf(tCow)
+    val preFiles = SnapshotTable.filePaths(dir).toSet
+    import spark.implicits._
+    Seq((2L, "x", 999.0), (3L, "x", 1.0), (9L, "n", 90.0))
+      .toDF("id", "status", "price").createOrReplaceTempView("mor_merge_src")
+    val stmt = "USING mor_merge_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.price > 100.0 THEN UPDATE SET price = s.price " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.status = 'C' THEN " +
+      "UPDATE SET status = 'STALE'"
+    SnapshotSql.sql(spark, s"MERGE INTO graft.mor.$t t $stmt")
+    SnapshotSql.sql(spark, s"MERGE INTO graft.mor.$tCow t $stmt")
+    // MoR: every pre-merge data file still present, DVs recorded,
+    // op is the DV form
+    assert(preFiles.subsetOf(SnapshotTable.filePaths(dir).toSet))
+    assert(SnapshotTable.hasDeletionVectors(dir))
+    val hist = SnapshotSql.sql(spark, s"DESCRIBE HISTORY graft.mor.$t")
+      .collect().map(_.getString(1)).toSeq
+    assert(hist.contains("merge-dv"))
+    assert(readRows(dir) === readRows(dirCow))
+    assert(readRows(dir) === Seq((1L, "A", 10.0), (2L, "B", 999.0),
+      (4L, "B", 40.0), (5L, "STALE", 50.0), (9L, "n", 90.0)))
+    // the star-upsert shape ALSO routes through the DV form on a
+    // merge.mode table (no covering-file rewrite for a narrow upsert)
+    val files2 = SnapshotTable.filePaths(dir).toSet
+    Seq((4L, "U", 44.0), (10L, "N", 100.0))
+      .toDF("id", "status", "price").createOrReplaceTempView("mor_ups_src")
+    SnapshotSql.sql(spark, s"MERGE INTO graft.mor.$t t USING mor_ups_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(files2.subsetOf(SnapshotTable.filePaths(dir).toSet))
+    assert(readRows(dir).filter(r => r._1 == 4L || r._1 == 10L) ===
+      Seq((4L, "U", 44.0), (10L, "N", 100.0)))
+    spark.catalog.dropTempView("mor_merge_src")
+    spark.catalog.dropTempView("mor_ups_src")
+  }
+
   test("plain-session SELECT of a DV'd snapshot refuses loudly; " +
     "OPTIMIZE materializes the DVs and restores it; time travel to the " +
     "pre-delete version stays native") {
