@@ -39,6 +39,8 @@ object SnapshotMaintenance {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreT =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
 
   /** The maintenance plan for `sql`, when it is one of the recognized
     * statements; None falls through to the normal parser. */
@@ -59,6 +61,9 @@ object SnapshotMaintenance {
       nameParts(t), v.toInt))
     case RestoreT(t, ts) => Some(SnapshotMaintenanceCommand("restore_ts",
       nameParts(t), 0, ts))
+    case CopyInto(t, path, fmt) => Some(SnapshotMaintenanceCommand("copy",
+      nameParts(t), 0, path,
+      cols = Option(fmt).map(_.toLowerCase).toSeq))
     case _ => None
   }
 
@@ -83,6 +88,9 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("ts", LongType, nullable = true)())
     case "optimize" | "restore" | "restore_ts" | "zorder" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
+    case "copy" => Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("files_loaded", IntegerType, nullable = false)())
     case "detail" => Seq(
       AttributeReference("location", StringType, nullable = false)(),
       AttributeReference("version", IntegerType, nullable = false)(),
@@ -112,6 +120,10 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
         Seq(Row(SnapshotTable.existingVersions(dir).size))
       case "detail" =>
         Seq(Row.fromSeq(SnapshotTable.detail(dir)))
+      case "copy" =>
+        val (v, n) = SnapshotTable.copyInto(spark, dir, ts,
+          cols.headOption.getOrElse("parquet"))
+        Seq(Row(v, n))
       case "restore" =>
         Seq(Row(SnapshotTable.restore(dir, n)))
       case "restore_ts" =>

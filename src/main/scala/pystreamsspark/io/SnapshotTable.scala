@@ -195,7 +195,8 @@ object SnapshotTable {
         header.get("buckets").map("buckets" -> _) ++
         header.get("deletemode").map("deletemode" -> _) ++
         header.get("updatemode").map("updatemode" -> _) ++
-        header.get("mergemode").map("mergemode" -> _)).toSeq
+        header.get("mergemode").map("mergemode" -> _) ++
+        header.get("copyledger").map("copyledger" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -1674,6 +1675,96 @@ object SnapshotTable {
     }
   }
 
+  /** `COPY INTO` — IDEMPOTENT file ingestion (the lakehouse staple for
+    * landing-zone loads): list the files under `sourcePath` (a
+    * directory or a glob), skip every file the table has ALREADY
+    * loaded, read only the fresh ones with `format`, align them to the
+    * table schema by name (SQL assignment casts; missing columns
+    * null-fill; UNKNOWN source columns fail loudly — schema drift is a
+    * signal, not an evolution), and append them as one commit (op
+    * `copy`).
+    *
+    * Idempotence is ATOMIC with the data commit: the fresh files'
+    * identities (path, size, mtime) are written as a small parquet
+    * LEDGER batch under `dir/copy/` BEFORE the manifest publish, and
+    * the manifest header's `copyledger` key (carried forward by every
+    * later commit, like the epoch range-set) lists the live ledger
+    * batches — a crash between ledger write and commit leaves an
+    * unreferenced orphan (ignored; vacuum reclaims it), never a
+    * half-loaded state. Re-running the same COPY is a no-op; a rebase
+    * after a concurrent commit re-reads the winner's ledger, so two
+    * racing COPYs of the same files load them exactly once. The
+    * loaded-set read is one driver-side parquet read, O(#files ever
+    * copied) — the price every file-tracking ingestion pays.
+    * Returns (version, filesLoaded). */
+  def copyInto(spark: SparkSession, dir: String, sourcePath: String,
+               format: String = "parquet",
+               options: Map[String, String] = Map.empty,
+               numFiles: Int = 4, fromVersion: Option[Int] = None,
+               maxRetries: Int = 5): (Int, Int) = {
+    require(Seq("parquet", "csv", "json").contains(format.toLowerCase),
+      s"COPY INTO supports parquet/csv/json, got $format")
+    val hadoopPath = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a directory lists its (non-hidden) files; a glob expands first
+    val listed: Seq[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.globStatus(hadoopPath)).map(_.toSeq).getOrElse(Nil)
+        .flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+        }
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+    var loadedCount = 0
+    val v = commitWithRebase(dir, fromVersion, maxRetries) { (base, m) =>
+      val schemaNow = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest at $dir records no schema"))
+      val ledgerDirs = m.header.get("copyledger")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val loaded: Set[(String, Long, Long)] =
+        if (ledgerDirs.isEmpty) Set.empty
+        else spark.read
+          .parquet(ledgerDirs.map(d => Paths.get(dir, d).toString): _*)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val fresh = listed.filterNot(st => loaded.contains(
+        (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)))
+      loadedCount = fresh.size
+      if (fresh.isEmpty) base
+      else {
+        val raw = spark.read.format(format.toLowerCase).options(options)
+          .load(fresh.map(_.getPath.toString): _*)
+        val extra = raw.columns.filterNot(schemaNow.fieldNames.contains)
+        require(extra.isEmpty,
+          s"COPY source has columns not in the table: ${extra.mkString(",")}")
+        val provided = raw.columns.toSet
+        val aligned = raw.select(schemaNow.fields.toSeq.map { f =>
+          if (provided.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        val files = writeShaped(aligned, dir, numFiles, m.statsCols)
+        // the ledger batch commits ATOMICALLY with the data: written
+        // first, referenced only by the new manifest's header
+        val batch = s"copy/${java.util.UUID.randomUUID().toString.take(8)}"
+        import spark.implicits._
+        fresh.map(st => (st.getPath.toUri.getPath, st.getLen,
+            st.getModificationTime))
+          .toDF("path", "size", "mtime")
+          .coalesce(1).write.parquet(Paths.get(dir, batch).toString)
+        val newLedger = (ledgerDirs :+ batch).mkString(",")
+        val headers = m.carried.filterNot(_._1 == "copyledger") :+
+          ("copyledger" -> newLedger)
+        val v = base + 1
+        commit(dir, v, "copy", base, m.files ++ files, m.schema, headers)
+        v
+      }
+    }
+    (v, loadedCount)
+  }
+
   /** Compaction: rewrite the CURRENT snapshot into `target` files under
     * a new version. Content-identical by construction; older versions
     * keep reading their original files (snapshot isolation). */
@@ -1813,6 +1904,24 @@ object SnapshotTable {
       listDir(dvRoot).foreach { batch =>
         val rel = s"dv/${batch.getFileName}"
         if (!referencedDv.contains(rel)) {
+          listDir(batch).foreach(Files.delete)
+          Files.delete(batch)
+        } else listDir(batch).foreach { f =>
+          if (!f.getFileName.toString.endsWith(".parquet")) Files.delete(f)
+        }
+      }
+    }
+    // copy-ledger batches follow the dv law: live while any kept
+    // manifest's copyledger header references them — so COPY INTO
+    // idempotence survives vacuum
+    val referencedCopy = keptManifests
+      .flatMap(_.header.get("copyledger"))
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+    val copyRoot = Paths.get(dir, "copy")
+    if (Files.isDirectory(copyRoot)) {
+      listDir(copyRoot).foreach { batch =>
+        val rel = s"copy/${batch.getFileName}"
+        if (!referencedCopy.contains(rel)) {
           listDir(batch).foreach(Files.delete)
           Files.delete(batch)
         } else listDir(batch).foreach { f =>

@@ -276,6 +276,54 @@ object DmlQueries {
 
   val qSqlMergeMorSql: String = qSqlMergeSql
 
+  /** `COPY INTO` — idempotent landing-zone ingestion by SQL: an orders
+    * subset staged as parquet files, loaded with `COPY INTO … FROM`,
+    * then the SAME statement re-run — the second run must load ZERO
+    * files (identity ledger committed atomically with the data;
+    * asserted), so the aggregate equals exactly one copy of the staged
+    * rows. The oracle recomputes the subset from the original parquet —
+    * a green row proves listing, by-name cast alignment, and the
+    * idempotence ledger end-to-end. */
+  def qCopyInto(spark: SparkSession, sfDir: String): DataFrame = {
+    SnapshotSql.register(spark, warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val t = s"graft.main.copyinto_$tag"
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE)")
+    val stg = s"${System.getProperty("java.io.tmpdir")}/graft_copy_stage_$tag"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 3 === 0)
+      .coalesce(2).write.parquet(stg)
+    val first = SnapshotSql.sql(spark,
+      s"COPY INTO $t FROM '$stg' FILEFORMAT = PARQUET").head
+    require(first.getInt(1) >= 1, "first COPY must load the staged files")
+    val second = SnapshotSql.sql(spark,
+      s"COPY INTO $t FROM '$stg' FILEFORMAT = PARQUET").head
+    require(second.getInt(1) == 0,
+      s"re-run COPY must be a no-op, loaded ${second.getInt(1)}")
+    // the staged landing files are scratch: the table owns its own
+    // copies, so delete them (no per-invocation tmp leak)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(stg))
+    spark.sql(s"SELECT o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qCopyIntoSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderkey % 3 = 0
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   /** `VERSION AS OF` by SQL — the q_time_travel fixture through the
     * catalog's time-travel loadTable: v2 = the SQL-inserted base, v3 =
     * after the SQL DELETE; both versions of the SAME table read side by
@@ -363,6 +411,7 @@ object DmlQueries {
     "q_sql_delete_mor" -> (qSqlDeleteMor _),
     "q_sql_update_mor" -> (qSqlUpdateMor _),
     "q_sql_merge_mor"  -> (qSqlMergeMor _),
+    "q_copy_into"      -> (qCopyInto _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_spj_snapshot"   -> (qSpjSnapshot _))
 
@@ -374,6 +423,7 @@ object DmlQueries {
     "q_sql_delete_mor" -> qSqlDeleteMorSql,
     "q_sql_update_mor" -> qSqlUpdateMorSql,
     "q_sql_merge_mor"  -> qSqlMergeMorSql,
+    "q_copy_into"      -> qCopyIntoSql,
     "q_sql_timetravel" -> qSqlTimetravelSql,
     "q_spj_snapshot"   -> qSpjSnapshotSql)
 }
