@@ -147,7 +147,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     SnapshotTable.createEmpty(dir, schema, clusterCols, bucketSpec,
       Option(properties.get("delete.mode")).map(_.trim),
       Option(properties.get("update.mode")).map(_.trim),
-      Option(properties.get("merge.mode")).map(_.trim))
+      Option(properties.get("merge.mode")).map(_.trim),
+      // TBLPROPERTIES('check'='<predicate>') — enforced on every batch
+      // write path (conjoin terms for multiple constraints)
+      Option(properties.get("check")).map(_.trim))
     load(ident, None)
   }
 
@@ -160,14 +163,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      "graft ALTER TABLE supports ADD COLUMNS only (files null-fill); " +
+    val setProps = changes.collect { case s: TableChange.SetProperty => s }
+    require(adds.size + setProps.size == changes.size,
+      "graft ALTER TABLE supports ADD COLUMNS (files null-fill) and SET " +
+        "TBLPROPERTIES (row-level modes / check); " +
         s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
+    // SET TBLPROPERTIES: one metadata commit updating the mutable
+    // properties; a retroactive CHECK validates existing rows first
+    if (setProps.nonEmpty)
+      SnapshotTable.setProperties(
+        org.apache.spark.sql.SparkSession.active, dir,
+        setProps.map(p => p.property() -> p.value()).toMap)
     adds.foreach(a => require(a.fieldNames.length == 1,
       s"ADD COLUMNS adds top-level columns, got nested " +
         a.fieldNames.mkString(".")))
-    SnapshotTable.evolveSchema(dir, StructType(adds.map(a =>
-      StructField(a.fieldNames.head, a.dataType, nullable = true))))
+    if (adds.nonEmpty)
+      SnapshotTable.evolveSchema(dir, StructType(adds.map(a =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true))))
     load(ident, None)
   }
 
@@ -346,7 +358,7 @@ class SnapshotV2Table(fullName: String, val dir: String,
       }) ++ (SnapshotTable.mergeModeOf(dir) match {
         case "merge-on-read" => Map("merge.mode" -> "merge-on-read")
         case _ => Map.empty[String, String]
-      })
+      }) ++ SnapshotTable.checkOf(dir).map("check" -> _)
     (Map("location" -> dir, "version" -> v.toString,
       "provider" -> "graft-snapshot") ++ layout ++ rowLevel).asJava
   }

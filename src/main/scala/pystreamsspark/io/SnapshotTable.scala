@@ -196,7 +196,8 @@ object SnapshotTable {
         header.get("deletemode").map("deletemode" -> _) ++
         header.get("updatemode").map("updatemode" -> _) ++
         header.get("mergemode").map("mergemode" -> _) ++
-        header.get("copyledger").map("copyledger" -> _)).toSeq
+        header.get("copyledger").map("copyledger" -> _) ++
+        header.get("check").map("check" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -351,10 +352,10 @@ object SnapshotTable {
     // the bucket id and every write path (append, merge rewrite,
     // compact) preserves the invariant by construction. Overrides any
     // caller shaping: bucket purity is the layout's hard contract.
-    val bucketSpec =
-      if (latestVersion(dir) >= 1) readManifest(dir, latestVersion(dir))
-        .bucketSpec
+    val latestManifest =
+      if (latestVersion(dir) >= 1) Some(readManifest(dir, latestVersion(dir)))
       else None
+    val bucketSpec = latestManifest.flatMap(_.bucketSpec)
     bucketSpec.foreach { case (c, _) => require(df.columns.contains(c),
       s"bucketed table $dir requires column $c in every write batch") }
     val shaped = bucketSpec match {
@@ -362,6 +363,35 @@ object SnapshotTable {
       case None         => numFiles.map(df.repartition(_)).getOrElse(df)
     }
     shaped.write.parquet(out.toString)
+    // CHECK-constraint enforcement: this is the ONE data-file funnel
+    // every batch write path shares (append, INSERT, COPY, CoW
+    // rewrites, MoR image batches), so the declared predicate holds
+    // for every committed data file by construction. Validated on the
+    // JUST-WRITTEN batch — one cheap scan of the new files, never the
+    // input plan twice — with SQL NULL semantics (an unknown predicate
+    // passes); columns an evolving batch lacks null-fill first, like
+    // the read path. A violation deletes the rejected batch and aborts
+    // before anything is committed. (Streaming epoch writes go through
+    // their own executor-side writer and are NOT checked — declare
+    // constraints on batch-maintained tables.)
+    latestManifest.flatMap(_.header.get("check"))
+      .map(FileEntry.dec).foreach { pred =>
+      val batchDf = df.sparkSession.read.parquet(out.toString)
+      val schemaCols =
+        latestManifest.flatMap(_.schema).map(_.fields.toSeq).getOrElse(Nil)
+      val padded = schemaCols
+        .filterNot(f => batchDf.columns.contains(f.name))
+        .foldLeft(batchDf)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val viol = padded
+        .filter(!coalesce(expr(pred).cast("boolean"), lit(true)))
+        .limit(1).collect()
+      if (viol.nonEmpty) {
+        listDir(out).foreach(Files.delete); Files.delete(out)
+        throw new IllegalArgumentException(
+          s"CHECK constraint violated: ($pred); example row: ${viol.head}")
+      }
+    }
     val partIdx = "^part-(\\d+)-.*".r
     def bucketOf(name: String): Option[Int] = bucketSpec.flatMap(_ =>
       name match {
@@ -462,7 +492,8 @@ object SnapshotTable {
                   bucketSpec: Option[(String, Int)] = None,
                   deleteMode: Option[String] = None,
                   updateMode: Option[String] = None,
-                  mergeMode: Option[String] = None): Int = {
+                  mergeMode: Option[String] = None,
+                  check: Option[String] = None): Int = {
     Seq("delete.mode" -> deleteMode, "update.mode" -> updateMode,
       "merge.mode" -> mergeMode).foreach {
       case (k, Some(mo)) => require(
@@ -470,6 +501,9 @@ object SnapshotTable {
         s"$k must be copy-on-write or merge-on-read, got $mo")
       case _ => ()
     }
+    // a CHECK predicate must at least PARSE at declaration time
+    // (resolution against real batches happens at write time)
+    check.foreach(expr(_))
     clusterCols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
     bucketSpec.foreach { case (c, n) =>
@@ -494,7 +528,8 @@ object SnapshotTable {
           Seq("bucketcols" -> c, "buckets" -> n.toString) } ++
         deleteMode.filter(_ == "merge-on-read").map("deletemode" -> _) ++
         updateMode.filter(_ == "merge-on-read").map("updatemode" -> _) ++
-        mergeMode.filter(_ == "merge-on-read").map("mergemode" -> _)
+        mergeMode.filter(_ == "merge-on-read").map("mergemode" -> _) ++
+        check.map(p => "check" -> FileEntry.enc(p))
     commit(dir, 1, "create", 0, Nil, Some(deepNullable(schema)
       .asInstanceOf[StructType]), extras)
     1
@@ -1610,6 +1645,13 @@ object SnapshotTable {
     else readManifest(dir, latestVersion(dir)).header
       .getOrElse("updatemode", "copy-on-write")
 
+  /** The table's declared CHECK constraint predicate, if any —
+    * enforced by the shared batch-write funnel on every data write. */
+  def checkOf(dir: String): Option[String] =
+    if (latestVersion(dir) < 1) None
+    else readManifest(dir, latestVersion(dir)).header.get("check")
+      .map(FileEntry.dec)
+
   /** The table's declared MERGE mode — `"merge-on-read"`
     * (`TBLPROPERTIES('merge.mode'='merge-on-read')`) makes
     * [[generalMerge]] DV-mark actioned rows and append images instead
@@ -1971,6 +2013,59 @@ object SnapshotTable {
         m.carried)
       v
     }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES`: update the mutable table
+    * properties (`delete.mode` / `update.mode` / `merge.mode` /
+    * `check`) as ONE metadata commit (op `altertbl`) — so a constraint
+    * or a row-level mode can be declared AFTER creation. A new/changed
+    * CHECK validates against the CURRENT contents first (one scan) —
+    * SQL's ADD CONSTRAINT contract: existing rows must already
+    * satisfy it, otherwise reads and writes would disagree about the
+    * invariant. Layout properties (clustercols/bucketcols) are fixed
+    * at create time and refused — they are write-law declarations, not
+    * flags. */
+  def setProperties(spark: SparkSession, dir: String,
+                    props: Map[String, String],
+                    maxRetries: Int = 5): Int = {
+    val allowed = Set("delete.mode", "update.mode", "merge.mode", "check")
+    val unknown = props.keySet -- allowed
+    require(unknown.isEmpty,
+      s"ALTER TABLE SET TBLPROPERTIES supports ${allowed.mkString(", ")}; " +
+        s"got ${unknown.mkString(", ")} (layout properties are fixed at " +
+        "create time)")
+    props.filterKeys(_.endsWith(".mode")).foreach { case (k, mo) =>
+      require(mo == "copy-on-write" || mo == "merge-on-read",
+        s"$k must be copy-on-write or merge-on-read, got $mo")
+    }
+    props.get("check").foreach(expr(_)) // must parse at declaration
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      // a retroactive CHECK must hold for the rows already committed
+      props.get("check").foreach { pred =>
+        val viol = readEntries(spark, dir, m, m.files)
+          .filter(!coalesce(expr(pred).cast("boolean"), lit(true)))
+          .limit(1).collect()
+        require(viol.isEmpty,
+          s"cannot add CHECK ($pred): existing rows violate it, " +
+            s"e.g. ${viol.headOption.getOrElse("")}")
+      }
+      val headerKey = Map("delete.mode" -> "deletemode",
+        "update.mode" -> "updatemode", "merge.mode" -> "mergemode",
+        "check" -> "check")
+      val updates = props.map { case (k, v0) =>
+        headerKey(k) -> (if (k == "check") FileEntry.enc(v0) else v0)
+      }
+      // copy-on-write is the default: setting it back REMOVES the key
+      val cleaned = updates.filterNot { case (k, v0) =>
+        k.endsWith("mode") && v0 == "copy-on-write" }
+      val dropped = updates.keySet -- cleaned.keySet
+      val headers = m.carried
+        .filterNot { case (k, _) => cleaned.contains(k) || dropped.contains(k) } ++
+        cleaned.toSeq
+      val v = base + 1
+      commit(dir, v, "altertbl", base, m.files, m.schema, headers)
+      v
+    }
+  }
 
   /** DESCRIBE DETAIL row: (location, version, n_files, n_dv_files,
     * clustercols, bucketcols, buckets, epochs) — pure driver metadata

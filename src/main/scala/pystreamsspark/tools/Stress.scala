@@ -249,6 +249,36 @@ object Stress {
       deleteRec(new java.io.File(morT)); deleteRec(new java.io.File(cowT))
     }
 
+    // narrow-key GENERAL merge (round-10 cont.): a conditional
+    // multi-clause MERGE whose ON keys cover ~30 rows of a
+    // key-clustered table — generalMerge must keep merge()'s
+    // stats-pruned discovery posture (candidate files bounded by the
+    // source key box, untouched files carried), so wall stays near-flat
+    // as the table x-folds instead of growing with a table scan.
+    if (only.isEmpty || only.exists(o =>
+        s"gm_narrow_merge x$mult".contains(o))) {
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartitionByRange(16, $"o_orderkey")
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_gm_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      pystreamsspark.io.SnapshotTable.createClustered(spark, d, base,
+        clusterCols = Seq("o_orderkey"))
+      val src = ord.filter($"o_orderkey".between(1000, 1030))
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" * 2).as("o_totalprice"))
+      time(s"gm_narrow_merge x$mult") {
+        pystreamsspark.io.SnapshotTable.generalMerge(spark, d, src,
+          Seq("o_orderkey"), "o_orderkey = `_s_o_orderkey`",
+          matched = Seq(pystreamsspark.io.SnapshotTable.MergeClause(
+            "update", Some("`_s_o_totalprice` > o_totalprice"),
+            Seq("o_totalprice" -> "`_s_o_totalprice`"))),
+          notMatched = Seq(pystreamsspark.io.SnapshotTable.MergeClause(
+            "insert", None, Nil)),
+          notMatchedBySource = Nil).toLong
+      }
+      deleteRec(new java.io.File(d))
+    }
+
     // storage-partitioned join over hash-BUCKETED snapshot tables
     // (round-10): both sides pre-bucketed on the join key at write time
     // (16 buckets, file bucket = pmod(murmur3(key), 16) recorded in the
