@@ -1161,8 +1161,8 @@ object SnapshotTable {
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             keyCols: Seq[String], numFiles: Int = 4,
             fromVersion: Option[Int] = None,
-            maxRetries: Int = 5): Int = commitWithRebase(
-      dir, fromVersion, maxRetries) { (base, m) =>
+            maxRetries: Int = 5, epoch: Option[Long] = None): Int =
+    commitWithRebase(dir, fromVersion, maxRetries) { (base, m) =>
     // the WHOLE merge re-executes per attempt: a rebase must recompute
     // touched-file discovery against the snapshot that actually won
     // (the concurrent commit may have added/rewritten files holding
@@ -1204,8 +1204,52 @@ object SnapshotTable {
     val v = base + 1
     val evolved = m.schema.map(unionSchema(_, updates.schema))
       .getOrElse(rewritten.schema)
-    commit(dir, v, "merge", base, untouched ++ files, Some(evolved), m.carried)
+    // an epoch-stamped merge (the streaming-upsert path) records the
+    // epoch in the SAME commit, under the carried range-set — the
+    // idempotency law appendEpoch established
+    val headers = epoch match {
+      case Some(e) =>
+        val ranges = m.header.get("epochs").map(parseRanges)
+          .getOrElse(Seq.empty)
+        m.carried.filterNot(_._1 == "epochs") ++
+          Seq("epoch" -> e.toString,
+            "epochs" -> encodeRanges(addToRanges(ranges, e)))
+      case None => m.carried
+    }
+    commit(dir, v, "merge", base, untouched ++ files, Some(evolved), headers)
     v
+  }
+
+  /** EXACTLY-ONCE STREAMING UPSERT — the `foreachBatch` building block
+    * (how every table format does streaming MERGE): an epoch-guarded
+    * [[merge]]. The epoch check and the merge base are the SAME pinned
+    * snapshot, and the epoch id commits in the same manifest as the
+    * merged files under the carried range-set — so a replayed
+    * micro-batch (restart from checkpoint, speculative re-execution)
+    * sees its epoch already committed and returns without re-applying,
+    * while a concurrent FOREIGN commit rebases and re-checks. Wire it
+    * as `df.writeStream.foreachBatch((batch, epoch) =>
+    * SnapshotTable.mergeEpoch(spark, dir, batch, keyCols, epoch))`. */
+  def mergeEpoch(spark: SparkSession, dir: String, updates: DataFrame,
+                 keyCols: Seq[String], epochId: Long, numFiles: Int = 4,
+                 maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(dir)
+      val ranges =
+        if (latest < 1) Seq.empty
+        else readManifest(dir, latest).header.get("epochs")
+          .map(parseRanges).getOrElse(Seq.empty)
+      if (rangesContain(ranges, epochId)) return latest
+      try return merge(spark, dir, updates, keyCols, numFiles,
+        fromVersion = Some(latest), maxRetries = 0, epoch = Some(epochId))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
   }
 
   /** DELETE retry/rebase wrapper shares [[merge]]'s discipline: the
