@@ -1229,7 +1229,10 @@ object SnapshotTable {
     * sees its epoch already committed and returns without re-applying,
     * while a concurrent FOREIGN commit rebases and re-checks. Wire it
     * as `df.writeStream.foreachBatch((batch, epoch) =>
-    * SnapshotTable.mergeEpoch(spark, dir, batch, keyCols, epoch))`. */
+    * SnapshotTable.mergeEpoch(spark, dir, batch, keyCols, epoch))`.
+    * Always the clustered copy-on-write upsert primitive ([[merge]]) —
+    * a `merge.mode=merge-on-read` declaration governs the SQL MERGE
+    * routing, not this programmatic streaming path. */
   def mergeEpoch(spark: SparkSession, dir: String, updates: DataFrame,
                  keyCols: Seq[String], epochId: Long, numFiles: Int = 4,
                  maxRetries: Int = 5): Int = {
@@ -1780,8 +1783,10 @@ object SnapshotTable {
     * half-loaded state. Re-running the same COPY is a no-op; a rebase
     * after a concurrent commit re-reads the winner's ledger, so two
     * racing COPYs of the same files load them exactly once. The
-    * loaded-set read is one driver-side parquet read, O(#files ever
-    * copied) — the price every file-tracking ingestion pays.
+    * loaded-set check is a DISTRIBUTED anti-join of this run's listing
+    * against the ledger parquet — the driver holds only the staged
+    * listing (inherent to FS listing) and the fresh subset, never
+    * O(#files ever copied) identities.
     * Returns (version, filesLoaded). */
   def copyInto(spark: SparkSession, dir: String, sourcePath: String,
                format: String = "parquet",
@@ -1809,14 +1814,25 @@ object SnapshotTable {
         s"manifest at $dir records no schema"))
       val ledgerDirs = m.header.get("copyledger")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-      val loaded: Set[(String, Long, Long)] =
-        if (ledgerDirs.isEmpty) Set.empty
-        else spark.read
-          .parquet(ledgerDirs.map(d => Paths.get(dir, d).toString): _*)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      val fresh = listed.filterNot(st => loaded.contains(
-        (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)))
+      // the already-loaded set stays DISTRIBUTED: the staged listing
+      // (small, this run's landing files — already driver-side by
+      // nature of FS listing) anti-joins the ledger parquet, so the
+      // driver never materializes O(#files ever copied) identities —
+      // only this run's fresh subset comes back
+      val fresh: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (ledgerDirs.isEmpty || listed.isEmpty) listed
+        else {
+          import spark.implicits._
+          val listedDf = listed.map(st => (st.getPath.toUri.getPath,
+            st.getLen, st.getModificationTime))
+            .toDF("path", "size", "mtime")
+          val ledger = spark.read
+            .parquet(ledgerDirs.map(d => Paths.get(dir, d).toString): _*)
+          val keep = listedDf.join(ledger,
+            Seq("path", "size", "mtime"), "left_anti")
+            .select(col("path")).collect().map(_.getString(0)).toSet
+          listed.filter(st => keep.contains(st.getPath.toUri.getPath))
+        }
       loadedCount = fresh.size
       if (fresh.isEmpty) base
       else {
