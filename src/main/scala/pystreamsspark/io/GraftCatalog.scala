@@ -348,17 +348,8 @@ class SnapshotV2Table(fullName: String, val dir: String,
           case None => Map.empty[String, String]
         }
       }
-    val rowLevel =
-      (SnapshotTable.deleteModeOf(dir) match {
-        case "merge-on-read" => Map("delete.mode" -> "merge-on-read")
-        case _ => Map.empty[String, String]
-      }) ++ (SnapshotTable.updateModeOf(dir) match {
-        case "merge-on-read" => Map("update.mode" -> "merge-on-read")
-        case _ => Map.empty[String, String]
-      }) ++ (SnapshotTable.mergeModeOf(dir) match {
-        case "merge-on-read" => Map("merge.mode" -> "merge-on-read")
-        case _ => Map.empty[String, String]
-      }) ++ SnapshotTable.checkOf(dir).map("check" -> _)
+    // one manifest read serves all mutable properties (modes + check)
+    val rowLevel = SnapshotTable.tableProps(dir, versionAsOf)
     (Map("location" -> dir, "version" -> v.toString,
       "provider" -> "graft-snapshot") ++ layout ++ rowLevel).asJava
   }

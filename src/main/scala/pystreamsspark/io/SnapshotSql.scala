@@ -147,24 +147,44 @@ object SnapshotSql {
   def runMergePlan(spark: SparkSession, dir: String,
                    m: MergeIntoTable): Int = {
     val source = GraftSqlShims.ofRows(spark, m.sourceTable)
+    classifyMergeDispatch(dir, m) match {
+      case FastUpsert(keys) => runMergeUpsert(spark, dir, source, keys)
+      case FastDelete(keys) => runMergeDelete(spark, dir, source, keys)
+      case GeneralPath =>
+        val (keys, onSql, ma, nm, nmbs) =
+          generalMergeArgs(dir, m, source.schema.fieldNames.toSeq)
+        SnapshotTable.generalMerge(spark, dir, source, keys, onSql,
+          ma, nm, nmbs)
+    }
+  }
+
+  /** The ONE fast-path classification both SQL routes share (parsed
+    * plan here, analyzer rule in SnapshotDmlRule) — so the two entry
+    * points can never pick different executors for the same statement:
+    * the unconditioned star upsert and the lone matched-DELETE keep
+    * their dedicated primitives on copy-on-write tables; every other
+    * shape — and EVERY shape on a merge-on-read table (its write phase
+    * is the DV form) — takes the general executor. */
+  sealed trait MergeDispatch
+  case class FastUpsert(keyCols: Seq[String]) extends MergeDispatch
+  case class FastDelete(keyCols: Seq[String]) extends MergeDispatch
+  case object GeneralPath extends MergeDispatch
+
+  def classifyMergeDispatch(dir: String, m: MergeIntoTable): MergeDispatch = {
     val fastKeys =
       try Some(keyColsOf(m.mergeCondition))
       catch { case _: UnsupportedOperationException => None }
-    // a merge-on-read table takes the general executor for EVERY shape
-    // (its write phase is the DV form); CoW tables keep the fast paths
     val cow = SnapshotTable.mergeModeOf(dir) != "merge-on-read"
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(u), Seq(ins)) if cow && m.notMatchedBySourceActions.isEmpty &&
           fastKeys.isDefined && isStarUpdate(u) && isStarInsert(ins) =>
-        return runMergeUpsert(spark, dir, source, fastKeys.get)
+        FastUpsert(fastKeys.get)
       case (Seq(DeleteAction(None)), Seq())
-          if cow && m.notMatchedBySourceActions.isEmpty && fastKeys.isDefined =>
-        return runMergeDelete(spark, dir, source, fastKeys.get)
-      case _ => ()
+          if cow && m.notMatchedBySourceActions.isEmpty &&
+            fastKeys.isDefined =>
+        FastDelete(fastKeys.get)
+      case _ => GeneralPath
     }
-    val (keys, onSql, ma, nm, nmbs) =
-      generalMergeArgs(dir, m, source.schema.fieldNames.toSeq)
-    SnapshotTable.generalMerge(spark, dir, source, keys, onSql, ma, nm, nmbs)
   }
 
   /** Render a [[MergeIntoTable]]'s condition and clauses into
@@ -219,8 +239,15 @@ object SnapshotSql {
     private val srcRefs =
       if (m.sourceTable.resolved) m.sourceTable.outputSet else AttributeSet.empty
 
-    /** Side of an attribute: true = source, false = target. */
-    private def classifyName(nameParts: Seq[String], sql: String): Boolean = {
+    /** Side of an attribute: true = source, false = target. In a
+      * one-sided clause scope (ANSI: INSERT sees only the source,
+      * NOT MATCHED BY SOURCE only the target) an unqualified name
+      * present on BOTH sides resolves to the clause's own side — the
+      * same resolution the analyzer performs — instead of reading as
+      * ambiguous. */
+    private def classifyName(nameParts: Seq[String], sql: String,
+                             forbidSource: Boolean,
+                             forbidTarget: Boolean): Boolean = {
       val parts = nameParts.map(_.toLowerCase)
       if (parts.length >= 2) {
         val q = parts(parts.length - 2)
@@ -238,6 +265,8 @@ object SnapshotSql {
         (srcCols.contains(n), tgtCols.contains(n)) match {
           case (true, false) => true
           case (false, true) => false
+          case (true, true) if forbidTarget => true  // source-only scope
+          case (true, true) if forbidSource => false // target-only scope
           case (true, true) => throw new UnsupportedOperationException(
             s"ambiguous column `$n` in MERGE expression $sql — " +
               "qualify it with the source or target alias")
@@ -258,12 +287,14 @@ object SnapshotSql {
       }
       e.transform {
         case u: UnresolvedAttribute =>
-          emit(classifyName(u.nameParts, u.sql), u.nameParts.last, u.sql)
+          emit(classifyName(u.nameParts, u.sql, forbidSource, forbidTarget),
+            u.nameParts.last, u.sql)
         case a: AttributeReference =>
           val isSrc =
             if (srcRefs.contains(a)) true
             else if (tgtRefs.contains(a)) false
-            else classifyName(a.qualifier :+ a.name, a.sql)
+            else classifyName(a.qualifier :+ a.name, a.sql,
+              forbidSource, forbidTarget)
           emit(isSrc, a.name, a.sql)
       }.sql
     }

@@ -1206,11 +1206,11 @@ object SnapshotTable {
       .getOrElse(rewritten.schema)
     // an epoch-stamped merge (the streaming-upsert path) records the
     // epoch in the SAME commit, under the carried range-set — the
-    // idempotency law appendEpoch established
+    // idempotency law appendEpoch established (incl. its legacy-header
+    // seeding, so upgrading a pre-range-set table never loses ids)
     val headers = epoch match {
       case Some(e) =>
-        val ranges = m.header.get("epochs").map(parseRanges)
-          .getOrElse(Seq.empty)
+        val ranges = seededEpochRanges(dir, Some(m))
         m.carried.filterNot(_._1 == "epochs") ++
           Seq("epoch" -> e.toString,
             "epochs" -> encodeRanges(addToRanges(ranges, e)))
@@ -1241,8 +1241,7 @@ object SnapshotTable {
       val latest = latestVersion(dir)
       val ranges =
         if (latest < 1) Seq.empty
-        else readManifest(dir, latest).header.get("epochs")
-          .map(parseRanges).getOrElse(Seq.empty)
+        else seededEpochRanges(dir, Some(readManifest(dir, latest)))
       if (rangesContain(ranges, epochId)) return latest
       try return merge(spark, dir, updates, keyCols, numFiles,
         fromVersion = Some(latest), maxRetries = 0, epoch = Some(epochId))
@@ -1254,6 +1253,19 @@ object SnapshotTable {
     }
     -1 // unreachable
   }
+
+  /** The committed-epoch range-set seen from manifest `m` — the carried
+    * `epochs` header when present, else SEEDED once from the surviving
+    * manifests' legacy per-commit `epoch=N` headers (tables written
+    * before the range-set existed must not lose idempotency on
+    * upgrade; the same rule appendEpochBody applies). */
+  private def seededEpochRanges(dir: String,
+                                m: Option[Manifest]): Seq[(Long, Long)] =
+    m.flatMap(_.header.get("epochs")).map(parseRanges).getOrElse(
+      existingVersions(dir)
+        .flatMap(v => readManifest(dir, v).header.get("epoch"))
+        .map(_.toLong)
+        .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
 
   /** DELETE retry/rebase wrapper shares [[merge]]'s discipline: the
     * touched-file discovery re-executes per attempt. */
@@ -1438,6 +1450,19 @@ object SnapshotTable {
       require(c.kind == "update" || c.kind == "delete",
         s"WHEN NOT MATCHED BY SOURCE clause must be update/delete, got ${c.kind}"))
     val srcCols = source.columns.toSet
+    // the joined-row namespace reserves marker names; a user column
+    // that would collide (a source column named `exists` renames to
+    // the `_s_exists` marker, a target column named `_action` would be
+    // clobbered by withColumn) must fail LOUDLY — silent clobbering
+    // would produce wrong merge results with no error
+    val reserved = Set("_s_exists", "_t_exists", "_action", "_rn", "_ins")
+    source.columns.foreach(c => require(
+      !reserved.contains(s"_s_$c") && !reserved.contains(c),
+      s"MERGE source column `$c` collides with an internal marker name"))
+    schemaNow.fieldNames.foreach(c => require(
+      !reserved.contains(c) && !(c.startsWith("_s_") &&
+        srcCols.contains(c.stripPrefix("_s_"))),
+      s"MERGE target column `$c` collides with the joined-row namespace"))
     val srcR = source
       .select(source.columns.toSeq.map(c => col(c).as(s"_s_$c")): _*)
       .withColumn("_s_exists", lit(true))
@@ -1493,7 +1518,6 @@ object SnapshotTable {
         .filter(tEx && col("_action").isNotNull)
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet // O(#files) driver metadata
-      val touched = m.files.filter(f => touchedRel.contains(f.path))
       val untouched = m.files.filterNot(f => touchedRel.contains(f.path))
       // one representative row per (file, pos) target row in a touched
       // file: the applied pair if one exists (cardinality-checked ≤ 1),
@@ -1698,6 +1722,22 @@ object SnapshotTable {
     if (latestVersion(dir) < 1) None
     else readManifest(dir, latestVersion(dir)).header.get("check")
       .map(FileEntry.dec)
+
+  /** ONE-read bundle of the mutable table properties (the row-level
+    * modes + check) — the SHOW TBLPROPERTIES surface; the per-property
+    * accessors each cost a manifest read, so the catalog uses this. */
+  def tableProps(dir: String,
+                 versionAsOf: Option[Int] = None): Map[String, String] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) Map.empty
+    else {
+      val h = readManifest(dir, v).header
+      (h.get("deletemode").map("delete.mode" -> _) ++
+        h.get("updatemode").map("update.mode" -> _) ++
+        h.get("mergemode").map("merge.mode" -> _) ++
+        h.get("check").map(c => "check" -> FileEntry.dec(c))).toMap
+    }
+  }
 
   /** The table's declared MERGE mode — `"merge-on-read"`
     * (`TBLPROPERTIES('merge.mode'='merge-on-read')`) makes

@@ -48,30 +48,19 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.sourceTable.resolved =>
       m.targetTable match {
         case GraftRel(t) =>
-          val fastKeys =
-            try Some(SnapshotSql.keyColsOf(m.mergeCondition))
-            catch { case _: UnsupportedOperationException => None }
-          // merge-on-read tables take the general executor for every
-          // shape (DV write phase); CoW tables keep the fast paths
-          val cow = SnapshotTable.mergeModeOf(t.dir) != "merge-on-read"
-          (m.matchedActions, m.notMatchedActions) match {
-            // the two fast-path shapes keep their dedicated primitives
-            case (Seq(DeleteAction(None)), Seq())
-                if cow && m.notMatchedBySourceActions.isEmpty &&
-                  fastKeys.isDefined =>
-              SnapshotDmlCommand("merge", t.dir, keyCols = fastKeys.get,
+          // the ONE classification both routes share (SnapshotSql) —
+          // the two entry points can never pick different executors
+          SnapshotSql.classifyMergeDispatch(t.dir, m) match {
+            case SnapshotSql.FastDelete(keys) =>
+              SnapshotDmlCommand("merge", t.dir, keyCols = keys,
                 source = Some(m.sourceTable), matchedDelete = true)
-            case (Seq(u), Seq(ins))
-                if cow && m.notMatchedBySourceActions.isEmpty &&
-                  fastKeys.isDefined &&
-                  SnapshotSql.isStarUpdate(u) && SnapshotSql.isStarInsert(ins) =>
-              SnapshotDmlCommand("merge", t.dir, keyCols = fastKeys.get,
+            case SnapshotSql.FastUpsert(keys) =>
+              SnapshotDmlCommand("merge", t.dir, keyCols = keys,
                 source = Some(m.sourceTable))
-            // everything else — conditional / multi-clause / non-star /
-            // NOT MATCHED BY SOURCE — is the general path; it renders
-            // resolved attributes, so wait for the whole node to resolve
-            // (the fixed point keeps iterating until then)
-            case _ if m.resolved =>
+            // the general path renders resolved attributes, so wait for
+            // the whole node to resolve (the fixed point keeps
+            // iterating until then)
+            case SnapshotSql.GeneralPath if m.resolved =>
               val (keys, onSql, ma, nm, nmbs) = SnapshotSql.generalMergeArgs(
                 t.dir, m, m.sourceTable.output.map(_.name))
               SnapshotDmlCommand("merge_general", t.dir, keyCols = keys,

@@ -19,27 +19,51 @@ import pystreamsspark.io.{SnapshotTable, SnapshotV2Table}
   * scan (pushdown/pruning/bucketing); on sessions WITHOUT extensions the
   * scan builder still refuses DV'd snapshots loudly.
   *
-  * DML statements are skipped entirely: their target must remain a
-  * relation for [[SnapshotDmlRule]] to intercept, and every DML executor
-  * already reads DV-aware internally (the shared entry reader); a DML's
-  * SOURCE subquery re-analyzes inside the executor as a standalone
-  * SELECT, where this rule applies normally. */
+  * A statement containing a DML whose TARGET is (or may still resolve
+  * to) a graft table is skipped entirely: that target must remain a
+  * relation for [[SnapshotDmlRule]] to intercept, and every graft DML
+  * executor already reads DV-aware internally (the shared entry
+  * reader); its SOURCE subquery re-analyzes inside the executor as a
+  * standalone SELECT, where this rule applies normally. A DML whose
+  * resolved target is FOREIGN (a non-graft table) gets its graft
+  * source relations rewritten like any read — so `INSERT INTO
+  * plain_tbl SELECT … FROM graft_mor_t` works instead of hitting the
+  * scan-builder refusal. */
 object SnapshotDvReadRule extends Rule[LogicalPlan] {
 
-  private def isDml(plan: LogicalPlan): Boolean = plan.exists {
-    case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
-         _: InsertIntoStatement | _: AppendData |
-         _: OverwriteByExpression => true
-    case _: SnapshotDmlCommand => true
+  private def graftTarget(plan: LogicalPlan): Boolean = plan match {
+    case SubqueryAlias(_, c) => graftTarget(c)
+    case r: DataSourceV2Relation => r.table.isInstanceOf[SnapshotV2Table]
+    // not yet resolved — could still become a graft relation; stay out
+    // of the way until the fixed point settles it
+    case _: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation => true
     case _ => false
   }
 
+  private def hasGraftDml(plan: LogicalPlan): Boolean = plan.exists {
+    case d: DeleteFromTable     => graftTarget(d.table)
+    case u: UpdateTable         => graftTarget(u.table)
+    case m: MergeIntoTable      => graftTarget(m.targetTable)
+    case i: InsertIntoStatement => graftTarget(i.table)
+    case a: AppendData          => graftTarget(a.table)
+    case o: OverwriteByExpression => graftTarget(o.table)
+    case _: SnapshotDmlCommand  => true
+    case _ => false
+  }
+
+  /** Cheap pre-check: a table that never saw a deletion vector has no
+    * `dv/` directory at all — one stat call instead of a manifest
+    * listing+parse per analyzer iteration (the overwhelmingly common
+    * DV-free case). */
+  private def mayHaveDvs(dir: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "dv"))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (isDml(plan)) plan
+    if (hasGraftDml(plan)) plan
     else plan.transformUp {
       case r: DataSourceV2Relation => r.table match {
-        case t: SnapshotV2Table
-            if SnapshotTable.hasDeletionVectors(t.dir, t.versionAsOf) =>
+        case t: SnapshotV2Table if mayHaveDvs(t.dir) &&
+            SnapshotTable.hasDeletionVectors(t.dir, t.versionAsOf) =>
           val dvPlan = SnapshotTable
             .read(SparkSession.active, t.dir, t.versionAsOf)
             .queryExecution.analyzed

@@ -174,6 +174,30 @@ class GeneralMergeSpec extends SparkSpec {
     assert(rowsOf(t).size === 5)
   }
 
+  test("one-sided clause scope disambiguates unqualified columns: " +
+    "INSERT VALUES naming columns present on BOTH sides resolves to " +
+    "the source (ANSI scope), not an ambiguity error") {
+    val t = mkTable()
+    mkSource(spark, "gm_src9", Seq((7L, "n", 70.0)))
+    SnapshotSql.sql(spark, s"MERGE INTO graft.gm.$t t USING gm_src9 s " +
+      "ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, status, price) " +
+      "VALUES (id, status, price)")
+    assert(rowsOf(t).last === ((7L, "n", 70.0)))
+  }
+
+  test("marker-name collisions fail loudly instead of silently " +
+    "clobbering (source column named `exists`)") {
+    val t = mkTable()
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "exists").createOrReplaceTempView("gm_srcx")
+    val e = intercept[Exception] {
+      SnapshotSql.sql(spark, s"MERGE INTO graft.gm.$t t USING gm_srcx s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET status = 'X'")
+    }
+    assert(e.getMessage.contains("marker"))
+  }
+
   test("analyzer-rule route: plain spark.sql general MERGE on a " +
     "GraftExtensions session matches the parsed-plan route") {
     wh

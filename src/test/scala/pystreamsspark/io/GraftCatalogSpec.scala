@@ -277,7 +277,12 @@ class GraftCatalogSpec extends SparkSpec {
       .withExtensions(new pystreamsspark.GraftExtensions().apply(_))
       .getOrCreate()
     try {
-      SnapshotSql.register(ext, wh)
+      // register the ext session with the warehouse the table ACTUALLY
+      // lives in (the shared session's catalog may be pinned to an
+      // earlier suite's warehouse — suite-order independence)
+      val effWh = new java.io.File(dirOf(t))
+        .getParentFile.getParentFile.getAbsolutePath
+      SnapshotSql.register(ext, effWh)
       val h2 = ext.sql(s"DESCRIBE HISTORY graft.ns.$t").collect()
       assert(h2.map(_.getString(1)).toSeq === Seq("compact"))
       // and plain SQL still parses normally through the delegate

@@ -197,6 +197,18 @@ class MorSqlSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(props.get("delete.mode").contains("merge-on-read"))
       assert(props.get("update.mode").contains("merge-on-read"))
+      // a DML targeting a FOREIGN table with the DV'd graft table as
+      // its SOURCE still gets the DV-aware rewrite (the skip applies
+      // only to graft-targeted DML)
+      val plain = "plain_mor_" + java.util.UUID.randomUUID().toString.take(8)
+      ext.sql(s"CREATE TABLE spark_catalog.default.$plain " +
+        "(id BIGINT, status STRING, price DOUBLE) USING parquet")
+      try {
+        ext.sql(s"INSERT INTO spark_catalog.default.$plain " +
+          s"SELECT id, status, price FROM graft.mor.$t")
+        assert(ext.sql(s"SELECT count(*) FROM spark_catalog.default.$plain")
+          .head.getLong(0) === 3L)
+      } finally ext.sql(s"DROP TABLE spark_catalog.default.$plain")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
