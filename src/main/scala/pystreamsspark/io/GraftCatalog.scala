@@ -382,7 +382,9 @@ class SnapshotV2Table(fullName: String, val dir: String,
       buckets.size == SnapshotTable.filePaths(dir, versionAsOf).size
     new GraftScanBuilder(dir, pt.fileIndex, schema, pt.dataSchema, options,
       SnapshotTable.bucketSpecOf(dir, versionAsOf),
-      if (allBucketed) buckets else Map.empty)
+      if (allBucketed) buckets else Map.empty,
+      // exact snapshot row count (manifest footer sums) → CBO numRows
+      SnapshotTable.rowCountOf(dir, versionAsOf))
   }
 }
 

@@ -99,7 +99,8 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("clustercols", StringType, nullable = true)(),
       AttributeReference("bucketcols", StringType, nullable = true)(),
       AttributeReference("buckets", IntegerType, nullable = true)(),
-      AttributeReference("epochs", StringType, nullable = true)())
+      AttributeReference("epochs", StringType, nullable = true)(),
+      AttributeReference("n_rows", LongType, nullable = true)())
     case _ => Seq(
       AttributeReference("kept_versions", IntegerType, nullable = false)())
   }

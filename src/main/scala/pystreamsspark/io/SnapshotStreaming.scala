@@ -151,7 +151,8 @@ private[io] class GraftScanBuilder(dir: String,
                                    dataSchema: StructType,
                                    options: CaseInsensitiveStringMap,
                                    bucketSpec: Option[(String, Int)] = None,
-                                   fileBuckets: Map[String, Int] = Map.empty)
+                                   fileBuckets: Map[String, Int] = Map.empty,
+                                   knownRows: Option[Long] = None)
   extends ParquetScanBuilder(GraftSqlShims.activeClassic(), fileIndex,
     schema, dataSchema, options) {
 
@@ -164,7 +165,7 @@ private[io] class GraftScanBuilder(dir: String,
       case Some((c, n)) if v2Bucketing && fileBuckets.nonEmpty =>
         new GraftBucketedParquetScan(dir, schema, options, s, c, n,
           fileBuckets)
-      case _ => new GraftParquetScan(dir, schema, options, s)
+      case _ => new GraftParquetScan(dir, schema, options, s, knownRows)
     }
   }
 }
@@ -175,7 +176,8 @@ private[io] class GraftScanBuilder(dir: String,
   * streaming entry point. */
 private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
                                    tblOptions: CaseInsensitiveStringMap,
-                                   s: ParquetScan)
+                                   s: ParquetScan,
+                                   knownRows: Option[Long] = None)
   extends ParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
     s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
     s.options, s.pushedAggregate, s.partitionFilters, s.dataFilters,
@@ -183,6 +185,26 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(dir, tableSchema, tblOptions)
+
+  /** EXACT table row count for the CBO, from the manifest's per-file
+    * footer counts — only when the scan reads the WHOLE snapshot (any
+    * pushed filter/aggregate makes the count an overestimate of the
+    * scan's output, so fall back to the size-only base estimate). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = super.estimateStatistics()
+    knownRows match {
+      case Some(n) if pushedFilters.isEmpty && dataFilters.isEmpty &&
+          partitionFilters.isEmpty && pushedAggregate.isEmpty =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            base.sizeInBytes()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        }
+      case _ => base
+    }
+  }
 }
 
 /** The storage-partitioned scan of a BUCKETED snapshot table: the

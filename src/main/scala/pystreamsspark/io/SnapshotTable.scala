@@ -126,16 +126,19 @@ object SnapshotTable {
   private[io] case class FileEntry(path: String,
                                    stats: Map[String, (String, String)],
                                    dv: Option[String] = None,
-                                   bucket: Option[Int] = None) {
+                                   bucket: Option[Int] = None,
+                                   rows: Option[Long] = None) {
     def serialize: String = {
       val statsStr = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
       }.mkString(";")
       // positional: field 2 is always the (possibly empty) stats string
       // when ANY tagged field follows; fields 3+ are `key=value` tagged
-      // (dv=…, bucket=…) so older and newer readers agree on framing
+      // (dv=…, bucket=…, rows=…) so older and newer readers agree on
+      // framing
       val tagged = dv.map(d => s"dv=$d").toSeq ++
-        bucket.map(b => s"bucket=$b").toSeq
+        bucket.map(b => s"bucket=$b").toSeq ++
+        rows.map(r => s"rows=$r").toSeq
       if (tagged.nonEmpty) (Seq(path, statsStr) ++ tagged).mkString("\t")
       else if (stats.nonEmpty) s"$path\t$statsStr"
       else path
@@ -159,7 +162,8 @@ object SnapshotTable {
           val Array(k, v) = f.split("=", 2); k -> v
         }.toMap
         FileEntry(parts(0), parseStats(parts(1)),
-          tagged.get("dv"), tagged.get("bucket").map(_.toInt))
+          tagged.get("dv"), tagged.get("bucket").map(_.toInt),
+          tagged.get("rows").map(_.toLong))
       case other => throw new IllegalStateException(
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
@@ -403,9 +407,21 @@ object SnapshotTable {
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$batch/$n").sorted
+    // exact per-file ROW COUNTS come free from the parquet footers the
+    // write just produced — O(#batch files) tiny driver reads, feeding
+    // DESCRIBE DETAIL and the V2 scan's CBO statistics (numRows)
+    def footerRows(rel: String): Option[Long] =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(dir, rel).toString),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Some(r.getRecordCount) finally r.close()
+      } catch { case _: Exception => None }
     def entryOf(p: String, stats: Map[String, (String, String)]): FileEntry =
       FileEntry(p, stats,
-        bucket = bucketOf(p.substring(p.lastIndexOf('/') + 1)))
+        bucket = bucketOf(p.substring(p.lastIndexOf('/') + 1)),
+        rows = footerRows(p))
     val presentStats = statsCols.filter(df.schema.fieldNames.contains)
     if (presentStats.isEmpty) rel.map(entryOf(_, Map.empty))
     else {
@@ -2167,9 +2183,23 @@ object SnapshotTable {
     }
   }
 
+  /** EXACT row count of a snapshot — the sum of the manifest's
+    * per-file footer counts, when every entry carries one (tables
+    * written before the `rows=` tag existed have unknown entries) and
+    * no deletion vectors are live (a DV hides rows the footers still
+    * count). Pure driver metadata; None = unknown. */
+  def rowCountOf(dir: String,
+                 versionAsOf: Option[Int] = None): Option[Long] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) return None
+    val m = readManifest(dir, v)
+    if (m.files.exists(f => f.dv.isDefined || f.rows.isEmpty)) None
+    else Some(m.files.flatMap(_.rows).sum)
+  }
+
   /** DESCRIBE DETAIL row: (location, version, n_files, n_dv_files,
-    * clustercols, bucketcols, buckets, epochs) — pure driver metadata
-    * from the latest manifest. */
+    * clustercols, bucketcols, buckets, epochs, n_rows) — pure driver
+    * metadata from the latest manifest. */
   def detail(dir: String): Seq[Any] = {
     val v = latestVersion(dir)
     require(v >= 1, s"no committed version at $dir")
@@ -2178,7 +2208,8 @@ object SnapshotTable {
       if (m.statsCols.isEmpty) null else m.statsCols.mkString(","),
       m.bucketSpec.map(_._1).orNull,
       m.bucketSpec.map(b => Int.box(b._2)).orNull,
-      m.header.get("epochs").orNull)
+      m.header.get("epochs").orNull,
+      rowCountOf(dir, Some(v)).map(Long.box).orNull)
   }
 
   /** Commit history as a DataFrame:
