@@ -168,15 +168,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft ALTER TABLE supports ADD COLUMNS (files null-fill) and SET " +
         "TBLPROPERTIES (row-level modes / check); " +
         s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
+    // validate EVERY change before committing ANY: a mixed statement
+    // whose ADD COLUMNS part fails after the property commit landed
+    // would leave the single ALTER half-applied across two commits
+    adds.foreach(a => require(a.fieldNames.length == 1,
+      s"ADD COLUMNS adds top-level columns, got nested " +
+        a.fieldNames.mkString(".")))
+    if (adds.nonEmpty) {
+      val existing = SnapshotTable.schemaOf(dir).fieldNames.toSet
+      adds.foreach(a => require(!existing.contains(a.fieldNames.head),
+        s"column ${a.fieldNames.head} already exists"))
+    }
     // SET TBLPROPERTIES: one metadata commit updating the mutable
     // properties; a retroactive CHECK validates existing rows first
     if (setProps.nonEmpty)
       SnapshotTable.setProperties(
         org.apache.spark.sql.SparkSession.active, dir,
         setProps.map(p => p.property() -> p.value()).toMap)
-    adds.foreach(a => require(a.fieldNames.length == 1,
-      s"ADD COLUMNS adds top-level columns, got nested " +
-        a.fieldNames.mkString(".")))
     if (adds.nonEmpty)
       SnapshotTable.evolveSchema(dir, StructType(adds.map(a =>
         StructField(a.fieldNames.head, a.dataType, nullable = true))))

@@ -1469,9 +1469,30 @@ object SnapshotTable {
     // the joined-row namespace reserves marker names; a user column
     // that would collide (a source column named `exists` renames to
     // the `_s_exists` marker, a target column named `_action` would be
-    // clobbered by withColumn) must fail LOUDLY — silent clobbering
-    // would produce wrong merge results with no error
-    val reserved = Set("_s_exists", "_t_exists", "_action", "_rn", "_ins")
+    // clobbered by withColumn, either side named `_src_file`/`_src_pos`
+    // would be clobbered by the tagged reader's row-identity columns)
+    // must fail LOUDLY — silent clobbering would produce wrong merge
+    // results (or corrupt DV keying) with no error
+    val reserved = Set("_s_exists", "_t_exists", "_action", "_rn", "_ins",
+      "_src_file", "_src_pos")
+    // every explicit assignment target must resolve to a declared
+    // column — Spark's default resolution is case-insensitive, and the
+    // parsed SnapshotSql route delivers raw attribute text, so a
+    // typo'd or case-variant SET/INSERT column would otherwise be
+    // silently dropped (the update/updateVectors validation, mirrored);
+    // keys normalize to the schema's declared case before projection
+    val colByLower = schemaNow.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    def normalizeSets(cl: MergeClause, what: String): MergeClause =
+      if (cl.sets.isEmpty) cl
+      else cl.copy(sets = cl.sets.map { case (k, e) =>
+        colByLower.getOrElse(k.toLowerCase,
+          throw new IllegalArgumentException(
+            s"MERGE $what targets unknown column $k (have " +
+              s"${schemaNow.fieldNames.mkString(",")})")) -> e })
+    val matchedN = matched.map(normalizeSets(_, "UPDATE SET"))
+    val notMatchedN = notMatched.map(normalizeSets(_, "INSERT"))
+    val notMatchedBySourceN =
+      notMatchedBySource.map(normalizeSets(_, "UPDATE SET"))
     source.columns.foreach(c => require(
       !reserved.contains(s"_s_$c") && !reserved.contains(c),
       s"MERGE source column `$c` collides with an internal marker name"))
@@ -1493,7 +1514,7 @@ object SnapshotTable {
       else pruneCandidates(m, source, prunable)
     val tagged = readEntries(spark, dir, m, candidates, tagged = true)
       .withColumn("_t_exists", lit(true))
-    val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
+    val joinType = if (notMatchedN.nonEmpty) "full_outer" else "left_outer"
     val tEx = coalesce(col("_t_exists"), lit(false))
     val sEx = coalesce(col("_s_exists"), lit(false))
     // first applicable clause per row — CaseWhen gives the in-order,
@@ -1507,10 +1528,10 @@ object SnapshotTable {
       }
     val action =
       when(tEx && sEx,
-        if (matched.isEmpty) lit(null).cast("int") else firstIdx(matched, 0))
+        if (matchedN.isEmpty) lit(null).cast("int") else firstIdx(matchedN, 0))
         .when(tEx && !sEx,
-          if (notMatchedBySource.isEmpty) lit(null).cast("int")
-          else firstIdx(notMatchedBySource, 1000))
+          if (notMatchedBySourceN.isEmpty) lit(null).cast("int")
+          else firstIdx(notMatchedBySourceN, 1000))
         .otherwise(lit(null).cast("int"))
     val joined = tagged.join(srcR, expr(onSql), joinType)
       .withColumn("_action", action)
@@ -1519,7 +1540,7 @@ object SnapshotTable {
       // ANSI cardinality rule: >1 APPLICABLE source match for one
       // target row is nondeterministic — fail loudly (matches with no
       // applicable clause are harmless: the row carries once)
-      if (matched.nonEmpty) {
+      if (matchedN.nonEmpty) {
         val dup = joined
           .filter(tEx && sEx && col("_action").isNotNull)
           .groupBy(col("_src_file"), col("_src_pos"))
@@ -1542,8 +1563,8 @@ object SnapshotTable {
         .partitionBy(col("_src_file"), col("_src_pos"))
         .orderBy(col("_action").asc_nulls_last)
       val deleteActions: Seq[Int] =
-        matched.zipWithIndex.collect { case (c, i) if c.kind == "delete" => i } ++
-          notMatchedBySource.zipWithIndex.collect {
+        matchedN.zipWithIndex.collect { case (c, i) if c.kind == "delete" => i } ++
+          notMatchedBySourceN.zipWithIndex.collect {
             case (c, i) if c.kind == "delete" => i + 1000 }
       def setExpr(f: StructField, cl: MergeClause): Column =
         if (cl.sets.isEmpty) { // star: same-named source column
@@ -1554,9 +1575,9 @@ object SnapshotTable {
           case None         => col(f.name)
         }
       val updateByAction: Seq[(Int, MergeClause)] =
-        matched.zipWithIndex.collect {
+        matchedN.zipWithIndex.collect {
           case (c, i) if c.kind == "update" => (i, c) } ++
-          notMatchedBySource.zipWithIndex.collect {
+          notMatchedBySourceN.zipWithIndex.collect {
             case (c, i) if c.kind == "update" => (i + 1000, c) }
       val outCols = schemaNow.fields.toSeq.map { f =>
         updateByAction.foldRight(col(f.name)) { case ((idx, cl), els) =>
@@ -1564,11 +1585,11 @@ object SnapshotTable {
         }.cast(f.dataType).as(f.name)
       }
       val inserts =
-        if (notMatched.isEmpty) None
+        if (notMatchedN.isEmpty) None
         else {
           val unmatched = joined.filter(!tEx && sEx)
-            .withColumn("_ins", firstIdx(notMatched, 0))
-          val perClause = notMatched.zipWithIndex.map { case (cl, i) =>
+            .withColumn("_ins", firstIdx(notMatchedN, 0))
+          val perClause = notMatchedN.zipWithIndex.map { case (cl, i) =>
             unmatched.filter(col("_ins") === i)
               .select(schemaNow.fields.toSeq.map { f =>
                 (if (cl.sets.isEmpty) {
@@ -1701,6 +1722,13 @@ object SnapshotTable {
                     fromVersion: Option[Int] = None,
                     maxRetries: Int = 5): Int = commitWithRebase(
       dir, fromVersion, maxRetries) { (base, m) =>
+    // the tagged reader appends `_src_file`/`_src_pos` row-identity
+    // columns; a same-named TABLE column would be silently clobbered
+    // and corrupt the DV keying — refuse loudly (generalMerge's
+    // reserved-namespace law)
+    m.schema.foreach(s => Seq("_src_file", "_src_pos").foreach(c =>
+      require(!s.fieldNames.contains(c),
+        s"table column `$c` collides with the row-identity namespace")))
     val matches = readEntries(spark, dir, m, m.files, tagged = true)
       .filter(predicate)
       .select(col("_src_file").as("file"), col("_src_pos").as("pos"))
@@ -1787,6 +1815,10 @@ object SnapshotTable {
       s"manifest at $dir records no schema"))
     sets.foreach { case (c, _) => require(schemaNow.fieldNames.contains(c),
       s"UPDATE of unknown column $c (have ${schemaNow.fieldNames.mkString(",")})") }
+    // tagged-reader row-identity namespace (see deleteVectors)
+    Seq("_src_file", "_src_pos").foreach(c =>
+      require(!schemaNow.fieldNames.contains(c),
+        s"table column `$c` collides with the row-identity namespace"))
     if (m.files.isEmpty) base
     else {
       val matches = readEntries(spark, dir, m, m.files, tagged = true)
@@ -1879,7 +1911,12 @@ object SnapshotTable {
         if (ledgerDirs.isEmpty || listed.isEmpty) listed
         else {
           import spark.implicits._
-          val listedDf = listed.map(st => (st.getPath.toUri.getPath,
+          // FULL URI string — a scheme-less path would alias two
+          // staging sources on different filesystems/buckets that share
+          // a path (and size/mtime), silently skipping a real load.
+          // (Ledgers written by the pre-r11 code carry scheme-less
+          // paths; their files re-key once under the new rendering.)
+          val listedDf = listed.map(st => (st.getPath.toUri.toString,
             st.getLen, st.getModificationTime))
             .toDF("path", "size", "mtime")
           val ledger = spark.read
@@ -1887,7 +1924,7 @@ object SnapshotTable {
           val keep = listedDf.join(ledger,
             Seq("path", "size", "mtime"), "left_anti")
             .select(col("path")).collect().map(_.getString(0)).toSet
-          listed.filter(st => keep.contains(st.getPath.toUri.getPath))
+          listed.filter(st => keep.contains(st.getPath.toUri.toString))
         }
       loadedCount = fresh.size
       if (fresh.isEmpty) base
@@ -1908,7 +1945,7 @@ object SnapshotTable {
         // first, referenced only by the new manifest's header
         val batch = s"copy/${java.util.UUID.randomUUID().toString.take(8)}"
         import spark.implicits._
-        fresh.map(st => (st.getPath.toUri.getPath, st.getLen,
+        fresh.map(st => (st.getPath.toUri.toString, st.getLen,
             st.getModificationTime))
           .toDF("path", "size", "mtime")
           .coalesce(1).write.parquet(Paths.get(dir, batch).toString)

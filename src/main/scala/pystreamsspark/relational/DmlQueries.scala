@@ -77,7 +77,8 @@ object DmlQueries {
     * statement: a conditional non-star matched UPDATE (cheap rows
     * re-priced source+target, flagged 'M'), a fall-through matched
     * DELETE (expensive matches removed), a conditional non-star INSERT
-    * (only %20 keys, at half the source price), and a conditional
+    * (only %20==15 keys — unmatched source keys satisfy %4==3, so this
+    * residue actually inserts rows; r10's %20==0 was provably dead), and a conditional
     * `WHEN NOT MATCHED BY SOURCE` UPDATE (%7 stale rows flagged 'S').
     * The oracle reconstructs the same four-way outcome relationally
     * with LEFT JOINs + CASE from the original parquet — a green row
@@ -95,7 +96,7 @@ object DmlQueries {
       "WHEN MATCHED AND t.o_totalprice < 100000.0 THEN UPDATE SET " +
       "  o_totalprice = s.o_totalprice + t.o_totalprice, o_orderstatus = 'M' " +
       "WHEN MATCHED THEN DELETE " +
-      "WHEN NOT MATCHED AND s.o_orderkey % 20 = 0 THEN " +
+      "WHEN NOT MATCHED AND s.o_orderkey % 20 = 15 THEN " +
       "  INSERT (o_orderkey, o_orderstatus, o_totalprice) " +
       "  VALUES (s.o_orderkey, 'N', s.o_totalprice / 2) " +
       "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0 THEN " +
@@ -128,7 +129,7 @@ object DmlQueries {
        |  SELECT s.o_orderkey, 'N' AS o_orderstatus,
        |    s.o_totalprice / 2 AS o_totalprice
        |  FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
-       |  WHERE b.o_orderkey IS NULL AND s.o_orderkey % 20 = 0),
+       |  WHERE b.o_orderkey IS NULL AND s.o_orderkey % 20 = 15),
        |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
        |SELECT o_orderstatus, COUNT(*) AS n,
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
