@@ -154,26 +154,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     load(ident, None)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS (…)`: schema evolution as ONE metadata
-    * commit — existing files null-fill the new columns on read. Other
-    * changes are refused (drops/renames would need column-id mapping;
-    * this format identifies columns by name, deliberately). */
+  /** Schema evolution + properties as metadata commits:
+    * `ADD COLUMNS` (files null-fill), `RENAME COLUMN` / `DROP COLUMN`
+    * (column mapping — physical names stay, logical names move;
+    * [[SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]]),
+    * `ALTER COLUMN … TYPE` for safe widenings (int→long, float→double —
+    * the parquet reader promotes old pages natively), and `SET
+    * TBLPROPERTIES` (row-level modes / check). No data file is touched
+    * by any of them. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val setProps = changes.collect { case s: TableChange.SetProperty => s }
-    require(adds.size + setProps.size == changes.size,
-      "graft ALTER TABLE supports ADD COLUMNS (files null-fill) and SET " +
-        "TBLPROPERTIES (row-level modes / check); " +
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    require(adds.size + setProps.size + renames.size + drops.size +
+      widens.size == changes.size,
+      "graft ALTER TABLE supports ADD COLUMNS, RENAME COLUMN, DROP " +
+        "COLUMN, ALTER COLUMN … TYPE (safe widenings) and SET " +
+        "TBLPROPERTIES; " +
         s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
     // validate EVERY change before committing ANY: a mixed statement
-    // whose ADD COLUMNS part fails after the property commit landed
-    // would leave the single ALTER half-applied across two commits
-    adds.foreach(a => require(a.fieldNames.length == 1,
-      s"ADD COLUMNS adds top-level columns, got nested " +
-        a.fieldNames.mkString(".")))
+    // whose later part fails after an earlier commit landed would leave
+    // the single ALTER half-applied across two commits
+    (adds.map(_.fieldNames) ++ renames.map(_.fieldNames) ++
+      drops.map(_.fieldNames) ++ widens.map(_.fieldNames)).foreach(fn =>
+      require(fn.length == 1,
+        s"graft ALTER TABLE changes top-level columns, got nested " +
+          fn.mkString(".")))
     if (adds.nonEmpty) {
       val existing = SnapshotTable.schemaOf(dir).fieldNames.toSet
       adds.foreach(a => require(!existing.contains(a.fieldNames.head),
@@ -188,6 +199,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (adds.nonEmpty)
       SnapshotTable.evolveSchema(dir, StructType(adds.map(a =>
         StructField(a.fieldNames.head, a.dataType, nullable = true))))
+    renames.foreach(r =>
+      SnapshotTable.renameColumn(dir, r.fieldNames.head, r.newName))
+    drops.foreach { d =>
+      val exists = SnapshotTable.schemaOf(dir).fieldNames
+        .contains(d.fieldNames.head)
+      if (exists || !d.ifExists())
+        SnapshotTable.dropColumn(dir, d.fieldNames.head)
+    }
+    widens.foreach(u =>
+      SnapshotTable.widenColumn(dir, u.fieldNames.head, u.newDataType))
     load(ident, None)
   }
 
@@ -375,6 +396,14 @@ class SnapshotV2Table(fullName: String, val dir: String,
         s"$fullName carries deletion vectors (merge-on-read DELETE/" +
           "UPDATE); read it on a GraftExtensions session (DV-aware " +
           "rewrite), via SnapshotTable.read, or OPTIMIZE/compact() first")
+    // same law for COLUMN MAPPING: a raw file scan reads physical
+    // names, so a renamed snapshot needs the logical projection — the
+    // extensions rule rewrites it; a plain session refuses loudly
+    if (SnapshotTable.hasColumnMapping(dir, versionAsOf))
+      throw new UnsupportedOperationException(
+        s"$fullName has renamed columns (column mapping); read it on a " +
+          "GraftExtensions session, via SnapshotTable.read, or " +
+          "OPTIMIZE/compact() first to materialize the mapping")
     val pt = ParquetTable(fullName, GraftSqlShims.activeClassic(), options,
       SnapshotTable.filePaths(dir, versionAsOf), Some(schema),
       classOf[ParquetFileFormat])

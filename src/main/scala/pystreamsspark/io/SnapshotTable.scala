@@ -187,6 +187,27 @@ object SnapshotTable {
     def bucketSpec: Option[(String, Int)] = for {
       c <- header.get("bucketcols"); n <- header.get("buckets")
     } yield (c, n.toInt)
+    /** COLUMN MAPPING (the field-id idea by stable PHYSICAL names —
+      * public design of Delta column mapping / Iceberg field ids,
+      * original implementation): logical → physical column-name pairs,
+      * NON-IDENTITY entries only. A column's physical name is fixed at
+      * birth and is what every data file stores; `ALTER TABLE … RENAME
+      * COLUMN` changes only the logical name (one metadata commit) and
+      * old + new files alike read through the mapping. Empty map =
+      * never renamed = files are readable by name directly. */
+    def colmap: Map[String, String] =
+      header.get("colmap").map(_.split(";").iterator.filter(_.nonEmpty)
+        .map { kv =>
+          val Array(l, p) = kv.split("=", 2)
+          FileEntry.dec(l) -> FileEntry.dec(p)
+        }.toMap).getOrElse(Map.empty)
+    /** Physical names RETIRED by `DROP COLUMN`: still present in old
+      * data files, so a later ADD COLUMNS of the same logical name must
+      * bind to a FRESH physical name — otherwise the dropped column's
+      * stale values would resurrect into the new column. */
+    def retired: Set[String] =
+      header.get("retired").map(_.split(";").iterator.filter(_.nonEmpty)
+        .map(FileEntry.dec).toSet).getOrElse(Set.empty)
     /** Headers every child commit must carry forward so vacuum cannot
       * destroy them: the committed-epoch range-set, the cluster-key
       * stats column list, the stats-format marker, and the bucket
@@ -201,7 +222,9 @@ object SnapshotTable {
         header.get("updatemode").map("updatemode" -> _) ++
         header.get("mergemode").map("mergemode" -> _) ++
         header.get("copyledger").map("copyledger" -> _) ++
-        header.get("check").map("check" -> _)).toSeq
+        header.get("check").map("check" -> _) ++
+        header.get("colmap").map("colmap" -> _) ++
+        header.get("retired").map("retired" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -258,6 +281,43 @@ object SnapshotTable {
       case (acc, r) => r :: acc
     }.reverse
   }
+
+  // ---------------------------------------------------------------------
+  // Column-mapping helpers (see Manifest.colmap): encode/decode of the
+  // manifest headers plus the cheap "may this table be mapped at all"
+  // marker the analyzer rule checks per iteration.
+  // ---------------------------------------------------------------------
+  private def encodeColmap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"${FileEntry.enc(l)}=${FileEntry.enc(p)}" }.mkString(";")
+
+  private def encodeRetired(s: Set[String]): String =
+    s.toSeq.sorted.map(FileEntry.enc).mkString(";")
+
+  /** Logical→physical mapping of a snapshot (non-identity pairs only;
+    * empty = files readable by name). Pure driver metadata. */
+  def columnMappingOf(dir: String,
+                      versionAsOf: Option[Int] = None): Map[String, String] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) Map.empty else readManifest(dir, v).colmap
+  }
+
+  /** True when the snapshot's files store any column under a physical
+    * name differing from its logical name — the state a raw V2 file
+    * scan cannot serve (reads must project through the mapping). */
+  def hasColumnMapping(dir: String,
+                       versionAsOf: Option[Int] = None): Boolean =
+    columnMappingOf(dir, versionAsOf).nonEmpty
+
+  /** One-stat-call pre-check for the analyzer rule (the DV `dv/`-dir
+    * idiom): a table that never renamed/dropped a column has no marker
+    * file, so the common case costs no manifest read. */
+  def mayHaveColumnMapping(dir: String): Boolean =
+    Files.exists(manifestDir(dir).resolve(".mapped"))
+
+  private def markMapped(dir: String): Unit =
+    try { Files.createFile(manifestDir(dir).resolve(".mapped")); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
   /** Atomic publish: CREATE_NEW is the commit point. The manifest
     * header records the table SCHEMA (as Spark's schema JSON) so a
@@ -347,7 +407,9 @@ object SnapshotTable {
     * skip non-overlapping files instead of scanning every live file. */
   private def writeBatch(df: DataFrame, dir: String,
                          numFiles: Option[Int] = None,
-                         statsCols: Seq[String] = Nil): Seq[FileEntry] = {
+                         statsCols: Seq[String] = Nil,
+                         mapOverride: Option[Map[String, String]] = None)
+      : Seq[FileEntry] = {
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
     val out = Paths.get(dir, batch)
     // a BUCKETED table's files must stay bucket-pure: `repartition(n,
@@ -362,11 +424,39 @@ object SnapshotTable {
     val bucketSpec = latestManifest.flatMap(_.bucketSpec)
     bucketSpec.foreach { case (c, _) => require(df.columns.contains(c),
       s"bucketed table $dir requires column $c in every write batch") }
+    // COLUMN MAPPING, write side: the batch frame speaks LOGICAL names
+    // (shaping/stats/checks all do); the files store PHYSICAL names, so
+    // a renamed table's old and new files agree. `mapOverride` lets
+    // compact() write under a different (e.g. identity) mapping to
+    // MATERIALIZE renames away. A batch column outside the mapping is a
+    // schema-evolution newcomer: its physical name becomes its logical
+    // name, which must not collide with a retired or mapped-away
+    // physical name (the dropped/renamed column's stale file values
+    // would silently resurrect into it) — evolveSchema assigns fresh
+    // physical names for such adds; implicit evolution refuses.
+    val colmap = mapOverride.getOrElse(
+      latestManifest.map(_.colmap).getOrElse(Map.empty))
+    if (mapOverride.isEmpty) {
+      val retired = latestManifest.map(_.retired).getOrElse(Set.empty)
+      val occupied = retired ++ colmap.values
+      df.columns.filterNot(colmap.contains).foreach(c =>
+        require(!occupied.contains(c),
+          s"column name $c collides with a retired/renamed physical " +
+            "column of this table; add it via ALTER TABLE ADD COLUMNS " +
+            "(which assigns a fresh physical name) or OPTIMIZE first"))
+    }
     val shaped = bucketSpec match {
       case Some((c, n)) => df.repartition(n, col(c))
       case None         => numFiles.map(df.repartition(_)).getOrElse(df)
     }
-    shaped.write.parquet(out.toString)
+    // the logical→physical projection is NARROW (select of aliases):
+    // partition indices and within-partition order — the bucket and
+    // clustering laws — survive it by construction
+    val physDf =
+      if (colmap.isEmpty) shaped
+      else shaped.select(shaped.columns.toSeq.map(c =>
+        col(c).as(colmap.getOrElse(c, c))): _*)
+    physDf.write.parquet(out.toString)
     // CHECK-constraint enforcement: this is the ONE data-file funnel
     // every batch write path shares (append, INSERT, COPY, CoW
     // rewrites, MoR image batches), so the declared predicate holds
@@ -380,7 +470,16 @@ object SnapshotTable {
     // constraints on batch-maintained tables.)
     latestManifest.flatMap(_.header.get("check"))
       .map(FileEntry.dec).foreach { pred =>
-      val batchDf = df.sparkSession.read.parquet(out.toString)
+      // the CHECK predicate speaks logical names — project the re-read
+      // batch (physical names) back through the mapping first
+      val batchRaw = df.sparkSession.read.parquet(out.toString)
+      val batchDf =
+        if (colmap.isEmpty) batchRaw
+        else {
+          val inv = colmap.map(_.swap)
+          batchRaw.select(batchRaw.columns.toSeq.map(c =>
+            col(c).as(inv.getOrElse(c, c))): _*)
+        }
       val schemaCols =
         latestManifest.flatMap(_.schema).map(_.fields.toSeq).getOrElse(Nil)
       val padded = schemaCols
@@ -427,10 +526,14 @@ object SnapshotTable {
     else {
       // per-file min/max in ONE scan of the new batch's stat columns;
       // values rendered via statAgg (epoch-micros for timestamps,
-      // string cast otherwise), compared TYPED at prune time
+      // string cast otherwise), compared TYPED at prune time. The
+      // re-read batch carries PHYSICAL names; stats record under the
+      // LOGICAL key (what statscols/pruneWhere speak).
       val aggs = presentStats.flatMap(c => Seq(
-        statAgg(c, df.schema(c).dataType, isMin = true).as(s"lo_$c"),
-        statAgg(c, df.schema(c).dataType, isMin = false).as(s"hi_$c")))
+        statAgg(colmap.getOrElse(c, c), df.schema(c).dataType,
+          isMin = true).as(s"lo_$c"),
+        statAgg(colmap.getOrElse(c, c), df.schema(c).dataType,
+          isMin = false).as(s"hi_$c")))
       val byFile = df.sparkSession.read.parquet(out.toString)
         .groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -647,9 +750,25 @@ object SnapshotTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     }
     val paths = entries.map(f => Paths.get(dir, f.path).toString)
-    val base = schemaOpt.map(spark.read.schema).getOrElse(spark.read)
+    // COLUMN MAPPING, read side: files store PHYSICAL names — read with
+    // the physically-renamed schema, then project back to logical names
+    // (identity for never-renamed tables). The projection runs AFTER
+    // the _metadata/DV work below: a select drops the pseudo-column.
+    val colmap = if (schemaOpt.isEmpty) Map.empty[String, String]
+                 else m.colmap
+    val physSchema = schemaOpt.map(s =>
+      if (colmap.isEmpty) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = colmap.getOrElse(f.name, f.name)))))
+    val base = physSchema.map(spark.read.schema).getOrElse(spark.read)
       .parquet(paths: _*)
-    if (!tagged && dvDirs.isEmpty) return base
+    def logicalCols: Seq[Column] = schemaOpt match {
+      case Some(s) if colmap.nonEmpty =>
+        s.fields.toSeq.map(f => col(colmap.getOrElse(f.name, f.name)).as(f.name))
+      case _ => base.columns.toSeq.map(col)
+    }
+    if (!tagged && dvDirs.isEmpty)
+      return if (colmap.isEmpty) base else base.select(logicalCols: _*)
     // the relative manifest path is always the last 3 URI components:
     // data/<batch>/<part-file>
     val withMeta = base
@@ -666,10 +785,9 @@ object SnapshotTable {
           col("_src_file") === col("__dv_file") &&
             col("_src_pos") === col("__dv_pos"), "left_anti")
       }
-    val dataCols = base.columns.toSeq.map(col)
     if (tagged)
-      applied.select(dataCols ++ Seq(col("_src_file"), col("_src_pos")): _*)
-    else applied.select(dataCols: _*)
+      applied.select(logicalCols ++ Seq(col("_src_file"), col("_src_pos")): _*)
+    else applied.select(logicalCols: _*)
   }
 
   /** True when the snapshot carries any deletion vector — the state the
@@ -1066,6 +1184,18 @@ object SnapshotTable {
             .map(_.toLong)
             .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
       if (rangesContain(ranges, epochId)) return false
+      // executor tasks wrote these files under the frame's LOGICAL
+      // names — on a column-mapped table they would disagree with every
+      // other file's physical names; refuse rather than corrupt
+      // (OPTIMIZE materializes the mapping away and restores the path)
+      require(!latestM.exists(_.colmap.nonEmpty),
+        s"streaming write into column-mapped table $dir: run OPTIMIZE " +
+          "to materialize the rename mapping first")
+      latestM.map(_.retired).getOrElse(Set.empty)
+        .intersect(writeSchema.fieldNames.toSet).foreach(c =>
+          throw new IllegalArgumentException(
+            s"streamed column $c collides with a retired physical " +
+              s"column of $dir; OPTIMIZE first or rename the stream side"))
       val prior = latestM.map(_.files).getOrElse(Seq.empty)
       val evolved = latestM.flatMap(_.schema)
         .map(unionSchema(_, writeSchema)).getOrElse(writeSchema)
@@ -1962,7 +2092,13 @@ object SnapshotTable {
 
   /** Compaction: rewrite the CURRENT snapshot into `target` files under
     * a new version. Content-identical by construction; older versions
-    * keep reading their original files (snapshot isolation). */
+    * keep reading their original files (snapshot isolation). Also the
+    * MATERIALIZATION step for both merge-on-read sidecars and COLUMN
+    * MAPPING: the rewrite reads through DVs + the logical projection
+    * and writes plain files under the LOGICAL names (identity
+    * mapOverride), dropping the colmap/retired headers — renamed/
+    * dropped-column history costs one amortized rewrite, after which
+    * raw V2 scans work again (old snapshots keep their own mapping). */
   def compact(spark: SparkSession, dir: String, target: Int): Int = {
     val base = latestVersion(dir)
     val m = readManifest(dir, base)
@@ -1976,13 +2112,15 @@ object SnapshotTable {
       if (m.statsCols.nonEmpty)
         writeBatch(snapshot.repartitionByRange(target, m.statsCols.map(col): _*)
           .sortWithinPartitions(m.statsCols.map(col): _*),
-          dir, None, m.statsCols)
-      else writeBatch(snapshot, dir, Some(target), m.statsCols)
+          dir, None, m.statsCols, mapOverride = Some(Map.empty))
+      else writeBatch(snapshot, dir, Some(target), m.statsCols,
+        mapOverride = Some(Map.empty))
     val v = base + 1
     // compact rewrites every file's stats under the CURRENT renderer, so
     // it also upgrades a legacy (pre-micros-v2) table: stamp the format
     // marker and timestamp pruning resumes — the documented one-time fix
-    val extras = m.carried.filterNot(_._1 == "statsfmt") ++
+    val extras = m.carried.filterNot(e =>
+      Set("statsfmt", "colmap", "retired")(e._1)) ++
       (if (m.statsCols.nonEmpty) Seq("statsfmt" -> STATS_FMT) else Nil)
     commit(dir, v, "compact", base, files, Some(snapshot.schema), extras)
     v
@@ -2152,19 +2290,197 @@ object SnapshotTable {
   /** ALTER TABLE ADD COLUMNS: evolve the table schema by METADATA ONLY —
     * one commit whose manifest records the widened schema; existing
     * files are untouched and null-fill the new columns on read (the
-    * same evolution law appends with new columns already follow). */
+    * same evolution law appends with new columns already follow). A new
+    * column whose name matches a RETIRED or renamed-away physical name
+    * binds to a FRESH physical name through the column mapping, so the
+    * dropped/renamed column's stale file values can never resurrect
+    * into it. */
   def evolveSchema(dir: String, newCols: StructType,
-                   maxRetries: Int = 5): Int =
-    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+                   maxRetries: Int = 5): Int = {
+    var mapped = false
+    val out = commitWithRebase(dir, None, maxRetries) { (base, m) =>
       val cur = m.schema.getOrElse(throw new IllegalStateException(
         s"manifest v$base at $dir records no schema"))
       newCols.fields.foreach(f => require(!cur.fieldNames.contains(f.name),
         s"column ${f.name} already exists"))
+      // physical-name assignment: the logical name itself when free,
+      // else the first free `<name>_<i>` — `occupied` accumulates so
+      // two colliding adds in one statement get distinct names
+      var occupied = cur.fields.map(f =>
+        m.colmap.getOrElse(f.name, f.name)).toSet ++ m.retired ++
+        cur.fieldNames ++ newCols.fieldNames
+      var cm = m.colmap
+      newCols.fields.foreach { f =>
+        if ((m.retired ++ m.colmap.values).contains(f.name)) {
+          val phys = Iterator.from(2).map(i => s"${f.name}_$i")
+            .find(p => !occupied.contains(p)).get
+          occupied += phys
+          cm += f.name -> phys
+        }
+      }
+      val headers = m.carried.filterNot(_._1 == "colmap") ++
+        (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm)))
+      mapped = cm.nonEmpty
       val v = base + 1
       commit(dir, v, "evolve", base, m.files,
         Some(unionSchema(cur, deepNullable(newCols).asInstanceOf[StructType])),
-        m.carried)
+        headers)
       v
+    }
+    if (mapped) markMapped(dir)
+    out
+  }
+
+  /** True when the CHECK predicate text references column `c` —
+    * detected on the UNRESOLVED expression tree, so it works without a
+    * session. Conservative gate for rename/drop: rewriting predicate
+    * text is not attempted; the user drops the constraint first. */
+  private def predReferences(pred: String, c: String): Boolean =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(pred).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last.toLowerCase
+      }.contains(c.toLowerCase)
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — METADATA ONLY, the
+    * column-mapping payoff: the commit rewrites the schema (new logical
+    * name), points the mapping at the column's unchanged PHYSICAL name,
+    * and renames the cluster/bucket declarations and every file entry's
+    * stats key (manifests re-serialize per commit, so this is pure
+    * driver metadata). No data file is touched at any size; old files,
+    * new appends and stats-pruned reads/merges all keep working through
+    * the mapping — a spec asserts pruning survives renaming a cluster
+    * column. Reads on plain (non-extensions) sessions via the raw V2
+    * scan are refused like live DVs; [[compact]]/OPTIMIZE materializes
+    * the mapping away and restores them. A CHECK-referenced column
+    * refuses to rename (predicate text is not rewritten). */
+  def renameColumn(dir: String, oldName: String, newName: String,
+                   maxRetries: Int = 5): Int = {
+    val out = commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val cur = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest v$base at $dir records no schema"))
+      val f = cur.fields.find(_.name == oldName)
+        .orElse(cur.fields.find(_.name.equalsIgnoreCase(oldName)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $oldName in ${cur.fieldNames.mkString(",")}"))
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column $newName already exists")
+      require(!newName.startsWith("_s_") && !Set("_src_file", "_src_pos",
+        "_t_exists", "_s_exists", "_action", "_rn", "_ins")(newName),
+        s"$newName collides with the merge/row-identity namespace")
+      m.header.get("check").map(FileEntry.dec).foreach(pred =>
+        require(!predReferences(pred, f.name),
+          s"cannot rename ${f.name}: referenced by CHECK ($pred); drop " +
+            "the constraint first (ALTER … SET TBLPROPERTIES)"))
+      val phys = m.colmap.getOrElse(f.name, f.name)
+      val newSchema = StructType(cur.fields.map(x =>
+        if (x.name == f.name) x.copy(name = newName) else x))
+      val cm = (m.colmap - f.name) ++
+        (if (phys == newName) Map.empty[String, String]
+         else Map(newName -> phys))
+      val newStats = m.statsCols.map(c => if (c == f.name) newName else c)
+      val files = m.files.map(fe => fe.copy(stats = fe.stats.map {
+        case (k, v) => (if (k == f.name) newName else k) -> v }))
+      val headers = m.carried.filterNot(e =>
+        Set("colmap", "statscols", "bucketcols")(e._1)) ++
+        (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm))) ++
+        (if (m.statsCols.isEmpty) Nil
+         else Seq("statscols" -> newStats.mkString(","))) ++
+        m.header.get("bucketcols").map(c =>
+          "bucketcols" -> (if (c == f.name) newName else c))
+      val v = base + 1
+      commit(dir, v, "rename", base, files, Some(newSchema), headers)
+      v
+    }
+    markMapped(dir)
+    out
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — METADATA ONLY: the commit removes
+    * the field from the schema and RETIRES its physical name (old files
+    * keep the bytes; readers never project them; a later ADD COLUMNS of
+    * the same name binds to a fresh physical name, so the stale values
+    * cannot resurrect). Cluster/bucket/CHECK-referenced columns refuse
+    * — they are write-law declarations, not plain data. [[compact]]
+    * physically sheds the dropped bytes as a side effect of its
+    * rewrite. */
+  def dropColumn(dir: String, name: String, maxRetries: Int = 5): Int = {
+    val out = commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val cur = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest v$base at $dir records no schema"))
+      val f = cur.fields.find(_.name == name)
+        .orElse(cur.fields.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $name in ${cur.fieldNames.mkString(",")}"))
+      require(cur.fields.length > 1, "cannot drop the only column")
+      require(!m.statsCols.contains(f.name),
+        s"cannot drop cluster column ${f.name} (the table's layout law)")
+      m.bucketSpec.foreach { case (c, _) => require(c != f.name,
+        s"cannot drop bucket column ${f.name} (the table's layout law)") }
+      m.header.get("check").map(FileEntry.dec).foreach(pred =>
+        require(!predReferences(pred, f.name),
+          s"cannot drop ${f.name}: referenced by CHECK ($pred); drop " +
+            "the constraint first (ALTER … SET TBLPROPERTIES)"))
+      val phys = m.colmap.getOrElse(f.name, f.name)
+      val newSchema = StructType(cur.fields.filterNot(_.name == f.name))
+      val cm = m.colmap - f.name
+      val files = m.files.map(fe => fe.copy(stats = fe.stats - f.name))
+      val headers = m.carried.filterNot(e =>
+        Set("colmap", "retired")(e._1)) ++
+        (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm))) ++
+        Seq("retired" -> encodeRetired(m.retired + phys))
+      val v = base + 1
+      commit(dir, v, "drop", base, files, Some(newSchema), headers)
+      v
+    }
+    markMapped(dir)
+    out
+  }
+
+  /** Safe type WIDENINGS `ALTER TABLE … ALTER COLUMN c TYPE t` may
+    * apply as pure metadata: the parquet reader natively promotes the
+    * narrower stored values at scan time (int32 pages read through a
+    * BIGINT schema, float through DOUBLE), so no file rewrite happens
+    * at any size. Everything else — narrowing, long→double (lossy above
+    * 2^53), string↔numeric — is refused: that is a data rewrite, not an
+    * evolution. */
+  private val widenable: Map[DataType, Set[DataType]] = Map(
+    ByteType -> Set[DataType](ShortType, IntegerType, LongType, DoubleType),
+    ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
+    IntegerType -> Set[DataType](LongType, DoubleType),
+    FloatType -> Set[DataType](DoubleType))
+
+  /** Widen a column's declared type (see [[widenable]]): ONE metadata
+    * commit; old files read through the widened schema via the parquet
+    * reader's native type promotion, new appends write the wide type.
+    * Manifest min/max stats stay valid (their string renderings compare
+    * under the NEW type's numeric parse). A BUCKET column refuses:
+    * Spark hashes int32 and int64 differently, so widening would break
+    * the files' bucket-purity law. */
+  def widenColumn(dir: String, name: String, to: DataType,
+                  maxRetries: Int = 5): Int =
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val cur = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest v$base at $dir records no schema"))
+      val f = cur.fields.find(_.name == name)
+        .orElse(cur.fields.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $name in ${cur.fieldNames.mkString(",")}"))
+      if (sameTypeIgnoreNull(f.dataType, to)) base // no-op
+      else {
+        require(widenable.get(f.dataType).exists(_.contains(to)),
+          s"cannot change ${f.name}: ${f.dataType} -> $to is not a safe " +
+            s"widening (allowed: ${widenable.getOrElse(f.dataType, Set.empty)
+              .mkString(", ")})")
+        m.bucketSpec.foreach { case (c, _) => require(c != f.name,
+          s"cannot widen bucket column ${f.name}: int32/int64 hash " +
+            "differently, the bucket layout would break") }
+        val newSchema = StructType(cur.fields.map(x =>
+          if (x.name == f.name) x.copy(dataType = to) else x))
+        val v = base + 1
+        commit(dir, v, "widen", base, m.files, Some(newSchema), m.carried)
+        v
+      }
     }
 
   /** `ALTER TABLE … SET TBLPROPERTIES`: update the mutable table

