@@ -53,10 +53,12 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
           SnapshotSql.classifyMergeDispatch(t.dir, m) match {
             case SnapshotSql.FastDelete(keys) =>
               SnapshotDmlCommand("merge", t.dir, keyCols = keys,
-                source = Some(m.sourceTable), matchedDelete = true)
+                source = Some(m.sourceTable), matchedDelete = true,
+                evolve = m.withSchemaEvolution)
             case SnapshotSql.FastUpsert(keys) =>
               SnapshotDmlCommand("merge", t.dir, keyCols = keys,
-                source = Some(m.sourceTable))
+                source = Some(m.sourceTable),
+                evolve = m.withSchemaEvolution)
             // the general path renders resolved attributes, so wait for
             // the whole node to resolve (the fixed point keeps
             // iterating until then)
@@ -65,7 +67,8 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
                 t.dir, m, m.sourceTable.output.map(_.name))
               SnapshotDmlCommand("merge_general", t.dir, keyCols = keys,
                 source = Some(m.sourceTable), onSql = Some(onSql),
-                mergeMatched = ma, mergeNotMatched = nm, mergeNmbs = nmbs)
+                mergeMatched = ma, mergeNotMatched = nm, mergeNmbs = nmbs,
+                evolve = m.withSchemaEvolution)
             case _ => m
           }
         case _ => m
@@ -117,7 +120,8 @@ case class SnapshotDmlCommand(kind: String, dir: String,
                               onSql: Option[String] = None,
                               mergeMatched: Seq[SnapshotTable.MergeClause] = Nil,
                               mergeNotMatched: Seq[SnapshotTable.MergeClause] = Nil,
-                              mergeNmbs: Seq[SnapshotTable.MergeClause] = Nil)
+                              mergeNmbs: Seq[SnapshotTable.MergeClause] = Nil,
+                              evolve: Boolean = false)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
@@ -131,11 +135,15 @@ case class SnapshotDmlCommand(kind: String, dir: String,
         SnapshotSql.runUpdateSets(spark, dir, condSql.getOrElse("true"), sets)
       case "merge" =>
         val src = GraftSqlShims.ofRows(spark, source.get)
+        // MERGE WITH SCHEMA EVOLUTION: the evolve commit happens at RUN
+        // time (analysis must stay side-effect-free); idempotent
+        if (evolve) SnapshotSql.evolveForMerge(dir, src.schema)
         if (matchedDelete) SnapshotSql.runMergeDelete(spark, dir, src, keyCols)
         else SnapshotSql.runMergeUpsert(spark, dir, src, keyCols)
       case "merge_general" =>
-        SnapshotTable.generalMerge(spark, dir,
-          GraftSqlShims.ofRows(spark, source.get), keyCols, onSql.get,
+        val src = GraftSqlShims.ofRows(spark, source.get)
+        if (evolve) SnapshotSql.evolveForMerge(dir, src.schema)
+        SnapshotTable.generalMerge(spark, dir, src, keyCols, onSql.get,
           mergeMatched, mergeNotMatched, mergeNmbs)
       case "insert" =>
         SnapshotSql.runInsert(spark, dir,

@@ -514,6 +514,68 @@ object DmlQueries {
        |GROUP BY o_orderkey % 5
        |ORDER BY grp""".stripMargin
 
+  /** `MERGE WITH SCHEMA EVOLUTION` by SQL (round-11): the source
+    * carries o_custkey, which the target LACKS — the statement first
+    * widens the target schema by one metadata commit (old rows/files
+    * null-fill) and then runs the general merge (conditional INSERT
+    * forces the general path) against the widened schema, so the star
+    * UPDATE carries the new column onto matched rows. The oracle
+    * replays evolve+merge relationally: o_custkey is non-null exactly
+    * on the actioned rows. */
+  def qSqlMergeEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "sqlmergeevo")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"), col("o_custkey"))
+      .createOrReplaceTempView("dml_mergeevo_src")
+    SnapshotSql.sql(spark,
+      s"MERGE WITH SCHEMA EVOLUTION INTO $t t USING dml_mergeevo_src s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED AND s.o_orderkey % 20 = 15 THEN INSERT *")
+    val dir = SnapshotSql.resolveTable(spark, t.split('.').toSeq).get
+    require(pystreamsspark.io.SnapshotTable.schemaOf(dir)
+      .fieldNames.contains("o_custkey"),
+      "MERGE WITH SCHEMA EVOLUTION must add the source-only column")
+    spark.sql(s"SELECT o_orderstatus, COUNT(*) AS n, " +
+      "COUNT(o_custkey) AS n_cust, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      "CAST(SUM(o_custkey) AS BIGINT) AS cust_sum, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val qSqlMergeEvolveSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 <> 3),
+       |src AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice, o_custkey
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |kept AS (
+       |  SELECT b.o_orderkey,
+       |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'U'
+       |         ELSE b.o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+       |         ELSE b.o_totalprice END AS o_totalprice,
+       |    s.o_custkey
+       |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey),
+       |ins AS (
+       |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, s.o_custkey
+       |  FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+       |  WHERE b.o_orderkey IS NULL AND s.o_orderkey % 20 = 15),
+       |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  COUNT(o_custkey) AS n_cust,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM final
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge"      -> (qSqlMerge _),
     "q_sql_merge_rich" -> (qSqlMergeRich _),
@@ -526,7 +588,8 @@ object DmlQueries {
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_spj_snapshot"   -> (qSpjSnapshot _),
     "q_evolve_rename"  -> (qEvolveRename _),
-    "q_evolve_widen"   -> (qEvolveWiden _))
+    "q_evolve_widen"   -> (qEvolveWiden _),
+    "q_sql_merge_evolve" -> (qSqlMergeEvolve _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_merge"      -> qSqlMergeSql,
@@ -540,5 +603,6 @@ object DmlQueries {
     "q_sql_timetravel" -> qSqlTimetravelSql,
     "q_spj_snapshot"   -> qSpjSnapshotSql,
     "q_evolve_rename"  -> qEvolveRenameSql,
-    "q_evolve_widen"   -> qEvolveWidenSql)
+    "q_evolve_widen"   -> qEvolveWidenSql,
+    "q_sql_merge_evolve" -> qSqlMergeEvolveSql)
 }

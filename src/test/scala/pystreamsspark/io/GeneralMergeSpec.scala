@@ -198,6 +198,38 @@ class GeneralMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("marker"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the " +
+    "target, star clauses carry them (parsed-plan route)") {
+    val t = mkTable()
+    import spark.implicits._
+    // source carries `tag`, which the target lacks
+    Seq((2L, "U", 200.0, "hot"), (9L, "N", 90.0, "new"))
+      .toDF("id", "status", "price", "tag")
+      .createOrReplaceTempView("gm_evo_src")
+    // WITHOUT the clause the general path ignores the unknown column
+    SnapshotSql.sql(spark, s"MERGE INTO graft.gm.$t t USING gm_evo_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND s.price > 100.0 THEN UPDATE SET *")
+    assert(!spark.table(s"graft.gm.$t").columns.contains("tag"))
+    // WITH the clause: one evolve commit + the merge; old rows null-fill
+    SnapshotSql.sql(spark,
+      s"MERGE WITH SCHEMA EVOLUTION INTO graft.gm.$t t " +
+        "USING gm_evo_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED AND s.id > 8 THEN INSERT *")
+    val rows = spark.sql(s"SELECT id, status, price, tag FROM graft.gm.$t " +
+      "ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getString(3)))).toSeq
+    assert(rows === Seq(
+      (1L, "A", 10.0, None), (2L, "U", 200.0, Some("hot")),
+      (3L, "A", 30.0, None), (4L, "B", 40.0, None),
+      (5L, "C", 50.0, None), (9L, "N", 90.0, Some("new"))))
+    // the evolve is its own metadata commit in the history
+    assert(SnapshotTable.history(spark, dirOf(t)).collect()
+      .map(_.getString(1)).contains("evolve"))
+  }
+
   test("analyzer-rule route: plain spark.sql general MERGE on a " +
     "GraftExtensions session matches the parsed-plan route") {
     wh
@@ -234,6 +266,20 @@ class GeneralMergeSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
       assert(rows === Seq((1L, "A", 10.0), (2L, "B", 999.0),
         (3L, "A", 30.0), (4L, "B", 40.0), (9L, "n", 90.0)))
+      // MERGE WITH SCHEMA EVOLUTION through the rule route: the evolve
+      // commit fires at command run time, then the star update carries
+      // the new column
+      Seq((2L, "E", 222.0, 7L))
+        .toDF("id", "status", "price", "weight")
+        .createOrReplaceTempView("gm_ext_evo_src")
+      ext.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.gm.$t t " +
+        "USING gm_ext_evo_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+      val evolved = ext.sql(s"SELECT id, weight FROM graft.gm.$t " +
+        "ORDER BY id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(evolved.toSeq === Seq((1L, -1L), (2L, 7L), (3L, -1L),
+        (4L, -1L), (9L, -1L)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
