@@ -2262,6 +2262,20 @@ object SnapshotTable {
         }
       }
     }
+    // materialized CDC batches of vacuumed versions follow the manifest
+    // law: CDC reaches only the kept versions after a vacuum
+    val cdcRoot = Paths.get(dir, "_cdc")
+    if (Files.isDirectory(cdcRoot)) {
+      val keptNames = keep.map(v => f"v$v%08d").toSet
+      listDir(cdcRoot).foreach { batch =>
+        val n = batch.getFileName.toString
+        if ((n.startsWith("v") && !keptNames.contains(n)) ||
+          n.startsWith(".tmp-")) {
+          listDir(batch).foreach(Files.delete)
+          Files.delete(batch)
+        }
+      }
+    }
     versions.filterNot(keep.contains).foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
     }
@@ -2594,6 +2608,60 @@ object SnapshotTable {
     * columns plus `_change_type` ('insert' rows exist only in `toV`,
     * 'delete' rows only in `fromV`); multiset semantics — a row whose
     * duplicate count changed nets the difference. */
+  /** The CDC row schema: the table's data columns plus the change
+    * metadata every feed consumer keys on. */
+  def cdcSchema(schema: StructType): StructType =
+    schema.add("_change_type", StringType).add("_commit_version", LongType)
+
+  /** Per-version CDC batch as parquet files, MATERIALIZED ONCE under
+    * `dir/_cdc/v%08d` and reused by every later reader — the persisted-
+    * change-files idea (public design of Delta's change data feed),
+    * computed LAZILY at first read instead of taxing every commit:
+    * version v's batch is [[changesBetween]](v-1, v) (file-diff +
+    * netted exceptAll — only changed files are ever read) stamped with
+    * `_commit_version = v`; the FIRST surviving version emits its full
+    * snapshot as inserts. Publication is atomic (write to a temp dir,
+    * rename) so a crashed or racing materializer never leaves a
+    * half-written batch; a cached batch keeps serving even after the
+    * underlying manifests are vacuumed, and vacuum reclaims `_cdc`
+    * dirs of vacuumed versions. Returns the batch's parquet file
+    * paths (empty for metadata-only commits). */
+  private[io] def cdcFiles(spark: SparkSession, dir: String,
+                           v: Int): Seq[String] = {
+    val target = Paths.get(dir, "_cdc", f"v$v%08d")
+    if (!Files.isDirectory(target)) {
+      val versions = existingVersions(dir)
+      require(versions.contains(v),
+        s"version $v at $dir does not exist (vacuumed?) — CDC cannot " +
+          "replay it; restart the feed from a newer startingVersion")
+      val changes =
+        if (v == versions.head)
+          read(spark, dir, Some(v)).withColumn("_change_type", lit("insert"))
+        else {
+          require(versions.contains(v - 1),
+            s"version ${v - 1} at $dir was vacuumed — CDC for version " +
+              s"$v needs both adjacent manifests (or a pre-materialized " +
+              "_cdc batch)")
+          changesBetween(spark, dir, v - 1, v)
+        }
+      val tmp = Paths.get(dir, "_cdc",
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      changes.withColumn("_commit_version", lit(v.toLong))
+        .write.parquet(tmp.toString)
+      try { Files.move(tmp, target); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // a racing materializer published first — identical content
+          // by construction (deterministic replay); drop ours
+          listDir(tmp).foreach(Files.delete)
+          Files.delete(tmp)
+      }
+    }
+    listDir(target).map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+  }
+
   def changesBetween(spark: SparkSession, dir: String,
                      fromV: Int, toV: Int): DataFrame = {
     require(fromV >= 1 && toV >= 1, "versions are >= 1")
