@@ -150,7 +150,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get("merge.mode")).map(_.trim),
       // TBLPROPERTIES('check'='<predicate>') — enforced on every batch
       // write path (conjoin terms for multiple constraints)
-      Option(properties.get("check")).map(_.trim))
+      Option(properties.get("check")).map(_.trim),
+      // TBLPROPERTIES('bloomcols'='c1,c2'[,'bloombits'='65536']) — per-
+      // file bloom blobs for point-predicate file skipping on
+      // non-cluster columns
+      Option(properties.get("bloomcols"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil),
+      Option(properties.get("bloombits")).map(_.trim.toInt)
+        .getOrElse(SnapshotTable.DEFAULT_BLOOM_BITS))
     load(ident, None)
   }
 

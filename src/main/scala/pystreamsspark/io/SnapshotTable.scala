@@ -127,18 +127,23 @@ object SnapshotTable {
                                    stats: Map[String, (String, String)],
                                    dv: Option[String] = None,
                                    bucket: Option[Int] = None,
-                                   rows: Option[Long] = None) {
+                                   rows: Option[Long] = None,
+                                   bloom: Map[String, String] = Map.empty) {
     def serialize: String = {
       val statsStr = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
       }.mkString(";")
       // positional: field 2 is always the (possibly empty) stats string
       // when ANY tagged field follows; fields 3+ are `key=value` tagged
-      // (dv=…, bucket=…, rows=…) so older and newer readers agree on
-      // framing
+      // (dv=…, bucket=…, rows=…, bloom=…) so older and newer readers
+      // agree on framing
+      val bloomStr =
+        if (bloom.isEmpty) None
+        else Some("bloom=" + bloom.toSeq.sortBy(_._1).map { case (c, b64) =>
+          s"${FileEntry.enc(c)}:$b64" }.mkString(";"))
       val tagged = dv.map(d => s"dv=$d").toSeq ++
         bucket.map(b => s"bucket=$b").toSeq ++
-        rows.map(r => s"rows=$r").toSeq
+        rows.map(r => s"rows=$r").toSeq ++ bloomStr.toSeq
       if (tagged.nonEmpty) (Seq(path, statsStr) ++ tagged).mkString("\t")
       else if (stats.nonEmpty) s"$path\t$statsStr"
       else path
@@ -154,6 +159,11 @@ object SnapshotTable {
         val Array(lo, hi) = range.split(",", 2)
         c -> (dec(lo), dec(hi))
       }.toMap
+    private def parseBloom(s: String): Map[String, String] =
+      s.split(";").iterator.filter(_.nonEmpty).map { kv =>
+        val Array(c, b64) = kv.split(":", 2)
+        dec(c) -> b64
+      }.toMap
     def parse(line: String): FileEntry = line.split("\t") match {
       case Array(p)           => FileEntry(p, Map.empty)
       case Array(p, statsStr) => FileEntry(p, parseStats(statsStr))
@@ -163,7 +173,8 @@ object SnapshotTable {
         }.toMap
         FileEntry(parts(0), parseStats(parts(1)),
           tagged.get("dv"), tagged.get("bucket").map(_.toInt),
-          tagged.get("rows").map(_.toLong))
+          tagged.get("rows").map(_.toLong),
+          tagged.get("bloom").map(parseBloom).getOrElse(Map.empty))
       case other => throw new IllegalStateException(
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
@@ -208,6 +219,17 @@ object SnapshotTable {
     def retired: Set[String] =
       header.get("retired").map(_.split(";").iterator.filter(_.nonEmpty)
         .map(FileEntry.dec).toSet).getOrElse(Set.empty)
+    /** Columns with PER-FILE BLOOM FILTERS recorded in the manifest —
+      * point-predicate file skipping for NON-cluster columns, where
+      * min/max stats cannot help (a round-robin or foreign-key column
+      * spans every file's full range). */
+    def bloomCols: Seq[String] =
+      header.get("bloomcols").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+    /** Bloom size in BITS (power of two); fixed per table so every
+      * file's blob is comparable. */
+    def bloomBits: Int =
+      header.get("bloombits").map(_.toInt).getOrElse(DEFAULT_BLOOM_BITS)
     /** Headers every child commit must carry forward so vacuum cannot
       * destroy them: the committed-epoch range-set, the cluster-key
       * stats column list, the stats-format marker, and the bucket
@@ -224,7 +246,9 @@ object SnapshotTable {
         header.get("copyledger").map("copyledger" -> _) ++
         header.get("check").map("check" -> _) ++
         header.get("colmap").map("colmap" -> _) ++
-        header.get("retired").map("retired" -> _)).toSeq
+        header.get("retired").map("retired" -> _) ++
+        header.get("bloomcols").map("bloomcols" -> _) ++
+        header.get("bloombits").map("bloombits" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -318,6 +342,90 @@ object SnapshotTable {
   private def markMapped(dir: String): Unit =
     try { Files.createFile(manifestDir(dir).resolve(".mapped")); () }
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
+  // ---------------------------------------------------------------------
+  // PER-FILE BLOOM FILTERS — point-predicate file skipping for
+  // NON-cluster columns. Min/max stats only prune the clustered keys: a
+  // foreign-key or id column in round-robin files spans every file's
+  // full range, so a point lookup opens all of them. A `bloomcols`
+  // table property makes the shared batch funnel record one small bloom
+  // blob per (file, column) in the manifest (k=3 seeded xxhash64
+  // positions over `bloombits` bits, base64 of the bitset), and the
+  // point readers test probe values against the blobs BEFORE opening
+  // files — pure driver metadata, no file I/O, no false negatives.
+  // Sizing: `bloombits` (default 2^16) handles ~10k distinct values per
+  // file at <5% false-positive; size it to rows-per-file (the blob
+  // costs O(#files × bits/8) manifest bytes — at extreme per-file NDV
+  // the same consult-before-open law would move blobs to sidecar
+  // files, the documented evolution path).
+  // ---------------------------------------------------------------------
+  private[io] val DEFAULT_BLOOM_BITS = 65536
+  private val BLOOM_SEEDS = Seq(0, 1, 2)
+
+  /** Column-side position expressions — MUST stay in lockstep with
+    * [[bloomPositions]] (the driver-side probe): seed 0 is the plain
+    * xxhash64(col), seeds 1/2 chain an int literal. */
+  private def bloomPosExprs(c: Column, bits: Int): Seq[Column] =
+    BLOOM_SEEDS.map {
+      case 0 => pmod(xxhash64(c), lit(bits.toLong)).cast("int")
+      case s => pmod(xxhash64(c, lit(s)), lit(bits.toLong)).cast("int")
+    }
+
+  /** Driver-side probe positions for one rendered value — evaluates the
+    * SAME catalyst XxHash64 the column expressions use, with the
+    * literal typed EXACTLY like the column (int and long values hash
+    * differently). */
+  private def bloomPositions(value: String, dt: DataType,
+                             bits: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val v: Literal = dt match {
+      case _: ByteType    => Literal(value.toByte)
+      case _: ShortType   => Literal(value.toShort)
+      case _: IntegerType => Literal(value.toInt)
+      case _: LongType    => Literal(value.toLong)
+      case _: StringType  => Literal.create(value, StringType)
+      case other => throw new IllegalArgumentException(
+        s"bloom columns are integral or string, got $other")
+    }
+    BLOOM_SEEDS.map { s =>
+      val args = if (s == 0) Seq(v) else Seq(v, Literal(s))
+      val h = XxHash64(args, 42L).eval(null).asInstanceOf[Long]
+      (((h % bits) + bits) % bits).toInt
+    }
+  }
+
+  /** A type the bloom path supports (matches [[bloomPositions]]). */
+  private def bloomSupports(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: StringType => true
+    case _ => false
+  }
+
+  private def bloomEncode(bits: java.util.BitSet): String =
+    java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+
+  private def bloomDecode(b64: String): java.util.BitSet =
+    java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
+
+  /** Keep only the files whose bloom for `keyCol` may contain AT LEAST
+    * ONE probe value. Files without a blob (written before the
+    * property, or bloom-free paths) always stay — conservative-correct,
+    * never a false negative. */
+  private def bloomPrune(m: Manifest, files: Seq[FileEntry], keyCol: String,
+                         values: Seq[String], dt: DataType): Seq[FileEntry] =
+    if (!m.bloomCols.contains(keyCol) || !bloomSupports(dt) ||
+      values.isEmpty) files
+    else {
+      val probes = values.map(v => bloomPositions(v, dt, m.bloomBits))
+      files.filter { f =>
+        f.bloom.get(keyCol) match {
+          case Some(b64) =>
+            val bits = bloomDecode(b64)
+            probes.exists(_.forall(bits.get))
+          case None => true
+        }
+      }
+    }
 
   /** Atomic publish: CREATE_NEW is the commit point. The manifest
     * header records the table SCHEMA (as Spark's schema JSON) so a
@@ -522,7 +630,45 @@ object SnapshotTable {
         bucket = bucketOf(p.substring(p.lastIndexOf('/') + 1)),
         rows = footerRows(p))
     val presentStats = statsCols.filter(df.schema.fieldNames.contains)
-    if (presentStats.isEmpty) rel.map(entryOf(_, Map.empty))
+    // per-file BLOOM blobs for the declared point-lookup columns — one
+    // agg pass over the just-written batch (never the input plan): per
+    // (file, column), collect the k seeded bit positions (bounded sets,
+    // <= bloombits ints each) and fold them into a base64 bitset
+    val bloomHere = latestManifest.map(_.bloomCols).getOrElse(Nil)
+      .filter(c => df.schema.fieldNames.contains(c) &&
+        bloomSupports(df.schema(c).dataType))
+    val bloomBits = latestManifest.map(_.bloomBits)
+      .getOrElse(DEFAULT_BLOOM_BITS)
+    val bloomByFile: Map[String, Map[String, String]] =
+      if (bloomHere.isEmpty) Map.empty
+      else {
+        val aggs = bloomHere.flatMap { c =>
+          bloomPosExprs(col(colmap.getOrElse(c, c)), bloomBits)
+            .zipWithIndex.map { case (e, i) =>
+              collect_set(e).as(s"bl_${c}_$i") }
+        }
+        df.sparkSession.read.parquet(out.toString)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // O(#batch files × bloombits) driver metadata
+          .map { r =>
+            val perCol = bloomHere.zipWithIndex.map { case (c, ci) =>
+              val bits = new java.util.BitSet(bloomBits)
+              (0 until BLOOM_SEEDS.size).foreach { i =>
+                r.getSeq[Int](1 + ci * BLOOM_SEEDS.size + i)
+                  .foreach(bits.set)
+              }
+              c -> bloomEncode(bits)
+            }.toMap
+            r.getString(0) -> perCol
+          }.toMap
+      }
+    def bloomOf(p: String): Map[String, String] =
+      bloomByFile.collectFirst {
+        case (uri, b) if uri.endsWith(p) => b
+      }.getOrElse(Map.empty)
+    if (presentStats.isEmpty)
+      rel.map(p => entryOf(p, Map.empty).copy(bloom = bloomOf(p)))
     else {
       // per-file min/max in ONE scan of the new batch's stat columns;
       // values rendered via statAgg (epoch-micros for timestamps,
@@ -550,7 +696,7 @@ object SnapshotTable {
         val stats = byFile.collectFirst {
           case (uri, s) if uri.endsWith(p) => s
         }.getOrElse(Map.empty[String, (String, String)])
-        entryOf(p, stats)
+        entryOf(p, stats).copy(bloom = bloomOf(p))
       }
     }
   }
@@ -612,7 +758,19 @@ object SnapshotTable {
                   deleteMode: Option[String] = None,
                   updateMode: Option[String] = None,
                   mergeMode: Option[String] = None,
-                  check: Option[String] = None): Int = {
+                  check: Option[String] = None,
+                  bloomCols: Seq[String] = Nil,
+                  bloomBits: Int = DEFAULT_BLOOM_BITS): Int = {
+    bloomCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column $c not in ${schema.fieldNames.mkString(",")}"))
+      require(bloomSupports(dt),
+        s"bloom column $c must be integral or string, got $dt")
+    }
+    require(bloomCols.isEmpty ||
+      (bloomBits >= 1024 && Integer.bitCount(bloomBits) == 1),
+      s"bloombits must be a power of two >= 1024, got $bloomBits")
     Seq("delete.mode" -> deleteMode, "update.mode" -> updateMode,
       "merge.mode" -> mergeMode).foreach {
       case (k, Some(mo)) => require(
@@ -648,7 +806,10 @@ object SnapshotTable {
         deleteMode.filter(_ == "merge-on-read").map("deletemode" -> _) ++
         updateMode.filter(_ == "merge-on-read").map("updatemode" -> _) ++
         mergeMode.filter(_ == "merge-on-read").map("mergemode" -> _) ++
-        check.map(p => "check" -> FileEntry.enc(p))
+        check.map(p => "check" -> FileEntry.enc(p)) ++
+        (if (bloomCols.isEmpty) Nil
+         else Seq("bloomcols" -> bloomCols.mkString(","),
+           "bloombits" -> bloomBits.toString))
     commit(dir, 1, "create", 0, Nil, Some(deepNullable(schema)
       .asInstanceOf[StructType]), extras)
     1
@@ -905,7 +1066,12 @@ object SnapshotTable {
         .getOrElse(throw new IllegalArgumentException(
           s"no column $c in ${schema.fieldNames.mkString(",")}"))
     }.toMap
-    val files = pruneWhere(m, bounds)
+    val statFiles = pruneWhere(m, bounds)
+    // point predicates (lo == hi) additionally consult the per-file
+    // bloom blobs — the non-cluster-column skipping path
+    val files = bounds.foldLeft(statFiles) { case (fs, (c, (lo, hi))) =>
+      if (lo == hi) bloomPrune(m, fs, c, Seq(lo), dts(c)) else fs
+    }
     val base = readEntries(spark, dir, m, files)
     def bound(c: String, v: String): org.apache.spark.sql.Column =
       dts(c) match {
@@ -931,6 +1097,40 @@ object SnapshotTable {
                 versionAsOf: Option[Int] = None): DataFrame =
     readWhere(spark, dir, Map(keyCol -> (lo, hi)), versionAsOf)
 
+  /** The file subset a `keyCol IN values` point read must open:
+    * min/max stats first (cluster columns), then the per-file BLOOM
+    * blobs (declared `bloomcols` — the non-cluster path). Shared by
+    * [[readWhereIn]]; conservative-correct throughout. */
+  private def pruneIn(m: Manifest, keyCol: String, values: Seq[String],
+                      dt: DataType): Seq[FileEntry] = {
+    val statFiles =
+      if (!m.statsCols.contains(keyCol)) m.files
+      else m.files.filter { f =>
+        f.stats.get(keyCol) match {
+          case Some(_) if dt.isInstanceOf[TimestampType] &&
+            !m.tsStatsAreMicros => true // legacy stats: never prune
+          case Some((fLo, fHi)) =>
+            values.exists(x => rangesOverlap(dt, fLo, fHi, x, x))
+          case None => true
+        }
+      }
+    bloomPrune(m, statFiles, keyCol, values, dt)
+  }
+
+  /** The files a `keyCol IN values` read would open (stats + bloom
+    * pruning) — public so specs, keys and operators can assert/observe
+    * the skip, the point-lookup twin of [[readCandidates]]. */
+  def readCandidatesIn(dir: String, keyCol: String, values: Seq[String],
+                       versionAsOf: Option[Int] = None): Seq[String] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    val m = readManifest(dir, v)
+    val dt = m.schema.flatMap(_.fields.find(_.name == keyCol))
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"no column $keyCol in ${m.schema.map(_.fieldNames.mkString(","))
+          .getOrElse("<no schema>")}"))
+    pruneIn(m, keyCol, values, dt).map(_.path)
+  }
+
   /** STATS-PRUNED point-set read: rows where `keyCol IN values`, opening
     * only the files whose recorded [min,max] covers at least one
     * requested value — ONE scan with an `isin` residual filter, never a
@@ -950,17 +1150,7 @@ object SnapshotTable {
     val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"no column $keyCol in ${schema.fieldNames.mkString(",")}"))
-    val files =
-      if (!m.statsCols.contains(keyCol)) m.files
-      else m.files.filter { f =>
-        f.stats.get(keyCol) match {
-          case Some(_) if dt.isInstanceOf[TimestampType] &&
-            !m.tsStatsAreMicros => true // legacy stats: never prune
-          case Some((fLo, fHi)) =>
-            values.exists(x => rangesOverlap(dt, fLo, fHi, x, x))
-          case None => true
-        }
-      }
+    val files = pruneIn(m, keyCol, values, dt)
     val base = readEntries(spark, dir, m,
       if (values.isEmpty) Seq.empty else files)
     val lits = values.map { x =>
@@ -1909,7 +2099,9 @@ object SnapshotTable {
       (h.get("deletemode").map("delete.mode" -> _) ++
         h.get("updatemode").map("update.mode" -> _) ++
         h.get("mergemode").map("merge.mode" -> _) ++
-        h.get("check").map(c => "check" -> FileEntry.dec(c))).toMap
+        h.get("check").map(c => "check" -> FileEntry.dec(c)) ++
+        h.get("bloomcols").map("bloomcols" -> _) ++
+        h.get("bloombits").map("bloombits" -> _)).toMap
     }
   }
 
@@ -2510,7 +2702,8 @@ object SnapshotTable {
   def setProperties(spark: SparkSession, dir: String,
                     props: Map[String, String],
                     maxRetries: Int = 5): Int = {
-    val allowed = Set("delete.mode", "update.mode", "merge.mode", "check")
+    val allowed = Set("delete.mode", "update.mode", "merge.mode", "check",
+      "bloomcols", "bloombits")
     val unknown = props.keySet -- allowed
     require(unknown.isEmpty,
       s"ALTER TABLE SET TBLPROPERTIES supports ${allowed.mkString(", ")}; " +
@@ -2521,7 +2714,21 @@ object SnapshotTable {
         s"$k must be copy-on-write or merge-on-read, got $mo")
     }
     props.get("check").foreach(expr(_)) // must parse at declaration
+    props.get("bloombits").foreach(b => require(
+      b.toInt >= 1024 && Integer.bitCount(b.toInt) == 1,
+      s"bloombits must be a power of two >= 1024, got $b"))
     commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      // a bloomcols declaration must name supported columns; it arms
+      // blob recording for FUTURE batches only (files written before it
+      // carry no blob and are simply never bloom-pruned)
+      props.get("bloomcols").foreach(_.split(",").filter(_.nonEmpty)
+        .foreach { c =>
+          val dt = m.schema.flatMap(_.fields.find(_.name == c.trim))
+            .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+              s"bloom column ${c.trim} not in the table schema"))
+          require(bloomSupports(dt),
+            s"bloom column ${c.trim} must be integral or string, got $dt")
+        })
       // a retroactive CHECK must hold for the rows already committed
       props.get("check").foreach { pred =>
         val viol = readEntries(spark, dir, m, m.files)
@@ -2533,13 +2740,16 @@ object SnapshotTable {
       }
       val headerKey = Map("delete.mode" -> "deletemode",
         "update.mode" -> "updatemode", "merge.mode" -> "mergemode",
-        "check" -> "check")
+        "check" -> "check", "bloomcols" -> "bloomcols",
+        "bloombits" -> "bloombits")
       val updates = props.map { case (k, v0) =>
         headerKey(k) -> (if (k == "check") FileEntry.enc(v0) else v0)
       }
-      // copy-on-write is the default: setting it back REMOVES the key
+      // copy-on-write is the default: setting it back REMOVES the key;
+      // an EMPTY bloomcols likewise disarms blob recording
       val cleaned = updates.filterNot { case (k, v0) =>
-        k.endsWith("mode") && v0 == "copy-on-write" }
+        (k.endsWith("mode") && v0 == "copy-on-write") ||
+          (k == "bloomcols" && v0.isEmpty) }
       val dropped = updates.keySet -- cleaned.keySet
       val headers = m.carried
         .filterNot { case (k, _) => cleaned.contains(k) || dropped.contains(k) } ++

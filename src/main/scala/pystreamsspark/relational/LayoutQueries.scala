@@ -516,6 +516,53 @@ object LayoutQueries {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  /** BLOOM-FILTER data skipping (round-11) — the point-lookup path for
+    * a NON-cluster column where min/max stats are useless by
+    * construction: orders land ROUND-ROBIN in 16 files (every file
+    * spans the full o_orderkey range), `bloomcols='o_orderkey'` records
+    * one blob per file at the write funnel, and a 7-key point probe
+    * ([[pystreamsspark.io.SnapshotTable.readWhereIn]]) consults the
+    * blobs before opening anything — asserted to open FEWER files than
+    * the table holds (pure driver metadata; each probed key lives in
+    * exactly one file, so ~7+fp of 16 open instead of all 16; at 100 TB
+    * the same blobs are what turns an id lookup from a table scan into
+    * a handful of file reads). The residual `isin` filter keeps the
+    * result exact, so the oracle is the plain IN filter. */
+  def qBloomSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"bloom_skip_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.createEmpty(dir, orders.schema,
+      bloomCols = Seq("o_orderkey"),
+      bloomBits = 1 << 17)
+    pystreamsspark.io.SnapshotTable.append(spark, dir, orders,
+      numFiles = 16)
+    // TPC-H orderkeys 1..7 exist at every scale factor
+    val probes = (1 to 7).map(_.toString)
+    val opened = pystreamsspark.io.SnapshotTable
+      .readCandidatesIn(dir, "o_orderkey", probes)
+    require(opened.size <
+      pystreamsspark.io.SnapshotTable.filePaths(dir).size,
+      s"bloom must skip files for a point probe, opened ${opened.size}")
+    pystreamsspark.io.SnapshotTable
+      .readWhereIn(spark, dir, "o_orderkey", probes)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qBloomSkipSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7)
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   /** Z-ORDER data skipping (multi-dimensional): parts laid out by the
     * Morton key over (p_size, price_bucket) — [[PipelineQueries.qZorder]]'s
     * interleave — into a clustered snapshot table whose manifest records
@@ -561,6 +608,7 @@ object LayoutQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_skip"     -> (qZorderSkip _),
     "q_snapshot_skip"   -> (qSnapshotSkip _),
+    "q_bloom_skip"      -> (qBloomSkip _),
     "q_acid_evolve"     -> (qAcidEvolve _),
     "q_acid_merge"      -> (qAcidMerge _),
     "q_time_travel"     -> (qTimeTravel _),
@@ -576,6 +624,7 @@ object LayoutQueries {
   val oracle: Map[String, String] = Map(
     "q_zorder_skip"     -> qZorderSkipSql,
     "q_snapshot_skip"   -> qSnapshotSkipSql,
+    "q_bloom_skip"      -> qBloomSkipSql,
     "q_acid_evolve"     -> qAcidEvolveSql,
     "q_acid_merge"      -> qAcidMergeSql,
     "q_time_travel"     -> qTimeTravelSql,

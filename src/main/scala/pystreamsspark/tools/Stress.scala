@@ -249,6 +249,44 @@ object Stress {
       deleteRec(new java.io.File(morT)); deleteRec(new java.io.File(cowT))
     }
 
+    // BLOOM point lookup (round-11): a 7-key readWhereIn on a
+    // NON-cluster column of a round-robin table — stats cannot prune
+    // (every file spans the full key range), the per-file bloom blobs
+    // can. The bloomed probe opens ~#keys (+fp) files and must stay
+    // near-FLAT as the table (and its file count) x-folds, while the
+    // bloom-free twin opens every file and grows with the table.
+    if (only.isEmpty || only.exists(o => Seq(s"bloom_point_lookup x$mult",
+        s"nobloom_point_lookup x$mult").exists(_.contains(o)))) {
+      // `ord` is already the x-mult amplified orders; files scale with
+      // the table so per-file NDV (what sizes the blob) stays constant
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      def freshTable(bloom: Boolean): String = {
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_bl_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        pystreamsspark.io.SnapshotTable.createEmpty(d, base.schema,
+          bloomCols = if (bloom) Seq("o_orderkey") else Nil,
+          bloomBits = 1 << 17)
+        pystreamsspark.io.SnapshotTable.append(spark, d, base,
+          numFiles = 16 * mult)
+        d
+      }
+      val probes = (1 to 7).map(_.toString)
+      val blT = freshTable(bloom = true)
+      val opened = pystreamsspark.io.SnapshotTable
+        .readCandidatesIn(blT, "o_orderkey", probes).size
+      time(s"bloom_point_lookup x$mult") {
+        pystreamsspark.io.SnapshotTable
+          .readWhereIn(spark, blT, "o_orderkey", probes).count()
+      }
+      println(s"STRESS   bloom opened $opened of ${16 * mult} files")
+      val nbT = freshTable(bloom = false)
+      time(s"nobloom_point_lookup x$mult") {
+        pystreamsspark.io.SnapshotTable
+          .readWhereIn(spark, nbT, "o_orderkey", probes).count()
+      }
+      deleteRec(new java.io.File(blT)); deleteRec(new java.io.File(nbT))
+    }
+
     // narrow-key GENERAL merge (round-10 cont.): a conditional
     // multi-clause MERGE whose ON keys cover ~30 rows of a
     // key-clustered table — generalMerge must keep merge()'s
