@@ -12,6 +12,9 @@ import org.apache.spark.sql.types._
   * exists — the injectParser extension tier):
   *
   *  - `VACUUM graft.ns.t [RETAIN n VERSIONS]`   → [[SnapshotTable.vacuum]]
+  *  - `VACUUM graft.ns.t RETAIN n HOURS` /
+  *    `EXPIRE SNAPSHOTS graft.ns.t [OLDER THAN n HOURS]` (default 168)
+  *                                               → [[SnapshotTable.vacuumRetain]]
   *  - `OPTIMIZE graft.ns.t [FILES n]`           → [[SnapshotTable.compact]]
   *    (also materializes deletion vectors away — the MoR maintenance step)
   *  - `DESCRIBE HISTORY graft.ns.t`             → [[SnapshotTable.history]]
@@ -27,6 +30,10 @@ object SnapshotMaintenance {
 
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val VacuumHours =
+    """(?is)\s*VACUUM\s+([\w.`]+?)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*""".r
+  private val Expire =
+    """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([\w.`]+?)(?:\s+(?:OLDER\s+THAN|RETAIN)\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptimizeZ =
@@ -45,6 +52,13 @@ object SnapshotMaintenance {
   /** The maintenance plan for `sql`, when it is one of the recognized
     * statements; None falls through to the normal parser. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
+    // time-based retention first: the generic VACUUM pattern would
+    // otherwise swallow the table name up to RETAIN
+    case VacuumHours(t, h) => Some(SnapshotMaintenanceCommand(
+      "vacuum_hours", nameParts(t), h.toInt))
+    case Expire(t, h) => Some(SnapshotMaintenanceCommand(
+      "vacuum_hours", nameParts(t),
+      Option(h).map(_.toInt).getOrElse(7 * 24)))
     case Vacuum(t, n) => Some(SnapshotMaintenanceCommand("vacuum",
       nameParts(t), Option(n).map(_.toInt).getOrElse(1)))
     case OptimizeZ(t, colList, n) => Some(SnapshotMaintenanceCommand(
@@ -118,6 +132,12 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
         Seq(Row(SnapshotTable.zorderBy(spark, dir, cols, math.max(1, n))))
       case "vacuum" =>
         SnapshotTable.vacuum(dir, math.max(1, n))
+        Seq(Row(SnapshotTable.existingVersions(dir).size))
+      case "vacuum_hours" =>
+        // `VACUUM t RETAIN n HOURS` / `EXPIRE SNAPSHOTS t [OLDER THAN n
+        // HOURS]` (default 168h): retention by COMMIT TIME — keeps every
+        // version younger than the horizon plus always the latest
+        SnapshotTable.vacuumRetain(dir, n.toLong * 3600L * 1000L)
         Seq(Row(SnapshotTable.existingVersions(dir).size))
       case "detail" =>
         Seq(Row.fromSeq(SnapshotTable.detail(dir)))

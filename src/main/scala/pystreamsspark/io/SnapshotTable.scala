@@ -2406,7 +2406,34 @@ object SnapshotTable {
     * forward. */
   def vacuum(dir: String, keepVersions: Int = 1): Unit = {
     val versions = existingVersions(dir)
-    val keep = versions.takeRight(math.max(1, keepVersions))
+    vacuumKeep(dir, versions, versions.takeRight(math.max(1, keepVersions)))
+  }
+
+  /** TIME-BASED retention — `VACUUM … RETAIN n HOURS` / `EXPIRE
+    * SNAPSHOTS`: keep every version whose COMMIT TIME (the `ts` header
+    * every commit records) is within `retainMillis` of `nowMillis`,
+    * plus ALWAYS the latest version (a table never vacuums itself
+    * unreadable). Manifests without a `ts` header (pre-round-10) read
+    * as epoch 0 — expired unless latest, consistent with
+    * [[versionAt]]'s resolution rule. Same reclamation laws as the
+    * version-count form: data/DV/CDC batches of dropped versions go,
+    * carried epoch range-sets and COPY ledgers survive. `nowMillis` is
+    * injectable so retention laws are testable deterministically. */
+  def vacuumRetain(dir: String, retainMillis: Long,
+                   nowMillis: Long = System.currentTimeMillis): Unit = {
+    require(retainMillis >= 0, s"retention must be >= 0, got $retainMillis")
+    val versions = existingVersions(dir)
+    if (versions.isEmpty) return
+    val cutoff = nowMillis - retainMillis
+    val fresh = versions.filter { v =>
+      readManifest(dir, v).header.get("ts").map(_.toLong).getOrElse(0L) >=
+        cutoff
+    }
+    vacuumKeep(dir, versions, (fresh :+ versions.last).distinct.sorted)
+  }
+
+  private def vacuumKeep(dir: String, versions: Seq[Int],
+                         keep: Seq[Int]): Unit = {
     val keptManifests = keep.map(v => readManifest(dir, v))
     val referenced = keptManifests.flatMap(_.paths).toSet
     val dataRoot = Paths.get(dir, "data")
