@@ -241,6 +241,97 @@ object Multimodal {
       .toDF(idCol, "n_samples", "peak", "sum_sq", "zero_cross", "rms")
   }
 
+  /** Decoded uncompressed BMP: pixels as 0xRRGGBB ints in TOP-DOWN
+    * row-major order (the natural image order), whatever the stored
+    * row direction was. */
+  case class BmpPixels(width: Int, height: Int, rgb: Array[Int])
+
+  /** REAL pixel-level BMP decode — the IMAGE twin of
+    * [[decodeWavSamples]], closing the second codec-free modality:
+    * an uncompressed 24-bit BI_RGB bitmap is just BGR byte triples
+    * under a fixed header (BITMAPFILEHEADER + BITMAPINFOHEADER), rows
+    * padded to 4 bytes and stored bottom-up for positive heights
+    * (top-down for negative — both handled; the position-sensitive
+    * checksum downstream breaks on any flip or stride bug).
+    * Bounds-safe: truncated/adversarial bytes return None rather than
+    * reading past the buffer. None for compressed/paletted variants —
+    * those genuinely need a codec and stay stubbed. */
+  def decodeBmpPixels(p: Array[Byte]): Option[BmpPixels] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def s32le(i: Int) = u32le(i).toInt
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val off = u32le(10).toInt
+    if (u32le(14) < 40) return None // DIB header older than BITMAPINFO
+    val w = s32le(18)
+    val hRaw = s32le(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || u16le(26) != 1 || u16le(28) != 24 ||
+      u32le(30) != 0L) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * h > p.length ||
+      w.toLong * h > Int.MaxValue / 8) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = off + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val b = u8(base + 3 * x)
+        val g = u8(base + 3 * x + 1)
+        val r = u8(base + 3 * x + 2)
+        out(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpPixels(w, h, out))
+  }
+
+  /** REAL per-payload image features from the decoded pixels: exact
+    * per-channel sums and min/max (means derive exactly from sum/n_px),
+    * plus a POSITION-SENSITIVE integer checksum
+    * `Σ (k+1)·(3r + 5g + 7b)` over the top-down row-major index k —
+    * row order, stride padding and BGR→RGB bugs all break it, and it
+    * is sub-2^53 exact so an oracle replays it arithmetically.
+    * Partition-wise flatMap, zero shuffle; non-BMP payloads yield no
+    * row. */
+  def withBmpStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeBmpPixels(bytes).map { bp =>
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var minR = 255; var maxR = 0
+          var minG = 255; var maxG = 0
+          var minB = 255; var maxB = 0
+          var checksum = 0L
+          var k = 0
+          while (k < bp.rgb.length) {
+            val px = bp.rgb(k)
+            val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff
+            val b = px & 0xff
+            sumR += r; sumG += g; sumB += b
+            if (r < minR) minR = r; if (r > maxR) maxR = r
+            if (g < minG) minG = g; if (g > maxG) maxG = g
+            if (b < minB) minB = b; if (b > maxB) maxB = b
+            checksum += (k + 1).toLong * (3L * r + 5L * g + 7L * b)
+            k += 1
+          }
+          (id, bp.width, bp.height, bp.rgb.length.toLong,
+            sumR, sumG, sumB, minR, maxR, minG, maxG, minB, maxB, checksum)
+        }
+      }
+      .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        "min_r", "max_r", "min_g", "max_g", "min_b", "max_b", "checksum")
+  }
+
   /** Parsed MP4 (ISO base-media / ISO 14496-12) video metadata. */
   case class VideoMeta(brand: String, timescale: Int, durationTicks: Long,
                        nTracks: Int)

@@ -195,6 +195,89 @@ object SetQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL pixel-level BMP decode + feature extraction, oracle-checked
+    * — the IMAGE twin of [[qWavStats]], closing the second codec-free
+    * modality (uncompressed bitmaps need no codec): Spark synthesizes
+    * complete 24-bit BI_RGB BMP payloads — real header, BOTTOM-UP row
+    * storage, 4-byte stride padding, BGR byte order; pixel (x, y) of
+    * doc d has r=(d+3x+7y)%256, g=(2d+5x+11y)%256, b=(3d+13x+17y)%256 —
+    * decodes them back with
+    * [[pystreamsspark.llm.Multimodal.decodeBmpPixels]], and computes
+    * exact per-channel sums/min/max plus the POSITION-SENSITIVE
+    * checksum Σ(k+1)(3r+5g+7b) over the top-down index k. The oracle
+    * regenerates every pixel arithmetically: any stride, row-flip or
+    * BGR-order bug breaks the hash. */
+  def qBmpStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = (pmod($"doc_id", lit(5)) + 2).cast("int")   // 2..6
+    val h = (pmod($"doc_id", lit(3)) + 2).cast("int")   // 2..4
+    val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+    val imgSize = ((w * 3 + pad) * h).cast("int")
+    def u32le(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 8, "0")
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def u16le(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 4, "0")
+      concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def byteHex(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+    // rows stored BOTTOM-UP (positive height), BGR, stride-padded
+    val rowsHex = array_join(
+      transform(sequence(lit(0), h - 1), i => {
+        val y = h - 1 - i
+        concat(
+          array_join(transform(sequence(lit(0), w - 1), x => {
+            val r = pmod($"doc_id" + x * 3 + y * 7, lit(256))
+            val g = pmod($"doc_id" * 2 + x * 5 + y * 11, lit(256))
+            val b = pmod($"doc_id" * 3 + x * 13 + y * 17, lit(256))
+            concat(byteHex(b), byteHex(g), byteHex(r))
+          }), ""),
+          // sequence(1, 0) would step BACKWARD — guard the pad=0 case
+          when(pad === 0, lit("")).otherwise(array_join(
+            transform(sequence(lit(1), pad), _ => lit("00")), "")))
+      }), "")
+    val bmp = unhex(concat(
+      lit("424D"), u32le(imgSize + 54), lit("00000000"), u32le(lit(54)),
+      u32le(lit(40)), u32le(w), u32le(h),                 // BITMAPINFO
+      u16le(lit(1)), u16le(lit(24)),                      // planes, 24bpp
+      u32le(lit(0)), u32le(imgSize),                      // BI_RGB, size
+      u32le(lit(2835)), u32le(lit(2835)),                 // 72 dpi
+      u32le(lit(0)), u32le(lit(0)),                       // palette
+      rowsHex))
+    val payloads = Tables.documents(spark, sfDir)
+      .select($"doc_id", bmp.as("payload"))
+    pystreamsspark.llm.Multimodal.withBmpStats(payloads, "doc_id", "payload")
+      .orderBy($"doc_id")
+  }
+
+  val qBmpStatsSql: String =
+    """WITH xs AS (SELECT UNNEST(range(0, 6)) AS x),
+      |ys AS (SELECT UNNEST(range(0, 4)) AS y),
+      |px AS (
+      |  SELECT d.doc_id,
+      |    d.doc_id % 5 + 2 AS w, d.doc_id % 3 + 2 AS h, xs.x, ys.y,
+      |    (d.doc_id + xs.x * 3 + ys.y * 7) % 256 AS r,
+      |    (d.doc_id * 2 + xs.x * 5 + ys.y * 11) % 256 AS g,
+      |    (d.doc_id * 3 + xs.x * 13 + ys.y * 17) % 256 AS b
+      |  FROM documents d CROSS JOIN xs CROSS JOIN ys
+      |  WHERE xs.x < d.doc_id % 5 + 2 AND ys.y < d.doc_id % 3 + 2)
+      |SELECT doc_id,
+      |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+      |  COUNT(*) AS n_px,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r) AS INT) AS min_r, CAST(MAX(r) AS INT) AS max_r,
+      |  CAST(MIN(g) AS INT) AS min_g, CAST(MAX(g) AS INT) AS max_g,
+      |  CAST(MIN(b) AS INT) AS min_b, CAST(MAX(b) AS INT) AS max_b,
+      |  CAST(SUM((y * w + x + 1) * (3 * r + 5 * g + 7 * b)) AS BIGINT)
+      |    AS checksum
+      |FROM px
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val qWavStatsSql: String =
     """WITH ks AS (SELECT UNNEST(range(0, 54)) AS k),
       |s AS (
@@ -312,6 +395,7 @@ object SetQueries {
     "q_media_header"     -> (qMediaHeader _),
     "q_audio_meta"       -> (qAudioMeta _),
     "q_wav_stats"        -> (qWavStats _),
+    "q_bmp_stats"        -> (qBmpStats _),
     "q_video_meta"       -> (qVideoMeta _))
 
   val oracle: Map[String, String] = Map(
@@ -321,5 +405,6 @@ object SetQueries {
     "q_media_header"     -> qMediaHeaderSql,
     "q_audio_meta"       -> qAudioMetaSql,
     "q_wav_stats"        -> qWavStatsSql,
+    "q_bmp_stats"        -> qBmpStatsSql,
     "q_video_meta"       -> qVideoMetaSql)
 }

@@ -25,6 +25,8 @@ class ParserFuzzSpec extends AnyFunSuite {
   private val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
     ("png/jpeg", Multimodal.decodeHeader _),
     ("wav", Multimodal.decodeWavHeader _),
+    ("wav-samples", Multimodal.decodeWavSamples _),
+    ("bmp-pixels", Multimodal.decodeBmpPixels _),
     ("mp4", Multimodal.decodeMp4Header _))
 
   private val randomBytes: Gen[Array[Byte]] =
@@ -72,12 +74,24 @@ class ParserFuzzSpec extends AnyFunSuite {
       bb.putInt(8); bb.put("trak".getBytes)
       java.util.Arrays.copyOf(bb.array(), bb.position())
     }
+    // a well-formed 3x2 bottom-up 24-bit BMP (stride pad 3 bytes/row)
+    val bmp = {
+      val bb = java.nio.ByteBuffer.allocate(78)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(78)
+      bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(3); bb.putInt(2)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(24)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      (0 until 24).foreach(i => bb.put((i * 11).toByte))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
     val mutation: Gen[(Int, Int, Byte)] = for {
-      which <- Gen.chooseNum(0, 2)
+      which <- Gen.chooseNum(0, 3)
       pos <- Gen.chooseNum(0, 200)
       b <- Gen.chooseNum(-128, 127).map(_.toByte)
     } yield (which, pos, b)
-    val corpora = Array(png, wav, mp4)
+    val corpora = Array(png, wav, mp4, bmp)
     samples(mutation, 400) { case (which, pos, b) =>
       val base = corpora(which)
       val mutated = base.clone()
@@ -94,6 +108,39 @@ class ParserFuzzSpec extends AnyFunSuite {
       val cut = mutated.take(pos % (base.length + 1))
       parsers.foreach { case (_, p) => p(cut) }
     }
+  }
+
+  test("bmp decode: bottom-up and top-down storage yield the SAME " +
+    "top-down pixels; truncation is total") {
+    def mk(topDown: Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54 + 2 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(70)
+      bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(2); bb.putInt(if (topDown) -2 else 2)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(16)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      // logical image rows (top-down): row0 = px(1,2,3)(4,5,6),
+      // row1 = px(7,8,9)(10,11,12); stored BGR with 2-byte stride pad
+      val rows = Seq(Seq(1, 2, 3, 4, 5, 6), Seq(7, 8, 9, 10, 11, 12))
+      val stored = if (topDown) rows else rows.reverse
+      stored.foreach { r =>
+        // BGR per pixel: (b,g,r) = (v3, v2, v1)
+        Seq(r(2), r(1), r(0), r(5), r(4), r(3))
+          .foreach(v => bb.put(v.toByte))
+        bb.put(0.toByte); bb.put(0.toByte) // stride pad to 8
+      }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val up = Multimodal.decodeBmpPixels(mk(topDown = false)).get
+    val down = Multimodal.decodeBmpPixels(mk(topDown = true)).get
+    assert(up.width === 2 && up.height === 2)
+    assert(up.rgb.toSeq === down.rgb.toSeq,
+      "storage direction must not change the decoded pixel order")
+    // decoded top-down row-major, 0xRRGGBB with r the FIRST logical value
+    assert(up.rgb.toSeq === Seq(0x010203, 0x040506, 0x070809, 0x0a0b0c))
+    // truncated pixel data: total, refuses rather than reads past
+    assert(Multimodal.decodeBmpPixels(mk(false).take(60)).isEmpty)
   }
 
   test("regression: bare 8-byte mvhd ending at end-of-file is total") {
