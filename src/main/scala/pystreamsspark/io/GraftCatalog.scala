@@ -60,6 +60,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catName
 
+  // `CREATE TABLE … (c INT DEFAULT 5)` is legal: Spark folds the
+  // declared defaults into the schema's field metadata
+  // (CURRENT_DEFAULT/EXISTS_DEFAULT), which the manifest records and
+  // the read/write paths honor (see SnapshotTable's default-value law)
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** The on-disk directory for an identifier — public so the DML
     * executor can map a parsed table name to its SnapshotTable dir. */
   def tableDir(ident: Identifier): String =
@@ -179,17 +186,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    val defaults = changes.collect {
+      case d: TableChange.UpdateColumnDefaultValue => d }
     require(adds.size + setProps.size + renames.size + drops.size +
-      widens.size == changes.size,
+      widens.size + defaults.size == changes.size,
       "graft ALTER TABLE supports ADD COLUMNS, RENAME COLUMN, DROP " +
-        "COLUMN, ALTER COLUMN … TYPE (safe widenings) and SET " +
-        "TBLPROPERTIES; " +
+        "COLUMN, ALTER COLUMN … TYPE (safe widenings) / SET|DROP " +
+        "DEFAULT, and SET TBLPROPERTIES; " +
         s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
     // validate EVERY change before committing ANY: a mixed statement
     // whose later part fails after an earlier commit landed would leave
     // the single ALTER half-applied across two commits
     (adds.map(_.fieldNames) ++ renames.map(_.fieldNames) ++
-      drops.map(_.fieldNames) ++ widens.map(_.fieldNames)).foreach(fn =>
+      drops.map(_.fieldNames) ++ widens.map(_.fieldNames) ++
+      defaults.map(_.fieldNames)).foreach(fn =>
       require(fn.length == 1,
         s"graft ALTER TABLE changes top-level columns, got nested " +
           fn.mkString(".")))
@@ -205,8 +215,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.SparkSession.active, dir,
         setProps.map(p => p.property() -> p.value()).toMap)
     if (adds.nonEmpty)
-      SnapshotTable.evolveSchema(dir, StructType(adds.map(a =>
-        StructField(a.fieldNames.head, a.dataType, nullable = true))))
+      SnapshotTable.evolveSchema(dir, StructType(adds.map { a =>
+        // `ADD COLUMNS (c INT DEFAULT e)`: both markers freeze to e —
+        // EXISTS_DEFAULT fills pre-ADD files at read (natively, via the
+        // schema metadata), CURRENT_DEFAULT materializes in future
+        // writes that omit the column (SET DEFAULT moves only the
+        // latter)
+        val md = Option(a.defaultValue()).map { d =>
+          val sqlTxt = Option(d.getSql).getOrElse(
+            throw new IllegalArgumentException(
+              s"default for ${a.fieldNames.head} must be a SQL " +
+                "expression"))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sqlTxt)
+            .putString("EXISTS_DEFAULT", sqlTxt).build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        StructField(a.fieldNames.head, a.dataType, nullable = true,
+          metadata = md)
+      }))
     renames.foreach(r =>
       SnapshotTable.renameColumn(dir, r.fieldNames.head, r.newName))
     drops.foreach { d =>
@@ -217,6 +243,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     widens.foreach(u =>
       SnapshotTable.widenColumn(dir, u.fieldNames.head, u.newDataType))
+    defaults.foreach { d =>
+      // SET DEFAULT e / DROP DEFAULT (Spark renders the drop as an
+      // empty/null new default)
+      val sqlTxt = Option(d.newCurrentDefault()).flatMap(v =>
+        Option(v.getSql)).filter(_.nonEmpty)
+      SnapshotTable.setColumnDefault(dir, d.fieldNames.head, sqlTxt)
+    }
     load(ident, None)
   }
 

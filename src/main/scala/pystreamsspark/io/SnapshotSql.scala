@@ -418,9 +418,12 @@ object SnapshotSql {
       }
     // SQL INSERT assignment semantics: each provided column CASTs to the
     // table column's declared type (ANSI — invalid casts throw at run
-    // time), unmentioned columns null-fill; the append is then always
-    // schema-compatible (never accidental "evolution" from literal
-    // typing, e.g. VALUES (1, …) into a BIGINT column)
+    // time); unmentioned columns are handled by the shared batch-write
+    // funnel — a declared CURRENT_DEFAULT materializes there (so a
+    // later SET DEFAULT never re-interprets these rows), anything else
+    // is absent from the file and null-fills (or EXISTS-DEFAULT-fills)
+    // at read; the append is then always schema-compatible (never
+    // accidental "evolution" from literal typing)
     val provided = named.columns.toSet
     val aligned = named.select(schema.fields.toSeq.collect {
       case f if provided.contains(f.name) =>

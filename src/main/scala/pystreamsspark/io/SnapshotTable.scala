@@ -553,9 +553,25 @@ object SnapshotTable {
             "column of this table; add it via ALTER TABLE ADD COLUMNS " +
             "(which assigns a fresh physical name) or OPTIMIZE first"))
     }
+    // ANSI default materialization, once for every write path: a batch
+    // omitting a column whose schema declares a CURRENT_DEFAULT gets it
+    // filled here (so a later SET DEFAULT never re-interprets these
+    // rows); columns without defaults stay absent (read null-fills)
+    val dfD = latestManifest.flatMap(_.schema) match {
+      case Some(sch) => sch.fields
+        .filter(f => !df.columns.contains(f.name) &&
+          // any field that EVER had a default materializes: after DROP
+          // DEFAULT the CURRENT fill is NULL, and writing it explicitly
+          // stops the read-time EXISTS fill from resurrecting the old
+          // default for these rows
+          (currentDefaultSql(f).isDefined ||
+            f.metadata.contains("EXISTS_DEFAULT")))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, defaultFill(f)))
+      case None => df
+    }
     val shaped = bucketSpec match {
-      case Some((c, n)) => df.repartition(n, col(c))
-      case None         => numFiles.map(df.repartition(_)).getOrElse(df)
+      case Some((c, n)) => dfD.repartition(n, col(c))
+      case None         => numFiles.map(dfD.repartition(_)).getOrElse(dfD)
     }
     // the logical→physical projection is NARROW (select of aliases):
     // partition indices and within-partition order — the bucket and
@@ -593,7 +609,9 @@ object SnapshotTable {
       val padded = schemaCols
         .filterNot(f => batchDf.columns.contains(f.name))
         .foldLeft(batchDf)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+          // what a read of this batch will see for the missing column:
+          // its declared default (read-time EXISTS fill), else NULL
+          d.withColumn(f.name, defaultFill(f)))
       val viol = padded
         .filter(!coalesce(expr(pred).cast("boolean"), lit(true)))
         .limit(1).collect()
@@ -1914,10 +1932,12 @@ object SnapshotTable {
               .select(schemaNow.fields.toSeq.map { f =>
                 (if (cl.sets.isEmpty) {
                   if (srcCols.contains(f.name)) col(s"_s_${f.name}")
-                  else lit(null)
+                  // ANSI: an INSERT that does not assign the column
+                  // takes its declared DEFAULT (null when none)
+                  else defaultFill(f)
                 } else cl.sets.find(_._1 == f.name) match {
                   case Some((_, e)) => expr(e)
-                  case None         => lit(null)
+                  case None         => defaultFill(f)
                 }).cast(f.dataType).as(f.name)
               }: _*)
           }
@@ -2563,6 +2583,61 @@ object SnapshotTable {
     if (mapped) markMapped(dir)
     out
   }
+
+  /** DEFAULT-VALUE support (ANSI column defaults, the Delta/Iceberg v3
+    * semantics by the same two-marker law Spark itself uses):
+    * `EXISTS_DEFAULT` (frozen at ADD COLUMNS time) fills the column for
+    * files written BEFORE it existed — natively, by the parquet
+    * reader, because the manifest schema's field METADATA carries the
+    * markers and every read path passes that schema; `CURRENT_DEFAULT`
+    * (mutable via ALTER COLUMN SET DEFAULT) is MATERIALIZED by the
+    * write paths for batches that omit the column, so changing it
+    * never rewrites or re-interprets existing files. */
+  private[io] def currentDefaultSql(f: StructField): Option[String] =
+    if (f.metadata.contains("CURRENT_DEFAULT"))
+      Some(f.metadata.getString("CURRENT_DEFAULT")) else None
+
+  /** The write-time filler for a column a batch omits: the declared
+    * CURRENT_DEFAULT expression, else NULL — both cast to the declared
+    * type. */
+  private[io] def defaultFill(f: StructField): Column =
+    currentDefaultSql(f).map(sqlTxt => expr(sqlTxt))
+      .getOrElse(lit(null)).cast(f.dataType)
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT e` / `DROP DEFAULT`
+    * (None): ONE metadata commit updating the column's
+    * CURRENT_DEFAULT. EXISTS_DEFAULT is deliberately untouched — it is
+    * the frozen fill for pre-ADD files, so the change affects only
+    * FUTURE writes that omit the column (which materialize the new
+    * default), exactly the ANSI semantics. The new expression must
+    * parse and be castable at declaration time. */
+  def setColumnDefault(dir: String, name: String, defaultSql: Option[String],
+                       maxRetries: Int = 5): Int =
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val cur = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest v$base at $dir records no schema"))
+      val f = cur.fields.find(_.name == name)
+        .orElse(cur.fields.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $name in ${cur.fieldNames.mkString(",")}"))
+      // must parse at declaration — EAGERLY (Spark 4 Column nodes
+      // defer parsing to analysis, so functions.expr alone would let a
+      // malformed default commit and break every later write)
+      defaultSql.foreach(org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parseExpression(_))
+      val md = defaultSql match {
+        case Some(sqlTxt) => new MetadataBuilder().withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sqlTxt).build()
+        case None =>
+          val b = new MetadataBuilder().withMetadata(f.metadata)
+          b.remove("CURRENT_DEFAULT").build()
+      }
+      val newSchema = StructType(cur.fields.map(x =>
+        if (x.name == f.name) x.copy(metadata = md) else x))
+      val v = base + 1
+      commit(dir, v, "setdefault", base, m.files, Some(newSchema), m.carried)
+      v
+    }
 
   /** True when the CHECK predicate text references column `c` —
     * detected on the UNRESOLVED expression tree, so it works without a

@@ -576,6 +576,56 @@ object DmlQueries {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  /** ANSI column DEFAULTS by SQL (round-11): `ALTER TABLE … ADD
+    * COLUMNS (o_prio INT DEFAULT 3)` is METADATA-ONLY (zero files
+    * change — asserted); pre-ADD rows read the frozen EXISTS default
+    * natively through the manifest schema's field metadata; an INSERT
+    * omitting the column MATERIALIZES the current default at the
+    * shared batch funnel; `ALTER COLUMN … SET DEFAULT 7` moves only
+    * FUTURE omitting writes. The oracle replays the three-regime
+    * lineage (pre-ADD fill, materialized 3, materialized 7)
+    * relationally. */
+  def qEvolveDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "evodefault")
+    val dir = SnapshotSql.resolveTable(spark, t.split('.').toSeq).get
+    val preFiles = pystreamsspark.io.SnapshotTable.filePaths(dir).toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (o_prio INT DEFAULT 3)")
+    require(pystreamsspark.io.SnapshotTable.filePaths(dir).toSet == preFiles,
+      "ADD COLUMNS DEFAULT must be metadata-only")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 === 3)
+      .createOrReplaceTempView("evo_default_rest")
+    SnapshotSql.sql(spark, s"INSERT INTO $t " +
+      "(o_orderkey, o_orderstatus, o_totalprice) " +
+      "SELECT * FROM evo_default_rest")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN o_prio SET DEFAULT 7")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 20 === 0)
+      .createOrReplaceTempView("evo_default_dup")
+    SnapshotSql.sql(spark, s"INSERT INTO $t " +
+      "(o_orderkey, o_orderstatus, o_totalprice) " +
+      "SELECT * FROM evo_default_dup")
+    spark.sql(s"SELECT o_prio, COUNT(*) AS n, " +
+      "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+      s"${Det.sqlSum("o_totalprice")} AS sum_price FROM $t " +
+      "GROUP BY o_prio ORDER BY o_prio")
+  }
+
+  val qEvolveDefaultSql: String =
+    s"""WITH t AS (
+       |  SELECT o_orderkey, o_totalprice, 3 AS o_prio FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice, 7 AS o_prio FROM orders
+       |  WHERE o_orderkey % 20 = 0)
+       |SELECT o_prio, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM t
+       |GROUP BY o_prio
+       |ORDER BY o_prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge"      -> (qSqlMerge _),
     "q_sql_merge_rich" -> (qSqlMergeRich _),
@@ -589,7 +639,8 @@ object DmlQueries {
     "q_spj_snapshot"   -> (qSpjSnapshot _),
     "q_evolve_rename"  -> (qEvolveRename _),
     "q_evolve_widen"   -> (qEvolveWiden _),
-    "q_sql_merge_evolve" -> (qSqlMergeEvolve _))
+    "q_sql_merge_evolve" -> (qSqlMergeEvolve _),
+    "q_evolve_default" -> (qEvolveDefault _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_merge"      -> qSqlMergeSql,
@@ -604,5 +655,6 @@ object DmlQueries {
     "q_spj_snapshot"   -> qSpjSnapshotSql,
     "q_evolve_rename"  -> qEvolveRenameSql,
     "q_evolve_widen"   -> qEvolveWidenSql,
-    "q_sql_merge_evolve" -> qSqlMergeEvolveSql)
+    "q_sql_merge_evolve" -> qSqlMergeEvolveSql,
+    "q_evolve_default" -> qEvolveDefaultSql)
 }
