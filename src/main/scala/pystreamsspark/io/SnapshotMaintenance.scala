@@ -17,6 +17,9 @@ import org.apache.spark.sql.types._
   *                                               → [[SnapshotTable.vacuumRetain]]
   *  - `OPTIMIZE graft.ns.t [FILES n]`           → [[SnapshotTable.compact]]
   *    (also materializes deletion vectors away — the MoR maintenance step)
+  *  - `OPTIMIZE graft.ns.t WHERE k BETWEEN lo AND hi [FILES n]`
+  *                                               → [[SnapshotTable.compactWhere]]
+  *    (PARTIAL compaction — only the stats-overlapping files rewrite)
   *  - `DESCRIBE HISTORY graft.ns.t`             → [[SnapshotTable.history]]
   *
   * [[parse]] recognizes the statement shape and returns an
@@ -36,6 +39,8 @@ object SnapshotMaintenance {
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([\w.`]+?)(?:\s+(?:OLDER\s+THAN|RETAIN)\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val OptimizeW =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+?)\s+WHERE\s+`?(\w+)`?\s+BETWEEN\s+'?([^\s']+)'?\s+AND\s+'?([^\s']+)'?(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptimizeZ =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val History =
@@ -61,6 +66,9 @@ object SnapshotMaintenance {
       Option(h).map(_.toInt).getOrElse(7 * 24)))
     case Vacuum(t, n) => Some(SnapshotMaintenanceCommand("vacuum",
       nameParts(t), Option(n).map(_.toInt).getOrElse(1)))
+    case OptimizeW(t, c, lo, hi, n) => Some(SnapshotMaintenanceCommand(
+      "compact_where", nameParts(t), Option(n).map(_.toInt).getOrElse(4),
+      cols = Seq(c, lo, hi)))
     case OptimizeZ(t, colList, n) => Some(SnapshotMaintenanceCommand(
       "zorder", nameParts(t), Option(n).map(_.toInt).getOrElse(16),
       cols = colList.split(",").toSeq
@@ -100,7 +108,8 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("n_files", IntegerType, nullable = false)(),
       AttributeReference("epoch", LongType, nullable = true)(),
       AttributeReference("ts", LongType, nullable = true)())
-    case "optimize" | "restore" | "restore_ts" | "zorder" => Seq(
+    case "optimize" | "restore" | "restore_ts" | "zorder" |
+         "compact_where" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
     case "copy" => Seq(
       AttributeReference("version", IntegerType, nullable = false)(),
@@ -128,6 +137,13 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
         SnapshotTable.history(spark, dir).collect().toSeq
       case "optimize" =>
         Seq(Row(SnapshotTable.compact(spark, dir, math.max(1, n))))
+      case "compact_where" =>
+        // `OPTIMIZE t WHERE c BETWEEN lo AND hi [FILES n]` — PARTIAL
+        // compaction: only the files whose stats overlap the bounds
+        // rewrite; the rest carry by reference (the hot-tail shape)
+        val Seq(c, lo, hi) = cols
+        Seq(Row(SnapshotTable.compactWhere(spark, dir,
+          Map(c -> (lo, hi)), math.max(1, n))))
       case "zorder" =>
         Seq(Row(SnapshotTable.zorderBy(spark, dir, cols, math.max(1, n))))
       case "vacuum" =>

@@ -2338,6 +2338,47 @@ object SnapshotTable {
     v
   }
 
+  /** PARTIAL compaction — `OPTIMIZE t WHERE k BETWEEN lo AND hi
+    * [FILES n]`: rewrite ONLY the files whose recorded cluster-key
+    * stats overlap the given bounds, carrying every other file by
+    * reference — the "compact the hot tail" maintenance shape: a
+    * streaming table accumulates small files in a narrow recent key
+    * range, and compacting them must cost O(that range), never a
+    * 100 TB full rewrite (the bill [[compact]] pays). Bound strings
+    * follow [[readWhere]]'s contract (epoch-micros for timestamps);
+    * bounds on non-stat columns select every file (conservative —
+    * degrades to a full compact rather than missing files). Touched
+    * files' deletion vectors materialize away (the rewrite reads
+    * DV-aware); untouched files keep theirs. The column MAPPING is
+    * preserved, not materialized — untouched files still store
+    * physical names, so only a FULL [[compact]] may drop the colmap.
+    * The clustering law holds: rewritten files range-repartition on
+    * the stat columns, so the compacted range stays pruned. No
+    * overlapping files → no-op (current version returned). */
+  def compactWhere(spark: SparkSession, dir: String,
+                   bounds: Map[String, (String, String)],
+                   target: Int = 4, maxRetries: Int = 5): Int = {
+    require(bounds.nonEmpty, "compactWhere needs at least one bound")
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      m.schema.foreach { s =>
+        bounds.keys.foreach(c => require(s.fieldNames.contains(c),
+          s"no column $c in ${s.fieldNames.mkString(",")}"))
+      }
+      val touched = pruneWhere(m, bounds)
+      if (touched.isEmpty) base
+      else {
+        val touchedSet = touched.map(_.path).toSet
+        val untouched = m.files.filterNot(f => touchedSet.contains(f.path))
+        val rewritten = readEntries(spark, dir, m, touched)
+        val files = writeShaped(rewritten, dir, target, m.statsCols)
+        val v = base + 1
+        commit(dir, v, "compact", base, untouched ++ files, m.schema,
+          m.carried)
+        v
+      }
+    }
+  }
+
   /** `OPTIMIZE t ZORDER BY (a, b[, c])`: rewrite the snapshot
     * Morton-clustered on up to three NUMERIC dimensions so every output
     * file covers a small HYPER-RECTANGLE of the key space — a

@@ -287,6 +287,42 @@ object Stress {
       deleteRec(new java.io.File(blT)); deleteRec(new java.io.File(nbT))
     }
 
+    // PARTIAL compaction (round-11): three small hot-tail files
+    // appended to a key-clustered table — `compactWhere` over the tail
+    // range must stay FLAT as the cold bulk x-folds (it reads only the
+    // stats-overlapping files), while a FULL compact rewrites the
+    // whole table and grows with it.
+    if (only.isEmpty || only.exists(o => Seq(s"partial_compact x$mult",
+        s"full_compact x$mult").exists(_.contains(o)))) {
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartitionByRange(16, $"o_orderkey")
+      def freshTable(): String = {
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_pc_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        pystreamsspark.io.SnapshotTable.createClustered(spark, d, base,
+          clusterCols = Seq("o_orderkey"))
+        (0 until 3).foreach { i =>
+          pystreamsspark.io.SnapshotTable.append(spark, d,
+            ord.select(($"o_orderkey" + lit(8e17.toLong) + i * 1000000L)
+              .as("o_orderkey"), $"o_orderstatus", $"o_totalprice")
+              .limit(5000),
+            numFiles = 1)
+        }
+        d
+      }
+      val pcT = freshTable()
+      time(s"partial_compact x$mult") {
+        pystreamsspark.io.SnapshotTable.compactWhere(spark, pcT,
+          Map("o_orderkey" -> (8e17.toLong.toString, "999999999999999999")),
+          target = 1).toLong
+      }
+      val fcT = freshTable()
+      time(s"full_compact x$mult") {
+        pystreamsspark.io.SnapshotTable.compact(spark, fcT, 16).toLong
+      }
+      deleteRec(new java.io.File(pcT)); deleteRec(new java.io.File(fcT))
+    }
+
     // narrow-key GENERAL merge (round-10 cont.): a conditional
     // multi-clause MERGE whose ON keys cover ~30 rows of a
     // key-clustered table — generalMerge must keep merge()'s
