@@ -450,6 +450,73 @@ object LayoutQueries {
       .orderBy($"_change_type")
   }
 
+  /** The CHANGE-DATA-FEED SOURCE end-to-end, oracle-checked (round-11):
+    * the same merge fixture plus a deletion-vector DELETE, read back
+    * through `spark.read.format(GraftCdcSource)` over the (from, to]
+    * version range — exercising the per-version `_cdc/` batch
+    * materialization (atomic-rename cache), the `_commit_version`
+    * stamping, and the DV-diff netting in one driver-checked key. The
+    * oracle reconstructs BOTH commits' net changes relationally:
+    * v2 = the merge's insert/delete pairs, v3 = the DV-deleted live
+    * rows. The streaming twin is spec-verified (SnapshotCdcStreamSpec
+    * proves stream ≡ this same per-version batch). */
+  def qCdcFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"cdcfeed_${java.util.UUID.randomUUID().toString.take(8)}")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    pystreamsspark.io.SnapshotTable.createClustered(spark, dir,
+      orders.filter($"o_orderkey" % 4 =!= 3)
+        .repartitionByRange(8, $"o_orderkey"),
+      clusterCols = Seq("o_orderkey"))
+    val updates = orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+    pystreamsspark.io.SnapshotTable.merge(spark, dir, updates,
+      Seq("o_orderkey")) // v2
+    pystreamsspark.io.SnapshotTable.deleteVectors(spark, dir,
+      "o_orderkey % 7 = 0") // v3
+    spark.read.format("pystreamsspark.io.GraftCdcSource")
+      .option("path", dir).option("fromVersion", 1).option("toVersion", 3)
+      .load()
+      .groupBy($"_commit_version", $"_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("key_sum"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"_commit_version", $"_change_type")
+  }
+
+  val qCdcFeedSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 <> 3
+       |), upd AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |), merged AS (
+       |  SELECT * FROM base
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd
+       |), changes AS (
+       |  SELECT CAST(2 AS BIGINT) AS _commit_version,
+       |    'insert' AS _change_type, *
+       |  FROM (SELECT * FROM merged EXCEPT ALL SELECT * FROM base)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'delete', *
+       |  FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM merged)
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'delete', *
+       |  FROM merged WHERE o_orderkey % 7 = 0
+       |)
+       |SELECT _commit_version, _change_type, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  ${Det.sqlSum("o_totalprice")} AS sum_price
+       |FROM changes
+       |GROUP BY _commit_version, _change_type
+       |ORDER BY _commit_version, _change_type""".stripMargin
+
   val qSnapshotCdcSql: String =
     s"""WITH base AS (
        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -614,6 +681,7 @@ object LayoutQueries {
     "q_time_travel"     -> (qTimeTravel _),
     "q_dv_delete"       -> (qDvDelete _),
     "q_snapshot_cdc"    -> (qSnapshotCdc _),
+    "q_cdc_feed"        -> (qCdcFeed _),
     "q_dpp_join"        -> (qDppJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_bucket_join"     -> (qBucketJoin _),
@@ -630,6 +698,7 @@ object LayoutQueries {
     "q_time_travel"     -> qTimeTravelSql,
     "q_dv_delete"       -> qDvDeleteSql,
     "q_snapshot_cdc"    -> qSnapshotCdcSql,
+    "q_cdc_feed"        -> qCdcFeedSql,
     "q_dpp_join"        -> qDppJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bucket_join"     -> qBucketJoinSql,
