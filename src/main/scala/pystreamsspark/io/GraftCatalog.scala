@@ -461,8 +461,10 @@ class SnapshotV2Table(fullName: String, val dir: String,
     new GraftScanBuilder(dir, pt.fileIndex, schema, pt.dataSchema, options,
       SnapshotTable.bucketSpecOf(dir, versionAsOf),
       if (allBucketed) buckets else Map.empty,
-      // exact snapshot row count (manifest footer sums) → CBO numRows
-      SnapshotTable.rowCountOf(dir, versionAsOf))
+      // exact snapshot row count (manifest footer sums) → CBO numRows,
+      // plus the recorded ANALYZE column stats → CBO columnStats
+      SnapshotTable.rowCountOf(dir, versionAsOf),
+      SnapshotTable.columnStatsOf(dir, versionAsOf)._1)
   }
 }
 

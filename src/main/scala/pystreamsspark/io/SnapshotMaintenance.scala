@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
   *                                               → [[SnapshotTable.compactWhere]]
   *    (PARTIAL compaction — only the stats-overlapping files rewrite)
   *  - `DESCRIBE HISTORY graft.ns.t`             → [[SnapshotTable.history]]
+  *  - `ANALYZE TABLE graft.ns.t COMPUTE STATISTICS [FOR COLUMNS c, …]`
+  *                                               → [[SnapshotTable.analyzeColumns]]
   *
   * [[parse]] recognizes the statement shape and returns an
   * eagerly-executed command; table-name RESOLUTION happens at run time
@@ -51,6 +53,8 @@ object SnapshotMaintenance {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreT =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+([\w,\s`]+?)))?\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
 
@@ -83,6 +87,11 @@ object SnapshotMaintenance {
       nameParts(t), v.toInt))
     case RestoreT(t, ts) => Some(SnapshotMaintenanceCommand("restore_ts",
       nameParts(t), 0, ts))
+    case Analyze(t, colList) => Some(SnapshotMaintenanceCommand(
+      "analyze", nameParts(t), 0,
+      cols = Option(colList).map(_.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)).getOrElse(Nil)))
     case CopyInto(t, path, fmt) => Some(SnapshotMaintenanceCommand("copy",
       nameParts(t), 0, path,
       cols = Option(fmt).map(_.toLowerCase).toSeq))
@@ -109,7 +118,7 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("epoch", LongType, nullable = true)(),
       AttributeReference("ts", LongType, nullable = true)())
     case "optimize" | "restore" | "restore_ts" | "zorder" |
-         "compact_where" => Seq(
+         "compact_where" | "analyze" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
     case "copy" => Seq(
       AttributeReference("version", IntegerType, nullable = false)(),
@@ -161,6 +170,11 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
         val (v, n) = SnapshotTable.copyInto(spark, dir, ts,
           cols.headOption.getOrElse("parquet"))
         Seq(Row(v, n))
+      case "analyze" =>
+        // `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS …|FOR ALL
+        // COLUMNS]` — one distributed pass; stats land in the manifest
+        // header and the V2 scan serves them to the CBO
+        Seq(Row(SnapshotTable.analyzeColumns(spark, dir, cols)))
       case "restore" =>
         Seq(Row(SnapshotTable.restore(dir, n)))
       case "restore_ts" =>

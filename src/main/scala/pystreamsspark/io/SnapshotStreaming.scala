@@ -152,7 +152,9 @@ private[io] class GraftScanBuilder(dir: String,
                                    options: CaseInsensitiveStringMap,
                                    bucketSpec: Option[(String, Int)] = None,
                                    fileBuckets: Map[String, Int] = Map.empty,
-                                   knownRows: Option[Long] = None)
+                                   knownRows: Option[Long] = None,
+                                   colStats: Map[String, SnapshotTable.ColumnStats] =
+                                     Map.empty)
   extends ParquetScanBuilder(GraftSqlShims.activeClassic(), fileIndex,
     schema, dataSchema, options) {
 
@@ -164,8 +166,9 @@ private[io] class GraftScanBuilder(dir: String,
     bucketSpec match {
       case Some((c, n)) if v2Bucketing && fileBuckets.nonEmpty =>
         new GraftBucketedParquetScan(dir, schema, options, s, c, n,
-          fileBuckets)
-      case _ => new GraftParquetScan(dir, schema, options, s, knownRows)
+          fileBuckets, colStats)
+      case _ => new GraftParquetScan(dir, schema, options, s, knownRows,
+        colStats)
     }
   }
 }
@@ -177,7 +180,9 @@ private[io] class GraftScanBuilder(dir: String,
 private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
                                    tblOptions: CaseInsensitiveStringMap,
                                    s: ParquetScan,
-                                   knownRows: Option[Long] = None)
+                                   knownRows: Option[Long] = None,
+                                   colStats: Map[String, SnapshotTable.ColumnStats] =
+                                     Map.empty)
   extends ParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
     s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
     s.options, s.pushedAggregate, s.partitionFilters, s.dataFilters,
@@ -186,23 +191,51 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(dir, tableSchema, tblOptions)
 
-  /** EXACT table row count for the CBO, from the manifest's per-file
-    * footer counts — only when the scan reads the WHOLE snapshot (any
-    * pushed filter/aggregate makes the count an overestimate of the
-    * scan's output, so fall back to the size-only base estimate). */
+  /** EXACT table row count + ANALYZE column statistics for the CBO:
+    * the row count comes from the manifest's per-file footer counts,
+    * the per-column NDV/null/length stats from the recorded `colstats`
+    * header (ANALYZE TABLE … FOR COLUMNS) — both only when the scan
+    * reads the WHOLE snapshot (any pushed filter/aggregate makes them
+    * overestimates of the scan's output, so fall back to the size-only
+    * base estimate). min/max are deliberately NOT served (engine-
+    * internal object typing; NDV + nulls are the join-estimation
+    * inputs that matter). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val base = super.estimateStatistics()
-    knownRows match {
-      case Some(n) if pushedFilters.isEmpty && dataFilters.isEmpty &&
-          partitionFilters.isEmpty && pushedAggregate.isEmpty =>
-        new org.apache.spark.sql.connector.read.Statistics {
-          override def sizeInBytes(): java.util.OptionalLong =
-            base.sizeInBytes()
-          override def numRows(): java.util.OptionalLong =
-            java.util.OptionalLong.of(n)
-        }
-      case _ => base
+    val wholeSnapshot = pushedFilters.isEmpty && dataFilters.isEmpty &&
+      partitionFilters.isEmpty && pushedAggregate.isEmpty
+    if (!wholeSnapshot || (knownRows.isEmpty && colStats.isEmpty)) base
+    else {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val cs = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics]()
+      colStats.foreach { case (c, st) =>
+        cs.put(Expressions.column(c), new ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(st.ndv)
+          override def nullCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(st.nulls)
+          override def avgLen(): java.util.OptionalLong =
+            st.avgLen.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty)
+          override def maxLen(): java.util.OptionalLong =
+            st.maxLen.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty)
+        })
+      }
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          knownRows.map(java.util.OptionalLong.of)
+            .getOrElse(base.numRows())
+        override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics] = cs
+      }
     }
   }
 }
@@ -233,8 +266,11 @@ private[io] class GraftBucketedParquetScan(dir: String,
                                            s: ParquetScan,
                                            bucketCol: String,
                                            numBuckets: Int,
-                                           fileBuckets: Map[String, Int])
-  extends GraftParquetScan(dir, tableSchema, tblOptions, s)
+                                           fileBuckets: Map[String, Int],
+                                           colStats: Map[String, SnapshotTable.ColumnStats] =
+                                             Map.empty)
+  extends GraftParquetScan(dir, tableSchema, tblOptions, s,
+    colStats = colStats)
   with SupportsReportPartitioning {
 
   override def outputPartitioning(): Partitioning =

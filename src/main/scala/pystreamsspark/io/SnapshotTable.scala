@@ -248,7 +248,9 @@ object SnapshotTable {
         header.get("colmap").map("colmap" -> _) ++
         header.get("retired").map("retired" -> _) ++
         header.get("bloomcols").map("bloomcols" -> _) ++
-        header.get("bloombits").map("bloombits" -> _)).toSeq
+        header.get("bloombits").map("bloombits" -> _) ++
+        header.get("colstats").map("colstats" -> _) ++
+        header.get("analyzedv").map("analyzedv" -> _)).toSeq
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -2901,6 +2903,108 @@ object SnapshotTable {
       commit(dir, v, "altertbl", base, m.files, m.schema, headers)
       v
     }
+  }
+
+  /** One analyzed column's statistics, as the manifest records them:
+    * NDV is approximate (HLL++, the industry ANALYZE norm), null count
+    * exact, min/max rendered in the shared stats string format
+    * (numeric/date/timestamp families only — a free-text min/max would
+    * bloat the header for no estimator value), avg/max byte length for
+    * strings. */
+  case class ColumnStats(ndv: Long, nulls: Long,
+                         min: Option[String], max: Option[String],
+                         avgLen: Option[Long], maxLen: Option[Long])
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` — ONE distributed
+    * pass over the live snapshot (DV-aware, mapping-aware) computing
+    * per-column NDV/nulls/min/max/lengths, recorded in the manifest
+    * header (`colstats`, carried forward; `analyzedv` names the
+    * version analyzed so consumers can judge staleness — the industry
+    * contract: advisory estimator input, refreshed by re-running
+    * ANALYZE, never a correctness input). The V2 scan serves them as
+    * connector `columnStats`, so a CBO-enabled session sees real
+    * NDV/null counts for join estimation instead of guessing from
+    * sizes. Empty `cols` analyzes every supported column. */
+  def analyzeColumns(spark: SparkSession, dir: String,
+                     cols: Seq[String] = Nil,
+                     maxRetries: Int = 5): Int =
+    commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      val schema = m.schema.getOrElse(throw new IllegalStateException(
+        s"manifest v$base at $dir records no schema"))
+      val targets =
+        (if (cols.isEmpty) schema.fields.toSeq
+         else cols.map(c => schema.fields.find(_.name == c)
+           .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
+           .getOrElse(throw new IllegalArgumentException(
+             s"no column $c in ${schema.fieldNames.mkString(",")}"))))
+          .filter(f => f.dataType match {
+            case _: NumericType | _: StringType | _: DateType |
+                 _: TimestampType | _: TimestampNTZType | _: BooleanType => true
+            case _ => false
+          })
+      require(targets.nonEmpty, "no analyzable columns")
+      val df = readEntries(spark, dir, m, m.files)
+      val aggs = targets.flatMap { f =>
+        val c = col(f.name)
+        val minMax = f.dataType match {
+          case _: NumericType | _: DateType | _: TimestampType |
+               _: TimestampNTZType => Seq(
+            statAgg(f.name, f.dataType, isMin = true).as(s"mn_${f.name}"),
+            statAgg(f.name, f.dataType, isMin = false).as(s"mx_${f.name}"))
+          case _ => Seq(lit(null).cast("string").as(s"mn_${f.name}"),
+            lit(null).cast("string").as(s"mx_${f.name}"))
+        }
+        val lens = f.dataType match {
+          case _: StringType => Seq(
+            avg(length(c)).cast("long").as(s"al_${f.name}"),
+            max(length(c)).cast("long").as(s"ml_${f.name}"))
+          case dt => Seq(lit(dt.defaultSize.toLong).as(s"al_${f.name}"),
+            lit(dt.defaultSize.toLong).as(s"ml_${f.name}"))
+        }
+        Seq(approx_count_distinct(c).as(s"nd_${f.name}"),
+          (count(lit(1)) - count(c)).as(s"nu_${f.name}")) ++ minMax ++ lens
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      def num(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val stats = targets.zipWithIndex.map { case (f, i) =>
+        val o = i * 6
+        f.name -> ColumnStats(num(o), num(o + 1),
+          Option(r.getString(o + 2)), Option(r.getString(o + 3)),
+          if (r.isNullAt(o + 4)) None else Some(r.getLong(o + 4)),
+          if (r.isNullAt(o + 5)) None else Some(r.getLong(o + 5)))
+      }
+      def enc(v: Option[String]) = v.map(FileEntry.enc).getOrElse("")
+      val encoded = stats.map { case (c, st) =>
+        s"${FileEntry.enc(c)}:${st.ndv},${st.nulls},${enc(st.min)}," +
+          s"${enc(st.max)},${st.avgLen.getOrElse(-1L)}," +
+          s"${st.maxLen.getOrElse(-1L)}"
+      }.mkString(";")
+      val headers = m.carried.filterNot(e =>
+        Set("colstats", "analyzedv")(e._1)) ++
+        Seq("colstats" -> encoded, "analyzedv" -> base.toString)
+      val v = base + 1
+      commit(dir, v, "analyze", base, m.files, m.schema, headers)
+      v
+    }
+
+  /** The recorded ANALYZE column statistics (empty when never
+    * analyzed), plus the version they were computed at. Pure driver
+    * metadata. */
+  def columnStatsOf(dir: String, versionAsOf: Option[Int] = None)
+      : (Map[String, ColumnStats], Option[Int]) = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) return (Map.empty, None)
+    val h = readManifest(dir, v).header
+    val stats = h.get("colstats").map(_.split(";").iterator
+      .filter(_.nonEmpty).map { e =>
+        val Array(c, rest) = e.split(":", 2)
+        val p = rest.split(",", 6)
+        def opt(s: String) = if (s.isEmpty) None else Some(FileEntry.dec(s))
+        def optL(s: String) = { val x = s.toLong; if (x < 0) None else Some(x) }
+        FileEntry.dec(c) -> ColumnStats(p(0).toLong, p(1).toLong,
+          opt(p(2)), opt(p(3)), optL(p(4)), optL(p(5)))
+      }.toMap).getOrElse(Map.empty)
+    (stats, h.get("analyzedv").map(_.toInt))
   }
 
   /** EXACT row count of a snapshot — the sum of the manifest's
