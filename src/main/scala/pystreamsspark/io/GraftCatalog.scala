@@ -226,9 +226,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new IllegalArgumentException(
               s"default for ${a.fieldNames.head} must be a SQL " +
                 "expression"))
+          // EXISTS_DEFAULT is the FROZEN fill for pre-ADD rows:
+          // evaluate the expression ONCE now and store the folded
+          // literal's SQL (a raw current_date() would re-evaluate on
+          // every read and drift); CURRENT_DEFAULT keeps the raw text
+          // — ANSI re-evaluates it per omitting write
+          val spark = org.apache.spark.sql.SparkSession.active
+          val folded = spark.sql(
+            s"SELECT CAST(($sqlTxt) AS ${a.dataType.sql})").head.get(0)
+          val existsTxt = org.apache.spark.sql.catalyst.expressions
+            .Literal.create(folded, a.dataType).sql
           new org.apache.spark.sql.types.MetadataBuilder()
             .putString("CURRENT_DEFAULT", sqlTxt)
-            .putString("EXISTS_DEFAULT", sqlTxt).build()
+            .putString("EXISTS_DEFAULT", existsTxt).build()
         }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         StructField(a.fieldNames.head, a.dataType, nullable = true,
           metadata = md)
@@ -236,8 +246,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     renames.foreach(r =>
       SnapshotTable.renameColumn(dir, r.fieldNames.head, r.newName))
     drops.foreach { d =>
+      // case-INSENSITIVE existence check, matching dropColumn's own
+      // resolution (Spark SQL default) — a case-variant IF EXISTS must
+      // drop the column, not silently no-op
       val exists = SnapshotTable.schemaOf(dir).fieldNames
-        .contains(d.fieldNames.head)
+        .exists(_.equalsIgnoreCase(d.fieldNames.head))
       if (exists || !d.ifExists())
         SnapshotTable.dropColumn(dir, d.fieldNames.head)
     }
@@ -248,7 +261,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // empty/null new default)
       val sqlTxt = Option(d.newCurrentDefault()).flatMap(v =>
         Option(v.getSql)).filter(_.nonEmpty)
-      SnapshotTable.setColumnDefault(dir, d.fieldNames.head, sqlTxt)
+      SnapshotTable.setColumnDefault(
+        org.apache.spark.sql.SparkSession.active, dir,
+        d.fieldNames.head, sqlTxt)
     }
     load(ident, None)
   }

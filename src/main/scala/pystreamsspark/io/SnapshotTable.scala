@@ -320,6 +320,32 @@ object SnapshotTable {
   private def encodeRetired(s: Set[String]): String =
     s.toSeq.sorted.map(FileEntry.enc).mkString(";")
 
+  /** Rename (Some) or drop (None) one column's entry in the encoded
+    * ANALYZE `colstats` header — rename/drop must not leave the CBO
+    * serving a dead column's statistics under a reused name. */
+  private def adjustColstats(h: String, from: String,
+                             to: Option[String]): String =
+    h.split(";").iterator.filter(_.nonEmpty).flatMap { e =>
+      val Array(c, rest) = e.split(":", 2)
+      if (FileEntry.dec(c) == from)
+        to.map(t => s"${FileEntry.enc(t)}:$rest")
+      else Some(e)
+    }.mkString(";")
+
+  /** Cached per-version CDC batches store the LOGICAL column names
+    * current at materialization time — a rename/drop would make later
+    * by-name reads silently null-fill the renamed column, so the cache
+    * is derived data and the evolution commits DROP it (the next read
+    * re-materializes from the mapping-aware manifests, or fails loudly
+    * if they were vacuumed — never silent nulls). */
+  private def dropCdcCache(dir: String): Unit = {
+    val root = Paths.get(dir, "_cdc")
+    if (Files.isDirectory(root)) listDir(root).foreach { b =>
+      listDir(b).foreach(Files.delete)
+      Files.delete(b)
+    }
+  }
+
   /** Logical→physical mapping of a snapshot (non-identity pairs only;
     * empty = files readable by name). Pure driver metadata. */
   def columnMappingOf(dir: String,
@@ -650,73 +676,57 @@ object SnapshotTable {
         bucket = bucketOf(p.substring(p.lastIndexOf('/') + 1)),
         rows = footerRows(p))
     val presentStats = statsCols.filter(df.schema.fieldNames.contains)
-    // per-file BLOOM blobs for the declared point-lookup columns — one
-    // agg pass over the just-written batch (never the input plan): per
-    // (file, column), collect the k seeded bit positions (bounded sets,
-    // <= bloombits ints each) and fold them into a base64 bitset
     val bloomHere = latestManifest.map(_.bloomCols).getOrElse(Nil)
       .filter(c => df.schema.fieldNames.contains(c) &&
         bloomSupports(df.schema(c).dataType))
     val bloomBits = latestManifest.map(_.bloomBits)
       .getOrElse(DEFAULT_BLOOM_BITS)
-    val bloomByFile: Map[String, Map[String, String]] =
-      if (bloomHere.isEmpty) Map.empty
-      else {
-        val aggs = bloomHere.flatMap { c =>
-          bloomPosExprs(col(colmap.getOrElse(c, c)), bloomBits)
-            .zipWithIndex.map { case (e, i) =>
-              collect_set(e).as(s"bl_${c}_$i") }
-        }
-        df.sparkSession.read.parquet(out.toString)
-          .groupBy(input_file_name().as("_f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect() // O(#batch files × bloombits) driver metadata
-          .map { r =>
-            val perCol = bloomHere.zipWithIndex.map { case (c, ci) =>
-              val bits = new java.util.BitSet(bloomBits)
-              (0 until BLOOM_SEEDS.size).foreach { i =>
-                r.getSeq[Int](1 + ci * BLOOM_SEEDS.size + i)
-                  .foreach(bits.set)
-              }
-              c -> bloomEncode(bits)
-            }.toMap
-            r.getString(0) -> perCol
-          }.toMap
-      }
-    def bloomOf(p: String): Map[String, String] =
-      bloomByFile.collectFirst {
-        case (uri, b) if uri.endsWith(p) => b
-      }.getOrElse(Map.empty)
-    if (presentStats.isEmpty)
-      rel.map(p => entryOf(p, Map.empty).copy(bloom = bloomOf(p)))
+    if (presentStats.isEmpty && bloomHere.isEmpty)
+      rel.map(entryOf(_, Map.empty))
     else {
-      // per-file min/max in ONE scan of the new batch's stat columns;
-      // values rendered via statAgg (epoch-micros for timestamps,
-      // string cast otherwise), compared TYPED at prune time. The
-      // re-read batch carries PHYSICAL names; stats record under the
-      // LOGICAL key (what statscols/pruneWhere speak).
-      val aggs = presentStats.flatMap(c => Seq(
+      // per-file cluster min/max AND bloom blobs in ONE scan of the
+      // just-written batch (never the input plan): stats render via
+      // statAgg (epoch-micros for timestamps), blooms collect the k
+      // seeded bit positions (bounded sets, <= bloombits ints each).
+      // The re-read batch carries PHYSICAL names; both record under
+      // the LOGICAL key.
+      val statAggs = presentStats.flatMap(c => Seq(
         statAgg(colmap.getOrElse(c, c), df.schema(c).dataType,
           isMin = true).as(s"lo_$c"),
         statAgg(colmap.getOrElse(c, c), df.schema(c).dataType,
           isMin = false).as(s"hi_$c")))
+      val bloomAggs = bloomHere.flatMap { c =>
+        bloomPosExprs(col(colmap.getOrElse(c, c)), bloomBits)
+          .zipWithIndex.map { case (e, i) =>
+            collect_set(e).as(s"bl_${c}_$i") }
+      }
+      val aggs = statAggs ++ bloomAggs
+      val bloomBase = 1 + statAggs.size
       val byFile = df.sparkSession.read.parquet(out.toString)
         .groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
-        .collect() // O(#files in this batch) driver metadata
+        .collect() // O(#batch files × bloombits) driver metadata
         .map { r =>
           val stats = presentStats.zipWithIndex.flatMap { case (c, i) =>
             val lo = r.getString(1 + 2 * i); val hi = r.getString(2 + 2 * i)
             // all-null key column in a file → no stats → never pruned
             if (lo == null || hi == null) None else Some(c -> (lo, hi))
           }.toMap
-          r.getString(0) -> stats
+          val blooms = bloomHere.zipWithIndex.map { case (c, ci) =>
+            val bits = new java.util.BitSet(bloomBits)
+            (0 until BLOOM_SEEDS.size).foreach { i =>
+              r.getSeq[Int](bloomBase + ci * BLOOM_SEEDS.size + i)
+                .foreach(bits.set)
+            }
+            c -> bloomEncode(bits)
+          }.toMap
+          (r.getString(0), stats, blooms)
         }
       rel.map { p =>
-        val stats = byFile.collectFirst {
-          case (uri, s) if uri.endsWith(p) => s
-        }.getOrElse(Map.empty[String, (String, String)])
-        entryOf(p, stats).copy(bloom = bloomOf(p))
+        byFile.collectFirst {
+          case (uri, st, bl) if uri.endsWith(p) =>
+            entryOf(p, st).copy(bloom = bl)
+        }.getOrElse(entryOf(p, Map.empty))
       }
     }
   }
@@ -2654,7 +2664,8 @@ object SnapshotTable {
     * FUTURE writes that omit the column (which materialize the new
     * default), exactly the ANSI semantics. The new expression must
     * parse and be castable at declaration time. */
-  def setColumnDefault(dir: String, name: String, defaultSql: Option[String],
+  def setColumnDefault(spark: SparkSession, dir: String, name: String,
+                       defaultSql: Option[String],
                        maxRetries: Int = 5): Int =
     commitWithRebase(dir, None, maxRetries) { (base, m) =>
       val cur = m.schema.getOrElse(throw new IllegalStateException(
@@ -2663,11 +2674,16 @@ object SnapshotTable {
         .orElse(cur.fields.find(_.name.equalsIgnoreCase(name)))
         .getOrElse(throw new IllegalArgumentException(
           s"no column $name in ${cur.fieldNames.mkString(",")}"))
-      // must parse at declaration — EAGERLY (Spark 4 Column nodes
-      // defer parsing to analysis, so functions.expr alone would let a
-      // malformed default commit and break every later write)
-      defaultSql.foreach(org.apache.spark.sql.catalyst.parser
-        .CatalystSqlParser.parseExpression(_))
+      // must RESOLVE, fold and cast at declaration time — a typo'd
+      // column reference or an un-castable literal would otherwise
+      // commit and poison every later omitting write (ANSI cast
+      // failures surface here, once, instead of at each INSERT; this
+      // also subsumes eager parsing — Spark 4 Column nodes alone would
+      // defer it to analysis)
+      defaultSql.foreach { sqlTxt =>
+        spark.sql(s"SELECT CAST(($sqlTxt) AS ${f.dataType.sql})").collect()
+        ()
+      }
       val md = defaultSql match {
         case Some(sqlTxt) => new MetadataBuilder().withMetadata(f.metadata)
           .putString("CURRENT_DEFAULT", sqlTxt).build()
@@ -2730,19 +2746,31 @@ object SnapshotTable {
         (if (phys == newName) Map.empty[String, String]
          else Map(newName -> phys))
       val newStats = m.statsCols.map(c => if (c == f.name) newName else c)
-      val files = m.files.map(fe => fe.copy(stats = fe.stats.map {
-        case (k, v) => (if (k == f.name) newName else k) -> v }))
+      val files = m.files.map(fe => fe.copy(
+        stats = fe.stats.map {
+          case (k, v) => (if (k == f.name) newName else k) -> v },
+        bloom = fe.bloom.map {
+          case (k, v) => (if (k == f.name) newName else k) -> v }))
       val headers = m.carried.filterNot(e =>
-        Set("colmap", "statscols", "bucketcols")(e._1)) ++
+        Set("colmap", "statscols", "bucketcols", "bloomcols",
+          "colstats")(e._1)) ++
         (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm))) ++
         (if (m.statsCols.isEmpty) Nil
          else Seq("statscols" -> newStats.mkString(","))) ++
         m.header.get("bucketcols").map(c =>
-          "bucketcols" -> (if (c == f.name) newName else c))
+          "bucketcols" -> (if (c == f.name) newName else c)) ++
+        // the bloom declaration and the ANALYZE stats follow the column
+        m.header.get("bloomcols").map(bc => "bloomcols" -> bc.split(",")
+          .map(c => if (c == f.name) newName else c).mkString(",")) ++
+        m.header.get("colstats").map(cs =>
+          "colstats" -> adjustColstats(cs, f.name, Some(newName)))
       val v = base + 1
       commit(dir, v, "rename", base, files, Some(newSchema), headers)
       v
     }
+    // cached CDC batches carry the OLD logical names — derived data,
+    // dropped so replays re-materialize under the new names
+    dropCdcCache(dir)
     markMapped(dir)
     out
   }
@@ -2775,15 +2803,25 @@ object SnapshotTable {
       val phys = m.colmap.getOrElse(f.name, f.name)
       val newSchema = StructType(cur.fields.filterNot(_.name == f.name))
       val cm = m.colmap - f.name
-      val files = m.files.map(fe => fe.copy(stats = fe.stats - f.name))
+      val files = m.files.map(fe => fe.copy(stats = fe.stats - f.name,
+        bloom = fe.bloom - f.name))
+      // a dropped bloom column leaves the declaration; a dropped
+      // ANALYZE entry must go — a later re-ADD of the name would be
+      // served the DEAD column's NDV/nulls otherwise
+      val newBloomCols = m.bloomCols.filterNot(_ == f.name)
       val headers = m.carried.filterNot(e =>
-        Set("colmap", "retired")(e._1)) ++
+        Set("colmap", "retired", "bloomcols", "colstats")(e._1)) ++
         (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm))) ++
-        Seq("retired" -> encodeRetired(m.retired + phys))
+        Seq("retired" -> encodeRetired(m.retired + phys)) ++
+        (if (newBloomCols.isEmpty) Nil
+         else Seq("bloomcols" -> newBloomCols.mkString(","))) ++
+        m.header.get("colstats").map(cs =>
+          "colstats" -> adjustColstats(cs, f.name, None))
       val v = base + 1
       commit(dir, v, "drop", base, files, Some(newSchema), headers)
       v
     }
+    dropCdcCache(dir)
     markMapped(dir)
     out
   }
@@ -2826,10 +2864,33 @@ object SnapshotTable {
         m.bucketSpec.foreach { case (c, _) => require(c != f.name,
           s"cannot widen bucket column ${f.name}: int32/int64 hash " +
             "differently, the bucket layout would break") }
+        // xxhash64 of INT and BIGINT values differ too: widening a
+        // bloom column would make every recorded blob silently miss
+        // the probes — files holding the key would be wrongly pruned
+        require(!m.bloomCols.contains(f.name),
+          s"cannot widen bloom column ${f.name}: the recorded blobs " +
+            "hash the narrow type; drop it from bloomcols (SET " +
+            "TBLPROPERTIES) or OPTIMIZE first")
+        // float→double is value-exact for the DATA (native promotion)
+        // but NOT for the recorded min/max strings: '1.1' understates
+        // the promoted double 1.10000002..., so a box read could prune
+        // a file that holds the probed value. Strip the column's
+        // per-file stats (conservative no-prune until a compact
+        // re-records them at double precision); integer widenings keep
+        // theirs (exact renders).
+        val files =
+          if (f.dataType.isInstanceOf[FloatType] &&
+            m.statsCols.contains(f.name))
+            m.files.map(fe => fe.copy(stats = fe.stats - f.name))
+          else m.files
         val newSchema = StructType(cur.fields.map(x =>
           if (x.name == f.name) x.copy(dataType = to) else x))
+        // ANALYZE min/max renders are narrow-typed too — drop the entry
+        val headers = m.carried.filterNot(_._1 == "colstats") ++
+          m.header.get("colstats").map(cs =>
+            "colstats" -> adjustColstats(cs, f.name, None))
         val v = base + 1
-        commit(dir, v, "widen", base, m.files, Some(newSchema), m.carried)
+        commit(dir, v, "widen", base, files, Some(newSchema), headers)
         v
       }
     }
@@ -3091,14 +3152,19 @@ object SnapshotTable {
       require(versions.contains(v),
         s"version $v at $dir does not exist (vacuumed?) — CDC cannot " +
           "replay it; restart the feed from a newer startingVersion")
+      // the full-snapshot-as-inserts form is ONLY for the table's TRUE
+      // first commit (parent 0). After a vacuum the oldest survivor has
+      // parent v-1: emitting its whole snapshot as inserts would make a
+      // resuming consumer double-count the entire table — that case
+      // must fail loudly like any vacuumed-history read.
       val changes =
-        if (v == versions.head)
+        if (v == versions.head && readManifest(dir, v).parent == 0)
           read(spark, dir, Some(v)).withColumn("_change_type", lit("insert"))
         else {
           require(versions.contains(v - 1),
             s"version ${v - 1} at $dir was vacuumed — CDC for version " +
               s"$v needs both adjacent manifests (or a pre-materialized " +
-              "_cdc batch)")
+              "_cdc batch); restart the feed from a newer startingVersion")
           changesBetween(spark, dir, v - 1, v)
         }
       val tmp = Paths.get(dir, "_cdc",

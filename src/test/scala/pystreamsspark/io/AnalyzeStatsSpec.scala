@@ -89,6 +89,25 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(scanStats(withFilter = true).columnStats().isEmpty)
   }
 
+  test("colstats follow a RENAME and die with a DROP (a re-added " +
+    "name must not inherit the dead column's NDV)") {
+    val dir = tmp()
+    SnapshotTable.create(spark, dir,
+      spark.range(0, 200).toDF("id")
+        .withColumn("s", pmod(col("id"), lit(3)).cast("string")))
+    SnapshotTable.analyzeColumns(spark, dir)
+    SnapshotTable.renameColumn(dir, "s", "status")
+    val (renamed, _) = SnapshotTable.columnStatsOf(dir)
+    assert(renamed.contains("status") && !renamed.contains("s"))
+    SnapshotTable.dropColumn(dir, "status")
+    assert(!SnapshotTable.columnStatsOf(dir)._1.contains("status"))
+    SnapshotTable.evolveSchema(dir, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType))))
+    assert(!SnapshotTable.columnStatsOf(dir)._1.contains("status"),
+      "a re-added column must not inherit the dropped column's stats")
+  }
+
   test("SQL routes: ANALYZE TABLE … COMPUTE STATISTICS on both parsers") {
     val wh = tmp()
     SnapshotSql.register(spark, wh)

@@ -79,6 +79,44 @@ class BloomSkipSpec extends SparkSpec {
       .count() === 5L)
   }
 
+  test("review fixes: widening a bloom column refuses (hash would " +
+    "change); a rename carries the declaration AND the blobs") {
+    val dir = fixture(2000, 4)
+    // int64 blobs would no longer match int32->int64-widened probes…
+    // (our fixture is already long; build an INT-keyed table)
+    val idir = tmp()
+    SnapshotTable.createEmpty(idir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))),
+      bloomCols = Seq("k"))
+    SnapshotTable.append(spark, idir,
+      spark.range(0, 100).selectExpr("CAST(id AS INT) k",
+        "CAST(id AS DOUBLE) v"),
+      numFiles = 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.widenColumn(idir, "k",
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("bloom"))
+    // rename: bloomcols header, per-file blobs and pruning all follow
+    SnapshotTable.renameColumn(dir, "id", "key")
+    val all = SnapshotTable.filePaths(dir).size
+    assert(SnapshotTable.readCandidatesIn(dir, "key", Seq("42")).size < all,
+      "bloom pruning must survive the rename")
+    assert(SnapshotTable.readWhereIn(spark, dir, "key", Seq("42"))
+      .count() === 1L)
+    // post-rename appends keep recording blobs under the new name
+    SnapshotTable.append(spark, dir,
+      spark.range(50000, 52000).toDF("key")
+        .withColumn("v", org.apache.spark.sql.functions.lit(1.0)),
+      numFiles = 4)
+    assert(SnapshotTable.readCandidatesIn(dir, "key", Seq("50005")).size <
+      SnapshotTable.filePaths(dir).size)
+  }
+
   test("SET TBLPROPERTIES arms blobs for future batches only; " +
     "pre-arming files never prune away") {
     val dir = tmp()

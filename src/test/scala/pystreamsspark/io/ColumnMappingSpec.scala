@@ -163,6 +163,24 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("float->double widening of a CLUSTER column strips its stats " +
+    "(narrow renders understate promoted doubles) until a compact") {
+    val dir = tmp()
+    val df = spark.range(0, 100).selectExpr("CAST(id AS FLOAT) AS p",
+      "id AS x").repartitionByRange(4, col("p"))
+    SnapshotTable.createClustered(spark, dir, df, Seq("p"))
+    assert(SnapshotTable.readCandidates(dir, "p", "0", "10").size < 4)
+    SnapshotTable.widenColumn(dir, "p", DoubleType)
+    // stats stripped -> every file a candidate (conservative-correct)
+    assert(SnapshotTable.readCandidates(dir, "p", "0", "10").size === 4)
+    // …and the filtered read is still exact
+    assert(SnapshotTable.readWhere(spark, dir, Map("p" -> ("0", "10")))
+      .count() === 11L)
+    // a compact re-records stats at double precision; pruning resumes
+    SnapshotTable.compact(spark, dir, target = 4)
+    assert(SnapshotTable.readCandidates(dir, "p", "0", "10").size < 4)
+  }
+
   test("refusals: rename collisions, layout columns, CHECK references") {
     val dir = tmp()
     SnapshotTable.createClustered(spark, dir,

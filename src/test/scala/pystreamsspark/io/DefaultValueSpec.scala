@@ -104,6 +104,25 @@ class DefaultValueSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "U", 5), (9L, "N", 5)))
   }
 
+  test("EXISTS_DEFAULT freezes to a folded literal at ADD time " +
+    "(a raw current_date() would drift per read)") {
+    wh
+    val t = fresh()
+    spark.sql(s"CREATE TABLE graft.dv.$t (id BIGINT)")
+    SnapshotSql.sql(spark, s"INSERT INTO graft.dv.$t VALUES (1)")
+    spark.sql(s"ALTER TABLE graft.dv.$t ADD COLUMNS " +
+      "(d DATE DEFAULT current_date())")
+    val dir = SnapshotSql.resolveTable(spark, Seq("graft", "dv", t)).get
+    val f = SnapshotTable.schemaOf(dir).fields.find(_.name == "d").get
+    // CURRENT keeps the raw expression (re-evaluated per write),
+    // EXISTS froze to a DATE literal at ADD time
+    assert(f.metadata.getString("CURRENT_DEFAULT")
+      .toLowerCase.contains("current_date"))
+    assert(f.metadata.getString("EXISTS_DEFAULT").startsWith("DATE '"),
+      s"EXISTS_DEFAULT not folded: ${f.metadata.getString("EXISTS_DEFAULT")}")
+    assert(!spark.sql(s"SELECT d FROM graft.dv.$t").head.isNullAt(0))
+  }
+
   test("programmatic setColumnDefault laws: parse-time validation, " +
     "history op, read-back through SnapshotTable.read") {
     import spark.implicits._
@@ -119,9 +138,15 @@ class DefaultValueSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).select("score")
       .head.getDouble(0) === 1.5)
     intercept[Exception] {
-      SnapshotTable.setColumnDefault(dir, "score", Some("not a ( valid"))
+      SnapshotTable.setColumnDefault(spark, dir, "score",
+        Some("not a ( valid"))
     }
-    SnapshotTable.setColumnDefault(dir, "score", Some("2.5"))
+    // resolution/castability is validated too, not just parsing
+    intercept[Exception] {
+      SnapshotTable.setColumnDefault(spark, dir, "score",
+        Some("no_such_column + 1"))
+    }
+    SnapshotTable.setColumnDefault(spark, dir, "score", Some("2.5"))
     SnapshotTable.append(spark, dir, Seq((2L, "b")).toDF("id", "tag"))
     val rows = SnapshotTable.read(spark, dir).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

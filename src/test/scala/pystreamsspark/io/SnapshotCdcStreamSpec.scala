@@ -132,6 +132,20 @@ class SnapshotCdcStreamSpec extends SparkSpec {
     assert(all.count() === expected(dir, 0, 5).size.toLong)
   }
 
+  test("after a vacuum the oldest SURVIVOR does not replay as a " +
+    "full-snapshot insert batch (only a true first commit does)") {
+    val dir = fixture() // v1..v5
+    SnapshotTable.vacuum(dir, keepVersions = 2) // keeps v4, v5
+    // v4's parent (v3) is gone: a resuming consumer asking for v4 must
+    // fail loudly, NOT receive the whole table as inserts
+    val e = intercept[Exception] {
+      spark.read.format(FMT).option("path", dir)
+        .option("fromVersion", 3).option("toVersion", 4).load().count()
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"expected the vacuumed-adjacency refusal, got: ${e.getMessage}")
+  }
+
   test("a vacuumed, un-materialized version fails the feed loudly; " +
     "a pre-materialized cache outlives the manifests") {
     val dir = fixture()
