@@ -808,9 +808,13 @@ object SnapshotTable {
         s"$k must be copy-on-write or merge-on-read, got $mo")
       case _ => ()
     }
-    // a CHECK predicate must at least PARSE at declaration time
-    // (resolution against real batches happens at write time)
-    check.foreach(expr(_))
+    // a CHECK predicate must at least PARSE at declaration time —
+    // EAGERLY (Spark 4 Column nodes defer parsing to analysis, so a
+    // bare functions.expr would let a malformed predicate commit and
+    // poison every later write); resolution against real batches
+    // happens at write time
+    check.foreach(org.apache.spark.sql.catalyst.parser
+      .CatalystSqlParser.parseExpression(_))
     clusterCols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
     bucketSpec.foreach { case (c, n) =>
@@ -2919,7 +2923,11 @@ object SnapshotTable {
       require(mo == "copy-on-write" || mo == "merge-on-read",
         s"$k must be copy-on-write or merge-on-read, got $mo")
     }
-    props.get("check").foreach(expr(_)) // must parse at declaration
+    // must parse at declaration — eagerly (Spark 4 lazy-Column law,
+    // same as createEmpty); the retroactive scan below then surfaces
+    // resolution errors before anything commits
+    props.get("check").foreach(org.apache.spark.sql.catalyst.parser
+      .CatalystSqlParser.parseExpression(_))
     props.get("bloombits").foreach(b => require(
       b.toInt >= 1024 && Integer.bitCount(b.toInt) == 1,
       s"bloombits must be a power of two >= 1024, got $b"))
