@@ -23,6 +23,8 @@ import org.apache.spark.sql.types._
   *  - `DESCRIBE HISTORY graft.ns.t`             → [[SnapshotTable.history]]
   *  - `ANALYZE TABLE graft.ns.t COMPUTE STATISTICS [FOR COLUMNS c, …]`
   *                                               → [[SnapshotTable.analyzeColumns]]
+  *  - `CREATE TABLE graft.ns.t2 SHALLOW CLONE graft.ns.t`
+  *                                               → [[SnapshotTable.shallowClone]]
   *
   * [[parse]] recognizes the statement shape and returns an
   * eagerly-executed command; table-name RESOLUTION happens at run time
@@ -53,6 +55,8 @@ object SnapshotMaintenance {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreT =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+SHALLOW\s+CLONE\s+([\w.`]+?)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+([\w,\s`]+?)))?\s*;?\s*""".r
   private val CopyInto =
@@ -87,6 +91,8 @@ object SnapshotMaintenance {
       nameParts(t), v.toInt))
     case RestoreT(t, ts) => Some(SnapshotMaintenanceCommand("restore_ts",
       nameParts(t), 0, ts))
+    case Clone(tgt, src) => Some(SnapshotMaintenanceCommand(
+      "clone", nameParts(tgt), 0, cols = nameParts(src)))
     case Analyze(t, colList) => Some(SnapshotMaintenanceCommand(
       "analyze", nameParts(t), 0,
       cols = Option(colList).map(_.split(",").toSeq
@@ -118,7 +124,7 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
       AttributeReference("epoch", LongType, nullable = true)(),
       AttributeReference("ts", LongType, nullable = true)())
     case "optimize" | "restore" | "restore_ts" | "zorder" |
-         "compact_where" | "analyze" => Seq(
+         "compact_where" | "analyze" | "clone" => Seq(
       AttributeReference("version", IntegerType, nullable = false)())
     case "copy" => Seq(
       AttributeReference("version", IntegerType, nullable = false)(),
@@ -138,6 +144,10 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // `CREATE TABLE tgt SHALLOW CLONE src` — the TARGET does not exist
+    // yet, so it must not go through the committed-table resolution
+    // below; handled before the shared resolve
+    if (kind == "clone") return runClone(spark)
     val dir = SnapshotSql.resolveTable(spark, nameParts).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         nameParts))
@@ -191,5 +201,23 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
         Seq(Row(SnapshotTable.restore(dir, v)))
       case other => throw new IllegalStateException(s"unknown $other")
     }
+  }
+
+  /** `CREATE TABLE tgt SHALLOW CLONE src`: the SOURCE resolves as a
+    * committed table; the TARGET resolves to its would-be DIRECTORY
+    * through the (possibly name-qualified) GraftCatalog. */
+  private def runClone(spark: SparkSession): Seq[Row] = {
+    val srcDir = SnapshotSql.resolveTable(spark, cols).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(cols))
+    val cm = spark.sessionState.catalogManager
+    val tgtParts =
+      if (nameParts.length >= 2) nameParts else Seq("graft") ++ nameParts
+    val cat = cm.catalog(tgtParts.head)
+      .asInstanceOf[pystreamsspark.io.GraftCatalog]
+    val tgtDir = cat.tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        tgtParts.tail.init.toArray, tgtParts.last))
+    Seq(Row(SnapshotTable.shallowClone(spark, srcDir, tgtDir)))
   }
 }

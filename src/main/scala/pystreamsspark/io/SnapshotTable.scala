@@ -2577,6 +2577,51 @@ object SnapshotTable {
     }
   }
 
+  /** SHALLOW CLONE — `CREATE TABLE t2 SHALLOW CLONE t1`: a new table
+    * whose v1 holds the SOURCE's current snapshot without copying a
+    * byte of row data. Data and DV batches HARDLINK into the clone's
+    * own directory under the same relative layout, so every existing
+    * path (relative manifests, `_src_file` keying, vacuum walking the
+    * local `data/` tree) works verbatim, and the two tables age
+    * independently: writes/merges/vacuum on either side never disturb
+    * the other — even vacuuming the SOURCE leaves the clone readable,
+    * because the shared inode lives until its last link drops
+    * (spec-asserted). Layout/property headers (cluster stats, bucket
+    * spec, column mapping, retired names, bloom declaration, modes,
+    * CHECK, ANALYZE stats) copy; the TRANSACTIONAL identity resets —
+    * committed-epoch range-set and COPY ledger do NOT carry, a clone
+    * is a new target for new streams (the Delta-clone contract).
+    * Hardlinks need one filesystem — the local analogue of a
+    * production shallow clone's shared-object absolute references;
+    * at 100 TB the point is identical: cloning a petabyte table is
+    * O(#files) metadata, not a data copy. Fails if `destDir` already
+    * has commits. Per-file footer row counts and stats ride along in
+    * the copied entries. */
+  def shallowClone(spark: SparkSession, srcDir: String,
+                   destDir: String): Int = {
+    require(latestVersion(destDir) == 0,
+      s"clone destination $destDir already has commits")
+    val v = latestVersion(srcDir)
+    require(v >= 1, s"no committed version at $srcDir")
+    val m = readManifest(srcDir, v)
+    Files.createDirectories(Paths.get(destDir))
+    (m.files.map(_.path) ++ m.files.flatMap(_.dv)
+      .distinct.flatMap(d => listDir(Paths.get(srcDir, d))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"$d/${p.getFileName}")))
+      .foreach { rel =>
+        val dst = Paths.get(destDir, rel)
+        Files.createDirectories(dst.getParent)
+        try { Files.createLink(dst, Paths.get(srcDir, rel)); () }
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    val headers = m.carried.filterNot(e =>
+      Set("epochs", "copyledger")(e._1))
+    commit(destDir, 1, "clone", 0, m.files, m.schema, headers)
+    if (m.colmap.nonEmpty) markMapped(destDir)
+    1
+  }
+
   /** RESTORE: make `toVersion`'s contents the NEW latest version — a
     * pure-metadata commit that re-points at the old manifest's file
     * entries (schema included), never copying data. History is kept,
