@@ -460,9 +460,12 @@ object LlmQueries {
     * the oracle verifies each document's assignment, not just totals.
     *
     * Scale shape: composes the audited pieces — prefix/cost-dispatched
-    * pair gen + O(diameter) min-label CC — then one broadcast-joinable
-    * label map (clustered docs only, a tiny fraction of the corpus)
-    * left-joins back to the doc list; the split itself is a projection. */
+    * pair gen + O(diameter) min-label CC — then the label map
+    * (clustered docs only, but corpus-proportional at a realistic dup
+    * rate) left-joins back to the doc list UNHINTED: AQE broadcasts it
+    * when it actually fits and shuffle-joins on doc_id when it does
+    * not — a forced broadcast here would OOM at 100 TB (r11 verdict).
+    * The split itself is a projection. */
   def qLeakSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def h(c: org.apache.spark.sql.Column) =
@@ -473,7 +476,7 @@ object LlmQueries {
     val labels = Dedup.connectedComponents(pairs)
       .select($"id".as("doc_id"), $"label")
     val hc = substring(md5($"group_id".cast("string").cast("binary")), 1, 1)
-    docs.select($"doc_id").join(broadcast(labels), Seq("doc_id"), "left")
+    docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce($"label", $"doc_id"))
       .withColumn("split",
         when(hc < "c", "train").when(hc < "e", "val").otherwise("test"))
