@@ -23,10 +23,19 @@ import org.apache.spark.sql.types._
   *   tableDir/data/<batch-uuid>/part-*.parquet
   * }}}
   *
-  * Manifest = a text file: header line `op=<op>\tparent=<n>`, then one
-  * data-file entry per line: a RELATIVE path, optionally followed by a
-  * tab and per-file column stats (`col=min,max` URL-encoded, `;`-joined)
-  * for the table's cluster keys. Commit protocol = write all data
+  * Manifest = a text file: header line `op=<op>\tparent=<n>[\t…]`, then
+  * a body. A FULL manifest's body is one data-file entry per line: a
+  * RELATIVE path, optionally followed by a tab and per-file column
+  * stats (`col=min,max` URL-encoded, `;`-joined) for the table's
+  * cluster keys. A DELTA manifest (`delta=1` header — what every hot
+  * write path publishes) lists only ACTIONS against its parent:
+  * `-<path>` removes, `+<entry>` adds — so a 1-row append into a
+  * million-file table commits O(bytes of change), never an O(#files)
+  * rewrite; every CHECKPOINT_INTERVAL-th commit materializes a full
+  * manifest so resolution walks a bounded chain (the public
+  * Delta-log/Iceberg checkpoint design, original implementation), and
+  * vacuum writes `.checkpoint` sidecars before dropping a surviving
+  * delta's ancestors. Commit protocol = write all data
   * files first, then CREATE_NEW the next manifest — creation is the
   * atomic publish point. A losing concurrent committer gets
   * [[ConcurrentCommitException]] and its orphaned data files are
@@ -128,22 +137,27 @@ object SnapshotTable {
                                    dv: Option[String] = None,
                                    bucket: Option[Int] = None,
                                    rows: Option[Long] = None,
-                                   bloom: Map[String, String] = Map.empty) {
+                                   bloom: Map[String, String] = Map.empty,
+                                   bloomRef: Option[String] = None) {
     def serialize: String = {
       val statsStr = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
       }.mkString(";")
       // positional: field 2 is always the (possibly empty) stats string
       // when ANY tagged field follows; fields 3+ are `key=value` tagged
-      // (dv=…, bucket=…, rows=…, bloom=…) so older and newer readers
-      // agree on framing
+      // (dv=…, bucket=…, rows=…, bloom=…, bloomref=…) so older and
+      // newer readers agree on framing. `bloom=` (inline blobs) is the
+      // legacy form still parsed; writers now record `bloomref=` — the
+      // relative path of the batch’s SIDECAR blob file — so manifests
+      // stay O(bytes-per-file) however many bloom columns are declared.
       val bloomStr =
         if (bloom.isEmpty) None
         else Some("bloom=" + bloom.toSeq.sortBy(_._1).map { case (c, b64) =>
           s"${FileEntry.enc(c)}:$b64" }.mkString(";"))
       val tagged = dv.map(d => s"dv=$d").toSeq ++
         bucket.map(b => s"bucket=$b").toSeq ++
-        rows.map(r => s"rows=$r").toSeq ++ bloomStr.toSeq
+        rows.map(r => s"rows=$r").toSeq ++ bloomStr.toSeq ++
+        bloomRef.map(r => s"bloomref=$r").toSeq
       if (tagged.nonEmpty) (Seq(path, statsStr) ++ tagged).mkString("\t")
       else if (stats.nonEmpty) s"$path\t$statsStr"
       else path
@@ -174,7 +188,8 @@ object SnapshotTable {
         FileEntry(parts(0), parseStats(parts(1)),
           tagged.get("dv"), tagged.get("bucket").map(_.toInt),
           tagged.get("rows").map(_.toLong),
-          tagged.get("bloom").map(parseBloom).getOrElse(Map.empty))
+          tagged.get("bloom").map(parseBloom).getOrElse(Map.empty),
+          tagged.get("bloomref"))
       case other => throw new IllegalStateException(
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
@@ -251,6 +266,12 @@ object SnapshotTable {
         header.get("bloombits").map("bloombits" -> _) ++
         header.get("colstats").map("colstats" -> _) ++
         header.get("analyzedv").map("analyzedv" -> _)).toSeq
+    /** Distance (in commits) to the nearest FULL manifest along the
+      * parent chain — 0 for a full manifest, n for the n-th delta in a
+      * row. What [[SnapshotTable.commitDelta]] bounds by
+      * [[SnapshotTable.CHECKPOINT_INTERVAL]], so delta-chain resolution
+      * is O(interval) small reads, never O(#versions). */
+    def ckdist: Int = header.get("ckdist").map(_.toInt).getOrElse(0)
     /** Timestamp stats are epoch-micros only under the `micros-v2`
       * marker; a clustered table written before the marker existed has
       * session-local string renderings that must never be compared
@@ -269,14 +290,112 @@ object SnapshotTable {
     * regains pruning. */
   private[io] val STATS_FMT = "micros-v2"
 
-  private def readManifest(dir: String, v: Int): Manifest = {
-    val lines = Files.readAllLines(manifestPath(dir, v), StandardCharsets.UTF_8)
-      .asScala.toSeq
+  /** A delta chain longer than this materializes a FULL manifest at
+    * commit time (the Delta-log/Iceberg checkpoint idea, original
+    * implementation): commits are O(changed files) — `+entry`/`-path`
+    * action lines against the parent — and every INTERVAL-th commit
+    * pays the O(#live files) serialization ONCE, so resolution walks a
+    * bounded chain and amortized commit cost is O(delta + #files/16). */
+  private[io] val CHECKPOINT_INTERVAL = 16
+
+  /** Checkpoint SIDECAR of version v: the fully-resolved file list in
+    * the full-manifest format, written by [[vacuumKeep]] when deleting
+    * ancestor manifests would break a surviving delta’s chain (and
+    * idempotently re-writable — content is deterministic from the
+    * immutable manifests). Preferred by resolution when present. */
+  private def checkpointPath(dir: String, v: Int): Path =
+    manifestDir(dir).resolve(f"v$v%08d.checkpoint")
+
+  /** Parse one manifest file’s lines. For a FULL manifest the body
+    * lines are entries; for a DELTA (`delta=1` header) they are
+    * `+<entry>` adds / `-<path>` removes against the parent version.
+    * Returns (manifest-with-adds-as-files, isDelta, removes). */
+  private def parseManifest(lines: Seq[String],
+                            v: Int): (Manifest, Boolean, Seq[String]) = {
     val header = lines.head.split("\t").map { kv =>
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
-    Manifest(v, header("op"), header("parent").toInt,
-      lines.tail.filter(_.nonEmpty).map(FileEntry.parse), header)
+    val body = lines.tail.filter(_.nonEmpty)
+    if (!header.get("delta").contains("1"))
+      (Manifest(v, header("op"), header("parent").toInt,
+        body.map(FileEntry.parse), header), false, Nil)
+    else
+      (Manifest(v, header("op"), header("parent").toInt,
+        body.filter(_.startsWith("+")).map(l => FileEntry.parse(l.tail)),
+        header),
+        true, body.filter(_.startsWith("-")).map(_.tail))
+  }
+
+  /** JVM-wide RESOLVED-manifest cache. Manifests are immutable once
+    * CREATE_NEW-published, so caching by path is safe across tables,
+    * sessions and the rebase retry loops; entries validate against the
+    * file’s (mtime, size) so an out-of-band rewrite (test fixtures
+    * doctoring a manifest in place) is still observed. Bounded LRU —
+    * memory is O(entries × #files), so keep it small; a miss costs at
+    * most CHECKPOINT_INTERVAL small reads. */
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (java.nio.file.attribute.FileTime, Long, Manifest)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            String, (java.nio.file.attribute.FileTime, Long, Manifest)])
+          : Boolean = size > 48
+    })
+
+  private def readManifest(dir: String, v: Int): Manifest = {
+    val mp = manifestPath(dir, v)
+    val key = mp.toAbsolutePath.toString
+    val attrs = Files.readAttributes(mp,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == attrs.lastModifiedTime &&
+      hit._2 == attrs.size) return hit._3
+    val lines = Files.readAllLines(mp, StandardCharsets.UTF_8).asScala.toSeq
+    val (raw, isDelta, removes) = parseManifest(lines, v)
+    val resolved =
+      if (!isDelta) raw
+      else if (Files.exists(checkpointPath(dir, v)))
+        // vacuum materialized this version (its ancestors may be gone)
+        parseManifest(Files.readAllLines(checkpointPath(dir, v),
+          StandardCharsets.UTF_8).asScala.toSeq, v)._1
+      else {
+        // removes apply first, then adds — so a re-added path (a DV
+        // re-point rewrites the entry in place) takes the NEW entry
+        val parent = readManifest(dir, raw.parent)
+        val removed = removes.toSet
+        raw.copy(files =
+          parent.files.filterNot(f => removed(f.path)) ++ raw.files)
+      }
+    manifestCache.put(key, (attrs.lastModifiedTime, attrs.size, resolved))
+    resolved
+  }
+
+  /** Header map of one manifest WITHOUT resolving its delta chain —
+    * the vacuum chain-walk helper (one first-line read). */
+  private def readHeaderMap(dir: String, v: Int): Map[String, String] = {
+    val r = Files.newBufferedReader(manifestPath(dir, v),
+      StandardCharsets.UTF_8)
+    val first = try r.readLine() finally r.close()
+    first.split("\t").map { kv =>
+      val Array(k, value) = kv.split("=", 2); k -> value }.toMap
+  }
+
+  /** Idempotently materialize version v’s resolved state as a
+    * checkpoint sidecar (full-manifest format, `delta`/`ckdist` headers
+    * stripped). Racing writers produce identical bytes by construction
+    * — resolution over immutable manifests is deterministic — so
+    * CREATE_NEW losing is a no-op. */
+  private def writeCheckpoint(dir: String, v: Int): Unit = {
+    val m = readManifest(dir, v)
+    val header = ((m.header - "delta" - "ckdist").toSeq.sortBy(_._1))
+      .map { case (k, value) => s"$k=$value" }.mkString("\t")
+    val body = (header +: m.files.map(_.serialize)).mkString("\n")
+    try {
+      Files.write(checkpointPath(dir, v),
+        body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+      ()
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
   // ---------------------------------------------------------------------
@@ -377,15 +496,16 @@ object SnapshotTable {
   // foreign-key or id column in round-robin files spans every file's
   // full range, so a point lookup opens all of them. A `bloomcols`
   // table property makes the shared batch funnel record one small bloom
-  // blob per (file, column) in the manifest (k=3 seeded xxhash64
-  // positions over `bloombits` bits, base64 of the bitset), and the
-  // point readers test probe values against the blobs BEFORE opening
-  // files — pure driver metadata, no file I/O, no false negatives.
-  // Sizing: `bloombits` (default 2^16) handles ~10k distinct values per
-  // file at <5% false-positive; size it to rows-per-file (the blob
-  // costs O(#files × bits/8) manifest bytes — at extreme per-file NDV
-  // the same consult-before-open law would move blobs to sidecar
-  // files, the documented evolution path).
+  // blob per (file, column) — k=3 seeded xxhash64 positions over
+  // `bloombits` bits, base64 of the bitset, stored in a per-batch
+  // SIDECAR file referenced by the manifest entry (`bloomref=`), keyed
+  // by PHYSICAL column name (rename-stable) — and the point readers
+  // test probe values against the blobs BEFORE opening files: tiny
+  // driver-side sidecar reads (cached, O(#batches) not O(#commits)),
+  // no data-file I/O, no false negatives. Legacy inline `bloom=` blobs
+  // keep parsing and pruning. Sizing: `bloombits` (default 2^16)
+  // handles ~10k distinct values per file at <5% false-positive; blobs
+  // cost O(#files × bits/8) SIDECAR bytes and O(1) manifest bytes.
   // ---------------------------------------------------------------------
   private[io] val DEFAULT_BLOOM_BITS = 65536
   private val BLOOM_SEEDS = Seq(0, 1, 2)
@@ -435,18 +555,61 @@ object SnapshotTable {
   private def bloomDecode(b64: String): java.util.BitSet =
     java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
 
+  /** Per-sidecar blob cache: `<abs sidecar path>` → file name →
+    * physical column → base64 blob. Sidecars are immutable once a
+    * manifest references them (written before the publish, UUID batch
+    * dirs), so no validation is needed; bounded LRU like the manifest
+    * cache. A MISSING sidecar (external deletion) reads as "no blobs" —
+    * conservative-correct, files stay candidates. */
+  private val bloomSidecarCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        Map[String, Map[String, String]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Map[String, Map[String, String]]]): Boolean = size > 16
+    })
+
+  private def sidecarBlooms(dir: String,
+                            ref: String): Map[String, Map[String, String]] = {
+    val key = Paths.get(dir, ref).toAbsolutePath.toString
+    val hit = bloomSidecarCache.get(key)
+    if (hit != null) return hit
+    val loaded =
+      try Files.readAllLines(Paths.get(dir, ref), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map { line =>
+          val Array(name, blobs) = line.split("\t", 2)
+          name -> blobs.split(";").iterator.filter(_.nonEmpty).map { kv =>
+            val Array(c, b64) = kv.split(":", 2)
+            FileEntry.dec(c) -> b64
+          }.toMap
+        }.toMap
+      catch { case _: java.io.IOException => Map.empty[String, Map[String, String]] }
+    bloomSidecarCache.put(key, loaded)
+    loaded
+  }
+
   /** Keep only the files whose bloom for `keyCol` may contain AT LEAST
-    * ONE probe value. Files without a blob (written before the
-    * property, or bloom-free paths) always stay — conservative-correct,
-    * never a false negative. */
-  private def bloomPrune(m: Manifest, files: Seq[FileEntry], keyCol: String,
-                         values: Seq[String], dt: DataType): Seq[FileEntry] =
+    * ONE probe value. Blobs come from the inline `bloom=` field (legacy
+    * manifests; keyed by LOGICAL name, re-keyed on rename) or from the
+    * batch sidecar (`bloomref=`; keyed by PHYSICAL name, resolved
+    * through the column mapping — rename-stable). Files without a blob
+    * (written before the property, or bloom-free paths) always stay —
+    * conservative-correct, never a false negative. */
+  private def bloomPrune(dir: String, m: Manifest, files: Seq[FileEntry],
+                         keyCol: String, values: Seq[String],
+                         dt: DataType): Seq[FileEntry] =
     if (!m.bloomCols.contains(keyCol) || !bloomSupports(dt) ||
       values.isEmpty) files
     else {
       val probes = values.map(v => bloomPositions(v, dt, m.bloomBits))
+      val phys = m.colmap.getOrElse(keyCol, keyCol)
       files.filter { f =>
-        f.bloom.get(keyCol) match {
+        f.bloom.get(keyCol)
+          .orElse(f.bloomRef.flatMap { ref =>
+            sidecarBlooms(dir, ref)
+              .get(f.path.substring(f.path.lastIndexOf('/') + 1))
+              .flatMap(_.get(phys))
+          }) match {
           case Some(b64) =>
             val bits = bloomDecode(b64)
             probes.exists(_.forall(bits.get))
@@ -480,6 +643,50 @@ object SnapshotTable {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(v)
+    }
+  }
+
+  /** O(delta) commit — the 100 TB posture of the manifest log: the new
+    * version publishes only `-path` remove / `+entry` add action lines
+    * against `parentM`, so a 1-row append into a million-file table
+    * writes a few hundred BYTES of manifest, not a full file-list
+    * rewrite (headers — schema, carried properties — still travel in
+    * every commit; they are O(#columns), not O(#files)). Every
+    * [[CHECKPOINT_INTERVAL]]-th commit in a chain materializes the full
+    * list instead, bounding read-side chain resolution. CREATE_NEW
+    * remains the one atomic publish point, identical to [[commit]];
+    * the two forms interleave freely in one table’s history. */
+  private def commitDelta(dir: String, v: Int, op: String,
+                          parentM: Manifest, adds: Seq[FileEntry],
+                          removes: Seq[String],
+                          schema: Option[StructType] = None,
+                          extras: Seq[(String, String)] = Nil): Unit = {
+    // a delta with no explicit schema INHERITS the parent's — the
+    // resolved child must never lose the table schema to a None arg
+    val sch = schema.orElse(parentM.schema)
+    val dist = parentM.ckdist + 1
+    if (dist > CHECKPOINT_INTERVAL) {
+      val removed = removes.toSet
+      commit(dir, v, op, parentM.version,
+        parentM.files.filterNot(f => removed(f.path)) ++ adds,
+        sch, extras)
+    } else {
+      Files.createDirectories(manifestDir(dir))
+      val header = (Seq("op" -> op, "parent" -> parentM.version.toString,
+        "ts" -> System.currentTimeMillis.toString,
+        "delta" -> "1", "ckdist" -> dist.toString) ++ extras ++
+        sch.map(s => "schema" -> s.json))
+        .map { case (k, value) => s"$k=$value" }.mkString("\t")
+      val body = (header +:
+        (removes.map("-" + _) ++ adds.map(e => "+" + e.serialize)))
+        .mkString("\n")
+      try
+        Files.write(manifestPath(dir, v),
+          body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(v)
+      }
     }
   }
 
@@ -688,8 +895,13 @@ object SnapshotTable {
       // just-written batch (never the input plan): stats render via
       // statAgg (epoch-micros for timestamps), blooms collect the k
       // seeded bit positions (bounded sets, <= bloombits ints each).
-      // The re-read batch carries PHYSICAL names; both record under
-      // the LOGICAL key.
+      // The re-read batch carries PHYSICAL names; stats record under
+      // the LOGICAL key (re-keyed by RENAME, which rewrites entries),
+      // bloom blobs under the PHYSICAL key in a per-batch SIDECAR file
+      // (`<batch>/_blooms`, referenced by `bloomref=`) — physical names
+      // never change, so a rename costs no sidecar rewrite, and the
+      // manifest itself stays O(bytes per file) however many bloom
+      // columns are declared (the r11-verdict sidecar evolution).
       val statAggs = presentStats.flatMap(c => Seq(
         statAgg(colmap.getOrElse(c, c), df.schema(c).dataType,
           isMin = true).as(s"lo_$c"),
@@ -718,14 +930,32 @@ object SnapshotTable {
               r.getSeq[Int](bloomBase + ci * BLOOM_SEEDS.size + i)
                 .foreach(bits.set)
             }
-            c -> bloomEncode(bits)
+            colmap.getOrElse(c, c) -> bloomEncode(bits)
           }.toMap
           (r.getString(0), stats, blooms)
         }
+      val bloomRef =
+        if (bloomHere.isEmpty) None
+        else {
+          // one sidecar per batch: `<file>\t<physCol>:<b64>[;…]` lines,
+          // written BEFORE the manifest references it (same durability
+          // order as the data files themselves)
+          val lines = rel.flatMap { p =>
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            byFile.collectFirst { case (uri, _, bl) if uri.endsWith(p) =>
+              name + "\t" + bl.toSeq.sortBy(_._1).map { case (c, b64) =>
+                s"${FileEntry.enc(c)}:$b64" }.mkString(";")
+            }
+          }
+          val refRel = s"$batch/_blooms"
+          Files.write(Paths.get(dir, refRel),
+            lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          Some(refRel)
+        }
       rel.map { p =>
         byFile.collectFirst {
-          case (uri, st, bl) if uri.endsWith(p) =>
-            entryOf(p, st).copy(bloom = bl)
+          case (uri, st, _) if uri.endsWith(p) =>
+            entryOf(p, st).copy(bloomRef = bloomRef)
         }.getOrElse(entryOf(p, Map.empty))
       }
     }
@@ -1104,7 +1334,7 @@ object SnapshotTable {
     // point predicates (lo == hi) additionally consult the per-file
     // bloom blobs — the non-cluster-column skipping path
     val files = bounds.foldLeft(statFiles) { case (fs, (c, (lo, hi))) =>
-      if (lo == hi) bloomPrune(m, fs, c, Seq(lo), dts(c)) else fs
+      if (lo == hi) bloomPrune(dir, m, fs, c, Seq(lo), dts(c)) else fs
     }
     val base = readEntries(spark, dir, m, files)
     def bound(c: String, v: String): org.apache.spark.sql.Column =
@@ -1135,8 +1365,8 @@ object SnapshotTable {
     * min/max stats first (cluster columns), then the per-file BLOOM
     * blobs (declared `bloomcols` — the non-cluster path). Shared by
     * [[readWhereIn]]; conservative-correct throughout. */
-  private def pruneIn(m: Manifest, keyCol: String, values: Seq[String],
-                      dt: DataType): Seq[FileEntry] = {
+  private def pruneIn(dir: String, m: Manifest, keyCol: String,
+                      values: Seq[String], dt: DataType): Seq[FileEntry] = {
     val statFiles =
       if (!m.statsCols.contains(keyCol)) m.files
       else m.files.filter { f =>
@@ -1148,7 +1378,7 @@ object SnapshotTable {
           case None => true
         }
       }
-    bloomPrune(m, statFiles, keyCol, values, dt)
+    bloomPrune(dir, m, statFiles, keyCol, values, dt)
   }
 
   /** The files a `keyCol IN values` read would open (stats + bloom
@@ -1162,7 +1392,7 @@ object SnapshotTable {
       .map(_.dataType).getOrElse(throw new IllegalArgumentException(
         s"no column $keyCol in ${m.schema.map(_.fieldNames.mkString(","))
           .getOrElse("<no schema>")}"))
-    pruneIn(m, keyCol, values, dt).map(_.path)
+    pruneIn(dir, m, keyCol, values, dt).map(_.path)
   }
 
   /** STATS-PRUNED point-set read: rows where `keyCol IN values`, opening
@@ -1184,7 +1414,7 @@ object SnapshotTable {
     val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"no column $keyCol in ${schema.fieldNames.mkString(",")}"))
-    val files = pruneIn(m, keyCol, values, dt)
+    val files = pruneIn(dir, m, keyCol, values, dt)
     val base = readEntries(spark, dir, m,
       if (values.isEmpty) Seq.empty else files)
     val lits = values.map { x =>
@@ -1256,7 +1486,7 @@ object SnapshotTable {
       // appending a batch with NEW columns evolves the table schema as
       // pure metadata: prior files are untouched and null-fill on read
       val evolved = m.schema.map(unionSchema(_, df.schema)).getOrElse(df.schema)
-      commit(dir, v, "append", base, m.files ++ files, Some(evolved), m.carried)
+      commitDelta(dir, v, "append", m, files, Nil, Some(evolved), m.carried)
       v
     }
   }
@@ -1351,7 +1581,6 @@ object SnapshotTable {
         } catch { case _: java.nio.file.NoSuchFileException => None }
       }.nextOption().getOrElse(latest)
     } else {
-      val prior = latestM.map(_.files).getOrElse(Seq.empty)
       val evolved = latestM.flatMap(_.schema)
         .map(unionSchema(_, df.schema)).getOrElse(df.schema)
       val statsCols = latestM.map(_.statsCols).getOrElse(Nil)
@@ -1362,9 +1591,14 @@ object SnapshotTable {
       val v = latest + 1
       val carried = latestM.map(_.carried.filterNot(_._1 == "epochs"))
         .getOrElse(Nil)
-      commit(dir, v, "append", latest, prior ++ files, Some(evolved),
-        carried ++ Seq("epoch" -> epochId.toString,
-          "epochs" -> encodeRanges(addToRanges(ranges, epochId))))
+      val hdrs = carried ++ Seq("epoch" -> epochId.toString,
+        "epochs" -> encodeRanges(addToRanges(ranges, epochId)))
+      latestM match {
+        case Some(lm) =>
+          commitDelta(dir, v, "append", lm, files, Nil, Some(evolved), hdrs)
+        case None =>
+          commit(dir, v, "append", latest, files, Some(evolved), hdrs)
+      }
       v
     }
   }
@@ -1420,15 +1654,19 @@ object SnapshotTable {
           throw new IllegalArgumentException(
             s"streamed column $c collides with a retired physical " +
               s"column of $dir; OPTIMIZE first or rename the stream side"))
-      val prior = latestM.map(_.files).getOrElse(Seq.empty)
       val evolved = latestM.flatMap(_.schema)
         .map(unionSchema(_, writeSchema)).getOrElse(writeSchema)
       val carried = latestM.map(_.carried.filterNot(_._1 == "epochs"))
         .getOrElse(Nil)
       try {
-        commit(dir, latest + 1, "append", latest, prior ++ files,
-          Some(evolved), carried ++ Seq("epoch" -> epochId.toString,
-            "epochs" -> encodeRanges(addToRanges(ranges, epochId))))
+        val hdrs = carried ++ Seq("epoch" -> epochId.toString,
+          "epochs" -> encodeRanges(addToRanges(ranges, epochId)))
+        latestM match {
+          case Some(lm) => commitDelta(dir, latest + 1, "append", lm,
+            files, Nil, Some(evolved), hdrs)
+          case None => commit(dir, latest + 1, "append", latest, files,
+            Some(evolved), hdrs)
+        }
         return true
       } catch {
         case e: ConcurrentCommitException =>
@@ -1546,7 +1784,6 @@ object SnapshotTable {
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(f => touchedRel.contains(f.path))
-    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val schemaNow = m.schema.getOrElse(updates.schema)
     // the DV-aware reader: a touched file's deleted rows must not be
     // resurrected by the rewrite (the rewrite also RETIRES its DV — the
@@ -1586,7 +1823,8 @@ object SnapshotTable {
             "epochs" -> encodeRanges(addToRanges(ranges, e)))
       case None => m.carried
     }
-    commit(dir, v, "merge", base, untouched ++ files, Some(evolved), headers)
+    commitDelta(dir, v, "merge", m, files, touched.map(_.path), Some(evolved),
+      headers)
     v
   }
 
@@ -1653,7 +1891,6 @@ object SnapshotTable {
       .select(col("_src_file")).distinct()
       .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(f => touchedRel.contains(f.path))
-    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val survivors =
       if (touched.isEmpty) None
       else Some(readEntries(spark, dir, m, touched)
@@ -1669,7 +1906,8 @@ object SnapshotTable {
       case Some(df) => writeBatch(df, dir, Some(numFiles), m.statsCols)
     }
     val v = base + 1
-    commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
+    commitDelta(dir, v, "delete", m, files, touched.map(_.path), m.schema,
+      m.carried)
     v
   }
 
@@ -1696,7 +1934,6 @@ object SnapshotTable {
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(f => touchedRel.contains(f.path))
-    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val files =
       if (touched.isEmpty) Seq.empty
       else {
@@ -1715,7 +1952,8 @@ object SnapshotTable {
         writeShaped(rewritten, dir, numFiles, m.statsCols)
       }
     val v = base + 1
-    commit(dir, v, "update", base, untouched ++ files, m.schema, m.carried)
+    commitDelta(dir, v, "update", m, files, touched.map(_.path), m.schema,
+      m.carried)
     v
   }
 
@@ -1740,7 +1978,6 @@ object SnapshotTable {
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(f => touchedRel.contains(f.path))
-    val untouched = m.files.filterNot(f => touched.exists(_.path == f.path))
     val files =
       if (touched.isEmpty) Seq.empty
       else {
@@ -1749,7 +1986,8 @@ object SnapshotTable {
         writeShaped(survivors, dir, numFiles, m.statsCols)
       }
     val v = base + 1
-    commit(dir, v, "delete", base, untouched ++ files, m.schema, m.carried)
+    commitDelta(dir, v, "delete", m, files, touched.map(_.path), m.schema,
+      m.carried)
     v
   }
 
@@ -1909,7 +2147,6 @@ object SnapshotTable {
         .filter(tEx && col("_action").isNotNull)
         .select(col("_src_file")).distinct()
         .collect().map(_.getString(0)).toSet // O(#files) driver metadata
-      val untouched = m.files.filterNot(f => touchedRel.contains(f.path))
       // one representative row per (file, pos) target row in a touched
       // file: the applied pair if one exists (cardinality-checked ≤ 1),
       // else any pair — a carried row uses only its target columns
@@ -1987,13 +2224,13 @@ object SnapshotTable {
             case Some(df) => writeShaped(df, dir, numFiles, m.statsCols)
           }
           val entries =
-            if (touchedRel.isEmpty) m.files
+            if (touchedRel.isEmpty) Seq.empty
             else attachDv(spark, dir, m, touchedRel,
               actioned.select(col("_src_file").as("file"),
                 col("_src_pos").as("pos")))
           val v = base + 1
-          commit(dir, v, "merge-dv", base, entries ++ newFiles, m.schema,
-            m.carried)
+          commitDelta(dir, v, "merge-dv", m, entries ++ newFiles,
+            touchedRel.toSeq, m.schema, m.carried)
           v
         }
       } else {
@@ -2019,7 +2256,8 @@ object SnapshotTable {
           case Some(df) => writeShaped(df, dir, numFiles, m.statsCols)
         }
         val v = base + 1
-        commit(dir, v, "merge", base, untouched ++ files, m.schema, m.carried)
+        commitDelta(dir, v, "merge", m, files, touchedRel.toSeq, m.schema,
+          m.carried)
         v
       }
       }
@@ -2031,7 +2269,9 @@ object SnapshotTable {
     * merge-on-read mode): write ONE dv batch holding `newRows`
     * ((file, pos) pairs) unioned with the touched files' existing
     * deletion sets (each entry points at a single batch), and return
-    * the manifest entries with every touched file re-pointed at it. */
+    * ONLY the touched files' entries re-pointed at it — the O(delta)
+    * add-set of the commit (the untouched files carry by parent
+    * reference in the delta manifest). */
   private def attachDv(spark: SparkSession, dir: String, m: Manifest,
                        touchedRel: Set[String],
                        newRows: DataFrame): Seq[FileEntry] = {
@@ -2047,8 +2287,7 @@ object SnapshotTable {
     // DVs are point-mutation-sized by contract: one file suffices and
     // keeps the read-side broadcast build trivial
     allRows.coalesce(1).write.parquet(Paths.get(dir, batch).toString)
-    m.files.map(f =>
-      if (touchedRel.contains(f.path)) f.copy(dv = Some(batch)) else f)
+    touched.map(_.copy(dv = Some(batch)))
   }
 
   /** MERGE-ON-READ DELETE (deletion vectors): mark the rows matching
@@ -2094,7 +2333,8 @@ object SnapshotTable {
     else {
       val files = attachDv(spark, dir, m, touchedRel, matches)
       val v = base + 1
-      commit(dir, v, "delete-dv", base, files, m.schema, m.carried)
+      commitDelta(dir, v, "delete-dv", m, files, touchedRel.toSeq, m.schema,
+        m.carried)
       v
     }
   }
@@ -2202,8 +2442,8 @@ object SnapshotTable {
             matches.select(col("_src_file").as("file"),
               col("_src_pos").as("pos")))
           val v = base + 1
-          commit(dir, v, "update-dv", base, entries ++ newFiles, m.schema,
-            m.carried)
+          commitDelta(dir, v, "update-dv", m, entries ++ newFiles,
+            touchedRel.toSeq, m.schema, m.carried)
           v
         }
       } finally matches.unpersist()
@@ -2311,7 +2551,7 @@ object SnapshotTable {
         val headers = m.carried.filterNot(_._1 == "copyledger") :+
           ("copyledger" -> newLedger)
         val v = base + 1
-        commit(dir, v, "copy", base, m.files ++ files, m.schema, headers)
+        commitDelta(dir, v, "copy", m, files, Nil, m.schema, headers)
         v
       }
     }
@@ -2383,13 +2623,11 @@ object SnapshotTable {
       val touched = pruneWhere(m, bounds)
       if (touched.isEmpty) base
       else {
-        val touchedSet = touched.map(_.path).toSet
-        val untouched = m.files.filterNot(f => touchedSet.contains(f.path))
         val rewritten = readEntries(spark, dir, m, touched)
         val files = writeShaped(rewritten, dir, target, m.statsCols)
         val v = base + 1
-        commit(dir, v, "compact", base, untouched ++ files, m.schema,
-          m.carried)
+        commitDelta(dir, v, "compact", m, files, touched.map(_.path),
+          m.schema, m.carried)
         v
       }
     }
@@ -2511,16 +2749,39 @@ object SnapshotTable {
 
   private def vacuumKeep(dir: String, versions: Seq[Int],
                          keep: Seq[Int]): Unit = {
+    val dropSet = versions.filterNot(keep.contains).toSet
+    // DELTA-chain safety: a kept delta version whose resolution chain
+    // passes through a to-be-dropped manifest must be MATERIALIZED as a
+    // checkpoint sidecar BEFORE the ancestors go (ascending order, so a
+    // later kept version's walk terminates at an earlier kept one's
+    // fresh checkpoint). The walk reads headers only — one line each.
+    keep.sorted.foreach { v =>
+      def chainSafe: Boolean = {
+        var cur = v
+        while (true) {
+          if (Files.exists(checkpointPath(dir, cur))) return true
+          val h = readHeaderMap(dir, cur)
+          if (!h.get("delta").contains("1")) return true
+          val parent = h("parent").toInt
+          if (dropSet.contains(parent)) return false
+          cur = parent
+        }
+        true // unreachable
+      }
+      if (!chainSafe) writeCheckpoint(dir, v)
+    }
     val keptManifests = keep.map(v => readManifest(dir, v))
-    val referenced = keptManifests.flatMap(_.paths).toSet
+    // a bloom SIDECAR is live while any kept entry references it — it
+    // shares the data batches' reclamation law exactly (both are plain
+    // `referenced` relative paths under data/)
+    val referenced = keptManifests.flatMap(m =>
+      m.paths ++ m.files.flatMap(_.bloomRef)).toSet
     val dataRoot = Paths.get(dir, "data")
     if (Files.isDirectory(dataRoot)) {
       listDir(dataRoot).foreach { batch =>
         listDir(batch).foreach { f =>
           val rel = s"data/${batch.getFileName}/${f.getFileName}"
-          val isData = f.getFileName.toString.endsWith(".parquet")
-          if (isData && !referenced.contains(rel)) Files.delete(f)
-          else if (!isData) Files.delete(f) // _SUCCESS / .crc clutter
+          if (!referenced.contains(rel)) Files.delete(f)
         }
         if (listDir(batch).isEmpty) Files.delete(batch)
       }
@@ -2574,6 +2835,8 @@ object SnapshotTable {
     }
     versions.filterNot(keep.contains).foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
+      Files.deleteIfExists(checkpointPath(dir, v))
+      ()
     }
   }
 
@@ -2605,7 +2868,8 @@ object SnapshotTable {
     require(v >= 1, s"no committed version at $srcDir")
     val m = readManifest(srcDir, v)
     Files.createDirectories(Paths.get(destDir))
-    (m.files.map(_.path) ++ m.files.flatMap(_.dv)
+    (m.files.map(_.path) ++ m.files.flatMap(_.bloomRef).distinct ++
+      m.files.flatMap(_.dv)
       .distinct.flatMap(d => listDir(Paths.get(srcDir, d))
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => s"$d/${p.getFileName}")))
@@ -2677,7 +2941,7 @@ object SnapshotTable {
         (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm)))
       mapped = cm.nonEmpty
       val v = base + 1
-      commit(dir, v, "evolve", base, m.files,
+      commitDelta(dir, v, "evolve", m, Nil, Nil,
         Some(unionSchema(cur, deepNullable(newCols).asInstanceOf[StructType])),
         headers)
       v
@@ -2743,7 +3007,8 @@ object SnapshotTable {
       val newSchema = StructType(cur.fields.map(x =>
         if (x.name == f.name) x.copy(metadata = md) else x))
       val v = base + 1
-      commit(dir, v, "setdefault", base, m.files, Some(newSchema), m.carried)
+      commitDelta(dir, v, "setdefault", m, Nil, Nil, Some(newSchema),
+        m.carried)
       v
     }
 
@@ -2795,6 +3060,12 @@ object SnapshotTable {
         (if (phys == newName) Map.empty[String, String]
          else Map(newName -> phys))
       val newStats = m.statsCols.map(c => if (c == f.name) newName else c)
+      // entries re-key only when they carry the column's inline stats
+      // or legacy inline blobs (sidecar blobs are PHYSICAL-keyed and
+      // rename-stable); when none do — the common non-cluster rename —
+      // this is a pure-metadata delta commit
+      val entriesTouched = m.files.exists(fe =>
+        fe.stats.contains(f.name) || fe.bloom.contains(f.name))
       val files = m.files.map(fe => fe.copy(
         stats = fe.stats.map {
           case (k, v) => (if (k == f.name) newName else k) -> v },
@@ -2814,7 +3085,10 @@ object SnapshotTable {
         m.header.get("colstats").map(cs =>
           "colstats" -> adjustColstats(cs, f.name, Some(newName)))
       val v = base + 1
-      commit(dir, v, "rename", base, files, Some(newSchema), headers)
+      if (entriesTouched)
+        commit(dir, v, "rename", base, files, Some(newSchema), headers)
+      else commitDelta(dir, v, "rename", m, Nil, Nil, Some(newSchema),
+        headers)
       v
     }
     // cached CDC batches carry the OLD logical names — derived data,
@@ -2852,6 +3126,8 @@ object SnapshotTable {
       val phys = m.colmap.getOrElse(f.name, f.name)
       val newSchema = StructType(cur.fields.filterNot(_.name == f.name))
       val cm = m.colmap - f.name
+      val entriesTouched = m.files.exists(fe =>
+        fe.stats.contains(f.name) || fe.bloom.contains(f.name))
       val files = m.files.map(fe => fe.copy(stats = fe.stats - f.name,
         bloom = fe.bloom - f.name))
       // a dropped bloom column leaves the declaration; a dropped
@@ -2867,7 +3143,9 @@ object SnapshotTable {
         m.header.get("colstats").map(cs =>
           "colstats" -> adjustColstats(cs, f.name, None))
       val v = base + 1
-      commit(dir, v, "drop", base, files, Some(newSchema), headers)
+      if (entriesTouched)
+        commit(dir, v, "drop", base, files, Some(newSchema), headers)
+      else commitDelta(dir, v, "drop", m, Nil, Nil, Some(newSchema), headers)
       v
     }
     dropCdcCache(dir)
@@ -2927,9 +3205,11 @@ object SnapshotTable {
         // per-file stats (conservative no-prune until a compact
         // re-records them at double precision); integer widenings keep
         // theirs (exact renders).
+        val statsStrip = f.dataType.isInstanceOf[FloatType] &&
+          m.statsCols.contains(f.name) &&
+          m.files.exists(_.stats.contains(f.name))
         val files =
-          if (f.dataType.isInstanceOf[FloatType] &&
-            m.statsCols.contains(f.name))
+          if (statsStrip)
             m.files.map(fe => fe.copy(stats = fe.stats - f.name))
           else m.files
         val newSchema = StructType(cur.fields.map(x =>
@@ -2939,7 +3219,10 @@ object SnapshotTable {
           m.header.get("colstats").map(cs =>
             "colstats" -> adjustColstats(cs, f.name, None))
         val v = base + 1
-        commit(dir, v, "widen", base, files, Some(newSchema), headers)
+        if (statsStrip)
+          commit(dir, v, "widen", base, files, Some(newSchema), headers)
+        else commitDelta(dir, v, "widen", m, Nil, Nil, Some(newSchema),
+          headers)
         v
       }
     }
@@ -3014,7 +3297,7 @@ object SnapshotTable {
         .filterNot { case (k, _) => cleaned.contains(k) || dropped.contains(k) } ++
         cleaned.toSeq
       val v = base + 1
-      commit(dir, v, "altertbl", base, m.files, m.schema, headers)
+      commitDelta(dir, v, "altertbl", m, Nil, Nil, m.schema, headers)
       v
     }
   }
@@ -3097,7 +3380,7 @@ object SnapshotTable {
         Set("colstats", "analyzedv")(e._1)) ++
         Seq("colstats" -> encoded, "analyzedv" -> base.toString)
       val v = base + 1
-      commit(dir, v, "analyze", base, m.files, m.schema, headers)
+      commitDelta(dir, v, "analyze", m, Nil, Nil, m.schema, headers)
       v
     }
 

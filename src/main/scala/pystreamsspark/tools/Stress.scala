@@ -323,6 +323,40 @@ object Stress {
       deleteRec(new java.io.File(pcT)); deleteRec(new java.io.File(fcT))
     }
 
+    // INCREMENTAL manifests (round-12): 1-row appends into a clustered
+    // table of 16*mult live files must commit O(delta) — wall-time AND
+    // manifest bytes FLAT as the live-file count x-folds. Pre-r12 both
+    // grew linearly: every commit re-serialized the full file list
+    // (the r11 verdict's top structural scale debt).
+    if (only.isEmpty || only.exists(o =>
+        s"commit_cost x$mult".contains(o))) {
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartitionByRange(16 * mult, $"o_orderkey")
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_cc_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      pystreamsspark.io.SnapshotTable.createClustered(spark, d, base,
+        clusterCols = Seq("o_orderkey"))
+      // materialized 1-row batch: the timed body must measure the
+      // append/commit path, not a re-scan of the amplified fixture
+      val one = {
+        val r = ord.limit(1).select(($"o_orderkey" + lit(9e17.toLong))
+          .as("o_orderkey"), $"o_orderstatus", $"o_totalprice").collect()(0)
+        Seq((r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      }
+      time(s"commit_cost x$mult") {
+        (0 until 8).foreach(_ =>
+          pystreamsspark.io.SnapshotTable.append(spark, d, one, numFiles = 1))
+        8L
+      }
+      val v = pystreamsspark.io.SnapshotTable.latestVersion(d)
+      val mBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
+        d, "_manifests", f"v$v%08d.manifest"))
+      println(s"STRESS   commit_cost manifest bytes: $mBytes at " +
+        s"${16 * mult} live files (v$v)")
+      deleteRec(new java.io.File(d))
+    }
+
     // narrow-key GENERAL merge (round-10 cont.): a conditional
     // multi-clause MERGE whose ON keys cover ~30 rows of a
     // key-clustered table — generalMerge must keep merge()'s

@@ -94,10 +94,16 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val updates = (0 until 10).map(i => (i.toLong, "UPD", -1L))
       .toDF("id", "name", "score")
     SnapshotTable.merge(spark, dir, updates, Seq("id"), numFiles = 1)
-    val v2Files = manifestFiles(2)
-    // exactly 3 of the 4 clustered files are carried by reference;
-    // only the file covering ids 0..9 was rewritten
-    assert((v1Files intersect v2Files).size === 3)
+    // round 12: the commit is an O(delta) ACTION list — exactly one
+    // `-` remove (the covering file) and its rewritten replacement(s);
+    // the other 3 clustered files carry by PARENT REFERENCE, asserted
+    // on the resolved snapshots
+    val v2Lines = manifestFiles(2)
+    assert(v2Lines.count(_.startsWith("-")) === 1,
+      s"narrow merge must remove exactly the covering file: $v2Lines")
+    val v1Paths = SnapshotTable.filePaths(dir, Some(1)).toSet
+    val v2Paths = SnapshotTable.filePaths(dir, Some(2)).toSet
+    assert((v1Paths intersect v2Paths).size === 3)
     val now = SnapshotTable.read(spark, dir)
     assert(now.count() === 100)
     assert(now.filter($"id" < 10 && $"name" === "UPD").count() === 10)
