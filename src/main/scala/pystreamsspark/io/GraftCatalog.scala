@@ -203,11 +203,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(fn.length == 1,
         s"graft ALTER TABLE changes top-level columns, got nested " +
           fn.mkString(".")))
-    if (adds.nonEmpty) {
-      val existing = SnapshotTable.schemaOf(dir).fieldNames.toSet
-      adds.foreach(a => require(!existing.contains(a.fieldNames.head),
-        s"column ${a.fieldNames.head} already exists"))
-    }
+    // every kind's metadata validation runs against the CURRENT
+    // manifest BEFORE the first commit (r11 ADVICE): a mixed statement
+    // can no longer half-apply when a later kind fails its own checks
+    SnapshotTable.validateAlter(
+      org.apache.spark.sql.SparkSession.active, dir,
+      adds.map(_.fieldNames.head),
+      renames.map(r => r.fieldNames.head -> r.newName),
+      drops.map(d => d.fieldNames.head -> d.ifExists()),
+      widens.map(u => u.fieldNames.head -> u.newDataType),
+      defaults.map(d => d.fieldNames.head ->
+        Option(d.newCurrentDefault()).flatMap(x =>
+          Option(x.getSql)).filter(_.nonEmpty)))
     // SET TBLPROPERTIES: one metadata commit updating the mutable
     // properties; a retroactive CHECK validates existing rows first
     if (setProps.nonEmpty)

@@ -210,14 +210,35 @@ case class SnapshotMaintenanceCommand(kind: String, nameParts: Seq[String],
     val srcDir = SnapshotSql.resolveTable(spark, cols).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(cols))
+    // target resolution MIRRORS resolveParts (r11 ADVICE): explicit
+    // catalog first, then current-catalog + current-namespace relative
+    // — so 'main.t2' under a current graft catalog resolves as a
+    // namespace, not a CatalogNotFoundException, and a 1-part name
+    // lands in the session's current namespace
     val cm = spark.sessionState.catalogManager
-    val tgtParts =
-      if (nameParts.length >= 2) nameParts else Seq("graft") ++ nameParts
-    val cat = cm.catalog(tgtParts.head)
-      .asInstanceOf[pystreamsspark.io.GraftCatalog]
-    val tgtDir = cat.tableDir(
-      org.apache.spark.sql.connector.catalog.Identifier.of(
-        tgtParts.tail.init.toArray, tgtParts.last))
+    def dirIn(cat: AnyRef, ns: Seq[String], name: String): Option[String] =
+      cat match {
+        case g: pystreamsspark.io.GraftCatalog => Some(g.tableDir(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            ns.toArray, name)))
+        case _ => None
+      }
+    val explicit =
+      if (nameParts.length >= 2)
+        try dirIn(cm.catalog(nameParts.head), nameParts.tail.init,
+          nameParts.last)
+        catch { case _: Exception => None }
+      else None
+    val tgtDir = explicit
+      .orElse(dirIn(cm.currentCatalog,
+        cm.currentNamespace.toSeq ++ nameParts.init, nameParts.last))
+      .orElse {
+        try dirIn(cm.catalog("graft"), nameParts.init, nameParts.last)
+        catch { case _: Exception => None }
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"CLONE target ${nameParts.mkString(".")} does not resolve to " +
+          "a graft-catalog identifier"))
     Seq(Row(SnapshotTable.shallowClone(spark, srcDir, tgtDir)))
   }
 }

@@ -147,15 +147,16 @@ object SnapshotSql {
   def runMergePlan(spark: SparkSession, dir: String,
                    m: MergeIntoTable): Int = {
     val source = GraftSqlShims.ofRows(spark, m.sourceTable)
-    if (m.withSchemaEvolution) evolveForMerge(dir, source.schema)
-    classifyMergeDispatch(dir, m) match {
-      case FastUpsert(keys) => runMergeUpsert(spark, dir, source, keys)
-      case FastDelete(keys) => runMergeDelete(spark, dir, source, keys)
-      case GeneralPath =>
-        val (keys, onSql, ma, nm, nmbs) =
-          generalMergeArgs(dir, m, source.schema.fieldNames.toSeq)
-        SnapshotTable.generalMerge(spark, dir, source, keys, onSql,
-          ma, nm, nmbs)
+    withMergeEvolution(dir, source.schema, m.withSchemaEvolution) {
+      classifyMergeDispatch(dir, m) match {
+        case FastUpsert(keys) => runMergeUpsert(spark, dir, source, keys)
+        case FastDelete(keys) => runMergeDelete(spark, dir, source, keys)
+        case GeneralPath =>
+          val (keys, onSql, ma, nm, nmbs) =
+            generalMergeArgs(dir, m, source.schema.fieldNames.toSeq)
+          SnapshotTable.generalMerge(spark, dir, source, keys, onSql,
+            ma, nm, nmbs)
+      }
     }
   }
 
@@ -176,15 +177,40 @@ object SnapshotSql {
     * (and pass through on the dedicated upsert primitive, its
     * documented merge-side evolution). */
   def evolveForMerge(dir: String,
-                     srcSchema: org.apache.spark.sql.types.StructType): Unit = {
+                     srcSchema: org.apache.spark.sql.types.StructType)
+      : Option[(Int, Seq[String])] = {
     val tgt = SnapshotTable.schemaOf(dir)
     val fresh = srcSchema.fields.filterNot(f =>
       tgt.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-    if (fresh.nonEmpty)
-      SnapshotTable.evolveSchema(dir,
+    if (fresh.isEmpty) None
+    else {
+      val v = SnapshotTable.evolveSchema(dir,
         org.apache.spark.sql.types.StructType(
           fresh.map(_.copy(nullable = true)).toSeq))
-    ()
+      Some((v, fresh.map(_.name).toSeq))
+    }
+  }
+
+  /** Evolve-then-merge with best-effort ATOMICITY (r11 ADVICE): run the
+    * evolve commit, then `body` (the merge); if the merge fails — ANSI
+    * cardinality violation, cast error, reserved-name collision — the
+    * evolution is COMPENSATED ([[SnapshotTable.unevolve]], pinned at
+    * the evolve version) so a failed statement no longer leaves the
+    * schema permanently widened. The one documented residue: a
+    * concurrent foreign commit between evolve and failure wins the
+    * pin and the evolution stands (rolling back past someone else's
+    * commit would rewrite history they built on). Shared by both SQL
+    * routes. */
+  def withMergeEvolution[T](dir: String,
+                            srcSchema: org.apache.spark.sql.types.StructType,
+                            evolve: Boolean)(body: => T): T = {
+    val ev = if (evolve) evolveForMerge(dir, srcSchema) else None
+    try body
+    catch {
+      case e: Throwable =>
+        ev.foreach { case (v, cols) => SnapshotTable.unevolve(dir, cols, v) }
+        throw e
+    }
   }
 
   /** The ONE fast-path classification both SQL routes share (parsed

@@ -2950,6 +2950,38 @@ object SnapshotTable {
     out
   }
 
+  /** Best-effort COMPENSATION for an [[evolveSchema]] that was part of
+    * a failed composite statement (MERGE WITH SCHEMA EVOLUTION — r11
+    * ADVICE: the evolve commit used to survive a merge that then
+    * failed, leaving the schema permanently widened): drop the named
+    * just-added columns again IFF the evolve commit is still the table
+    * head. The compensation PINS `atVersion` as its parent, so a
+    * concurrent foreign commit wins the CREATE_NEW race and the
+    * evolution stands (documented residue — rolling back past someone
+    * else's commit would rewrite history they built on). The columns
+    * hold no committed data by construction (the statement failed
+    * before its write committed — any half-written batch is an
+    * unreferenced orphan vacuum reclaims), so their physical names are
+    * NOT retired: a later re-add binds the same identity-mapped
+    * physical and plain-session reads keep working. */
+  private[io] def unevolve(dir: String, cols: Seq[String],
+                           atVersion: Int): Boolean = {
+    if (cols.isEmpty || latestVersion(dir) != atVersion) return false
+    val m = readManifest(dir, atVersion)
+    val cur = m.schema.getOrElse(return false)
+    val newSchema = StructType(
+      cur.fields.filterNot(f => cols.contains(f.name)))
+    if (newSchema.length == cur.length || newSchema.isEmpty) return false
+    val cm = m.colmap -- cols
+    val headers = m.carried.filterNot(_._1 == "colmap") ++
+      (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm)))
+    try {
+      commitDelta(dir, atVersion + 1, "unevolve", m, Nil, Nil,
+        Some(newSchema), headers)
+      true
+    } catch { case _: ConcurrentCommitException => false }
+  }
+
   /** DEFAULT-VALUE support (ANSI column defaults, the Delta/Iceberg v3
     * semantics by the same two-marker law Spark itself uses):
     * `EXISTS_DEFAULT` (frozen at ADD COLUMNS time) fills the column for
@@ -3227,6 +3259,86 @@ object SnapshotTable {
       }
     }
 
+  /** PRE-VALIDATION for a MIXED-kind ALTER statement (r11 ADVICE): the
+    * catalog executes each change kind as its own commit, so a later
+    * kind's validation failure after an earlier commit landed would
+    * leave one ALTER statement half-applied across versions. This runs
+    * the SAME metadata checks the individual ops enforce — against the
+    * CURRENT manifest — BEFORE the first commit. Cross-kind
+    * interactions created inside one statement (e.g. widening a column
+    * the same statement declares as a bloom column) still validate at
+    * their own op; single-kind statements — the whole SQL ALTER surface
+    * — are covered exactly. */
+  private[io] def validateAlter(spark: SparkSession, dir: String,
+      adds: Seq[String],
+      renames: Seq[(String, String)],
+      drops: Seq[(String, Boolean)],
+      widens: Seq[(String, DataType)],
+      defaults: Seq[(String, Option[String])]): Unit = {
+    val v = latestVersion(dir)
+    if (v < 1) return
+    val m = readManifest(dir, v)
+    val cur = m.schema.getOrElse(return)
+    def field(n: String): Option[StructField] =
+      cur.fields.find(_.name == n)
+        .orElse(cur.fields.find(_.name.equalsIgnoreCase(n)))
+    def checkPred: Option[String] = m.header.get("check").map(FileEntry.dec)
+    adds.foreach(n => require(!cur.fieldNames.contains(n),
+      s"column $n already exists"))
+    renames.foreach { case (oldName, newName) =>
+      val f = field(oldName).getOrElse(throw new IllegalArgumentException(
+        s"no column $oldName in ${cur.fieldNames.mkString(",")}"))
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column $newName already exists")
+      require(!newName.startsWith("_s_") && !Set("_src_file", "_src_pos",
+        "_t_exists", "_s_exists", "_action", "_rn", "_ins")(newName),
+        s"$newName collides with the merge/row-identity namespace")
+      checkPred.foreach(pred => require(!predReferences(pred, f.name),
+        s"cannot rename ${f.name}: referenced by CHECK ($pred); drop " +
+          "the constraint first (ALTER … SET TBLPROPERTIES)"))
+    }
+    drops.foreach { case (name, ifExists) =>
+      field(name) match {
+        case None => require(ifExists,
+          s"no column $name in ${cur.fieldNames.mkString(",")}")
+        case Some(f) =>
+          require(cur.fields.length > 1, "cannot drop the only column")
+          require(!m.statsCols.contains(f.name),
+            s"cannot drop cluster column ${f.name} (the table's layout law)")
+          m.bucketSpec.foreach { case (c, _) => require(c != f.name,
+            s"cannot drop bucket column ${f.name} (the table's layout law)") }
+          checkPred.foreach(pred => require(!predReferences(pred, f.name),
+            s"cannot drop ${f.name}: referenced by CHECK ($pred); drop " +
+              "the constraint first (ALTER … SET TBLPROPERTIES)"))
+      }
+    }
+    widens.foreach { case (name, to) =>
+      val f = field(name).getOrElse(throw new IllegalArgumentException(
+        s"no column $name in ${cur.fieldNames.mkString(",")}"))
+      if (!sameTypeIgnoreNull(f.dataType, to)) {
+        require(widenable.get(f.dataType).exists(_.contains(to)),
+          s"cannot change ${f.name}: ${f.dataType} -> $to is not a safe " +
+            s"widening (allowed: ${widenable.getOrElse(f.dataType, Set.empty)
+              .mkString(", ")})")
+        m.bucketSpec.foreach { case (c, _) => require(c != f.name,
+          s"cannot widen bucket column ${f.name}: int32/int64 hash " +
+            "differently, the bucket layout would break") }
+        require(!m.bloomCols.contains(f.name),
+          s"cannot widen bloom column ${f.name}: the recorded blobs " +
+            "hash the narrow type; drop it from bloomcols (SET " +
+            "TBLPROPERTIES) or OPTIMIZE first")
+      }
+    }
+    defaults.foreach { case (name, sqlOpt) =>
+      val f = field(name).getOrElse(throw new IllegalArgumentException(
+        s"no column $name in ${cur.fieldNames.mkString(",")}"))
+      sqlOpt.foreach { sqlTxt =>
+        spark.sql(s"SELECT CAST(($sqlTxt) AS ${f.dataType.sql})").collect()
+        ()
+      }
+    }
+  }
+
   /** `ALTER TABLE … SET TBLPROPERTIES`: update the mutable table
     * properties (`delete.mode` / `update.mode` / `merge.mode` /
     * `check`) as ONE metadata commit (op `altertbl`) — so a constraint
@@ -3503,9 +3615,53 @@ object SnapshotTable {
               "_cdc batch); restart the feed from a newer startingVersion")
           changesBetween(spark, dir, v - 1, v)
         }
+      // COLUMN-MAPPING lineage rewrite (r11 ADVICE): `changes` speaks
+      // version-v LOGICAL names (changesBetween reads per-version
+      // manifests), but the reader scans every batch under the CURRENT
+      // cdc schema — without this projection a renamed column would
+      // silently null-fill for pre-rename versions, and a DROP+re-ADD
+      // would resurrect the dropped column's stale values through the
+      // reused name. Each column follows its PHYSICAL identity: rename
+      // emits under the current logical name, a retired physical drops
+      // out (the re-added namesake has a fresh physical and null-fills
+      // at scan time). Evolution commits drop this cache, so "current"
+      // is the reader's current at materialization time.
+      val mapped =
+        if (!mayHaveColumnMapping(dir)) changes
+        else {
+          val cur = readManifest(dir, versions.last)
+          val vM = readManifest(dir, v)
+          def curLogicalOf(phys: String): Option[String] =
+            cur.colmap.collectFirst { case (cl, cp) if cp == phys => cl }
+              .orElse(cur.schema.flatMap(_.fieldNames.find(n =>
+                n == phys && !cur.colmap.contains(n))))
+          // changesBetween ALIGNS the two adjacent versions' schemas
+          // by name, so a batch at a rename boundary carries both the
+          // old and the new name of one physical column (the boundary
+          // batch is empty by construction — a rename is metadata-only
+          // — but the projection must still be duplicate-free): dedupe
+          // by target, preferring the column of v's OWN schema over the
+          // aligned-in ghost
+          val vNames = vM.schema.map(_.fieldNames.toSet).getOrElse(
+            Set.empty[String])
+          val picked = scala.collection.mutable.LinkedHashMap[String, String]()
+          changes.columns.foreach {
+            case "_change_type" => ()
+            case l =>
+              val phys = vM.colmap.getOrElse(l, l)
+              if (!cur.retired.contains(phys))
+                curLogicalOf(phys).foreach { t =>
+                  if (!picked.contains(t) ||
+                    (vNames.contains(l) && !vNames.contains(picked(t))))
+                    picked.put(t, l)
+                }
+          }
+          changes.select(picked.toSeq.map { case (t, l) =>
+            col(l).as(t) } :+ col("_change_type"): _*)
+        }
       val tmp = Paths.get(dir, "_cdc",
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      changes.withColumn("_commit_version", lit(v.toLong))
+      mapped.withColumn("_commit_version", lit(v.toLong))
         .write.parquet(tmp.toString)
       try { Files.move(tmp, target); () }
       catch {

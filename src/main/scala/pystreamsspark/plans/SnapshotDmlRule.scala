@@ -136,15 +136,19 @@ case class SnapshotDmlCommand(kind: String, dir: String,
       case "merge" =>
         val src = GraftSqlShims.ofRows(spark, source.get)
         // MERGE WITH SCHEMA EVOLUTION: the evolve commit happens at RUN
-        // time (analysis must stay side-effect-free); idempotent
-        if (evolve) SnapshotSql.evolveForMerge(dir, src.schema)
-        if (matchedDelete) SnapshotSql.runMergeDelete(spark, dir, src, keyCols)
-        else SnapshotSql.runMergeUpsert(spark, dir, src, keyCols)
+        // time (analysis must stay side-effect-free); idempotent, and
+        // compensated if the merge then fails (withMergeEvolution)
+        SnapshotSql.withMergeEvolution(dir, src.schema, evolve) {
+          if (matchedDelete)
+            SnapshotSql.runMergeDelete(spark, dir, src, keyCols)
+          else SnapshotSql.runMergeUpsert(spark, dir, src, keyCols)
+        }
       case "merge_general" =>
         val src = GraftSqlShims.ofRows(spark, source.get)
-        if (evolve) SnapshotSql.evolveForMerge(dir, src.schema)
-        SnapshotTable.generalMerge(spark, dir, src, keyCols, onSql.get,
-          mergeMatched, mergeNotMatched, mergeNmbs)
+        SnapshotSql.withMergeEvolution(dir, src.schema, evolve) {
+          SnapshotTable.generalMerge(spark, dir, src, keyCols, onSql.get,
+            mergeMatched, mergeNotMatched, mergeNmbs)
+        }
       case "insert" =>
         SnapshotSql.runInsert(spark, dir,
           GraftSqlShims.ofRows(spark, source.get), userCols, overwrite,

@@ -198,6 +198,41 @@ class GeneralMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("marker"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION compensates the evolve commit when " +
+    "the merge itself fails (r11 ADVICE atomicity)") {
+    val t = mkTable()
+    val before = SnapshotTable.schemaOf(dirOf(t)).fieldNames.toSeq
+    // duplicate source keys -> ANSI cardinality violation AFTER the
+    // evolve commit would have landed
+    mkSource(spark, "src_ev_fail", Seq((1L, "X", 1.0), (1L, "Y", 2.0)))
+    spark.sql("CREATE OR REPLACE TEMP VIEW src_ev_fail2 AS " +
+      "SELECT id, status, price, price * 2 AS bonus FROM src_ev_fail")
+    val e = intercept[Exception] {
+      SnapshotSql.sql(spark,
+        s"MERGE WITH SCHEMA EVOLUTION INTO graft.gm.$t t " +
+          "USING src_ev_fail2 s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality") ||
+      e.getMessage.toLowerCase.contains("more than one"),
+      s"expected the cardinality violation, got: ${e.getMessage}")
+    // the evolve commit was compensated: schema is back to pre-merge
+    assert(SnapshotTable.schemaOf(dirOf(t)).fieldNames.toSeq === before,
+      "a failed MERGE WITH SCHEMA EVOLUTION must not leave the schema " +
+        "widened")
+    // and the table still merges fine afterwards (fresh physical names)
+    mkSource(spark, "src_ev_ok", Seq((1L, "Z", 9.0)))
+    spark.sql("CREATE OR REPLACE TEMP VIEW src_ev_ok2 AS " +
+      "SELECT id, status, price, price * 2 AS bonus FROM src_ev_ok")
+    SnapshotSql.sql(spark,
+      s"MERGE WITH SCHEMA EVOLUTION INTO graft.gm.$t t " +
+        "USING src_ev_ok2 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    val r = spark.sql(s"SELECT bonus FROM graft.gm.$t WHERE id = 1")
+      .collect()
+    assert(r.map(_.getDouble(0)).toSeq === Seq(18.0))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the " +
     "target, star clauses carry them (parsed-plan route)") {
     val t = mkTable()

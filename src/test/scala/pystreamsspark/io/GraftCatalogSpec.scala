@@ -526,4 +526,44 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(rows === Seq((1L, "X", 10.0), (1L, "A", 11.0)))
   }
+
+  test("mixed-kind ALTER pre-validates every change before the first " +
+    "commit (r11 ADVICE: no half-applied statements)") {
+    wh
+    val t = freshName("alter_atomic_")
+    spark.sql(s"CREATE TABLE graft.ns.$t (id BIGINT, a INT, b STRING) " +
+      "TBLPROPERTIES('check'='id >= 0')")
+    val dir = dirOf(t)
+    val v0 = SnapshotTable.latestVersion(dir)
+    // one catalog call mixing a valid ADD with an invalid RENAME (the
+    // CHECK references id): NOTHING may commit
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ns"), t)
+    val e = intercept[Exception] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+          Array("c"), org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+          Array("id"), "ident"))
+    }
+    assert(e.getMessage.contains("CHECK"))
+    assert(SnapshotTable.latestVersion(dir) === v0,
+      "a failing mixed ALTER must commit nothing")
+    assert(SnapshotTable.schemaOf(dir).fieldNames.toSeq ===
+      Seq("id", "a", "b"))
+    // an invalid WIDEN mixed with a valid DROP: nothing commits either
+    val e2 = intercept[Exception] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+          Array("b"), false),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("a"), org.apache.spark.sql.types.StringType))
+    }
+    assert(e2.getMessage.contains("widening"))
+    assert(SnapshotTable.latestVersion(dir) === v0)
+    assert(SnapshotTable.schemaOf(dir).fieldNames.toSeq ===
+      Seq("id", "a", "b"))
+  }
 }

@@ -108,4 +108,33 @@ class ShallowCloneSpec extends SparkSpec {
         s"CREATE TABLE graft.cl.$t2 SHALLOW CLONE graft.cl.$t1")
     }
   }
+
+  test("SQL CLONE target resolution mirrors the source's (r11 ADVICE): " +
+    "2-part names are current-catalog-relative, 1-part names land in " +
+    "the current namespace") {
+    val wh = tmp()
+    SnapshotSql.register(spark, wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl2")
+    val t1 = "cl2src_" + java.util.UUID.randomUUID().toString.take(8)
+    val t2 = "cl2dst_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE graft.cl2.$t1 (id BIGINT)")
+    SnapshotSql.sql(spark, s"INSERT INTO graft.cl2.$t1 VALUES (1),(2)")
+    // 2-part target under current catalog graft: 'cl2.t2' must resolve
+    // as namespace.table of the CURRENT catalog, not as a catalog named
+    // 'cl2' (the pre-r12 behavior threw CatalogNotFoundException)
+    spark.sql("USE graft")
+    try {
+      SnapshotSql.sql(spark,
+        s"CREATE TABLE cl2.$t2 SHALLOW CLONE graft.cl2.$t1")
+      val n = spark.sql(s"SELECT COUNT(*) FROM graft.cl2.$t2")
+        .head().getLong(0)
+      assert(n === 2L)
+      // 1-part names resolve in the CURRENT namespace for both sides
+      spark.sql("USE graft.cl2")
+      val t3 = "cl2dst3_" + java.util.UUID.randomUUID().toString.take(8)
+      SnapshotSql.sql(spark, s"CREATE TABLE $t3 SHALLOW CLONE $t1")
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft.cl2.$t3")
+        .head().getLong(0) === 2L)
+    } finally spark.sql("USE spark_catalog")
+  }
 }
