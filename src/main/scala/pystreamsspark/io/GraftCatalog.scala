@@ -140,8 +140,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(Paths.get(dir))
+    // entries may be hidden partition TRANSFORMS — days(ts),
+    // truncate(4,name) — so the split is paren-aware
     val clusterCols = Option(properties.get("clustercols"))
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      .map(SnapshotTable.splitClusterSpecs).getOrElse(Nil)
     // TBLPROPERTIES('bucketcols'='id','buckets'='8') declares the
     // hash-bucket layout behind zero-shuffle storage-partitioned joins
     val bucketSpec = Option(properties.get("bucketcols")).map { c =>
@@ -433,7 +435,14 @@ class SnapshotV2Table(fullName: String, val dir: String,
     val v = versionAsOf.getOrElse(SnapshotTable.latestVersion(dir))
     val layout =
       SnapshotTable.statsColsOfPublic(dir, versionAsOf) match {
-        case cols if cols.nonEmpty => Map("clustercols" -> cols.mkString(","))
+        case cols if cols.nonEmpty =>
+          // a transform-clustered table SHOWs its declared specs, not
+          // the derived source-column list
+          Map("clustercols" -> (SnapshotTable.transformSpecsOf(dir) match {
+            case ts if ts.exists(!_.isIdentity) =>
+              ts.map(_.spec).mkString(",")
+            case _ => cols.mkString(",")
+          }))
         case _ => SnapshotTable.bucketSpecOf(dir, versionAsOf) match {
           case Some((c, n)) =>
             Map("bucketcols" -> c, "buckets" -> n.toString)

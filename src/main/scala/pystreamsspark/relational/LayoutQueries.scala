@@ -583,6 +583,57 @@ object LayoutQueries {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  /** HIDDEN PARTITION TRANSFORM skipping (round-12, r11 verdict #2):
+    * a month of events lands through `clustercols='days(ts)'` — the
+    * write funnel groups the batch by calendar day, so the files align
+    * to day boundaries WITHOUT the writer pre-deriving a date column —
+    * and a one-day window read ([[pystreamsspark.io.SnapshotTable
+    * .readWhere]] on the BASE ts column, epoch-micros bounds) prunes to
+    * the covering files, asserted in-key (the q_bloom_skip pattern). At
+    * 100 TB this is the time-partitioned-ingest staple: an append-only
+    * event table whose daily query reads one day's files, not the
+    * table. The residual filter keeps the result exact, so the oracle
+    * is the plain timestamp-window aggregate. */
+  def qPartTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch(sfDir,
+      s"part_transform_${java.util.UUID.randomUUID().toString.take(8)}")
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    pystreamsspark.io.SnapshotTable.createEmpty(dir, ev.schema,
+      clusterCols = Seq("days(ts)"))
+    pystreamsspark.io.SnapshotTable.append(spark, dir, ev, numFiles = 4)
+    // 2024-01-15 UTC — events span 2024-01-01..30 at every SF
+    val lo = java.time.LocalDate.of(2024, 1, 15)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val hi = java.time.LocalDate.of(2024, 1, 16)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli *
+      1000L - 1L
+    val total = pystreamsspark.io.SnapshotTable.filePaths(dir).size
+    val opened = pystreamsspark.io.SnapshotTable.readCandidates(
+      dir, "ts", lo.toString, hi.toString, None)
+    require(opened.size < total && opened.size <= 3,
+      s"days(ts) transform must prune a one-day window to its covering " +
+        s"files, opened ${opened.size} of $total")
+    pystreamsspark.io.SnapshotTable.readWhere(spark, dir,
+        Map("ts" -> (lo.toString, hi.toString)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"event_id").as("id_sum"),
+        Det.dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val qPartTransformSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+       |  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** BLOOM-FILTER data skipping (round-11) — the point-lookup path for
     * a NON-cluster column where min/max stats are useless by
     * construction: orders land ROUND-ROBIN in 16 files (every file
@@ -676,6 +727,7 @@ object LayoutQueries {
     "q_zorder_skip"     -> (qZorderSkip _),
     "q_snapshot_skip"   -> (qSnapshotSkip _),
     "q_bloom_skip"      -> (qBloomSkip _),
+    "q_part_transform"  -> (qPartTransform _),
     "q_acid_evolve"     -> (qAcidEvolve _),
     "q_acid_merge"      -> (qAcidMerge _),
     "q_time_travel"     -> (qTimeTravel _),
@@ -693,6 +745,7 @@ object LayoutQueries {
     "q_zorder_skip"     -> qZorderSkipSql,
     "q_snapshot_skip"   -> qSnapshotSkipSql,
     "q_bloom_skip"      -> qBloomSkipSql,
+    "q_part_transform"  -> qPartTransformSql,
     "q_acid_evolve"     -> qAcidEvolveSql,
     "q_acid_merge"      -> qAcidMergeSql,
     "q_time_travel"     -> qTimeTravelSql,
