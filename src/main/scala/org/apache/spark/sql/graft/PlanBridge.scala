@@ -19,4 +19,14 @@ import org.apache.spark.sql.classic
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A VANILLA SparkSqlParser — what view-statement fallbacks and
+    * view-body parsing use: re-parsing through `sessionState.sqlParser`
+    * would recurse into the injected interceptor on extensions
+    * sessions. Same shim rationale as [[ofRows]] (`SparkSqlParser` is
+    * `private[sql]` at the Scala level). */
+  private lazy val vanillaParser =
+    new org.apache.spark.sql.execution.SparkSqlParser()
+  def vanillaParsePlan(text: String): LogicalPlan =
+    vanillaParser.parsePlan(text)
 }

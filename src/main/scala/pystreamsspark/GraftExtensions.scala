@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL row-level DML (MERGE INTO / UPDATE / DELETE / INSERT) against
     // GraftCatalog snapshot tables — inert for every other relation
     ext.injectResolutionRule(_ => pystreamsspark.plans.SnapshotDmlRule)
+    // graft-catalog persistent views: unresolved relations naming a
+    // stored view inline their bodies (pushdown crosses the boundary);
+    // inert for every other relation
+    ext.injectResolutionRule(session =>
+      pystreamsspark.plans.GraftViewRule(session))
     // DV-aware SQL reads of merge-on-read snapshot tables (relations
     // over DV-free snapshots keep the fully native V2 scan)
     ext.injectResolutionRule(_ => pystreamsspark.plans.SnapshotDvReadRule)

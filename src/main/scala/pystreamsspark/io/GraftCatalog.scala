@@ -122,6 +122,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def load(ident: Identifier, v: Option[Int]): SnapshotV2Table = {
     val dir = tableDir(ident)
+    // a graft VIEW is not a V2 table — its body inlines at the SQL
+    // tier (the injected resolution rule / SnapshotSql.sql). The miss
+    // must be NoSuchTableException: the analyzer's own ResolveRelations
+    // probes loadTable BEFORE the injected view rule runs in the same
+    // fixpoint iteration, and only a table-miss lets resolution fall
+    // through to the rule (any other throw aborts analysis outright).
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     new SnapshotV2Table(
       (catName +: (ident.namespace() :+ ident.name())).mkString("."),

@@ -1,0 +1,223 @@
+package pystreamsspark.io
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.StringType
+
+/** PERSISTENT VIEWS through the graft catalog (round-12, r11 verdict
+  * #7): `CREATE [OR REPLACE] VIEW graft.ns.v AS <query>` / `DROP VIEW
+  * [IF EXISTS] graft.ns.v`, resolved by INLINING the stored body into
+  * the reading plan — the view boundary disappears before optimization,
+  * so predicate pushdown, column pruning and join planning cross it for
+  * free (spec-asserted `PushedFilters` beneath a filtered view read).
+  *
+  * Why not Spark's `ViewCatalog`: the V2 view API ships interface-only
+  * in OSS Spark — no parser or analyzer support routes `CREATE VIEW` to
+  * a V2 catalog (Iceberg ships its own parser+rule extensions for the
+  * same reason; this is that public technique, original
+  * implementation). The statements are recognized by the shared
+  * maintenance-parse tier (the injected GraftSqlParser on extensions
+  * sessions, [[SnapshotSql.sql]]'s pre-parse everywhere), resolve their
+  * target through the session's catalog manager at RUN time, and fall
+  * back VERBATIM to a vanilla parser when the target is not a graft
+  * catalog — so session-catalog views keep their stock behavior.
+  *
+  * Storage: one text file beside the would-be table directory
+  * (`<warehouse>/<ns>/<name>.view`): header line records the CREATION
+  * CONTEXT (current catalog + namespace — what the body's relative
+  * names must resolve against later), remaining lines are the body SQL
+  * verbatim. Inlining qualifies the body's context-relative relation
+  * names, recursively inlines nested views (cycle-bounded), and wraps
+  * the result in a SubqueryAlias carrying the view name.
+  */
+object GraftViews {
+
+  private val MAX_DEPTH = 10
+
+  private def catalogOf(spark: SparkSession,
+                        name: String): Option[GraftCatalog] =
+    try spark.sessionState.catalogManager.catalog(name) match {
+      case g: GraftCatalog => Some(g)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** The view FILE a (possibly qualified) name would live at, resolved
+    * like [[SnapshotSql.resolveTable]]: explicit catalog first, then
+    * current-catalog + current-namespace relative. The target form
+    * (`mustExist = false`) is what CREATE writes to; the lookup form
+    * requires the file to exist. */
+  private[io] def resolveViewPath(spark: SparkSession, parts: Seq[String],
+                                  mustExist: Boolean): Option[Path] = {
+    val cm = spark.sessionState.catalogManager
+    def pathIn(g: GraftCatalog, ns: Seq[String], name: String): Path =
+      Paths.get(g.tableDir(Identifier.of(ns.toArray, name)) + ".view")
+    val explicit =
+      if (parts.length >= 2)
+        catalogOf(spark, parts.head)
+          .map(g => pathIn(g, parts.tail.init, parts.last))
+      else None
+    val relative = cm.currentCatalog match {
+      case g: GraftCatalog => Some(pathIn(g,
+        cm.currentNamespace.toSeq ++ parts.init, parts.last))
+      case _ => None
+    }
+    if (mustExist)
+      explicit.filter(Files.exists(_))
+        .orElse(relative.filter(Files.exists(_)))
+    else explicit.orElse(relative)
+  }
+
+  private def readView(p: Path): (Seq[String], String) = {
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    val hdr = lines.head.split("\t").map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    val ctx = hdr.getOrElse("catalog", "graft") +:
+      hdr.get("namespace").filter(_.nonEmpty)
+        .map(_.split("\\.").toSeq).getOrElse(Nil)
+    (ctx, lines.tail.mkString("\n"))
+  }
+
+  /** Qualify the body's CONTEXT-RELATIVE relation names with the
+    * creation context: 1-part names get catalog+namespace, n-part names
+    * whose head is not a registered catalog get the catalog — so the
+    * body reads the tables it read at creation time from any later
+    * session. Fully-qualified names pass through. */
+  private def qualify(spark: SparkSession, ctx: Seq[String],
+                      body: LogicalPlan): LogicalPlan =
+    body.transformUp {
+      case u: UnresolvedRelation if !u.isStreaming =>
+        val parts = u.multipartIdentifier
+        val isCat =
+          try { spark.sessionState.catalogManager.catalog(parts.head); true }
+          catch { case _: Exception => false }
+        if (parts.length == 1)
+          u.copy(multipartIdentifier = ctx ++ parts)
+        else if (!isCat)
+          u.copy(multipartIdentifier = ctx.head +: parts)
+        else u
+    }
+
+  /** Replace every graft-view reference in `plan` with its parsed,
+    * context-qualified, recursively-inlined body — the one
+    * transformation both read routes share (SnapshotSql.sql pre-parse
+    * and the injected resolution rule). No-view plans pass through
+    * untouched (one cheap exists-scan). */
+  def inline(spark: SparkSession, plan: LogicalPlan,
+             depth: Int = 0): LogicalPlan = {
+    val hasUnresolved = plan.exists {
+      case _: UnresolvedRelation => true
+      case _ => false
+    }
+    if (!hasUnresolved) plan
+    else plan.transformUp {
+      case u: UnresolvedRelation if !u.isStreaming =>
+        resolveViewPath(spark, u.multipartIdentifier,
+          mustExist = true) match {
+          case Some(p) =>
+            require(depth < MAX_DEPTH,
+              s"view nesting exceeds $MAX_DEPTH (cycle?) at " +
+                u.multipartIdentifier.mkString("."))
+            val (ctx, sqlText) = readView(p)
+            val body = PlanBridge.vanillaParsePlan(sqlText)
+            SubqueryAlias(u.multipartIdentifier.last,
+              inline(spark, qualify(spark, ctx, body), depth + 1))
+          case None => u
+        }
+    }
+  }
+
+  /** True when `parts` names an existing graft view (the catalog's
+    * loadTable uses this for a helpful error). */
+  def isView(spark: SparkSession, parts: Seq[String]): Boolean =
+    resolveViewPath(spark, parts, mustExist = true).isDefined
+
+  private[io] def create(spark: SparkSession, parts: Seq[String],
+                         bodySql: String, orReplace: Boolean): Unit = {
+    val cm = spark.sessionState.catalogManager
+    val p = resolveViewPath(spark, parts, mustExist = false).getOrElse(
+      throw new IllegalStateException(
+        s"${parts.mkString(".")} is not a graft-catalog identifier"))
+    val tableDirOfView = p.toString.stripSuffix(".view")
+    require(SnapshotTable.latestVersion(tableDirOfView) < 1,
+      s"${parts.mkString(".")} is a TABLE; views cannot shadow tables")
+    require(orReplace || !Files.exists(p),
+      s"view ${parts.mkString(".")} already exists (use CREATE OR REPLACE)")
+    val ctxCat = cm.currentCatalog.name()
+    val ctxNs = cm.currentNamespace.toSeq
+    // the body must PARSE and — inlined and qualified exactly as reads
+    // will see it — ANALYZE now: a broken view fails its CREATE, not
+    // every later read
+    val body = PlanBridge.vanillaParsePlan(bodySql)
+    PlanBridge.ofRows(spark,
+      inline(spark, qualify(spark, ctxCat +: ctxNs, body)))
+      .queryExecution.analyzed
+    val hdr = s"catalog=$ctxCat\tnamespace=${ctxNs.mkString(".")}"
+    Files.createDirectories(p.getParent)
+    Files.write(p, (hdr + "\n" + bodySql).getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private[io] def drop(spark: SparkSession, parts: Seq[String],
+                       ifExists: Boolean): Unit = {
+    resolveViewPath(spark, parts, mustExist = true) match {
+      case Some(p) => Files.delete(p)
+      case None => require(ifExists,
+        s"view ${parts.mkString(".")} does not exist")
+    }
+  }
+
+  /** True when the statement's target lands in a graft catalog — the
+    * dispatch test between our view store and the vanilla fallback. */
+  private def graftTargeted(spark: SparkSession,
+                            parts: Seq[String]): Boolean =
+    (parts.length >= 2 && catalogOf(spark, parts.head).isDefined) ||
+      spark.sessionState.catalogManager.currentCatalog
+        .isInstanceOf[GraftCatalog]
+}
+
+/** Eagerly-executed CREATE/DROP VIEW command (see [[GraftViews]]):
+  * graft-catalog targets hit the view store; anything else re-parses
+  * the ORIGINAL statement with a vanilla parser and executes it — stock
+  * behavior for session-catalog views, with no recursion through the
+  * injected parser. */
+case class GraftViewCommand(kind: String, nameParts: Seq[String],
+                            bodySql: String, flag: Boolean,
+                            originalSql: String)
+  extends LeafRunnableCommand {
+
+  override lazy val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val isGraft =
+      (nameParts.length >= 2 &&
+        (try cm.catalog(nameParts.head).isInstanceOf[GraftCatalog]
+         catch { case _: Exception => false })) ||
+        cm.currentCatalog.isInstanceOf[GraftCatalog]
+    if (!isGraft) {
+      // vanilla fallback: session-catalog views keep stock semantics
+      PlanBridge.ofRows(spark,
+        PlanBridge.vanillaParsePlan(originalSql)).collect()
+      Seq(Row("delegated"))
+    } else kind match {
+      case "create" =>
+        GraftViews.create(spark, nameParts, bodySql, orReplace = flag)
+        Seq(Row("created"))
+      case "drop" =>
+        GraftViews.drop(spark, nameParts, ifExists = flag)
+        Seq(Row("dropped"))
+      case other => throw new IllegalStateException(s"unknown $other")
+    }
+  }
+}

@@ -59,6 +59,10 @@ object SnapshotMaintenance {
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+SHALLOW\s+CLONE\s+([\w.`]+?)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+([\w,\s`]+?)))?\s*;?\s*""".r
+  private val CreateView =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+?)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropView =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+?)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
 
@@ -98,6 +102,13 @@ object SnapshotMaintenance {
       cols = Option(colList).map(_.split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)).getOrElse(Nil)))
+    // persistent VIEWS through the graft catalog (TEMP[ORARY] views
+    // deliberately do not match — they stay vanilla); non-graft targets
+    // fall back to a vanilla parse of the ORIGINAL text at run time
+    case CreateView(orReplace, t, body) => Some(GraftViewCommand(
+      "create", nameParts(t), body.trim, orReplace != null, sql))
+    case DropView(ifExists, t) => Some(GraftViewCommand(
+      "drop", nameParts(t), null, ifExists != null, sql))
     case CopyInto(t, path, fmt) => Some(SnapshotMaintenanceCommand("copy",
       nameParts(t), 0, path,
       cols = Option(fmt).map(_.toLowerCase).toSeq))

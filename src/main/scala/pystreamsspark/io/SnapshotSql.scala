@@ -64,7 +64,13 @@ object SnapshotSql {
     SnapshotMaintenance.parse(text).foreach { cmd =>
       return GraftSqlShims.ofRows(spark, cmd)
     }
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    // graft-view references INLINE before dispatch (predicate pushdown
+    // then crosses the former view boundary inside Catalyst); a plan
+    // the inliner changed must execute AS A PLAN — re-running the text
+    // through spark.sql would lose the inlining on plain sessions
+    val rawParsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = GraftViews.inline(spark, rawParsed)
+    val viewInlined = !(parsed eq rawParsed) && !(parsed == rawParsed)
     parsed match {
       case DeleteFromTable(t, cond) =>
         tableDirOf(spark, t) match {
@@ -96,7 +102,9 @@ object SnapshotSql {
             spark.emptyDataFrame
           case None => spark.sql(text)
         }
-      case _ => spark.sql(text)
+      case _ =>
+        if (viewInlined) GraftSqlShims.ofRows(spark, parsed)
+        else spark.sql(text)
     }
   }
 

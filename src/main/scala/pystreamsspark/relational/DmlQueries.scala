@@ -626,6 +626,51 @@ object DmlQueries {
        |GROUP BY o_prio
        |ORDER BY o_prio""".stripMargin
 
+  /** Persistent VIEWS through the graft catalog (round-12, r11 verdict
+    * #7): a CREATE VIEW over the orders snapshot table, read back
+    * through the SQL tier with an extra predicate — the body INLINES
+    * before optimization, so the filter lands in the V2 parquet scan as
+    * PushedFilters, asserted IN-KEY on the executed plan (the view
+    * boundary costs nothing at any scale). The oracle replays the
+    * composed query relationally. */
+  def qViewPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshOrdersTable(spark, sfDir, "viewpd")
+    val v = s"graft.main.vpd_${java.util.UUID.randomUUID().toString.take(8)}"
+    SnapshotSql.sql(spark, s"CREATE VIEW $v AS " +
+      s"SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9 AS disc " +
+      s"FROM $t WHERE o_orderstatus <> 'X'")
+    val df = SnapshotSql.sql(spark,
+      s"SELECT o_orderstatus, COUNT(*) AS n, " +
+        s"${Det.sqlSum("disc")} AS sum_disc FROM $v " +
+        "WHERE o_orderkey % 100 < 50 AND o_orderkey > 0 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    // the default 100-char metadata render elides the filter list —
+    // widen it for the assertion, restore after
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    val plan =
+      try df.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    require(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_orderkey,0)") &&
+      plan.contains("Not(EqualTo(o_orderstatus,X))"),
+      s"both the outer predicate and the view body's own filter must " +
+        s"push through into the scan:\n$plan")
+    df
+  }
+
+  val qViewPushdownSql: String =
+    s"""WITH v AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9 AS disc
+       |  FROM orders WHERE o_orderstatus <> 'X' AND o_orderkey % 4 <> 3
+       |)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Det.sqlSum("disc")} AS sum_disc
+       |FROM v
+       |WHERE o_orderkey % 100 < 50 AND o_orderkey > 0
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge"      -> (qSqlMerge _),
     "q_sql_merge_rich" -> (qSqlMergeRich _),
@@ -640,7 +685,8 @@ object DmlQueries {
     "q_evolve_rename"  -> (qEvolveRename _),
     "q_evolve_widen"   -> (qEvolveWiden _),
     "q_sql_merge_evolve" -> (qSqlMergeEvolve _),
-    "q_evolve_default" -> (qEvolveDefault _))
+    "q_evolve_default" -> (qEvolveDefault _),
+    "q_view_pushdown"  -> (qViewPushdown _))
 
   val oracle: Map[String, String] = Map(
     "q_sql_merge"      -> qSqlMergeSql,
@@ -656,5 +702,6 @@ object DmlQueries {
     "q_evolve_rename"  -> qEvolveRenameSql,
     "q_evolve_widen"   -> qEvolveWidenSql,
     "q_sql_merge_evolve" -> qSqlMergeEvolveSql,
-    "q_evolve_default" -> qEvolveDefaultSql)
+    "q_evolve_default" -> qEvolveDefaultSql,
+    "q_view_pushdown"  -> qViewPushdownSql)
 }
