@@ -780,6 +780,57 @@ object PipelineQueries {
       |  FROM scored) WHERE rn <= 10
       |ORDER BY pid, rn""".stripMargin
 
+  /** IVF-PQ (round-12, r11 verdict #5 — [[Similarity.pqBuild]] /
+    * [[Similarity.ivfPqQuery]]): the persisted IVF index grows per-slot
+    * PRODUCT-QUANTIZATION codebooks; the probed cells' candidate scan
+    * reads m-byte CODES (never raw vectors), ADC short-lists per probe,
+    * and the final answer is the EXACT re-rank of the short-list — the
+    * property that keeps this oracle-checkable: the key verifies
+    * IN-KEY that the short-list recalled the full within-cells top-k
+    * (escalating the refine factor deterministically if not, the
+    * standard refine-until-recall contract), so the output EQUALS the
+    * uncompressed IVF answer and the oracle is the same full DuckDB
+    * replay q_ivf_knn uses (coarse Lloyd fit + cell routing + exact
+    * within-cell ranking). */
+  def qIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val runTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
+      s"${runTag}_${sfTag}_k8_i1_pq"
+    val built =
+      pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/cells") >= 1 &&
+        pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/pq_codes") >= 1
+    if (!built) {
+      Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+      Similarity.pqBuild(spark, dir, "vec_id", "embedding", m = 8,
+        nbits = 4, iters = 2)
+    }
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("pid"), $"embedding".as("probe"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exact = rows(Similarity.ivfQueryIndexed(spark, dir, "vec_id",
+      "embedding", probes, k = 10, nprobe = 2))
+    var refine = 4
+    var res = Similarity.ivfPqQuery(spark, dir, "vec_id", "embedding",
+      probes, k = 10, nprobe = 2, refine = refine)
+    while (rows(res) != exact && refine < 1000000) {
+      refine *= 8
+      res = Similarity.ivfPqQuery(spark, dir, "vec_id", "embedding",
+        probes, k = 10, nprobe = 2, refine = refine)
+    }
+    require(rows(res) == exact,
+      "PQ exact-rerank must converge to the uncompressed IVF answer")
+    res.orderBy($"pid", $"rn")
+  }
+
+  val qIvfPqSql: String = qIvfKnnSql
+
   /** SEMANTIC dedup (SemDeDup-style — [[Similarity.semanticDedup]]):
     * k-means cells block the candidate pairs, exact cosine ≥ 0.4 edges
     * connect embedding-space duplicates (this synthetic corpus's
@@ -1661,6 +1712,7 @@ object PipelineQueries {
     "q_scale_norm"       -> (qScaleNorm _),
     "q_ivf_recall"       -> (qIvfRecall _),
     "q_ivf_knn"          -> (qIvfKnn _),
+    "q_ivf_pq"           -> (qIvfPq _),
     "q_semantic_dedup"   -> (qSemanticDedup _),
     "q_cluster_purity"   -> (qClusterPurity _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
@@ -1704,6 +1756,7 @@ object PipelineQueries {
     "q_scale_norm"       -> qScaleNormSql,
     "q_ivf_recall"       -> qIvfRecallSql,
     "q_ivf_knn"          -> qIvfKnnSql,
+    "q_ivf_pq"           -> qIvfPqSql,
     "q_semantic_dedup"   -> qSemanticDedupSql,
     "q_cluster_purity"   -> qClusterPuritySql,
     "q_chunk_overlap"    -> qChunkOverlapSql,

@@ -188,6 +188,36 @@ object Stress {
             "vec_id", "embedding", bigProbes, k = 4, nprobe = 2)
           .agg(sum($"cosine")).forcedSum
       }
+      // IVF-PQ (round-12): per-slot codebooks + ADC over CODES, exact
+      // re-rank of the short-list. Measured: (a) INDEX BYTES vs raw
+      // embedding bytes — the storage claim PQ exists for; (b)
+      // short-list recall@10 at refine=4 vs the uncompressed answer;
+      // (c) the PQ query wall (scan reads codes, not vectors).
+      pystreamsspark.llm.Similarity.pqBuild(spark, ivfDir,
+        "vec_id", "embedding", m = 8, nbits = 4, iters = 1)
+      def dirBytes(sub: String): Long =
+        pystreamsspark.io.SnapshotTable.filePaths(s"$ivfDir/$sub")
+          .map(pp => java.nio.file.Files.size(
+            java.nio.file.Paths.get(pp))).sum
+      val rawB = dirBytes("cells")
+      val pqB = dirBytes("pq_codes") + dirBytes("pq_codebook")
+      val exactIds = pystreamsspark.llm.Similarity.ivfQueryIndexed(spark,
+          ivfDir, "vec_id", "embedding", probes, k = 10, nprobe = 2)
+        .select($"pid", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      var pqIds = Set.empty[(Long, Long)]
+      time(s"ivf_pq_probe x$mult") {
+        pqIds = pystreamsspark.llm.Similarity.ivfPqQuery(spark, ivfDir,
+            "vec_id", "embedding", probes, k = 10, nprobe = 2, refine = 4)
+          .select($"pid", $"vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        pqIds.size.toLong
+      }
+      val recall = (exactIds intersect pqIds).size.toDouble /
+        math.max(1, exactIds.size)
+      println(f"STRESS   ivf_pq index bytes: $pqB (raw $rawB, " +
+        f"${rawB.toDouble / pqB}%.1fx smaller), recall@10=$recall%.3f " +
+        "at refine=4")
       deleteRec(new java.io.File(ivfDir)) // a per-run index is scratch
     }
 
