@@ -41,7 +41,13 @@ import org.apache.spark.sql.types._
   * [[ConcurrentCommitException]] and its orphaned data files are
   * reclaimed by [[vacuum]]; a crash before the manifest exists leaves
   * the table state untouched (the RegistrySink abort discipline, at the
-  * table level).
+  * table level). The arbitration holds ACROSS PROCESSES, not just
+  * threads (CrossProcessCommitSpec forks a second JVM racing real
+  * commits) — with the honest caveat every CREATE_NEW-based log shares:
+  * atomicity is the shared filesystem's POSIX O_EXCL create; an object
+  * store deployment must swap the publish for a conditional-put /
+  * if-none-match (or a lightweight commit coordinator), exactly as
+  * Delta-on-S3 does.
   *
   * Why this scales:
   *  - manifests list FILES, not rows — O(#files) driver metadata, all
