@@ -444,7 +444,8 @@ class SnapshotV2Table(fullName: String, val dir: String,
         case cols if cols.nonEmpty =>
           // a transform-clustered table SHOWs its declared specs, not
           // the derived source-column list
-          Map("clustercols" -> (SnapshotTable.transformSpecsOf(dir) match {
+          Map("clustercols" -> (SnapshotTable.transformSpecsOf(dir,
+            versionAsOf) match {
             case ts if ts.exists(!_.isIdentity) =>
               ts.map(_.spec).mkString(",")
             case _ => cols.mkString(",")

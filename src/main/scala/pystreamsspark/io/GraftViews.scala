@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -87,15 +88,41 @@ object GraftViews {
     (ctx, lines.tail.mkString("\n"))
   }
 
+  /** Names defined by CTEs ANYWHERE in a raw-parsed plan — relations
+    * matching them must never be qualified or view-inlined (the CTE
+    * scope owns them; CTESubstitution has not run yet at this tier).
+    * Conservative: collected plan-wide, not scope-precise — a shadowed
+    * outer name merely skips an optimization-tier inline/qualify and
+    * resolves through Spark's own rules. */
+  private def cteNames(plan: LogicalPlan): Set[String] =
+    plan.collect { case w: UnresolvedWith =>
+      w.cteRelations.map(_._1.toLowerCase) }.flatten.toSet
+
+  /** A 1-part (or global_temp 2-part) name Spark's own resolution would
+    * serve BEFORE a catalog table — temp-view precedence the view tier
+    * must respect. */
+  private def isTempName(spark: SparkSession, parts: Seq[String]): Boolean = {
+    val globalDb = try spark.conf.get("spark.sql.globalTempDatabase")
+      catch { case _: Exception => "global_temp" }
+    (parts.length == 1 &&
+      spark.sessionState.catalog.getTempView(parts.head).isDefined) ||
+      (parts.length == 2 && parts.head.equalsIgnoreCase(globalDb))
+  }
+
   /** Qualify the body's CONTEXT-RELATIVE relation names with the
     * creation context: 1-part names get catalog+namespace, n-part names
     * whose head is not a registered catalog get the catalog — so the
     * body reads the tables it read at creation time from any later
-    * session. Fully-qualified names pass through. */
+    * session. Fully-qualified names, CTE references and temp-view
+    * names pass through. */
   private def qualify(spark: SparkSession, ctx: Seq[String],
-                      body: LogicalPlan): LogicalPlan =
+                      body: LogicalPlan): LogicalPlan = {
+    val ctes = cteNames(body)
     body.transformUp {
-      case u: UnresolvedRelation if !u.isStreaming =>
+      case u: UnresolvedRelation if !u.isStreaming &&
+          !(u.multipartIdentifier.length == 1 &&
+            ctes(u.multipartIdentifier.head.toLowerCase)) &&
+          !isTempName(spark, u.multipartIdentifier) =>
         val parts = u.multipartIdentifier
         val isCat =
           try { spark.sessionState.catalogManager.catalog(parts.head); true }
@@ -106,6 +133,7 @@ object GraftViews {
           u.copy(multipartIdentifier = ctx.head +: parts)
         else u
     }
+  }
 
   /** Replace every graft-view reference in `plan` with its parsed,
     * context-qualified, recursively-inlined body — the one
@@ -119,8 +147,13 @@ object GraftViews {
       case _ => false
     }
     if (!hasUnresolved) plan
-    else plan.transformUp {
-      case u: UnresolvedRelation if !u.isStreaming =>
+    else {
+    val ctes = cteNames(plan)
+    plan.transformUp {
+      case u: UnresolvedRelation if !u.isStreaming &&
+          !(u.multipartIdentifier.length == 1 &&
+            ctes(u.multipartIdentifier.head.toLowerCase)) &&
+          !isTempName(spark, u.multipartIdentifier) =>
         resolveViewPath(spark, u.multipartIdentifier,
           mustExist = true) match {
           case Some(p) =>
@@ -134,12 +167,8 @@ object GraftViews {
           case None => u
         }
     }
+    }
   }
-
-  /** True when `parts` names an existing graft view (the catalog's
-    * loadTable uses this for a helpful error). */
-  def isView(spark: SparkSession, parts: Seq[String]): Boolean =
-    resolveViewPath(spark, parts, mustExist = true).isDefined
 
   private[io] def create(spark: SparkSession, parts: Seq[String],
                          bodySql: String, orReplace: Boolean): Unit = {
@@ -177,12 +206,23 @@ object GraftViews {
   }
 
   /** True when the statement's target lands in a graft catalog — the
-    * dispatch test between our view store and the vanilla fallback. */
-  private def graftTargeted(spark: SparkSession,
-                            parts: Seq[String]): Boolean =
-    (parts.length >= 2 && catalogOf(spark, parts.head).isDefined) ||
-      spark.sessionState.catalogManager.currentCatalog
-        .isInstanceOf[GraftCatalog]
+    * ONE dispatch predicate between the view store and the vanilla
+    * fallback: a name whose head names ANY registered catalog follows
+    * that catalog (an explicitly-qualified non-graft target must NOT
+    * route here just because the CURRENT catalog is graft); only
+    * catalog-less names fall back to the current catalog. */
+  private[io] def graftTargeted(spark: SparkSession,
+                                parts: Seq[String]): Boolean = {
+    val cm = spark.sessionState.catalogManager
+    val headCat =
+      if (parts.length >= 2)
+        try Some(cm.catalog(parts.head)) catch { case _: Exception => None }
+      else None
+    headCat match {
+      case Some(c) => c.isInstanceOf[GraftCatalog]
+      case None => cm.currentCatalog.isInstanceOf[GraftCatalog]
+    }
+  }
 }
 
 /** Eagerly-executed CREATE/DROP VIEW command (see [[GraftViews]]):
@@ -199,13 +239,18 @@ case class GraftViewCommand(kind: String, nameParts: Seq[String],
     Seq(AttributeReference("result", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val cm = spark.sessionState.catalogManager
-    val isGraft =
-      (nameParts.length >= 2 &&
-        (try cm.catalog(nameParts.head).isInstanceOf[GraftCatalog]
-         catch { case _: Exception => false })) ||
-        cm.currentCatalog.isInstanceOf[GraftCatalog]
-    if (!isGraft) {
+    // DROP VIEW resolves TEMP views first in vanilla Spark — that
+    // precedence must survive a graft current catalog (a temp view and
+    // a stored graft view may share a name); global_temp targets are
+    // never ours either
+    val tempTarget = kind == "drop" && {
+      val globalDb = try spark.conf.get("spark.sql.globalTempDatabase")
+        catch { case _: Exception => "global_temp" }
+      (nameParts.length == 1 &&
+        spark.sessionState.catalog.getTempView(nameParts.head).isDefined) ||
+        (nameParts.length == 2 && nameParts.head.equalsIgnoreCase(globalDb))
+    }
+    if (tempTarget || !GraftViews.graftTargeted(spark, nameParts)) {
       // vanilla fallback: session-catalog views keep stock semantics
       PlanBridge.ofRows(spark,
         PlanBridge.vanillaParsePlan(originalSql)).collect()

@@ -843,8 +843,9 @@ object SnapshotTable {
 
   /** The table's declared cluster transforms (identity entries for a
     * plain clustered table). Driver metadata. */
-  private[io] def transformSpecsOf(dir: String): Seq[ClusterTransform] = {
-    val v = latestVersion(dir)
+  private[io] def transformSpecsOf(dir: String,
+      versionAsOf: Option[Int] = None): Seq[ClusterTransform] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
     if (v < 1) Nil
     else readManifest(dir, v).header.get("transforms")
       .map(t => splitClusterSpecs(t).map(parseClusterSpec))
@@ -1096,10 +1097,16 @@ object SnapshotTable {
       // (then the source columns), with enough output files that each
       // transform group gets its own — one tiny distinct-count job per
       // batch (bounded by TRANSFORM_MAX_FILES) buys calendar/prefix-
-      // aligned files, the layout a day-window read prunes down to
+      // aligned files, the layout a day-window read prunes down to.
+      // The count runs over the NON-identity exprs only: a bare cluster
+      // column beside days(ts) must size files by DAYS, not by its own
+      // near-unique values (r12 review — the cap exists to prevent
+      // exactly that tiny-file explosion)
       val exprs = transforms.map(t => t.column(df.schema(t.src).dataType))
+      val groupExprs = transforms.filterNot(_.isIdentity)
+        .map(t => t.column(df.schema(t.src).dataType))
       val nvals = math.min(TRANSFORM_MAX_FILES.toLong,
-        df.select(exprs.zipWithIndex.map { case (e, i) =>
+        df.select(groupExprs.zipWithIndex.map { case (e, i) =>
           e.as(s"_t$i") }: _*).distinct().count()).toInt
       val n = math.min(TRANSFORM_MAX_FILES, math.max(numFiles, nvals))
       val order = exprs ++ statsCols.filter(df.columns.contains).map(col)
@@ -3417,16 +3424,29 @@ object SnapshotTable {
     if (v < 1) return
     val m = readManifest(dir, v)
     val cur = m.schema.getOrElse(return)
-    def field(n: String): Option[StructField] =
-      cur.fields.find(_.name == n)
-        .orElse(cur.fields.find(_.name.equalsIgnoreCase(n)))
+    // SIMULATE the statement's own execution order (adds, renames,
+    // drops, widens, defaults) over an evolving field map — so
+    // SAME-KIND sequential interactions (dropping both of a 2-column
+    // table's columns, adding a name twice) fail here too, not after
+    // an earlier kind's commit landed. Just-added columns carry a
+    // NullType sentinel: widen/default of a column the same statement
+    // adds defers to the op's own validation.
+    val fields = scala.collection.mutable.LinkedHashMap[String, StructField](
+      cur.fields.map(f => f.name -> f).toSeq: _*)
+    def resolve(n: String): Option[(String, StructField)] =
+      fields.get(n).map(n -> _)
+        .orElse(fields.find(_._1.equalsIgnoreCase(n)))
     def checkPred: Option[String] = m.header.get("check").map(FileEntry.dec)
-    adds.foreach(n => require(!cur.fieldNames.contains(n),
-      s"column $n already exists"))
+    adds.foreach { n =>
+      require(!fields.contains(n), s"column $n already exists")
+      fields.put(n, StructField(n, NullType))
+      ()
+    }
     renames.foreach { case (oldName, newName) =>
-      val f = field(oldName).getOrElse(throw new IllegalArgumentException(
-        s"no column $oldName in ${cur.fieldNames.mkString(",")}"))
-      require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      val (key, f) = resolve(oldName).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $oldName in ${fields.keys.mkString(",")}"))
+      require(!fields.keys.exists(_.equalsIgnoreCase(newName)),
         s"column $newName already exists")
       require(!newName.startsWith("_s_") && !Set("_src_file", "_src_pos",
         "_t_exists", "_s_exists", "_action", "_rn", "_ins")(newName),
@@ -3434,13 +3454,16 @@ object SnapshotTable {
       checkPred.foreach(pred => require(!predReferences(pred, f.name),
         s"cannot rename ${f.name}: referenced by CHECK ($pred); drop " +
           "the constraint first (ALTER … SET TBLPROPERTIES)"))
+      fields.remove(key)
+      fields.put(newName, f.copy(name = newName))
+      ()
     }
     drops.foreach { case (name, ifExists) =>
-      field(name) match {
+      resolve(name) match {
         case None => require(ifExists,
-          s"no column $name in ${cur.fieldNames.mkString(",")}")
-        case Some(f) =>
-          require(cur.fields.length > 1, "cannot drop the only column")
+          s"no column $name in ${fields.keys.mkString(",")}")
+        case Some((key, f)) =>
+          require(fields.size > 1, "cannot drop the only column")
           require(!m.statsCols.contains(f.name),
             s"cannot drop cluster column ${f.name} (the table's layout law)")
           m.bucketSpec.foreach { case (c, _) => require(c != f.name,
@@ -3448,12 +3471,16 @@ object SnapshotTable {
           checkPred.foreach(pred => require(!predReferences(pred, f.name),
             s"cannot drop ${f.name}: referenced by CHECK ($pred); drop " +
               "the constraint first (ALTER … SET TBLPROPERTIES)"))
+          fields.remove(key)
+          ()
       }
     }
     widens.foreach { case (name, to) =>
-      val f = field(name).getOrElse(throw new IllegalArgumentException(
-        s"no column $name in ${cur.fieldNames.mkString(",")}"))
-      if (!sameTypeIgnoreNull(f.dataType, to)) {
+      val (_, f) = resolve(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $name in ${fields.keys.mkString(",")}"))
+      if (!f.dataType.isInstanceOf[NullType] &&
+        !sameTypeIgnoreNull(f.dataType, to)) {
         require(widenable.get(f.dataType).exists(_.contains(to)),
           s"cannot change ${f.name}: ${f.dataType} -> $to is not a safe " +
             s"widening (allowed: ${widenable.getOrElse(f.dataType, Set.empty)
@@ -3468,9 +3495,10 @@ object SnapshotTable {
       }
     }
     defaults.foreach { case (name, sqlOpt) =>
-      val f = field(name).getOrElse(throw new IllegalArgumentException(
-        s"no column $name in ${cur.fieldNames.mkString(",")}"))
-      sqlOpt.foreach { sqlTxt =>
+      val (_, f) = resolve(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $name in ${fields.keys.mkString(",")}"))
+      if (!f.dataType.isInstanceOf[NullType]) sqlOpt.foreach { sqlTxt =>
         spark.sql(s"SELECT CAST(($sqlTxt) AS ${f.dataType.sql})").collect()
         ()
       }
@@ -3731,7 +3759,7 @@ object SnapshotTable {
     * dirs of vacuumed versions. Returns the batch's parquet file
     * paths (empty for metadata-only commits). */
   private[io] def cdcFiles(spark: SparkSession, dir: String,
-                           v: Int): Seq[String] = {
+                           v: Int, retries: Int = 3): Seq[String] = {
     val target = Paths.get(dir, "_cdc", f"v$v%08d")
     if (!Files.isDirectory(target)) {
       val versions = existingVersions(dir)
@@ -3805,10 +3833,29 @@ object SnapshotTable {
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException =>
-          // a racing materializer published first — identical content
-          // by construction (deterministic replay); drop ours
+          // a racing materializer published first — same-era content by
+          // deterministic replay (both read the same manifests; the
+          // staleness re-check below covers a racing EVOLUTION); drop
+          // ours
           listDir(tmp).foreach(Files.delete)
           Files.delete(tmp)
+      }
+      // TOCTOU guard (r12 review): a RENAME/DROP may have committed —
+      // and run its cache-drop — while this materialization was in
+      // flight, leaving a stale-named batch that the cache would then
+      // serve forever. Re-check the mapping state after publish; on a
+      // mismatch drop the batch and re-materialize under the new
+      // current names (bounded: another concurrent evolution per retry).
+      if (retries > 0) {
+        val nowM = readManifest(dir, latestVersion(dir))
+        val usedM = readManifest(dir, versions.last)
+        if (nowM.colmap != usedM.colmap || nowM.retired != usedM.retired) {
+          if (Files.isDirectory(target)) {
+            listDir(target).foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(target)
+          }
+          return cdcFiles(spark, dir, v, retries - 1)
+        }
       }
     }
     listDir(target).map(_.toString)

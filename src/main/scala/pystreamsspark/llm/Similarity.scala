@@ -513,13 +513,26 @@ object Similarity {
       .withColumn("c2", call_function("vec_dot", col("cvec"), col("cvec")))
     pystreamsspark.io.SnapshotTable.create(spark, s"$dir/pq_codebook",
       codebook, numFiles = 1)
-    // encode every stored vector: per (row, slot) argmin over the
-    // slot's codes (map-side min-struct collapse), then the m codes
-    // fold back into one positional array — the encoded corpus
+    // encode every stored vector — the shared encode pipeline
+    val codes = encodeCodes(cells, idCol, vecCol, codebook, m, sub)
+    pystreamsspark.io.SnapshotTable.createClustered(spark, s"$dir/pq_codes",
+      codes.repartitionByRange(4, col("cell"))
+        .sortWithinPartitions(col("cell")),
+      clusterCols = Seq("cell"))
+  }
+
+  /** Encode an (`idCol`, `vecCol`, cell) frame against a PQ codebook:
+    * per (row, slot) argmin over the slot's codes (map-side min-struct
+    * collapse), then the m codes fold back into one positional array.
+    * Shared by [[pqBuild]] (initial corpus) and [[pqAppend]] (fresh
+    * batches). */
+  private def encodeCodes(rows: DataFrame, idCol: String, vecCol: String,
+                          codebook: DataFrame, m: Int,
+                          sub: Int): DataFrame = {
     val subvecs = array((0 until m).map(j =>
       transform(slice(col(vecCol), j * sub + 1, sub),
         x => x.cast("double"))): _*)
-    val codes = cells
+    rows
       .select(col(idCol), col("cell"), posexplode(subvecs))
       .join(broadcast(codebook.withColumnRenamed("slot", "pos")), Seq("pos"))
       .select(col(idCol), col("cell"), col("pos"), struct(
@@ -530,10 +543,30 @@ object Similarity {
       .groupBy(col(idCol), col("cell"))
       .agg(transform(sort_array(collect_list(struct(col("pos"),
         col("sc.code").as("code")))), x => x.getField("code")).as("codes"))
-    pystreamsspark.io.SnapshotTable.createClustered(spark, s"$dir/pq_codes",
-      codes.repartitionByRange(4, col("cell"))
+  }
+
+  /** Incrementally ENCODE a fresh vector batch against the STORED
+    * codebooks and append to the codes table — the PQ freshness twin of
+    * [[ivfAppend]]: run both and [[ivfPqQuery]] serves the new vectors
+    * with no codebook refit (codebook DRIFT is the caller's refit
+    * policy — monitor assignment distance and [[pqBuild]] anew when
+    * stale, the standard PQ maintenance contract; same rebase-safe
+    * append, so concurrent refreshes land). */
+  def pqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+               newVecs: DataFrame, idCol: String, vecCol: String,
+               batchFiles: Int = 2): Int = {
+    pystreamsspark.functions.VectorExpressions.register(spark)
+    val cb = pystreamsspark.io.SnapshotTable.read(spark, s"$dir/pq_codebook")
+    val m = cb.agg(max(col("slot"))).head().getInt(0) + 1
+    val sub = cb.select(size(col("cvec")).as("d")).head().getInt(0)
+    val centroids =
+      pystreamsspark.io.SnapshotTable.read(spark, s"$dir/centroids")
+    val assigned = ivfAssign(newVecs, idCol, vecCol, centroids)
+    val codes = encodeCodes(assigned, idCol, vecCol, cb, m, sub)
+    pystreamsspark.io.SnapshotTable.append(spark, s"$dir/pq_codes",
+      codes.repartitionByRange(batchFiles, col("cell"))
         .sortWithinPartitions(col("cell")),
-      clusterCols = Seq("cell"))
+      numFiles = 0) // preserve the cell clustering
   }
 
   /** Top-k search against a PQ-compressed IVF index ([[ivfBuild]] +

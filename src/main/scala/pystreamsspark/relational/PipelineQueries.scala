@@ -801,14 +801,14 @@ object PipelineQueries {
       .getRuntimeMXBean.getName.replaceAll("[^A-Za-z0-9]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
       s"${runTag}_${sfTag}_k8_i1_pq"
-    val built =
-      pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/cells") >= 1 &&
-        pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/pq_codes") >= 1
-    if (!built) {
+    // each stage recovers independently: a prior run dying between
+    // ivfBuild and pqBuild must not make the rebuild call ivfBuild on
+    // the existing cells table (create refuses committed dirs)
+    if (pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/cells") < 1)
       Similarity.ivfBuild(emb, "vec_id", "embedding", k = 8, iters = 1, dir)
+    if (pystreamsspark.io.SnapshotTable.latestVersion(s"$dir/pq_codes") < 1)
       Similarity.pqBuild(spark, dir, "vec_id", "embedding", m = 8,
         nbits = 4, iters = 2)
-    }
     val probes = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("pid"), $"embedding".as("probe"))
     def rows(df: DataFrame) = df.collect()

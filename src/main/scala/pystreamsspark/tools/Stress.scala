@@ -387,6 +387,46 @@ object Stress {
       deleteRec(new java.io.File(d))
     }
 
+    // HIDDEN PARTITION TRANSFORMS (round-12): a month of events lands
+    // through clustercols='days(ts)' — a ONE-DAY window read must open
+    // ~1-2 covering files and stay FLAT as the corpus x-folds (files
+    // per day grow, days do not), while the unclustered twin scans the
+    // whole table and grows with it.
+    if (only.isEmpty || only.exists(o => Seq(s"part_transform x$mult",
+        s"part_noclust x$mult").exists(_.contains(o)))) {
+      val ev = amplified(pystreamsspark.io.Tables.events(spark, sfDir)
+        .select($"event_id", $"ts", $"event_type", $"value"),
+        Seq("event_id"), 10000000L)
+      val lo = java.time.LocalDate.of(2024, 1, 15)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+      val hi = java.time.LocalDate.of(2024, 1, 16)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        .toEpochMilli * 1000L - 1L
+      def mk(clustered: Boolean): String = {
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_pt_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        pystreamsspark.io.SnapshotTable.createEmpty(d, ev.schema,
+          clusterCols = if (clustered) Seq("days(ts)") else Nil)
+        pystreamsspark.io.SnapshotTable.append(spark, d, ev, numFiles = 8)
+        d
+      }
+      val ct = mk(clustered = true)
+      val opened = pystreamsspark.io.SnapshotTable.readCandidates(
+        ct, "ts", lo.toString, hi.toString, None).size
+      time(s"part_transform x$mult") {
+        pystreamsspark.io.SnapshotTable.readWhere(spark, ct,
+          Map("ts" -> (lo.toString, hi.toString))).count()
+      }
+      println(s"STRESS   part_transform opened $opened of " +
+        s"${pystreamsspark.io.SnapshotTable.filePaths(ct).size} files")
+      val nt = mk(clustered = false)
+      time(s"part_noclust x$mult") {
+        pystreamsspark.io.SnapshotTable.readWhere(spark, nt,
+          Map("ts" -> (lo.toString, hi.toString))).count()
+      }
+      deleteRec(new java.io.File(ct)); deleteRec(new java.io.File(nt))
+    }
+
     // narrow-key GENERAL merge (round-10 cont.): a conditional
     // multi-clause MERGE whose ON keys cover ~30 rows of a
     // key-clustered table — generalMerge must keep merge()'s

@@ -565,5 +565,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(dir) === v0)
     assert(SnapshotTable.schemaOf(dir).fieldNames.toSeq ===
       Seq("id", "a", "b"))
+    // SAME-KIND sequential interaction (r12 review): dropping all but
+    // zero columns in ONE statement must fail BEFORE the first drop
+    // commits — the validator simulates the statement's own sequence
+    val t2 = freshName("alter_atomic2_")
+    spark.sql(s"CREATE TABLE graft.ns.$t2 (x BIGINT, y BIGINT)")
+    val dir2 = dirOf(t2)
+    val ident2 = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ns"), t2)
+    val e3 = intercept[Exception] {
+      cat.alterTable(ident2,
+        org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+          Array("x"), false),
+        org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+          Array("y"), false))
+    }
+    assert(e3.getMessage.contains("only column"))
+    assert(SnapshotTable.latestVersion(dir2) === 1)
+    assert(SnapshotTable.schemaOf(dir2).fieldNames.toSeq === Seq("x", "y"))
   }
 }

@@ -30,6 +30,16 @@ class GraftViewSpec extends SparkSpec {
   private def fresh(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.take(8)
 
+  /** The warehouse the session's graft catalog ACTUALLY uses — the
+    * JVM-wide instance pins its first-registered warehouse, so in a
+    * full-suite run this differs from this spec's own `wh` (the
+    * standing suite-order gotcha); every cross-session register must
+    * use this. */
+  private def effectiveWh(t: String): String =
+    java.nio.file.Paths.get(SnapshotSql.resolveTable(spark,
+      Seq("graft", "vw", t)).getOrElse(fail(s"graft.vw.$t unresolved")))
+      .getParent.getParent.toString
+
   private def mkTable(): String = {
     wh
     val t = fresh("vt_")
@@ -105,7 +115,7 @@ class GraftViewSpec extends SparkSpec {
       .withExtensions(new pystreamsspark.GraftExtensions().apply(_))
       .getOrCreate()
     try {
-      SnapshotSql.register(ext, wh)
+      SnapshotSql.register(ext, effectiveWh(t))
       assert(ext.sql(s"SELECT COUNT(*) AS n FROM graft.vw.$v")
         .head().getLong(0) === 100)
       // the injected parser route: CREATE VIEW itself via ext.sql
@@ -154,5 +164,43 @@ class GraftViewSpec extends SparkSpec {
     }
     assert(e2.getMessage.toLowerCase.contains("cannot be found") ||
       e2.getMessage.toLowerCase.contains("not found"))
+  }
+
+  test("r12 review: CTE and TEMP-view names are never hijacked by the " +
+    "view store; explicit non-graft targets delegate under a graft " +
+    "current catalog") {
+    val t = mkTable()
+    // a stored graft view whose name a CTE will shadow
+    SnapshotSql.sql(spark, s"CREATE OR REPLACE VIEW graft.vw.shadow_x AS " +
+      s"SELECT id FROM graft.vw.$t")
+    spark.sql("USE graft.vw")
+    try {
+      // the CTE must win over the same-named stored view
+      val r = SnapshotSql.sql(spark,
+        "WITH shadow_x AS (SELECT 1 AS one) SELECT * FROM shadow_x")
+        .collect()
+      assert(r.length === 1 && r.head.getInt(0) === 1,
+        "a CTE reference must not inline the same-named stored view")
+      // a TEMP view must win over the same-named stored view
+      spark.range(3).createOrReplaceTempView("shadow_x")
+      assert(SnapshotSql.sql(spark,
+        "SELECT COUNT(*) AS n FROM shadow_x").head().getLong(0) === 3,
+        "temp-view precedence must survive a graft current catalog")
+      // DROP VIEW of the TEMP view drops the temp view, not ours
+      SnapshotSql.sql(spark, "DROP VIEW shadow_x")
+      assert(SnapshotSql.sql(spark,
+        "SELECT COUNT(*) AS n FROM shadow_x").head().getLong(0) === 1000,
+        "after the temp drop the stored view must serve again")
+      // explicitly-qualified NON-graft target under a graft current
+      // catalog: vanilla route, no .view file in the graft warehouse
+      SnapshotSql.sql(spark,
+        "CREATE VIEW spark_catalog.default.vw_probe AS SELECT 42 AS x")
+      try {
+        assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+          effectiveWh(t), "vw", "spark_catalog")),
+          "a session-catalog view must not land in the graft warehouse")
+      } finally SnapshotSql.sql(spark,
+        "DROP VIEW spark_catalog.default.vw_probe")
+    } finally spark.sql("USE spark_catalog")
   }
 }

@@ -101,4 +101,29 @@ class IvfPqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(codes1 === codes2, "PQ encoding must be bit-deterministic")
   }
+
+  test("pqAppend: fresh batches encode against the STORED codebooks " +
+    "and the PQ query serves them (no refit)") {
+    val dir = buildIndex()
+    // fresh vectors = jittered copies of corpus rows, ids 1000+
+    val fresh = corpus().filter($"vec_id" < 8)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => x + lit(0.01f)).as("embedding"))
+    Similarity.ivfAppend(spark, dir, fresh, "vec_id", "embedding")
+    Similarity.pqAppend(spark, dir, fresh, "vec_id", "embedding")
+    // a probe equal to a fresh vector must return it as its own top hit
+    val probe = fresh.filter($"vec_id" === 1003L)
+      .select(lit(1L).as("pid"), $"embedding".as("probe"))
+    val top = Similarity.ivfPqQuery(spark, dir, "vec_id", "embedding",
+      probe, k = 3, nprobe = 2, refine = 1000)
+      .orderBy($"rn").collect()
+    assert(top.head.getLong(2) === 1003L,
+      s"the appended vector must be its own nearest neighbor: " +
+        top.map(_.getLong(2)).mkString(","))
+    // and the PQ answer still equals the uncompressed one post-append
+    val exact = Similarity.ivfQueryIndexed(spark, dir, "vec_id",
+      "embedding", probe, k = 3, nprobe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(top.map(r => (r.getInt(1), r.getLong(2))).toSeq === exact)
+  }
 }
