@@ -122,7 +122,7 @@ object SnapshotTable {
     * tables keep time-traveling rather than erroring. */
   def versionAt(dir: String, tsMillis: Long): Option[Int] =
     existingVersions(dir).reverseIterator.find { v =>
-      readManifest(dir, v).header.get("ts").map(_.toLong).getOrElse(0L) <=
+      readHeaderMap(dir, v).get("ts").map(_.toLong).getOrElse(0L) <=
         tsMillis
     }
 
@@ -640,7 +640,10 @@ object SnapshotTable {
     // resolves against ([[versionAt]]); manifests written before the
     // header existed resolve as epoch 0 (always eligible)
     val header = (Seq("op" -> op, "parent" -> parent.toString,
-      "ts" -> System.currentTimeMillis.toString) ++ extras ++
+      "ts" -> System.currentTimeMillis.toString,
+      // live-file COUNT in every header: DESCRIBE HISTORY and other
+      // header-only consumers answer without resolving the file list
+      "nfiles" -> files.size.toString) ++ extras ++
       schema.map(s => "schema" -> s.json)) // JSON escapes tabs/newlines
       .map { case (k, value) => s"$k=$value" }.mkString("\t")
     val body = (header +: files.map(_.serialize)).mkString("\n")
@@ -679,8 +682,10 @@ object SnapshotTable {
         sch, extras)
     } else {
       Files.createDirectories(manifestDir(dir))
+      val nfiles = parentM.files.size - removes.size + adds.size
       val header = (Seq("op" -> op, "parent" -> parentM.version.toString,
         "ts" -> System.currentTimeMillis.toString,
+        "nfiles" -> nfiles.toString,
         "delta" -> "1", "ckdist" -> dist.toString) ++ extras ++
         sch.map(s => "schema" -> s.json))
         .map { case (k, value) => s"$k=$value" }.mkString("\t")
@@ -1710,7 +1715,7 @@ object SnapshotTable {
     // manifests' headers once, and this commit will carry it forward
     val ranges = latestM.flatMap(_.header.get("epochs")).map(parseRanges)
       .getOrElse(
-        versions.flatMap(v => readManifest(dir, v).header.get("epoch"))
+        versions.flatMap(v => readHeaderMap(dir, v).get("epoch"))
           .map(_.toLong)
           .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
     if (rangesContain(ranges, epochId)) {
@@ -1723,7 +1728,7 @@ object SnapshotTable {
       // — the epoch IS committed either way).
       versions.reverseIterator.flatMap { v =>
         try {
-          if (readManifest(dir, v).header.get("epoch")
+          if (readHeaderMap(dir, v).get("epoch")
             .contains(epochId.toString)) Some(v)
           else None
         } catch { case _: java.nio.file.NoSuchFileException => None }
@@ -1786,7 +1791,7 @@ object SnapshotTable {
       val latestM = if (latest == 0) None else Some(readManifest(dir, latest))
       val ranges = latestM.flatMap(_.header.get("epochs")).map(parseRanges)
         .getOrElse(
-          versions.flatMap(v => readManifest(dir, v).header.get("epoch"))
+          versions.flatMap(v => readHeaderMap(dir, v).get("epoch"))
             .map(_.toLong)
             .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
       if (rangesContain(ranges, epochId)) return false
@@ -2015,7 +2020,7 @@ object SnapshotTable {
                                 m: Option[Manifest]): Seq[(Long, Long)] =
     m.flatMap(_.header.get("epochs")).map(parseRanges).getOrElse(
       existingVersions(dir)
-        .flatMap(v => readManifest(dir, v).header.get("epoch"))
+        .flatMap(v => readHeaderMap(dir, v).get("epoch"))
         .map(_.toLong)
         .foldLeft(Seq.empty[(Long, Long)])(addToRanges))
 
@@ -2882,7 +2887,7 @@ object SnapshotTable {
     if (versions.isEmpty) return
     val cutoff = nowMillis - retainMillis
     val fresh = versions.filter { v =>
-      readManifest(dir, v).header.get("ts").map(_.toLong).getOrElse(0L) >=
+      readHeaderMap(dir, v).get("ts").map(_.toLong).getOrElse(0L) >=
         cutoff
     }
     vacuumKeep(dir, versions, (fresh :+ versions.last).distinct.sorted)
@@ -3717,11 +3722,18 @@ object SnapshotTable {
     * is the commit wall-clock millis (null for pre-round-10 manifests). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // header-only walk: one first-line read per version — O(#versions)
+    // tiny reads, never O(#versions × #files) list resolution (the
+    // r12 nfiles header; manifests written before it fall back to the
+    // cached full resolution)
     existingVersions(dir)
-      .map(v => readManifest(dir, v))
-      .map(m => (m.version, m.op, m.parent, m.files.size,
-        m.header.get("epoch").map(_.toLong),
-        m.header.get("ts").map(_.toLong)))
+      .map { v =>
+        val h = readHeaderMap(dir, v)
+        val n = h.get("nfiles").map(_.toInt)
+          .getOrElse(readManifest(dir, v).files.size)
+        (v, h("op"), h("parent").toInt, n,
+          h.get("epoch").map(_.toLong), h.get("ts").map(_.toLong))
+      }
       .toDF("version", "op", "parent", "n_files", "epoch", "ts")
   }
 

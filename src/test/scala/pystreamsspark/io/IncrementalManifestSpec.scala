@@ -83,6 +83,15 @@ class IncrementalManifestSpec extends SparkSpec {
     // stats pruning still works through the chain (clustered base)
     assert(SnapshotTable.readCandidates(dir, "id", "5", "5", None).size
       < SnapshotTable.filePaths(dir).size)
+    // DESCRIBE HISTORY answers from HEADERS only (the r12 nfiles
+    // header): per-version n_files must equal the resolved file counts
+    val hist = SnapshotTable.history(spark, dir)
+      .select("version", "n_files").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (1 to latest).foreach { v =>
+      assert(hist(v) === SnapshotTable.filePaths(dir, Some(v)).size,
+        s"header nfiles must match the resolved count at v$v")
+    }
   }
 
   test("commit bytes are O(delta), metadata ops are entry-free") {
