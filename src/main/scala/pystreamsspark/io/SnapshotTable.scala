@@ -3524,12 +3524,12 @@ object SnapshotTable {
                     props: Map[String, String],
                     maxRetries: Int = 5): Int = {
     val allowed = Set("delete.mode", "update.mode", "merge.mode", "check",
-      "bloomcols", "bloombits")
+      "bloomcols", "bloombits", "clustercols")
     val unknown = props.keySet -- allowed
     require(unknown.isEmpty,
       s"ALTER TABLE SET TBLPROPERTIES supports ${allowed.mkString(", ")}; " +
-        s"got ${unknown.mkString(", ")} (layout properties are fixed at " +
-        "create time)")
+        s"got ${unknown.mkString(", ")} (the hash-bucket layout is fixed " +
+        "at create time)")
     props.filterKeys(_.endsWith(".mode")).foreach { case (k, mo) =>
       require(mo == "copy-on-write" || mo == "merge-on-read",
         s"$k must be copy-on-write or merge-on-read, got $mo")
@@ -3543,6 +3543,27 @@ object SnapshotTable {
       b.toInt >= 1024 && Integer.bitCount(b.toInt) == 1,
       s"bloombits must be a power of two >= 1024, got $b"))
     commitWithRebase(dir, None, maxRetries) { (base, m) =>
+      // CLUSTER-SPEC EVOLUTION (round 12 — the public Iceberg
+      // partition-spec-evolution idea, original implementation):
+      // re-declaring clustercols (raw columns or hidden transforms)
+      // changes the WRITE LAW only — future batches shape and record
+      // stats by the new spec; files written under the old spec keep
+      // their old per-file stats and simply never prune on the new
+      // columns (conservative-correct by the no-stats rule), and
+      // pruning follows the CURRENT declaration (bounds on retired
+      // cluster columns stop pruning rather than half-pruning). A full
+      // OPTIMIZE/compact rewrites everything under the new law and
+      // restores uniform pruning. Refused on hash-bucketed tables
+      // (contradictory file shapes, same as create). An empty value
+      // UN-clusters the table (future batches round-robin).
+      val clusterEvo = props.get("clustercols").map { spec =>
+        require(m.bucketSpec.isEmpty,
+          "cannot cluster a hash-bucketed table: the bucket layout " +
+            "owns the file shape")
+        val specs = splitClusterSpecs(spec).map(parseClusterSpec)
+        m.schema.foreach(sch => specs.foreach(_.validate(sch)))
+        specs
+      }
       // a bloomcols declaration must name supported columns; it arms
       // blob recording for FUTURE batches only (files written before it
       // carry no blob and are simply never bloom-pruned)
@@ -3567,15 +3588,29 @@ object SnapshotTable {
         "update.mode" -> "updatemode", "merge.mode" -> "mergemode",
         "check" -> "check", "bloomcols" -> "bloomcols",
         "bloombits" -> "bloombits")
-      val updates = props.map { case (k, v0) =>
-        headerKey(k) -> (if (k == "check") FileEntry.enc(v0) else v0)
+      val updates = props.filterNot(_._1 == "clustercols").map {
+        case (k, v0) =>
+          headerKey(k) -> (if (k == "check") FileEntry.enc(v0) else v0)
+      } ++ clusterEvo.toSeq.flatMap { specs =>
+        if (specs.isEmpty) Seq.empty // un-cluster: keys drop below
+        else Seq(
+          "statscols" -> specs.map(_.src).distinct.mkString(","),
+          "statsfmt" -> STATS_FMT) ++
+          (if (specs.forall(_.isIdentity)) Nil
+           else Seq("transforms" -> specs.map(_.spec).mkString(",")))
       }
       // copy-on-write is the default: setting it back REMOVES the key;
-      // an EMPTY bloomcols likewise disarms blob recording
+      // an EMPTY bloomcols likewise disarms blob recording; an empty
+      // clustercols drops the whole clustering declaration
       val cleaned = updates.filterNot { case (k, v0) =>
         (k.endsWith("mode") && v0 == "copy-on-write") ||
           (k == "bloomcols" && v0.isEmpty) }
-      val dropped = updates.keySet -- cleaned.keySet
+      val dropped = (updates.keySet -- cleaned.keySet) ++
+        (if (clusterEvo.exists(_.isEmpty))
+          Set("statscols", "statsfmt", "transforms")
+         else if (clusterEvo.exists(_.forall(_.isIdentity)))
+          Set("transforms") // evolving to raw columns retires the specs
+         else Set.empty[String])
       val headers = m.carried
         .filterNot { case (k, _) => cleaned.contains(k) || dropped.contains(k) } ++
         cleaned.toSeq

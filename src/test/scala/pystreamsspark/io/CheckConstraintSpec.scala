@@ -107,10 +107,15 @@ class CheckConstraintSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft.ck.$t SET TBLPROPERTIES(" +
       "'delete.mode'='copy-on-write')")
     assert(SnapshotTable.deleteModeOf(dir) === "copy-on-write")
-    // layout properties are write laws, not flags
+    // r12: clustercols EVOLVES (partition-spec evolution — the new
+    // write law applies to future batches); the hash-bucket layout
+    // stays fixed at create (its file shape is a hard contract)
+    spark.sql(s"ALTER TABLE graft.ck.$t SET TBLPROPERTIES(" +
+      "'clustercols'='id')")
+    assert(SnapshotTable.statsColsOfPublic(dir) === Seq("id"))
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.ck.$t SET TBLPROPERTIES(" +
-        "'clustercols'='id')")
+        "'bucketcols'='id')")
     }
   }
 

@@ -141,4 +141,67 @@ class PartitionTransformSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("timestamp/date"))
   }
+
+  test("cluster-spec EVOLUTION (SET TBLPROPERTIES('clustercols'=…)): " +
+    "the write law changes, old files stay conservative, un-cluster " +
+    "works, bucketed tables refuse") {
+    val dir = tmp()
+    val df = january(days = 10, perDay = 40)
+    // born UNCLUSTERED
+    SnapshotTable.createEmpty(dir, df.schema)
+    SnapshotTable.append(spark, dir, df, numFiles = 4)
+    val oldFiles = SnapshotTable.filePaths(dir).map(
+      _.stripPrefix(dir + "/")).toSet
+    // evolve to days(ts): future batches day-group and record stats
+    SnapshotTable.setProperties(spark, dir,
+      Map("clustercols" -> "days(ts)"))
+    assert(SnapshotTable.transformSpecsOf(dir).map(_.spec) ===
+      Seq("days(ts)"))
+    SnapshotTable.append(spark, dir, january(days = 10, perDay = 40),
+      numFiles = 2)
+    val total = SnapshotTable.filePaths(dir).size
+    val cand = SnapshotTable.readCandidates(dir, "ts",
+      dayUs(4).toString, (dayUs(5) - 1).toString, None)
+    // every pre-evolution file stays a candidate (no stats — never
+    // pruned), while the new day-grouped files prune
+    assert(oldFiles.subsetOf(cand.toSet),
+      "pre-evolution files must stay conservative candidates")
+    assert(cand.size < total,
+      s"post-evolution files must prune: ${cand.size} of $total")
+    assert(SnapshotTable.readWhere(spark, dir,
+      Map("ts" -> (dayUs(4).toString, (dayUs(5) - 1).toString)))
+      .count() === 80)
+    // a full compact rewrites everything under the new law
+    SnapshotTable.compact(spark, dir, 12)
+    val cand2 = SnapshotTable.readCandidates(dir, "ts",
+      dayUs(4).toString, (dayUs(5) - 1).toString, None)
+    assert(cand2.size < SnapshotTable.filePaths(dir).size,
+      "after OPTIMIZE the whole table prunes under the new spec")
+    // un-cluster: empty declaration drops the write law
+    SnapshotTable.setProperties(spark, dir, Map("clustercols" -> ""))
+    assert(SnapshotTable.statsColsOfPublic(dir).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() === 800)
+    // bucketed tables refuse (contradictory file shapes)
+    val bdir = tmp()
+    SnapshotTable.createEmpty(bdir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      bucketSpec = Some(("k", 4)))
+    val e = intercept[Exception] {
+      SnapshotTable.setProperties(spark, bdir,
+        Map("clustercols" -> "k"))
+    }
+    assert(e.getMessage.contains("bucket"))
+    // SQL route: ALTER TABLE … SET TBLPROPERTIES on the catalog
+    SnapshotSql.register(spark, tmp())
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pt")
+    val t = "ptevo_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE graft.pt.$t (id BIGINT, ts TIMESTAMP)")
+    spark.sql(s"ALTER TABLE graft.pt.$t " +
+      "SET TBLPROPERTIES('clustercols'='days(ts)')")
+    val tdir = SnapshotSql.resolveTable(spark, Seq("graft", "pt", t)).get
+    assert(SnapshotTable.transformSpecsOf(tdir).map(_.spec) ===
+      Seq("days(ts)"))
+  }
 }
