@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.PlanBridge
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BooleanType, StringType}
 
 /** PERSISTENT VIEWS through the graft catalog (round-12, r11 verdict
   * #7): `CREATE [OR REPLACE] VIEW graft.ns.v AS <query>` / `DROP VIEW
@@ -205,6 +205,27 @@ object GraftViews {
     }
   }
 
+  /** The stored views of a namespace: (namespace-dir, view name)
+    * pairs, resolved like every other graft identifier (explicit
+    * catalog, else current catalog + namespace). */
+  private[io] def listViews(spark: SparkSession,
+                            nsParts: Seq[String]): Seq[(String, String)] = {
+    // resolve via a probe identifier in the namespace
+    resolveViewPath(spark, nsParts :+ "_probe", mustExist = false)
+      .map(_.getParent).toSeq.flatMap { nsDir =>
+        if (!Files.isDirectory(nsDir)) Nil
+        else {
+          val st = Files.list(nsDir)
+          try st.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".view"))
+            .map(n => nsDir.getFileName.toString -> n.stripSuffix(".view"))
+            .toSeq.sortBy(_._2)
+          finally st.close()
+        }
+      }
+  }
+
   /** True when the statement's target lands in a graft catalog — the
     * ONE dispatch predicate between the view store and the vanilla
     * fallback: a name whose head names ANY registered catalog follows
@@ -235,8 +256,14 @@ case class GraftViewCommand(kind: String, nameParts: Seq[String],
                             originalSql: String)
   extends LeafRunnableCommand {
 
-  override lazy val output: Seq[Attribute] =
-    Seq(AttributeReference("result", StringType, nullable = false)())
+  override lazy val output: Seq[Attribute] = kind match {
+    case "show" => Seq(
+      AttributeReference("namespace", StringType, nullable = false)(),
+      AttributeReference("viewName", StringType, nullable = false)(),
+      AttributeReference("isTemporary", BooleanType, nullable = false)())
+    case _ =>
+      Seq(AttributeReference("result", StringType, nullable = false)())
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     // DROP VIEW resolves TEMP views first in vanilla Spark — that
@@ -250,11 +277,15 @@ case class GraftViewCommand(kind: String, nameParts: Seq[String],
         spark.sessionState.catalog.getTempView(nameParts.head).isDefined) ||
         (nameParts.length == 2 && nameParts.head.equalsIgnoreCase(globalDb))
     }
-    if (tempTarget || !GraftViews.graftTargeted(spark, nameParts)) {
+    // SHOW VIEWS names a NAMESPACE — dispatch on a probe identifier
+    val dispatchParts =
+      if (kind == "show") nameParts :+ "_probe" else nameParts
+    if (tempTarget || !GraftViews.graftTargeted(spark, dispatchParts)) {
       // vanilla fallback: session-catalog views keep stock semantics
-      PlanBridge.ofRows(spark,
-        PlanBridge.vanillaParsePlan(originalSql)).collect()
-      Seq(Row("delegated"))
+      // (SHOW VIEWS returns the vanilla rows — same 3-column shape)
+      val rows = PlanBridge.ofRows(spark,
+        PlanBridge.vanillaParsePlan(originalSql)).collect().toSeq
+      if (kind == "show") rows else Seq(Row("delegated"))
     } else kind match {
       case "create" =>
         GraftViews.create(spark, nameParts, bodySql, orReplace = flag)
@@ -262,6 +293,14 @@ case class GraftViewCommand(kind: String, nameParts: Seq[String],
       case "drop" =>
         GraftViews.drop(spark, nameParts, ifExists = flag)
         Seq(Row("dropped"))
+      case "show" =>
+        // stored views of the namespace plus the session's local TEMP
+        // views (vanilla SHOW VIEWS includes them; so do we)
+        val stored = GraftViews.listViews(spark, nameParts)
+          .map { case (ns, v) => Row(ns, v, false) }
+        val temps = spark.sessionState.catalog.getTempViewNames().sorted
+          .map(n => Row("", n, true))
+        stored ++ temps
       case other => throw new IllegalStateException(s"unknown $other")
     }
   }

@@ -63,6 +63,8 @@ object SnapshotMaintenance {
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+?)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DropView =
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+?)\s*;?\s*""".r
+  private val ShowViews =
+    """(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w.`]+))?\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
 
@@ -109,6 +111,8 @@ object SnapshotMaintenance {
       "create", nameParts(t), body.trim, orReplace != null, sql))
     case DropView(ifExists, t) => Some(GraftViewCommand(
       "drop", nameParts(t), null, ifExists != null, sql))
+    case ShowViews(ns) => Some(GraftViewCommand(
+      "show", Option(ns).map(nameParts).getOrElse(Nil), null, false, sql))
     case CopyInto(t, path, fmt) => Some(SnapshotMaintenanceCommand("copy",
       nameParts(t), 0, path,
       cols = Option(fmt).map(_.toLowerCase).toSeq))

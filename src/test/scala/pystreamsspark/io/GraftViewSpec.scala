@@ -203,4 +203,25 @@ class GraftViewSpec extends SparkSpec {
         "DROP VIEW spark_catalog.default.vw_probe")
     } finally spark.sql("USE spark_catalog")
   }
+
+  test("SHOW VIEWS lists stored views (+ temp views); non-graft " +
+    "contexts delegate to vanilla") {
+    val t = mkTable()
+    val v = fresh("sv_")
+    SnapshotSql.sql(spark, s"CREATE VIEW graft.vw.$v AS " +
+      s"SELECT id FROM graft.vw.$t")
+    spark.range(1).createOrReplaceTempView("sv_tmp_probe")
+    try {
+      val rows = SnapshotSql.sql(spark, "SHOW VIEWS IN graft.vw")
+        .collect().map(r => (r.getString(1), r.getBoolean(2)))
+      assert(rows.contains((v, false)), s"stored view missing: ${rows.toSeq}")
+      assert(rows.contains(("sv_tmp_probe", true)),
+        s"temp view missing: ${rows.toSeq}")
+      // vanilla delegation outside graft: same statement under
+      // spark_catalog lists only the temp view (3-col vanilla shape)
+      val vrows = SnapshotSql.sql(spark, "SHOW VIEWS")
+        .collect().map(_.getString(1))
+      assert(vrows.contains("sv_tmp_probe"))
+    } finally spark.sql("DROP VIEW sv_tmp_probe")
+  }
 }
