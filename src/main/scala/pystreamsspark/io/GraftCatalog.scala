@@ -145,6 +145,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "not PARTITIONED BY")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // the mirror of GraftViews.create's "views cannot shadow tables":
+    // a pre-existing view file would silently shadow the new table on
+    // every read (view inlining runs before table resolution), so the
+    // name collision must fail the CREATE TABLE loudly
+    if (Files.exists(Paths.get(dir + ".view")))
+      throw new IllegalStateException(
+        s"${ident.toString} is a graft VIEW; drop the view before " +
+          "creating a table of the same name")
     Files.createDirectories(Paths.get(dir))
     // entries may be hidden partition TRANSFORMS — days(ts),
     // truncate(4,name) — so the split is paren-aware

@@ -187,6 +187,24 @@ object GraftViews {
     // will see it — ANALYZE now: a broken view fails its CREATE, not
     // every later read
     val body = PlanBridge.vanillaParsePlan(bodySql)
+    // a PERSISTENT view over a SESSION temp view is a latent bomb: the
+    // create-time analysis succeeds against the temp, but in any later
+    // session the same name either fails or context-qualifies to a
+    // DIFFERENT table — vanilla Spark rejects this at CREATE, so do we
+    locally {
+      val ctes = cteNames(body)
+      body.foreach {
+        case u: UnresolvedRelation
+            if !(u.multipartIdentifier.length == 1 &&
+              ctes(u.multipartIdentifier.head.toLowerCase)) &&
+              isTempName(spark, u.multipartIdentifier) =>
+          throw new IllegalArgumentException(
+            s"cannot create persistent view ${parts.mkString(".")}: " +
+              s"body references temporary view " +
+              s"${u.multipartIdentifier.mkString(".")}")
+        case _ => ()
+      }
+    }
     PlanBridge.ofRows(spark,
       inline(spark, qualify(spark, ctxCat +: ctxNs, body)))
       .queryExecution.analyzed

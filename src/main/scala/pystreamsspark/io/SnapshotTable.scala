@@ -313,15 +313,43 @@ object SnapshotTable {
   private def checkpointPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(f"v$v%08d.checkpoint")
 
+  /** Manifest PROTOCOL version this binary can read. v1 = full file
+    * lists; v2 = delta action lines (`delta=1`, `+entry`/`-path`
+    * bodies). Delta manifests carry a BARE `graft-reader-2` token (no
+    * `=`) as their first header field: a pre-delta binary's header
+    * parser destructures every field as `k=v` and fails LOUDLY
+    * (MatchError) on the bare token instead of silently parsing action
+    * lines as literal paths — the Delta/Iceberg reader-version idea,
+    * where an old-binary vacuum must crash, never treat live data files
+    * as unreferenced and delete them. Readers at this version gate on
+    * the declared number and refuse future formats with an explicit
+    * upgrade message. Full manifests and checkpoints stay v1 (readable
+    * by every binary ever shipped). */
+  private[io] val READER_VERSION = 2
+  private val ReaderToken = "graft-reader-(\\d+)".r
+
+  /** Split one manifest header line into its kv map, enforcing the
+    * reader-version gate: bare `graft-reader-N` tokens are protocol
+    * declarations, not header fields. */
+  private def parseHeaderLine(line: String): Map[String, String] =
+    line.split("\t").flatMap {
+      case ReaderToken(n) =>
+        if (n.toInt > READER_VERSION) throw new IllegalStateException(
+          s"manifest requires reader version $n; this binary supports " +
+            s"$READER_VERSION — upgrade before reading (or vacuuming) " +
+            "this table")
+        None
+      case kv =>
+        val Array(k, value) = kv.split("=", 2); Some(k -> value)
+    }.toMap
+
   /** Parse one manifest file’s lines. For a FULL manifest the body
     * lines are entries; for a DELTA (`delta=1` header) they are
     * `+<entry>` adds / `-<path>` removes against the parent version.
     * Returns (manifest-with-adds-as-files, isDelta, removes). */
   private def parseManifest(lines: Seq[String],
                             v: Int): (Manifest, Boolean, Seq[String]) = {
-    val header = lines.head.split("\t").map { kv =>
-      val Array(k, value) = kv.split("=", 2); k -> value
-    }.toMap
+    val header = parseHeaderLine(lines.head)
     val body = lines.tail.filter(_.nonEmpty)
     if (!header.get("delta").contains("1"))
       (Manifest(v, header("op"), header("parent").toInt,
@@ -384,8 +412,7 @@ object SnapshotTable {
     val r = Files.newBufferedReader(manifestPath(dir, v),
       StandardCharsets.UTF_8)
     val first = try r.readLine() finally r.close()
-    first.split("\t").map { kv =>
-      val Array(k, value) = kv.split("=", 2); k -> value }.toMap
+    parseHeaderLine(first)
   }
 
   /** Idempotently materialize version v’s resolved state as a
@@ -683,12 +710,15 @@ object SnapshotTable {
     } else {
       Files.createDirectories(manifestDir(dir))
       val nfiles = parentM.files.size - removes.size + adds.size
-      val header = (Seq("op" -> op, "parent" -> parentM.version.toString,
-        "ts" -> System.currentTimeMillis.toString,
-        "nfiles" -> nfiles.toString,
-        "delta" -> "1", "ckdist" -> dist.toString) ++ extras ++
-        sch.map(s => "schema" -> s.json))
-        .map { case (k, value) => s"$k=$value" }.mkString("\t")
+      // the bare reader-version token leads the header: pre-delta
+      // binaries MatchError on it instead of misreading action lines
+      val header = (s"graft-reader-$READER_VERSION" +:
+        (Seq("op" -> op, "parent" -> parentM.version.toString,
+          "ts" -> System.currentTimeMillis.toString,
+          "nfiles" -> nfiles.toString,
+          "delta" -> "1", "ckdist" -> dist.toString) ++ extras ++
+          sch.map(s => "schema" -> s.json))
+          .map { case (k, value) => s"$k=$value" }).mkString("\t")
       val body = (header +:
         (removes.map("-" + _) ++ adds.map(e => "+" + e.serialize)))
         .mkString("\n")
@@ -3593,11 +3623,27 @@ object SnapshotTable {
           headerKey(k) -> (if (k == "check") FileEntry.enc(v0) else v0)
       } ++ clusterEvo.toSeq.flatMap { specs =>
         if (specs.isEmpty) Seq.empty // un-cluster: keys drop below
-        else Seq(
-          "statscols" -> specs.map(_.src).distinct.mkString(","),
-          "statsfmt" -> STATS_FMT) ++
-          (if (specs.forall(_.isIdentity)) Nil
-           else Seq("transforms" -> specs.map(_.spec).mkString(",")))
+        else {
+          // stamping statsfmt=micros-v2 in a METADATA-ONLY commit must
+          // not re-label stats it did not write: a pre-micros-v2 table
+          // keeps timestamp min/max as session-local renderings on its
+          // existing file entries, and the tsStatsAreMicros legacy
+          // guard is the only thing stopping pruneWhere from comparing
+          // those strings as epoch-micros (wrongly skipping files).
+          // Stamp only when the prior manifest already carried the
+          // marker, or when no live entry holds TimestampType stats —
+          // otherwise leave the table unstamped until a compact()
+          // rewrites every file's stats under the new format.
+          val tsCols: Set[String] = m.schema.map(_.fields.collect {
+            case f if f.dataType.isInstanceOf[TimestampType] => f.name
+          }.toSet).getOrElse(Set.empty)
+          val stampSafe = m.tsStatsAreMicros ||
+            !m.files.exists(_.stats.keys.exists(tsCols))
+          Seq("statscols" -> specs.map(_.src).distinct.mkString(",")) ++
+            (if (stampSafe) Seq("statsfmt" -> STATS_FMT) else Nil) ++
+            (if (specs.forall(_.isIdentity)) Nil
+             else Seq("transforms" -> specs.map(_.spec).mkString(",")))
+        }
       }
       // copy-on-write is the default: setting it back REMOVES the key;
       // an EMPTY bloomcols likewise disarms blob recording; an empty
