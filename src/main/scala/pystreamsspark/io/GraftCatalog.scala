@@ -510,7 +510,8 @@ class SnapshotV2Table(fullName: String, val dir: String,
       // exact snapshot row count (manifest footer sums) → CBO numRows,
       // plus the recorded ANALYZE column stats → CBO columnStats
       SnapshotTable.rowCountOf(dir, versionAsOf),
-      SnapshotTable.columnStatsOf(dir, versionAsOf)._1)
+      SnapshotTable.columnStatsOf(dir, versionAsOf)._1,
+      SnapshotTable.columnHistOf(dir, versionAsOf))
   }
 }
 

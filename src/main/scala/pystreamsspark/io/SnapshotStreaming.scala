@@ -64,6 +64,20 @@ private[io] class SnapshotMicroBatchStream(dir: String, schema: StructType,
     }
   private val ignoreChanges: Boolean =
     Option(options.get("ignorechanges")).exists(_.toBoolean)
+  // ADMISSION CONTROL (round 13): cap how many table VERSIONS one
+  // micro-batch may consume. Without it, a stream resuming after a long
+  // offline gap replays the entire backlog in ONE batch — at 100 TB an
+  // executor-OOM-shaped anti-pattern (the public norm is Delta's
+  // maxFilesPerTrigger / Kafka's maxOffsetsPerTrigger). Composes with
+  // Trigger.AvailableNow: the drain stops at the start-time pin but
+  // advances at most this many versions per batch, so a backlog clears
+  // in ceil(backlog / max) bounded batches, each checkpointed.
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxversionspertrigger")).map { s =>
+      val n = s.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
 
   private case class VOffset(v: Int) extends Offset {
     override def json: String = v.toString
@@ -76,8 +90,12 @@ private[io] class SnapshotMicroBatchStream(dir: String, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowPin = Some(SnapshotTable.latestVersion(dir))
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    VOffset(availableNowPin.getOrElse(SnapshotTable.latestVersion(dir)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowPin.getOrElse(SnapshotTable.latestVersion(dir))
+    val s = start.asInstanceOf[VOffset].v
+    VOffset(maxVersionsPerTrigger
+      .fold(target)(n => math.min(target, s + n)))
+  }
   override def reportLatestOffset(): Offset =
     VOffset(SnapshotTable.latestVersion(dir))
 
@@ -154,6 +172,8 @@ private[io] class GraftScanBuilder(dir: String,
                                    fileBuckets: Map[String, Int] = Map.empty,
                                    knownRows: Option[Long] = None,
                                    colStats: Map[String, SnapshotTable.ColumnStats] =
+                                     Map.empty,
+                                   colHist: Map[String, (Double, Seq[Double], Seq[Long])] =
                                      Map.empty)
   extends ParquetScanBuilder(GraftSqlShims.activeClassic(), fileIndex,
     schema, dataSchema, options) {
@@ -166,9 +186,9 @@ private[io] class GraftScanBuilder(dir: String,
     bucketSpec match {
       case Some((c, n)) if v2Bucketing && fileBuckets.nonEmpty =>
         new GraftBucketedParquetScan(dir, schema, options, s, c, n,
-          fileBuckets, colStats)
+          fileBuckets, colStats, colHist)
       case _ => new GraftParquetScan(dir, schema, options, s, knownRows,
-        colStats)
+        colStats, colHist)
     }
   }
 }
@@ -182,6 +202,8 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
                                    s: ParquetScan,
                                    knownRows: Option[Long] = None,
                                    colStats: Map[String, SnapshotTable.ColumnStats] =
+                                     Map.empty,
+                                   colHist: Map[String, (Double, Seq[Double], Seq[Long])] =
                                      Map.empty)
   extends ParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
     s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
@@ -194,18 +216,26 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
   /** EXACT table row count + ANALYZE column statistics for the CBO:
     * the row count comes from the manifest's per-file footer counts,
     * the per-column NDV/null/length stats from the recorded `colstats`
-    * header (ANALYZE TABLE … FOR COLUMNS) — both only when the scan
-    * reads the WHOLE snapshot (any pushed filter/aggregate makes them
-    * overestimates of the scan's output, so fall back to the size-only
-    * base estimate). min/max are deliberately NOT served (engine-
-    * internal object typing; NDV + nulls are the join-estimation
-    * inputs that matter). */
+    * header (ANALYZE TABLE … FOR COLUMNS) — withheld only when the
+    * scan's output is no longer the table (pushed aggregate, partition
+    * pruning); residual data filters estimate ABOVE these stats.
+    * min/max serve as boxed doubles for histogram columns only —
+    * catalyst's toDouble is toString-based there, and hasMinMaxStats
+    * gates every range estimate. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val base = super.estimateStatistics()
-    val wholeSnapshot = pushedFilters.isEmpty && dataFilters.isEmpty &&
-      partitionFilters.isEmpty && pushedAggregate.isEmpty
-    if (!wholeSnapshot || (knownRows.isEmpty && colStats.isEmpty)) base
+    // Serve the TABLE-level stats unless the scan's own output is no
+    // longer the table: a pushed AGGREGATE emits group rows and a
+    // partition filter prunes files — withhold there. Pushed DATA
+    // filters are different (round-13 revision of the r11 rule): for
+    // parquet they are advisory — the residual Filter node stays in the
+    // plan and FilterEstimation applies selectivity to THESE stats, so
+    // withholding under a data filter starved the CBO on exactly the
+    // queries that need the histogram (the V1 CBO contract: leaf serves
+    // table stats, the Filter above estimates).
+    val servable = partitionFilters.isEmpty && pushedAggregate.isEmpty
+    if (!servable || (knownRows.isEmpty && colStats.isEmpty)) base
     else {
       import org.apache.spark.sql.connector.expressions.Expressions
       import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
@@ -213,17 +243,59 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
         org.apache.spark.sql.connector.expressions.NamedReference,
         ColumnStatistics]()
       colStats.foreach { case (c, st) =>
+        // the recorded equi-height histogram (round 13) rides the same
+        // connector stats: transformV2Stats turns it into a catalyst
+        // Histogram, so FilterEstimation's range-predicate selectivity
+        // uses per-bin row mass instead of min/max interpolation —
+        // exactly where skewed columns make min/max-only estimates lie
+        val hist: Option[org.apache.spark.sql.connector.read.colstats
+            .Histogram] = colHist.get(c).map { case (h, bs, ns) =>
+          new org.apache.spark.sql.connector.read.colstats.Histogram {
+            override def height(): Double = h
+            override def bins(): Array[org.apache.spark.sql.connector
+                .read.colstats.HistogramBin] =
+              (0 until ns.size).map { i =>
+                new org.apache.spark.sql.connector.read.colstats
+                    .HistogramBin {
+                  override def lo(): Double = bs(i)
+                  override def hi(): Double = bs(i + 1)
+                  override def ndv(): Long = ns(i)
+                }
+              }.toArray
+          }
+        }
+        // min/max ride along for histogram columns only, as boxed
+        // doubles of the SAME numeric view (micros/days/plain) —
+        // catalyst's hasMinMaxStats gates every range estimate, and
+        // EstimationUtils.toDouble is toString-based for the
+        // numeric/date/timestamp families, so the boxed double is safe
+        // where a string rendering (dates!) would throw
+        val mnmx: Option[(java.lang.Double, java.lang.Double)] =
+          colHist.get(c).map { case (_, bs, _) =>
+            (java.lang.Double.valueOf(bs.head),
+              java.lang.Double.valueOf(bs.last))
+          }
         cs.put(Expressions.column(c), new ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
             java.util.OptionalLong.of(st.ndv)
           override def nullCount(): java.util.OptionalLong =
             java.util.OptionalLong.of(st.nulls)
+          override def min(): java.util.Optional[Object] =
+            mnmx.map(p => java.util.Optional.of(p._1: Object))
+              .getOrElse(java.util.Optional.empty())
+          override def max(): java.util.Optional[Object] =
+            mnmx.map(p => java.util.Optional.of(p._2: Object))
+              .getOrElse(java.util.Optional.empty())
           override def avgLen(): java.util.OptionalLong =
             st.avgLen.map(java.util.OptionalLong.of)
               .getOrElse(java.util.OptionalLong.empty)
           override def maxLen(): java.util.OptionalLong =
             st.maxLen.map(java.util.OptionalLong.of)
               .getOrElse(java.util.OptionalLong.empty)
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            hist.map(java.util.Optional.of(_))
+              .getOrElse(java.util.Optional.empty())
         })
       }
       new org.apache.spark.sql.connector.read.Statistics {
@@ -268,9 +340,11 @@ private[io] class GraftBucketedParquetScan(dir: String,
                                            numBuckets: Int,
                                            fileBuckets: Map[String, Int],
                                            colStats: Map[String, SnapshotTable.ColumnStats] =
+                                             Map.empty,
+                                           colHist: Map[String, (Double, Seq[Double], Seq[Long])] =
                                              Map.empty)
   extends GraftParquetScan(dir, tableSchema, tblOptions, s,
-    colStats = colStats)
+    colStats = colStats, colHist = colHist)
   with SupportsReportPartitioning {
 
   override def outputPartitioning(): Partitioning =

@@ -84,6 +84,14 @@ object SnapshotTable {
   final class ConcurrentCommitException(v: Int)
     extends RuntimeException(s"version $v was committed concurrently")
 
+  /** The injectable atomic-publish primitive (see [[CommitStore]]).
+    * Production default is the filesystem CREATE_NEW; specs inject
+    * contended/flaky implementations to drive the rebase laws through
+    * forced losses and delayed visibility. Volatile: a test swap must
+    * be seen by Spark task/driver threads immediately. */
+  @volatile private[pystreamsspark] var commitStore: CommitStore =
+    LocalCommitStore
+
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
   private def manifestPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(f"v$v%08d.manifest")
@@ -272,6 +280,7 @@ object SnapshotTable {
         header.get("bloomcols").map("bloomcols" -> _) ++
         header.get("bloombits").map("bloombits" -> _) ++
         header.get("colstats").map("colstats" -> _) ++
+        header.get("colhist").map("colhist" -> _) ++
         header.get("analyzedv").map("analyzedv" -> _)).toSeq
     /** Distance (in commits) to the nearest FULL manifest along the
       * parent chain — 0 for a full manifest, n for the n-th delta in a
@@ -430,6 +439,363 @@ object SnapshotTable {
         body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
       ()
     } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    writeCkIndexFor(dir, v, header, m.files, m.header)
+  }
+
+  // ---------------------------------------------------------------------
+  // TWO-TIER READ-SIDE FILE PRUNING (round 13 — the public Iceberg
+  // manifest-list idea re-expressed for this single-file log, original
+  // implementation). Before this, every bounded read resolved the
+  // manifest chain into a full in-driver Seq[FileEntry] and scanned it:
+  // O(#files) driver heap and CPU per cold query — GBs at 10^6 files.
+  // Now each ANCHOR manifest (a full manifest or a checkpoint sidecar)
+  // gets a `.ckindex` SIDECAR: the anchor's entry region split into
+  // SEGMENT_SIZE-line segments, each recorded as an absolute byte range
+  // plus the enclosing per-cluster-column [min,max] box. A point/range
+  // read parses the index (O(#files / SEGMENT_SIZE) tiny lines), picks
+  // the overlapping segments, and byte-range-reads ONLY those — on an
+  // object store these are ranged GETs — then applies the delta chain
+  // (O(delta) lines) on top. Driver cost per read drops from O(#files)
+  // to O(overlapping entries + chain delta + #segments). The index is
+  // deterministic from the immutable anchor, so it is built EAGERLY at
+  // commit/checkpoint time (the entries are already in memory) and
+  // LAZILY on first read of a pre-round-13 table, CREATE_NEW-idempotent
+  // either way; a size-mismatched or unparseable sidecar falls back to
+  // the full parse (conservative-correct, never wrong).
+  // ---------------------------------------------------------------------
+
+  /** Entries per indexed segment. Smaller = finer segment pruning but a
+    * longer index; 64 keeps the index at ~1.6% of the manifest's lines
+    * while a clustered point read lands in 1-2 segments. */
+  private[pystreamsspark] val SEGMENT_SIZE = 64
+
+  private def ckindexPath(dir: String, v: Int): Path =
+    manifestDir(dir).resolve(f"v$v%08d.ckindex")
+
+  /** Entries parsed by the LAST bounded-candidate resolution on this
+    * JVM — the observable the two-tier Stress probe and specs assert
+    * (wall clock alone cannot separate manifest-parse cost from Spark
+    * overhead). -1 until the first bounded read. */
+  private[pystreamsspark] val lastPruneParsed =
+    new java.util.concurrent.atomic.AtomicLong(-1)
+
+  /** One segment of an anchor's entry region: absolute byte range
+    * [off, off+len) in the anchor file, entry count, and the enclosing
+    * per-column [min,max] box. A column ABSENT from the box is
+    * unbounded for this segment (some entry lacked stats or the values
+    * resisted typed comparison) — the segment always survives requests
+    * on it. */
+  private case class SegmentRef(off: Long, len: Long, n: Int,
+                                box: Map[String, (String, String)])
+
+  private case class CkIndex(anchorSize: Long, segs: Seq[SegmentRef])
+
+  /** Strict typed less-than on two stat renderings; None when the
+    * format resists comparison (NaN, malformed, exotic type) — the
+    * caller must then leave the enclosing segment unbounded. Mirrors
+    * [[rangesOverlap]]'s type families exactly. */
+  private def statLess(dt: DataType, a: String, b: String): Option[Boolean] =
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType | _: TimestampType =>
+        try Some(BigDecimal(a) < BigDecimal(b))
+        catch { case _: NumberFormatException => None }
+      case _: StringType | _: DateType | _: TimestampNTZType => Some(a < b)
+      case _ => None
+    }
+
+  /** Group pre-serialized entry lines (with their absolute byte
+    * offsets) into [[SEGMENT_SIZE]] chunks and compute each chunk's
+    * enclosing box. Shared by the eager (commit-time) and lazy
+    * (first-read) index builders. */
+  private def segmentize(entries: Seq[(Long, Long, FileEntry)],
+                         schema: Option[StructType],
+                         statsCols: Seq[String]): Seq[SegmentRef] = {
+    val dts: Seq[(String, DataType)] = schema.map(s => statsCols.flatMap(c =>
+      s.fields.find(_.name == c).map(f => c -> f.dataType))).getOrElse(Nil)
+    entries.grouped(SEGMENT_SIZE).map { chunk =>
+      val off = chunk.head._1
+      val len = chunk.last._1 + chunk.last._2 - off
+      val box = dts.flatMap { case (c, dt) =>
+        var lo: String = null; var hi: String = null; var ok = true
+        chunk.foreach { case (_, _, e) =>
+          if (ok) e.stats.get(c) match {
+            case Some((l, h)) =>
+              if (lo == null) { lo = l; hi = h }
+              else (statLess(dt, l, lo), statLess(dt, hi, h)) match {
+                case (Some(lLess), Some(hLess)) =>
+                  if (lLess) lo = l
+                  if (hLess) hi = h
+                case _ => ok = false
+              }
+            case None => ok = false
+          }
+        }
+        if (ok && lo != null) Some(c -> (lo, hi)) else None
+      }.toMap
+      SegmentRef(off, len, chunk.size, box)
+    }.toSeq
+  }
+
+  /** Persist an index sidecar — CREATE_NEW-idempotent: content is
+    * deterministic from the immutable anchor, so a racing/extant write
+    * is a no-op. */
+  private def writeCkIndexFile(p: Path, idx: CkIndex): Unit = {
+    val hdrLine = s"graft-ckindex-1\tasize=${idx.anchorSize}\t" +
+      s"nsegs=${idx.segs.size}"
+    val body = (hdrLine +:
+      idx.segs.map { s =>
+        val box =
+          if (s.box.isEmpty) "-"
+          else s.box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            s"${FileEntry.enc(c)}=${FileEntry.enc(lo)},${FileEntry.enc(hi)}"
+          }.mkString(";")
+        s"${s.off}\t${s.len}\t${s.n}\t$box"
+      }).mkString("\n")
+    try {
+      Files.write(p, body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+      ()
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** None on any malformation — the caller rebuilds from the anchor. */
+  private def parseCkIndexFile(p: Path): Option[CkIndex] =
+    try {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+        .asScala.toSeq
+      val hdr = lines.head.split("\t")
+      if (hdr.isEmpty || hdr(0) != "graft-ckindex-1") return None
+      val kv = hdr.tail.map { s =>
+        val Array(k, v) = s.split("=", 2); k -> v }.toMap
+      val segs = lines.tail.filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", 4)
+        val box =
+          if (parts(3) == "-") Map.empty[String, (String, String)]
+          else parts(3).split(";").iterator.filter(_.nonEmpty).map { e =>
+            val Array(c, r) = e.split("=", 2)
+            val Array(lo, hi) = r.split(",", 2)
+            FileEntry.dec(c) -> ((FileEntry.dec(lo), FileEntry.dec(hi)))
+          }.toMap
+        SegmentRef(parts(0).toLong, parts(1).toLong, parts(2).toInt, box)
+      }
+      Some(CkIndex(kv("asize").toLong, segs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Lazy index build: one full parse of the anchor (the cost every
+    * read used to pay), tracking byte offsets so segments can be
+    * byte-range-read later. Entry lines are pure ASCII (paths,
+    * URL-encoded stats, base64 blobs), so char offsets == byte
+    * offsets within the entry region. */
+  private def buildCkIndexFromFile(anchor: Path): CkIndex = {
+    val bytes = Files.readAllBytes(anchor)
+    var e0 = 0
+    while (e0 < bytes.length && bytes(e0) != '\n') e0 += 1
+    val hdrMap = parseHeaderLine(
+      new String(bytes, 0, e0, StandardCharsets.UTF_8))
+    val hm = Manifest(0, "", 0, Nil, hdrMap)
+    val entries =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, FileEntry)]
+    var start = e0 + 1
+    var p = start
+    while (p <= bytes.length) {
+      if (p == bytes.length || bytes(p) == '\n') {
+        if (p > start) {
+          val line = new String(bytes, start, p - start,
+            StandardCharsets.UTF_8)
+          entries += ((start.toLong, (p - start).toLong,
+            FileEntry.parse(line)))
+        }
+        start = p + 1
+      }
+      p += 1
+    }
+    CkIndex(bytes.length.toLong,
+      segmentize(entries.toSeq, hm.schema, hm.statsCols))
+  }
+
+  /** Build + persist the index for a just-written anchor whose entries
+    * and header are still in memory — the eager path, near-free at
+    * commit time. `headerLine` is the anchor's first line exactly as
+    * written (offset arithmetic needs its byte length). */
+  private def writeCkIndexFor(dir: String, v: Int, headerLine: String,
+                              files: Seq[FileEntry],
+                              header: Map[String, String]): Unit =
+    if (files.size > SEGMENT_SIZE) {
+      val hm = Manifest(v, "", 0, Nil, header)
+      var off = headerLine.getBytes(StandardCharsets.UTF_8).length.toLong + 1
+      val entries = files.map { f =>
+        val len = f.serialize.getBytes(StandardCharsets.UTF_8).length.toLong
+        val t = (off, len, f)
+        off += len + 1
+        t
+      }
+      // off overshoots the (absent) trailing newline by 1
+      writeCkIndexFile(ckindexPath(dir, v),
+        CkIndex(off - 1, segmentize(entries, hm.schema, hm.statsCols)))
+    }
+
+  /** JVM-wide index cache, keyed by anchor path and validated against
+    * the anchor's (mtime, size) — anchors are immutable once published,
+    * but test fixtures doctor them in place and must be observed. */
+  private val ckindexCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (java.nio.file.attribute.FileTime, Long, CkIndex)](
+        32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            String, (java.nio.file.attribute.FileTime, Long, CkIndex)])
+          : Boolean = size > 24
+    })
+
+  private def loadCkIndex(dir: String, v: Int, anchor: Path): CkIndex = {
+    val key = anchor.toAbsolutePath.toString
+    val attrs = Files.readAttributes(anchor,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val hit = ckindexCache.get(key)
+    if (hit != null && hit._1 == attrs.lastModifiedTime &&
+      hit._2 == attrs.size) return hit._3
+    val ip = ckindexPath(dir, v)
+    val idx = (if (Files.exists(ip)) parseCkIndexFile(ip) else None)
+      .filter(_.anchorSize == attrs.size)
+      .getOrElse {
+        val built = buildCkIndexFromFile(anchor)
+        // persist for other processes; an extant (even stale) sidecar
+        // makes CREATE_NEW lose — the in-memory build still serves us
+        writeCkIndexFile(ip, built)
+        built
+      }
+    ckindexCache.put(key, (attrs.lastModifiedTime, attrs.size, idx))
+    idx
+  }
+
+  /** Byte-range-read the selected segments — the local analogue of an
+    * object store's ranged GET. */
+  private def readSegments(anchor: Path,
+                           segs: Seq[SegmentRef]): Seq[FileEntry] =
+    if (segs.isEmpty) Nil
+    else {
+      val ch = java.nio.channels.FileChannel.open(anchor,
+        StandardOpenOption.READ)
+      try segs.flatMap { s =>
+        val buf = java.nio.ByteBuffer.allocate(s.len.toInt)
+        var pos = s.off
+        while (buf.hasRemaining) {
+          val r = ch.read(buf, pos)
+          if (r <= 0) throw new java.io.IOException(
+            s"short read at $pos in $anchor")
+          pos += r
+        }
+        new String(buf.array(), StandardCharsets.UTF_8).split("\n")
+          .iterator.filter(_.nonEmpty).map(FileEntry.parse).toSeq
+      } finally ch.close()
+    }
+
+  /** Header-only manifest of version v: schema, stats columns, modes —
+    * everything O(#columns) — without resolving the file list. */
+  private def headerManifest(dir: String, v: Int): Manifest = {
+    val hdr = readHeaderMap(dir, v)
+    Manifest(v, hdr.getOrElse("op", ""),
+      hdr.get("parent").map(_.toInt).getOrElse(0), Nil, hdr)
+  }
+
+  /** TWO-TIER bounded candidate resolution: the entries of version `v`
+    * that may satisfy `requests` (per column, a disjunction of
+    * [lo, hi] ranges — a point-IN is a list of degenerate ranges),
+    * WITHOUT materializing the full file list on the driver. Requests
+    * on non-stat columns, unknown columns, or legacy (pre-micros)
+    * timestamp stats never prune — the same conservative laws as
+    * [[pruneWhere]], which this path provably refines:
+    * a segment's box encloses every member entry's range, so segment
+    * pruning removes only files entry pruning would remove. Sets
+    * [[lastPruneParsed]] to the number of entry lines actually parsed. */
+  private def boundedCandidates(dir: String, v: Int,
+      requests0: Map[String, Seq[(String, String)]])
+      : (Manifest, Seq[FileEntry]) = {
+    val hm = headerManifest(dir, v)
+    val schemaOpt = hm.schema
+    val dts: Map[String, DataType] = schemaOpt.map(s =>
+      requests0.keys.flatMap(c => s.fields.find(_.name == c)
+        .map(f => c -> f.dataType)).toMap).getOrElse(Map.empty)
+    val requests = requests0.filter { case (c, _) =>
+      hm.statsCols.contains(c) && dts.contains(c) &&
+        !(dts(c).isInstanceOf[TimestampType] && !hm.tsStatsAreMicros)
+    }
+    // walk to the anchor (nearest checkpointed or full version),
+    // collecting the delta bodies on the way — O(ckdist) small reads
+    var deltas = List.empty[(Seq[FileEntry], Seq[String])]
+    var cur = v
+    var anchor: Path = null
+    while (anchor == null) {
+      if (Files.exists(checkpointPath(dir, cur)))
+        anchor = checkpointPath(dir, cur)
+      else {
+        val h = if (cur == v) hm.header else readHeaderMap(dir, cur)
+        if (!h.get("delta").contains("1")) anchor = manifestPath(dir, cur)
+        else {
+          val (raw, _, removes) = parseManifest(
+            Files.readAllLines(manifestPath(dir, cur),
+              StandardCharsets.UTF_8).asScala.toSeq, cur)
+          deltas = (raw.files, removes) :: deltas // ends oldest-first
+          cur = h("parent").toInt
+        }
+      }
+    }
+    var parsed = 0L
+    def entryOk(f: FileEntry): Boolean = requests.forall { case (c, rs) =>
+      f.stats.get(c) match {
+        case Some((fLo, fHi)) =>
+          rs.exists { case (lo, hi) =>
+            rangesOverlap(dts(c), fLo, fHi, lo, hi) }
+        case None => true
+      }
+    }
+    def fullParse(): Seq[FileEntry] = {
+      val (am, _, _) = parseManifest(Files.readAllLines(anchor,
+        StandardCharsets.UTF_8).asScala.toSeq, cur)
+      parsed += am.files.size
+      am.files
+    }
+    val anchorEntries: Seq[FileEntry] =
+      if (requests.isEmpty) fullParse() // nothing to prune on
+      else {
+        val r = Files.newBufferedReader(anchor, StandardCharsets.UTF_8)
+        val firstLine = try r.readLine() finally r.close()
+        val nf = parseHeaderLine(firstLine).get("nfiles").map(_.toInt)
+        if (nf.forall(_ <= SEGMENT_SIZE)) fullParse().filter(entryOk)
+        else {
+          val idx = loadCkIndex(dir, cur, anchor)
+          val hit = idx.segs.filter { s =>
+            requests.forall { case (c, rs) =>
+              s.box.get(c) match {
+                case Some((blo, bhi)) =>
+                  rs.exists { case (lo, hi) =>
+                    rangesOverlap(dts(c), blo, bhi, lo, hi) }
+                case None => true
+              }
+            }
+          }
+          val es = readSegments(anchor, hit)
+          parsed += es.size
+          es.filter(entryOk)
+        }
+      }
+    // delta application mirrors readManifest exactly: per version,
+    // removes first, then adds (a re-add takes the NEW entry and moves
+    // to the end, like filterNot-then-append does); an add whose new
+    // stats no longer overlap EVICTS any prior candidate for the path
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    anchorEntries.foreach(e => acc.update(e.path, e))
+    deltas.foreach { case (adds, removes) =>
+      removes.foreach(acc.remove)
+      adds.foreach { e =>
+        parsed += 1
+        acc.remove(e.path)
+        if (entryOk(e)) acc.update(e.path, e)
+      }
+    }
+    lastPruneParsed.set(parsed)
+    (hm, acc.values.toSeq)
   }
 
   // ---------------------------------------------------------------------
@@ -652,7 +1018,9 @@ object SnapshotTable {
       }
     }
 
-  /** Atomic publish: CREATE_NEW is the commit point. The manifest
+  /** Atomic publish: [[CommitStore.putIfAbsent]] on the manifest path
+    * is the commit point (CREATE_NEW locally; a conditional PUT on an
+    * object store — see [[CommitStore]]). The manifest
     * header records the table SCHEMA (as Spark's schema JSON) so a
     * snapshot read is `O(1)` metadata — no per-file footer merge at
     * 100 TB — and so SCHEMA EVOLUTION is a manifest property: files
@@ -674,13 +1042,13 @@ object SnapshotTable {
       schema.map(s => "schema" -> s.json)) // JSON escapes tabs/newlines
       .map { case (k, value) => s"$k=$value" }.mkString("\t")
     val body = (header +: files.map(_.serialize)).mkString("\n")
-    try
-      Files.write(manifestPath(dir, v), body.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new ConcurrentCommitException(v)
-    }
+    if (!commitStore.putIfAbsent(manifestPath(dir, v),
+        body.getBytes(StandardCharsets.UTF_8)))
+      throw new ConcurrentCommitException(v)
+    // eager two-tier index: the entries are in memory, so the segment
+    // sidecar costs one small extra write here instead of an O(#files)
+    // re-parse on some later reader's first bounded query
+    writeCkIndexFor(dir, v, header, files, parseHeaderLine(header))
   }
 
   /** O(delta) commit — the 100 TB posture of the manifest log: the new
@@ -722,13 +1090,9 @@ object SnapshotTable {
       val body = (header +:
         (removes.map("-" + _) ++ adds.map(e => "+" + e.serialize)))
         .mkString("\n")
-      try
-        Files.write(manifestPath(dir, v),
-          body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(v)
-      }
+      if (!commitStore.putIfAbsent(manifestPath(dir, v),
+          body.getBytes(StandardCharsets.UTF_8)))
+        throw new ConcurrentCommitException(v)
     }
   }
 
@@ -1415,7 +1779,7 @@ object SnapshotTable {
   def readCandidates(dir: String, bounds: Map[String, (String, String)],
                      versionAsOf: Option[Int] = None): Seq[String] = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
-    val m = readManifest(dir, v)
+    val m = headerManifest(dir, v)
     // fail fast on a typo'd column (same contract as readWhere) — a
     // silently-ignored bound would read as "no pruning happened"
     m.schema.foreach { s =>
@@ -1437,7 +1801,8 @@ object SnapshotTable {
           }
       }
     }
-    pruneWhere(m, bounds).map(_.path)
+    boundedCandidates(dir, v,
+      bounds.map { case (c, r) => c -> Seq(r) })._2.map(_.path)
   }
 
   /** Single-column convenience overload. */
@@ -1505,7 +1870,9 @@ object SnapshotTable {
     require(bounds.nonEmpty, "readWhere needs at least one column bound")
     val v = versionAsOf.getOrElse(latestVersion(dir))
     require(v >= 1, s"no committed version at $dir")
-    val m = readManifest(dir, v)
+    // two-tier: candidates resolve without materializing the file list
+    val (m, statFiles) = boundedCandidates(dir, v,
+      bounds.map { case (c, r) => c -> Seq(r) })
     val schema = m.schema.getOrElse(
       throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
     val dts = bounds.keys.map { c =>
@@ -1513,7 +1880,6 @@ object SnapshotTable {
         .getOrElse(throw new IllegalArgumentException(
           s"no column $c in ${schema.fieldNames.mkString(",")}"))
     }.toMap
-    val statFiles = pruneWhere(m, bounds)
     // point predicates (lo == hi) additionally consult the per-file
     // bloom blobs — the non-cluster-column skipping path
     val files = bounds.foldLeft(statFiles) { case (fs, (c, (lo, hi))) =>
@@ -1548,34 +1914,19 @@ object SnapshotTable {
     * min/max stats first (cluster columns), then the per-file BLOOM
     * blobs (declared `bloomcols` — the non-cluster path). Shared by
     * [[readWhereIn]]; conservative-correct throughout. */
-  private def pruneIn(dir: String, m: Manifest, keyCol: String,
-                      values: Seq[String], dt: DataType): Seq[FileEntry] = {
-    val statFiles =
-      if (!m.statsCols.contains(keyCol)) m.files
-      else m.files.filter { f =>
-        f.stats.get(keyCol) match {
-          case Some(_) if dt.isInstanceOf[TimestampType] &&
-            !m.tsStatsAreMicros => true // legacy stats: never prune
-          case Some((fLo, fHi)) =>
-            values.exists(x => rangesOverlap(dt, fLo, fHi, x, x))
-          case None => true
-        }
-      }
-    bloomPrune(dir, m, statFiles, keyCol, values, dt)
-  }
-
   /** The files a `keyCol IN values` read would open (stats + bloom
     * pruning) — public so specs, keys and operators can assert/observe
     * the skip, the point-lookup twin of [[readCandidates]]. */
   def readCandidatesIn(dir: String, keyCol: String, values: Seq[String],
                        versionAsOf: Option[Int] = None): Seq[String] = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
-    val m = readManifest(dir, v)
+    val (m, statFiles) = boundedCandidates(dir, v,
+      Map(keyCol -> values.map(x => (x, x))))
     val dt = m.schema.flatMap(_.fields.find(_.name == keyCol))
       .map(_.dataType).getOrElse(throw new IllegalArgumentException(
         s"no column $keyCol in ${m.schema.map(_.fieldNames.mkString(","))
           .getOrElse("<no schema>")}"))
-    pruneIn(dir, m, keyCol, values, dt).map(_.path)
+    bloomPrune(dir, m, statFiles, keyCol, values, dt).map(_.path)
   }
 
   /** STATS-PRUNED point-set read: rows where `keyCol IN values`, opening
@@ -1591,13 +1942,14 @@ object SnapshotTable {
                   versionAsOf: Option[Int] = None): DataFrame = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
     require(v >= 1, s"no committed version at $dir")
-    val m = readManifest(dir, v)
+    val (m, statFiles) = boundedCandidates(dir, v,
+      Map(keyCol -> values.map(x => (x, x))))
     val schema = m.schema.getOrElse(
       throw new IllegalStateException(s"manifest v$v at $dir records no schema"))
     val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"no column $keyCol in ${schema.fieldNames.mkString(",")}"))
-    val files = pruneIn(dir, m, keyCol, values, dt)
+    val files = bloomPrune(dir, m, statFiles, keyCol, values, dt)
     val base = readEntries(spark, dir, m,
       if (values.isEmpty) Seq.empty else files)
     val lits = values.map { x =>
@@ -1912,8 +2264,24 @@ object SnapshotTable {
                           updates: DataFrame, keyCols: Seq[String],
                           fromVersion: Option[Int] = None): Seq[String] = {
     val base = fromVersion.getOrElse(latestVersion(dir))
-    val m = readManifest(dir, base)
-    pruneCandidates(m, updates, keyCols).map(_.path)
+    val hm = headerManifest(dir, base)
+    val statCols = hm.statsCols.filter(keyCols.contains)
+    if (statCols.isEmpty || hm.schema.isEmpty)
+      readManifest(dir, base).paths // unprunable: the full list IS the answer
+    else {
+      // one tiny agg computes the updates' bounding box in the SAME
+      // rendering writeBatch used (see pruneCandidates); the two-tier
+      // path then resolves candidates without the full file list
+      val aggs = statCols.flatMap(c => Seq(
+        statAgg(c, updates.schema(c).dataType, isMin = true).as(s"lo_$c"),
+        statAgg(c, updates.schema(c).dataType, isMin = false).as(s"hi_$c")))
+      val r = updates.agg(aggs.head, aggs.tail: _*).head()
+      val bounds = statCols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = r.getString(2 * i); val hi = r.getString(2 * i + 1)
+        if (lo == null || hi == null) None else Some(c -> Seq((lo, hi)))
+      }.toMap
+      boundedCandidates(dir, base, bounds)._2.map(_.path)
+    }
   }
 
   private def pruneCandidates(m: Manifest, updates: DataFrame,
@@ -3012,6 +3380,7 @@ object SnapshotTable {
     versions.filterNot(keep.contains).foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
       Files.deleteIfExists(checkpointPath(dir, v))
+      Files.deleteIfExists(ckindexPath(dir, v))
       ()
     }
   }
@@ -3281,7 +3650,7 @@ object SnapshotTable {
           case (k, v) => (if (k == f.name) newName else k) -> v }))
       val headers = m.carried.filterNot(e =>
         Set("colmap", "statscols", "bucketcols", "bloomcols",
-          "colstats", "transforms")(e._1)) ++
+          "colstats", "colhist", "transforms")(e._1)) ++
         (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm))) ++
         (if (m.statsCols.isEmpty) Nil
          else Seq("statscols" -> newStats.mkString(","))) ++
@@ -3295,7 +3664,9 @@ object SnapshotTable {
         m.header.get("bloomcols").map(bc => "bloomcols" -> bc.split(",")
           .map(c => if (c == f.name) newName else c).mkString(",")) ++
         m.header.get("colstats").map(cs =>
-          "colstats" -> adjustColstats(cs, f.name, Some(newName)))
+          "colstats" -> adjustColstats(cs, f.name, Some(newName))) ++
+        m.header.get("colhist").map(ch =>
+          "colhist" -> adjustColstats(ch, f.name, Some(newName)))
       val v = base + 1
       if (entriesTouched)
         commit(dir, v, "rename", base, files, Some(newSchema), headers)
@@ -3347,13 +3718,16 @@ object SnapshotTable {
       // served the DEAD column's NDV/nulls otherwise
       val newBloomCols = m.bloomCols.filterNot(_ == f.name)
       val headers = m.carried.filterNot(e =>
-        Set("colmap", "retired", "bloomcols", "colstats")(e._1)) ++
+        Set("colmap", "retired", "bloomcols", "colstats",
+          "colhist")(e._1)) ++
         (if (cm.isEmpty) Nil else Seq("colmap" -> encodeColmap(cm))) ++
         Seq("retired" -> encodeRetired(m.retired + phys)) ++
         (if (newBloomCols.isEmpty) Nil
          else Seq("bloomcols" -> newBloomCols.mkString(","))) ++
         m.header.get("colstats").map(cs =>
-          "colstats" -> adjustColstats(cs, f.name, None))
+          "colstats" -> adjustColstats(cs, f.name, None)) ++
+        m.header.get("colhist").map(ch =>
+          "colhist" -> adjustColstats(ch, f.name, None))
       val v = base + 1
       if (entriesTouched)
         commit(dir, v, "drop", base, files, Some(newSchema), headers)
@@ -3427,9 +3801,15 @@ object SnapshotTable {
         val newSchema = StructType(cur.fields.map(x =>
           if (x.name == f.name) x.copy(dataType = to) else x))
         // ANALYZE min/max renders are narrow-typed too — drop the entry
-        val headers = m.carried.filterNot(_._1 == "colstats") ++
+        // (the histogram's double boundaries stay valid under widening,
+        // but the paired colstats entry is gone, so drop both — one
+        // re-ANALYZE restores them consistently)
+        val headers = m.carried.filterNot(e =>
+          e._1 == "colstats" || e._1 == "colhist") ++
           m.header.get("colstats").map(cs =>
-            "colstats" -> adjustColstats(cs, f.name, None))
+            "colstats" -> adjustColstats(cs, f.name, None)) ++
+          m.header.get("colhist").map(ch =>
+            "colhist" -> adjustColstats(ch, f.name, None))
         val v = base + 1
         if (statsStrip)
           commit(dir, v, "widen", base, files, Some(newSchema), headers)
@@ -3740,13 +4120,93 @@ object SnapshotTable {
           s"${enc(st.max)},${st.avgLen.getOrElse(-1L)}," +
           s"${st.maxLen.getOrElse(-1L)}"
       }.mkString(";")
+      // EQUI-HEIGHT HISTOGRAMS (round 13): per ordered column,
+      // HIST_BINS buckets of equal row mass — approx-percentile
+      // boundaries (pass 2), then per-bin approximate NDV (pass 3, one
+      // job: HIST_BINS conditional sketches per column). Boundaries and
+      // the V2/catalyst histogram contract are DOUBLES, so timestamps
+      // analyze as epoch-micros and dates as epoch-days — the same
+      // numeric view FilterEstimation applies to range predicates.
+      // Skewed columns are exactly where min/max-only selectivity lies;
+      // the histogram is what tightens it (served via the connector
+      // columnStats → transformV2Stats → FilterEstimation).
+      val histTargets = targets.filter(f => f.dataType match {
+        case _: NumericType | _: DateType | _: TimestampType => true
+        case _ => false
+      })
+      val colhist: Option[String] =
+        if (histTargets.isEmpty) None
+        else {
+          def dcol(f: StructField) = f.dataType match {
+            case _: TimestampType => unix_micros(col(f.name)).cast("double")
+            case _: DateType => unix_date(col(f.name)).cast("double")
+            case _ => col(f.name).cast("double")
+          }
+          val qs = (0 to HIST_BINS).map(_.toDouble / HIST_BINS)
+          val bAggs = histTargets.map(f =>
+            percentile_approx(dcol(f), typedLit(qs), lit(10000))
+              .as(s"pb_${f.name}"))
+          val bRow = df.agg(bAggs.head, bAggs.tail: _*).head()
+          val boundaries: Seq[(StructField, Seq[Double])] =
+            histTargets.zipWithIndex.flatMap { case (f, i) =>
+              if (bRow.isNullAt(i)) None // all-null column: no histogram
+              else Some(f -> bRow.getSeq[Double](i))
+            }
+          if (boundaries.isEmpty) None
+          else {
+            val nAggs = boundaries.flatMap { case (f, bs) =>
+              val d = dcol(f)
+              // bin id = #interior boundaries strictly below the value
+              val bin = (1 until HIST_BINS).map(i =>
+                when(d > lit(bs(i)), 1).otherwise(0))
+                .reduce[org.apache.spark.sql.Column](_ + _)
+              (0 until HIST_BINS).map(i =>
+                approx_count_distinct(when(bin === i, d))
+                  .as(s"bn_${f.name}_$i")) :+
+                count(d).as(s"cn_${f.name}")
+            }
+            val nRow = df.agg(nAggs.head, nAggs.tail: _*).head()
+            val per = HIST_BINS + 1
+            Some(boundaries.zipWithIndex.map { case ((f, bs), j) =>
+              val ndvs = (0 until HIST_BINS).map(i => nRow.getLong(j * per + i))
+              val nonNull = nRow.getLong(j * per + HIST_BINS)
+              val height = nonNull.toDouble / HIST_BINS
+              s"${FileEntry.enc(f.name)}:$height|" +
+                bs.mkString(",") + "|" + ndvs.mkString(",")
+            }.mkString(";"))
+          }
+        }
       val headers = m.carried.filterNot(e =>
-        Set("colstats", "analyzedv")(e._1)) ++
-        Seq("colstats" -> encoded, "analyzedv" -> base.toString)
+        Set("colstats", "colhist", "analyzedv")(e._1)) ++
+        Seq("colstats" -> encoded, "analyzedv" -> base.toString) ++
+        colhist.map("colhist" -> _)
       val v = base + 1
       commitDelta(dir, v, "analyze", m, Nil, Nil, m.schema, headers)
       v
     }
+
+  /** Equi-height buckets per analyzed column — 16 matches the useful
+    * resolution of a double-rendered boundary list at O(100) header
+    * bytes per column. */
+  private[io] val HIST_BINS = 16
+
+  /** The recorded equi-height histograms (empty when never analyzed or
+    * no ordered columns): column → (bin height in rows, HIST_BINS+1
+    * boundaries, HIST_BINS per-bin approximate NDVs). Pure driver
+    * metadata. */
+  def columnHistOf(dir: String, versionAsOf: Option[Int] = None)
+      : Map[String, (Double, Seq[Double], Seq[Long])] = {
+    val v = versionAsOf.getOrElse(latestVersion(dir))
+    if (v < 1) return Map.empty
+    headerManifest(dir, v).header.get("colhist").map(_.split(";").iterator
+      .filter(_.nonEmpty).map { e =>
+        val Array(c, rest) = e.split(":", 2)
+        val Array(h, bs, ns) = rest.split("\\|", 3)
+        FileEntry.dec(c) -> ((h.toDouble,
+          bs.split(",").toSeq.map(_.toDouble),
+          ns.split(",").toSeq.map(_.toLong)))
+      }.toMap).getOrElse(Map.empty)
+  }
 
   /** The recorded ANALYZE column statistics (empty when never
     * analyzed), plus the version they were computed at. Pure driver

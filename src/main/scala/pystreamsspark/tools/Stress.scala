@@ -387,6 +387,45 @@ object Stress {
       deleteRec(new java.io.File(d))
     }
 
+    // TWO-TIER READ PRUNE (round-13): point reads over a clustered
+    // table of 16*mult live files must resolve candidates through the
+    // segment index — entries PARSED per read stays ~SEGMENT_SIZE-flat
+    // as the live-file count x-folds (pre-r13 every read parsed the
+    // full O(#files) list on the driver; the r12 verdict's top
+    // structural scale debt, read-side twin of commit_cost).
+    if (only.isEmpty || only.exists(o =>
+        s"prune_cost x$mult".contains(o))) {
+      val base = ord.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartitionByRange(16 * mult, $"o_orderkey")
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft_stress_pr_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      pystreamsspark.io.SnapshotTable.createClustered(spark, d, base,
+        clusterCols = Seq("o_orderkey"))
+      // a short delta chain on top, as a real table would have
+      val one = {
+        val r = ord.limit(1).select(($"o_orderkey" + lit(9e17.toLong))
+          .as("o_orderkey"), $"o_orderstatus", $"o_totalprice").collect()(0)
+        Seq((r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      }
+      (0 until 4).foreach(_ =>
+        pystreamsspark.io.SnapshotTable.append(spark, d, one, numFiles = 1))
+      val nLive = pystreamsspark.io.SnapshotTable.filePaths(d).size
+      time(s"prune_cost x$mult") {
+        var n = 0L
+        (0 until 64).foreach { i =>
+          val lo = (i * 1000L + 1L).toString
+          n += pystreamsspark.io.SnapshotTable.readCandidates(
+            d, "o_orderkey", lo, lo).size
+        }
+        n
+      }
+      println(s"STRESS   prune_cost parsed " +
+        s"${pystreamsspark.io.SnapshotTable.lastPruneParsed.get} entries " +
+        s"per point read at $nLive live files")
+      deleteRec(new java.io.File(d))
+    }
+
     // HIDDEN PARTITION TRANSFORMS (round-12): a month of events lands
     // through clustercols='days(ts)' — a ONE-DAY window read must open
     // ~1-2 covering files and stay FLAT as the corpus x-folds (files

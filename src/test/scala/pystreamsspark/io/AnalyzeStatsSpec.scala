@@ -11,9 +11,13 @@ import pystreamsspark.SparkSpec
   * `columnStats` so a CBO-enabled session estimates joins from real
   * NDVs instead of sizes. Laws: recorded values match ground truth
   * (nulls exact, NDV within HLL tolerance), the scan's Statistics
-  * carries them (and withholds under pushdown, where they would
-  * overestimate), the header survives later commits, and both SQL
-  * routes parse the statement. */
+  * carries them — including under residual data filters, which
+  * estimate above them (withheld only when pushed aggregates or
+  * partition pruning change the scan's output) — the header survives
+  * later commits, and both SQL routes parse the statement. Round 13
+  * adds equi-height HISTOGRAMS: recorded per ordered column, served
+  * through the connector histogram field, and provably tightening a
+  * skewed range predicate's row estimate. */
 class AnalyzeStatsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -47,8 +51,8 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(after("grp").ndv === stats("grp").ndv && afterV.contains(1))
   }
 
-  test("the V2 scan serves columnStats to the CBO; withheld under " +
-    "pushdown") {
+  test("the V2 scan serves columnStats to the CBO, including under " +
+    "residual data filters") {
     val dir = tmp()
     SnapshotTable.create(spark, dir,
       spark.range(0, 500).toDF("id")
@@ -84,9 +88,13 @@ class AnalyzeStatsSpec extends SparkSpec {
       }
     }
     assert(found, s"no columnStats entry for k: $cs")
-    // a pushed filter makes the whole-snapshot stats overestimates —
-    // they are withheld (base size-only estimate)
-    assert(scanStats(withFilter = true).columnStats().isEmpty)
+    // round-13 revision: a pushed DATA filter is advisory for parquet —
+    // the residual Filter estimates above these stats, so the scan
+    // keeps serving them (numRows stays the table count; the planner's
+    // FilterEstimation applies selectivity on top)
+    val filtered = scanStats(withFilter = true)
+    assert(!filtered.columnStats().isEmpty)
+    assert(filtered.numRows().getAsLong === 500L)
   }
 
   test("colstats follow a RENAME and die with a DROP (a re-added " +
@@ -138,5 +146,90 @@ class AnalyzeStatsSpec extends SparkSpec {
       case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
       case None => spark.conf.unset("spark.sql.cbo.enabled")
     }
+  }
+
+  test("equi-height histograms: recorded per ordered column, boundaries " +
+    "span min..max, bin mass near-equal, strings excluded") {
+    val dir = tmp()
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", when(col("id") < 950, pmod(col("id"), lit(100)))
+        .otherwise(col("id") * 100))  // 95% dense low, 5% sparse tail
+      .withColumn("s", concat(lit("x"), col("id")))
+    SnapshotTable.create(spark, dir, df)
+    SnapshotTable.analyzeColumns(spark, dir)
+    val hist = SnapshotTable.columnHistOf(dir)
+    assert(hist.contains("id") && hist.contains("v"))
+    assert(!hist.contains("s"), "string columns get no histogram")
+    val (h, bs, ns) = hist("v")
+    assert(bs.size === SnapshotTable.HIST_BINS + 1)
+    assert(ns.size === SnapshotTable.HIST_BINS)
+    assert(bs === bs.sorted, "boundaries must ascend")
+    assert(bs.head === 0.0 && bs.last === 99900.0) // true min/max
+    assert(math.abs(h - 1000.0 / SnapshotTable.HIST_BINS) < 1.0)
+    // the skew is captured: at most 2 of 16 bins live above 10000
+    assert(bs.count(_ > 10000.0) <= 2, s"boundaries $bs")
+    // histograms survive later appends (carried header)
+    import spark.implicits._
+    SnapshotTable.append(spark, dir,
+      Seq((5000L, 1L, "y")).toDF("id", "v", "s"))
+    assert(SnapshotTable.columnHistOf(dir).contains("v"))
+  }
+
+  test("histogram-fed CBO: a skewed range predicate's row estimate " +
+    "tightens vs min/max-only interpolation") {
+    val wh = tmp()
+    SnapshotSql.register(spark, wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.an")
+    val t = "h_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE graft.an.$t (id BIGINT, v BIGINT)")
+    SnapshotSql.sql(spark, s"INSERT INTO graft.an.$t " +
+      "SELECT id, CASE WHEN id < 950 THEN id % 100 ELSE id * 100 END " +
+      "FROM range(0, 1000)")
+    val dir = SnapshotSql.resolveTable(spark, Seq("graft", "an", t)).get
+    SnapshotTable.analyzeColumns(spark, dir)
+    def estimate(): BigInt = {
+      val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try spark.table(s"graft.an.$t").filter("v >= 50000")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO produced no row estimate"))
+      finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.cbo.enabled", p)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+    val withHist = estimate()
+    // control: strip the colhist header in place — min/max-only now
+    val mp = {
+      val v = SnapshotTable.latestVersion(dir)
+      java.nio.file.Paths.get(dir, "_manifests", f"v$v%08d.manifest")
+    }
+    val lines = java.nio.file.Files.readAllLines(mp,
+      java.nio.charset.StandardCharsets.UTF_8)
+    lines.set(0, lines.get(0).split("\t")
+      .filterNot(_.startsWith("colhist=")).mkString("\t"))
+    java.nio.file.Files.write(mp, String.join("\n", lines)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val minMaxOnly = estimate()
+    // truth: 50 rows (the id >= 950 tail). min/max interpolation over
+    // [0, 99900] estimates ~half the table; per-bin mass pins the tail
+    assert(withHist.toLong <= 200,
+      s"histogram estimate should land near the 50-row truth, got $withHist")
+    assert(minMaxOnly.toLong >= 3 * withHist.toLong,
+      s"expected the histogram to tighten: hist=$withHist mm=$minMaxOnly")
+  }
+
+  test("histograms follow a RENAME and die with a DROP") {
+    val dir = tmp()
+    SnapshotTable.create(spark, dir,
+      spark.range(0, 300).toDF("id")
+        .withColumn("n", pmod(col("id"), lit(40))))
+    SnapshotTable.analyzeColumns(spark, dir)
+    assert(SnapshotTable.columnHistOf(dir).contains("n"))
+    SnapshotTable.renameColumn(dir, "n", "num")
+    val renamed = SnapshotTable.columnHistOf(dir)
+    assert(renamed.contains("num") && !renamed.contains("n"))
+    SnapshotTable.dropColumn(dir, "num")
+    assert(!SnapshotTable.columnHistOf(dir).contains("num"))
   }
 }

@@ -217,4 +217,39 @@ class SnapshotStreamSpec extends SparkSpec {
     run()
     assert(readIds(dst) === Seq(10L, 20L, 30L, 40L, 50L))
   }
+
+  test("maxVersionsPerTrigger: a backlog drains in bounded batches " +
+    "under Trigger.AvailableNow, exactly-once preserved") {
+    wh
+    val t = mk(freshName("adm_"))
+    val ckpt = java.nio.file.Files.createTempDirectory("adm_ckpt_").toString
+    (1L to 5L).foreach(i => ins(t, i)) // 5 single-version appends
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def run(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "2")
+        .table(s"graft.ns.$t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val ids = df.collect().map(_.getLong(0)).toSeq.sorted
+          if (ids.nonEmpty) batches.add(ids): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "admission drain did not finish")
+    }
+    run()
+    val got = batches.toArray(Array.empty[Seq[Long]]).toSeq
+    // 5 backlogged versions at <=2 per trigger: >1 batch, each bounded,
+    // every row exactly once
+    assert(got.size >= 3, s"expected a bounded multi-batch drain, got $got")
+    assert(got.forall(_.size <= 2), s"a batch exceeded the cap: $got")
+    assert(got.flatten.sorted === (1L to 5L))
+    // nothing re-emits on restart; a new version drains alone
+    batches.clear()
+    ins(t, 6L)
+    run()
+    assert(batches.toArray(Array.empty[Seq[Long]]).toSeq === Seq(Seq(6L)))
+  }
 }
