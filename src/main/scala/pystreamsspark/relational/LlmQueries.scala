@@ -739,6 +739,110 @@ object LlmQueries {
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
 
+  /** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020 — the
+    * perplexity filter every LLM curation pipeline runs): train add-1
+    * smoothed bigram counts on a HELD-OUT corpus slice (doc_id % 5 != 0
+    * — scoring docs never feed their own model), score the remaining
+    * docs by per-bigram code length, rank worst-to-best. The score is
+    * the SHANNON CODE LENGTH under power-of-two-quantized
+    * probabilities: bits(w1 w2) = ceil(-log2 P̂) with
+    * P̂ = (c2+1)/(c1+V) — a genuine log-loss, but computed EXACTLY:
+    * a libm-log first guess is corrected to the true ceiling by integer
+    * shift comparisons (`shiftleft(num, e) >= den`), so the per-doc
+    * totals are integers and hash bit-identically cross-engine (the
+    * BM25/KN fixed-op-tree discipline taken one step further — no
+    * float in the compared aggregate at all; the one double output is
+    * a single correctly-rounded division). Shape: counts are one
+    * partial+final agg over the train slice; scoring is a gram-keyed
+    * LEFT join (broadcast-able vocabulary side, never doc×doc); the
+    * per-doc reduce is map-side partial — the contamination/BM25 scale
+    * shape. Worst docs (highest bits/bigram) surface first: the prune
+    * candidates. */
+  def qLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", filter(split($"text", " "), t => t =!= "").as("toks"))
+      .filter(size($"toks") >= 2)
+    def bigrams(df: DataFrame) = df.select($"doc_id", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val c2 = bigrams(train).groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = bigrams(train).groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode($"toks").as("w"))
+      .agg(count_distinct($"w").as("V"))
+    val scored = bigrams(docs.filter($"doc_id" % 5 === 0))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        (coalesce($"c2", lit(0L)) + lit(1L)).as("num"),
+        (coalesce($"c1", lit(0L)) + $"V").as("den"))
+      // bits = ceil(log2(den/num)), EXACT: the libm estimate seeds a
+      // 4-wide window, integer shifts pick the true ceiling
+      .withColumn("eraw", greatest(
+        floor(log(col("den").cast("double") / col("num")) / log(lit(2.0)))
+          .cast("int") - lit(1), lit(0)))
+      .withColumn("bits", expr(
+        """CASE WHEN shiftleft(num, eraw) >= den THEN eraw
+          |     WHEN shiftleft(num, eraw + 1) >= den THEN eraw + 1
+          |     WHEN shiftleft(num, eraw + 2) >= den THEN eraw + 2
+          |     ELSE eraw + 3 END""".stripMargin))
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"bits".cast("long")).as("bits"))
+      .withColumn("avg_bits", $"bits".cast("double") / $"n_bigrams")
+      .orderBy($"avg_bits".desc, $"doc_id".asc)
+      .limit(100)
+  }
+
+  val qLmScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), t2 AS (
+      |  SELECT * FROM t WHERE len(toks) >= 2
+      |), bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t2)
+      |), c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 <> 0
+      |  GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 5 <> 0 GROUP BY w1
+      |), v AS (
+      |  SELECT COUNT(DISTINCT w) AS V FROM (
+      |    SELECT unnest(toks) AS w FROM t2 WHERE doc_id % 5 <> 0)
+      |), s AS (
+      |  SELECT bg.doc_id,
+      |    COALESCE(c2.c2, 0) + 1 AS num,
+      |    COALESCE(c1.c1, 0) + v.V AS den
+      |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  CROSS JOIN v
+      |  WHERE bg.doc_id % 5 = 0
+      |), e AS (
+      |  SELECT doc_id, num, den,
+      |    greatest(CAST(FLOOR(LN(CAST(den AS DOUBLE) / num) / LN(2.0)) AS INT) - 1, 0) AS eraw
+      |  FROM s
+      |), b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (num << eraw) >= den THEN eraw
+      |         WHEN (num << (eraw + 1)) >= den THEN eraw + 1
+      |         WHEN (num << (eraw + 2)) >= den THEN eraw + 2
+      |         ELSE eraw + 3 END AS bits
+      |  FROM e
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(bits) AS BIGINT) AS bits,
+      |  CAST(CAST(SUM(bits) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_bits
+      |FROM b GROUP BY doc_id
+      |ORDER BY avg_bits DESC, doc_id ASC
+      |LIMIT 100""".stripMargin
+
   /** Interpolated Kneser–Ney smoothed bigram probabilities (Kneser &
     * Ney 1995; Chen & Goodman 1998 — the standard n-gram LM smoothing):
     *
@@ -2246,6 +2350,7 @@ object LlmQueries {
     "q_dedup_delta"   -> (qDedupDelta _),
     "q_neardup_delta" -> (qNeardupDelta _),
     "q_kneser_ney"    -> (qKneserNey _),
+    "q_lm_score"      -> (qLmScore _),
     "q_tokens_topk"   -> (qTokensTopk _),
     "q_tfidf"         -> (qTfidf _),
     "q_lang_stats"    -> (qLangStats _),
@@ -2293,6 +2398,7 @@ object LlmQueries {
     "q_dedup_delta"   -> qDedupDeltaSql,
     "q_neardup_delta" -> qNeardupDeltaSql,
     "q_kneser_ney"    -> qKneserNeySql,
+    "q_lm_score"      -> qLmScoreSql,
     "q_tokens_topk"   -> qTokensTopkSql,
     "q_tfidf"         -> qTfidfSql,
     "q_lang_stats"    -> qLangStatsSql,
