@@ -95,7 +95,7 @@ object GraftViews {
     * outer name merely skips an optimization-tier inline/qualify and
     * resolves through Spark's own rules. */
   private def cteNames(plan: LogicalPlan): Set[String] =
-    plan.collect { case w: UnresolvedWith =>
+    plan.collectWithSubqueries { case w: UnresolvedWith =>
       w.cteRelations.map(_._1.toLowerCase) }.flatten.toSet
 
   /** A 1-part (or global_temp 2-part) name Spark's own resolution would
@@ -118,7 +118,10 @@ object GraftViews {
   private def qualify(spark: SparkSession, ctx: Seq[String],
                       body: LogicalPlan): LogicalPlan = {
     val ctes = cteNames(body)
-    body.transformUp {
+    // WithSubqueries: relations inside IN/EXISTS/scalar subquery
+    // EXPRESSIONS are part of the body too (round-13 review fix —
+    // plain transformUp never descends into expression-embedded plans)
+    body.transformUpWithSubqueries {
       case u: UnresolvedRelation if !u.isStreaming &&
           !(u.multipartIdentifier.length == 1 &&
             ctes(u.multipartIdentifier.head.toLowerCase)) &&
@@ -142,14 +145,13 @@ object GraftViews {
     * untouched (one cheap exists-scan). */
   def inline(spark: SparkSession, plan: LogicalPlan,
              depth: Int = 0): LogicalPlan = {
-    val hasUnresolved = plan.exists {
-      case _: UnresolvedRelation => true
-      case _ => false
-    }
+    val hasUnresolved = plan.collectWithSubqueries {
+      case u: UnresolvedRelation => u
+    }.nonEmpty
     if (!hasUnresolved) plan
     else {
     val ctes = cteNames(plan)
-    plan.transformUp {
+    plan.transformUpWithSubqueries {
       case u: UnresolvedRelation if !u.isStreaming &&
           !(u.multipartIdentifier.length == 1 &&
             ctes(u.multipartIdentifier.head.toLowerCase)) &&
@@ -193,7 +195,9 @@ object GraftViews {
     // DIFFERENT table — vanilla Spark rejects this at CREATE, so do we
     locally {
       val ctes = cteNames(body)
-      body.foreach {
+      // foreachWithSubqueries: a temp reference hiding inside an
+      // IN/EXISTS/scalar subquery is the same latent bomb (r13 review)
+      body.foreachWithSubqueries {
         case u: UnresolvedRelation
             if !(u.multipartIdentifier.length == 1 &&
               ctes(u.multipartIdentifier.head.toLowerCase)) &&

@@ -72,6 +72,13 @@ private[io] class SnapshotMicroBatchStream(dir: String, schema: StructType,
   // Trigger.AvailableNow: the drain stops at the start-time pin but
   // advances at most this many versions per batch, so a backlog clears
   // in ceil(backlog / max) bounded batches, each checkpointed.
+  // Semantics note: capped batches observe INTERMEDIATE versions an
+  // uncapped range would net away — e.g. a compact at v5 undone by a
+  // restore at v6 diffs to nothing over (4,6] but the capped drain
+  // plans (4,5] and (5,6] separately, so the compact's rewrites hit
+  // the append-only check (or, with ignoreChanges, re-emit). That is
+  // the version-granular contract every log-walking source (Delta)
+  // has; the uncapped endpoint-diff netting is the anomaly.
   private val maxVersionsPerTrigger: Option[Int] =
     Option(options.get("maxversionspertrigger")).map { s =>
       val n = s.toInt
@@ -173,7 +180,7 @@ private[io] class GraftScanBuilder(dir: String,
                                    knownRows: Option[Long] = None,
                                    colStats: Map[String, SnapshotTable.ColumnStats] =
                                      Map.empty,
-                                   colHist: Map[String, (Double, Seq[Double], Seq[Long])] =
+                                   colHist: Map[String, SnapshotTable.ColHist] =
                                      Map.empty)
   extends ParquetScanBuilder(GraftSqlShims.activeClassic(), fileIndex,
     schema, dataSchema, options) {
@@ -203,7 +210,7 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
                                    knownRows: Option[Long] = None,
                                    colStats: Map[String, SnapshotTable.ColumnStats] =
                                      Map.empty,
-                                   colHist: Map[String, (Double, Seq[Double], Seq[Long])] =
+                                   colHist: Map[String, SnapshotTable.ColHist] =
                                      Map.empty)
   extends ParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
     s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
@@ -249,17 +256,17 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
         // uses per-bin row mass instead of min/max interpolation —
         // exactly where skewed columns make min/max-only estimates lie
         val hist: Option[org.apache.spark.sql.connector.read.colstats
-            .Histogram] = colHist.get(c).map { case (h, bs, ns) =>
+            .Histogram] = colHist.get(c).map { ch =>
           new org.apache.spark.sql.connector.read.colstats.Histogram {
-            override def height(): Double = h
+            override def height(): Double = ch.height
             override def bins(): Array[org.apache.spark.sql.connector
                 .read.colstats.HistogramBin] =
-              (0 until ns.size).map { i =>
+              ch.ndvs.indices.map { i =>
                 new org.apache.spark.sql.connector.read.colstats
                     .HistogramBin {
-                  override def lo(): Double = bs(i)
-                  override def hi(): Double = bs(i + 1)
-                  override def ndv(): Long = ns(i)
+                  override def lo(): Double = ch.bounds(i)
+                  override def hi(): Double = ch.bounds(i + 1)
+                  override def ndv(): Long = ch.ndvs(i)
                 }
               }.toArray
           }
@@ -271,9 +278,9 @@ private[io] class GraftParquetScan(dir: String, tableSchema: StructType,
         // numeric/date/timestamp families, so the boxed double is safe
         // where a string rendering (dates!) would throw
         val mnmx: Option[(java.lang.Double, java.lang.Double)] =
-          colHist.get(c).map { case (_, bs, _) =>
-            (java.lang.Double.valueOf(bs.head),
-              java.lang.Double.valueOf(bs.last))
+          colHist.get(c).map { ch =>
+            (java.lang.Double.valueOf(ch.bounds.head),
+              java.lang.Double.valueOf(ch.bounds.last))
           }
         cs.put(Expressions.column(c), new ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
@@ -341,7 +348,7 @@ private[io] class GraftBucketedParquetScan(dir: String,
                                            fileBuckets: Map[String, Int],
                                            colStats: Map[String, SnapshotTable.ColumnStats] =
                                              Map.empty,
-                                           colHist: Map[String, (Double, Seq[Double], Seq[Long])] =
+                                           colHist: Map[String, SnapshotTable.ColHist] =
                                              Map.empty)
   extends GraftParquetScan(dir, tableSchema, tblOptions, s,
     colStats = colStats, colHist = colHist)

@@ -433,13 +433,14 @@ object SnapshotTable {
     val m = readManifest(dir, v)
     val header = ((m.header - "delta" - "ckdist").toSeq.sortBy(_._1))
       .map { case (k, value) => s"$k=$value" }.mkString("\t")
-    val body = (header +: m.files.map(_.serialize)).mkString("\n")
+    val lines = m.files.map(_.serialize)
+    val body = (header +: lines).mkString("\n")
     try {
       Files.write(checkpointPath(dir, v),
         body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
       ()
     } catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    writeCkIndexFor(dir, v, header, m.files, m.header)
+    writeCkIndexFor(dir, v, header, m.files, lines, m.header)
   }
 
   // ---------------------------------------------------------------------
@@ -617,15 +618,18 @@ object SnapshotTable {
   /** Build + persist the index for a just-written anchor whose entries
     * and header are still in memory — the eager path, near-free at
     * commit time. `headerLine` is the anchor's first line exactly as
-    * written (offset arithmetic needs its byte length). */
+    * written (offset arithmetic needs its byte length) and `lines` the
+    * already-serialized entry lines, in order — passed through so a
+    * 10^6-entry commit never serializes the list a second time just to
+    * measure lengths (r13 review fix). */
   private def writeCkIndexFor(dir: String, v: Int, headerLine: String,
-                              files: Seq[FileEntry],
+                              files: Seq[FileEntry], lines: Seq[String],
                               header: Map[String, String]): Unit =
     if (files.size > SEGMENT_SIZE) {
       val hm = Manifest(v, "", 0, Nil, header)
       var off = headerLine.getBytes(StandardCharsets.UTF_8).length.toLong + 1
-      val entries = files.map { f =>
-        val len = f.serialize.getBytes(StandardCharsets.UTF_8).length.toLong
+      val entries = files.zip(lines).map { case (f, line) =>
+        val len = line.getBytes(StandardCharsets.UTF_8).length.toLong
         val t = (off, len, f)
         off += len + 1
         t
@@ -656,12 +660,18 @@ object SnapshotTable {
     if (hit != null && hit._1 == attrs.lastModifiedTime &&
       hit._2 == attrs.size) return hit._3
     val ip = ckindexPath(dir, v)
-    val idx = (if (Files.exists(ip)) parseCkIndexFile(ip) else None)
+    val extant = Files.exists(ip)
+    val idx = (if (extant) parseCkIndexFile(ip) else None)
       .filter(_.anchorSize == attrs.size)
       .getOrElse {
         val built = buildCkIndexFromFile(anchor)
-        // persist for other processes; an extant (even stale) sidecar
-        // makes CREATE_NEW lose — the in-memory build still serves us
+        // HEAL a bad extant sidecar (truncated by a crash mid-write,
+        // or stale after a doctored anchor): the index is derived data
+        // recomputable from the immutable anchor, so delete-and-rewrite
+        // is safe — without it every future cold process would re-pay
+        // the full O(#files) parse forever (r13 review fix). A racing
+        // healer writes identical bytes; losing the CREATE_NEW is fine.
+        if (extant) Files.deleteIfExists(ip)
         writeCkIndexFile(ip, built)
         built
       }
@@ -1041,14 +1051,15 @@ object SnapshotTable {
       "nfiles" -> files.size.toString) ++ extras ++
       schema.map(s => "schema" -> s.json)) // JSON escapes tabs/newlines
       .map { case (k, value) => s"$k=$value" }.mkString("\t")
-    val body = (header +: files.map(_.serialize)).mkString("\n")
+    val lines = files.map(_.serialize)
+    val body = (header +: lines).mkString("\n")
     if (!commitStore.putIfAbsent(manifestPath(dir, v),
         body.getBytes(StandardCharsets.UTF_8)))
       throw new ConcurrentCommitException(v)
     // eager two-tier index: the entries are in memory, so the segment
     // sidecar costs one small extra write here instead of an O(#files)
     // re-parse on some later reader's first bounded query
-    writeCkIndexFor(dir, v, header, files, parseHeaderLine(header))
+    writeCkIndexFor(dir, v, header, files, lines, parseHeaderLine(header))
   }
 
   /** O(delta) commit — the 100 TB posture of the manifest log: the new
@@ -4190,21 +4201,25 @@ object SnapshotTable {
     * bytes per column. */
   private[io] val HIST_BINS = 16
 
+  /** One analyzed column's equi-height histogram as the manifest
+    * records it: bin height in rows, HIST_BINS+1 ascending boundaries
+    * (the double view — micros for timestamps, days for dates), and
+    * HIST_BINS per-bin approximate NDVs. */
+  case class ColHist(height: Double, bounds: Seq[Double], ndvs: Seq[Long])
+
   /** The recorded equi-height histograms (empty when never analyzed or
-    * no ordered columns): column → (bin height in rows, HIST_BINS+1
-    * boundaries, HIST_BINS per-bin approximate NDVs). Pure driver
-    * metadata. */
+    * no ordered columns). Pure driver metadata. */
   def columnHistOf(dir: String, versionAsOf: Option[Int] = None)
-      : Map[String, (Double, Seq[Double], Seq[Long])] = {
+      : Map[String, ColHist] = {
     val v = versionAsOf.getOrElse(latestVersion(dir))
     if (v < 1) return Map.empty
     headerManifest(dir, v).header.get("colhist").map(_.split(";").iterator
       .filter(_.nonEmpty).map { e =>
         val Array(c, rest) = e.split(":", 2)
         val Array(h, bs, ns) = rest.split("\\|", 3)
-        FileEntry.dec(c) -> ((h.toDouble,
+        FileEntry.dec(c) -> ColHist(h.toDouble,
           bs.split(",").toSeq.map(_.toDouble),
-          ns.split(",").toSeq.map(_.toLong)))
+          ns.split(",").toSeq.map(_.toLong))
       }.toMap).getOrElse(Map.empty)
   }
 

@@ -780,7 +780,10 @@ object LlmQueries {
       .crossJoin(broadcast(vocab))
       .select($"doc_id",
         (coalesce($"c2", lit(0L)) + lit(1L)).as("num"),
-        (coalesce($"c1", lit(0L)) + $"V").as("den"))
+        // greatest(…,1): an empty train slice gives V=0 and c1 null →
+        // den=0, where Spark's log(0)=NULL and DuckDB's LN(0)=-inf
+        // DIVERGE (r13 review); den>=1 pins bits=0 on both engines
+        greatest(coalesce($"c1", lit(0L)) + $"V", lit(1L)).as("den"))
       // bits = ceil(log2(den/num)), EXACT: the libm estimate seeds a
       // 4-wide window, integer shifts pick the true ceiling
       .withColumn("eraw", greatest(
@@ -820,7 +823,7 @@ object LlmQueries {
       |), s AS (
       |  SELECT bg.doc_id,
       |    COALESCE(c2.c2, 0) + 1 AS num,
-      |    COALESCE(c1.c1, 0) + v.V AS den
+      |    greatest(COALESCE(c1.c1, 0) + v.V, 1) AS den
       |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
       |  CROSS JOIN v
       |  WHERE bg.doc_id % 5 = 0

@@ -160,14 +160,14 @@ class AnalyzeStatsSpec extends SparkSpec {
     val hist = SnapshotTable.columnHistOf(dir)
     assert(hist.contains("id") && hist.contains("v"))
     assert(!hist.contains("s"), "string columns get no histogram")
-    val (h, bs, ns) = hist("v")
-    assert(bs.size === SnapshotTable.HIST_BINS + 1)
-    assert(ns.size === SnapshotTable.HIST_BINS)
-    assert(bs === bs.sorted, "boundaries must ascend")
-    assert(bs.head === 0.0 && bs.last === 99900.0) // true min/max
-    assert(math.abs(h - 1000.0 / SnapshotTable.HIST_BINS) < 1.0)
+    val ch = hist("v")
+    assert(ch.bounds.size === SnapshotTable.HIST_BINS + 1)
+    assert(ch.ndvs.size === SnapshotTable.HIST_BINS)
+    assert(ch.bounds === ch.bounds.sorted, "boundaries must ascend")
+    assert(ch.bounds.head === 0.0 && ch.bounds.last === 99900.0)
+    assert(math.abs(ch.height - 1000.0 / SnapshotTable.HIST_BINS) < 1.0)
     // the skew is captured: at most 2 of 16 bins live above 10000
-    assert(bs.count(_ > 10000.0) <= 2, s"boundaries $bs")
+    assert(ch.bounds.count(_ > 10000.0) <= 2, s"boundaries ${ch.bounds}")
     // histograms survive later appends (carried header)
     import spark.implicits._
     SnapshotTable.append(spark, dir,

@@ -160,6 +160,27 @@ class FormatGuardsSpec extends SparkSpec {
       s"WITH $tv AS (SELECT 7 AS a) SELECT a FROM $tv")
     assert(SnapshotSql.sql(spark,
       s"SELECT a FROM graft.fg.$ok").head().getInt(0) === 7)
+    // a temp reference hiding inside a SUBQUERY EXPRESSION is the same
+    // latent bomb — the guard must walk IN/EXISTS/scalar subqueries
+    // (r13 review fix: plain foreach never descends into them)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"CREATE VIEW graft.fg.${fresh("bad2_")} AS " +
+          s"SELECT 1 AS a WHERE 1 IN (SELECT id FROM $tv)")
+    }
+    assert(e2.getMessage.contains("temporary view"))
     spark.catalog.dropTempView(tv)
+  }
+
+  test("view inlining reaches subquery expressions: a graft view " +
+    "referenced inside IN (...) resolves on the SnapshotSql route") {
+    wh
+    val inner = fresh("vin_")
+    SnapshotSql.sql(spark,
+      s"CREATE VIEW graft.fg.$inner AS SELECT 2 AS k")
+    val n = SnapshotSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM (SELECT 2 AS x) " +
+        s"WHERE x IN (SELECT k FROM graft.fg.$inner)").head().getLong(0)
+    assert(n === 1L)
   }
 }

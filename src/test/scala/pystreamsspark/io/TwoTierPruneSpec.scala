@@ -93,12 +93,28 @@ class TwoTierPruneSpec extends SparkSpec {
     val got = SnapshotTable.readWhere(spark, dir,
       Map("id" -> ("500", "599"))).count()
     assert(got === 100)
+    // and the bad sidecar HEALS: the rebuild replaced it in place, so
+    // later processes get two-tier pruning back (r13 review fix —
+    // a crash-truncated sidecar must not tax every future cold read)
+    val healed = new String(Files.readAllBytes(ip),
+      StandardCharsets.UTF_8)
+    assert(healed.startsWith("graft-ckindex-1"),
+      "a corrupt sidecar must be rewritten, not left to lose forever")
     // wrong-asize (stale) variant: a syntactically valid index for a
-    // different anchor must be rejected by the size check
+    // different anchor must be rejected by the size check — and healed.
+    // Touch the anchor's mtime so the in-process index cache (keyed by
+    // anchor attrs) re-consults the sidecar; with a warm cache the heal
+    // is lazy by design (the sidecar is only read when needed).
     Files.write(ip, ("graft-ckindex-1\tasize=1\tnsegs=1\n" +
       "0\t1\t1\t-").getBytes(StandardCharsets.UTF_8))
+    val anchor = Paths.get(dir, "_manifests", "v00000001.manifest")
+    Files.setLastModifiedTime(anchor,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
     assert(SnapshotTable.readWhere(spark, dir,
       Map("id" -> ("500", "599"))).count() === 100)
+    assert(!new String(Files.readAllBytes(ip), StandardCharsets.UTF_8)
+      .contains("asize=1\t"), "the stale sidecar must be replaced")
   }
 
   test("lazy build: a table without a sidecar gains one on first " +
