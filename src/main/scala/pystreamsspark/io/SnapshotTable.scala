@@ -760,19 +760,23 @@ object SnapshotTable {
         case None => true
       }
     }
-    def fullParse(): Seq[FileEntry] = {
-      val (am, _, _) = parseManifest(Files.readAllLines(anchor,
-        StandardCharsets.UTF_8).asScala.toSeq, cur)
-      parsed += am.files.size
-      am.files
+    // unprunable or small anchors resolve through readManifest — the
+    // JVM-wide LRU — so REPEATED metadata reads (bloom point lookups,
+    // unclustered tables, sub-segment tables) cost one parse per
+    // anchor, not one per call (r13 probe fix; the segment tier only
+    // pays off when it can actually skip bytes)
+    def cachedFull(): Seq[FileEntry] = {
+      val fs = readManifest(dir, cur).files
+      parsed += fs.size
+      fs
     }
     val anchorEntries: Seq[FileEntry] =
-      if (requests.isEmpty) fullParse() // nothing to prune on
+      if (requests.isEmpty) cachedFull() // nothing to prune on
       else {
         val r = Files.newBufferedReader(anchor, StandardCharsets.UTF_8)
         val firstLine = try r.readLine() finally r.close()
         val nf = parseHeaderLine(firstLine).get("nfiles").map(_.toInt)
-        if (nf.forall(_ <= SEGMENT_SIZE)) fullParse().filter(entryOk)
+        if (nf.forall(_ <= SEGMENT_SIZE)) cachedFull().filter(entryOk)
         else {
           val idx = loadCkIndex(dir, cur, anchor)
           val hit = idx.segs.filter { s =>
