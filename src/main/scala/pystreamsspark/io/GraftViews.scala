@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -88,15 +88,44 @@ object GraftViews {
     (ctx, lines.tail.mkString("\n"))
   }
 
-  /** Names defined by CTEs ANYWHERE in a raw-parsed plan — relations
-    * matching them must never be qualified or view-inlined (the CTE
-    * scope owns them; CTESubstitution has not run yet at this tier).
-    * Conservative: collected plan-wide, not scope-precise — a shadowed
-    * outer name merely skips an optimization-tier inline/qualify and
-    * resolves through Spark's own rules. */
-  private def cteNames(plan: LogicalPlan): Set[String] =
-    plan.collectWithSubqueries { case w: UnresolvedWith =>
-      w.cteRelations.map(_._1.toLowerCase) }.flatten.toSet
+  /** Scope-aware relation transform: applies `f` to every
+    * [[UnresolvedRelation]] in `plan` (descending into subquery
+    * EXPRESSIONS too) together with the set of CTE names VISIBLE at
+    * that point — per scope, the way CTESubstitution will later
+    * resolve them: a WITH's names are visible in later-defined sibling
+    * CTE bodies, in its child, and in subquery expressions nested
+    * under those, but NOT outside the WITH (and a body sees its own
+    * name only under WITH RECURSIVE). The old plan-wide
+    * `collectWithSubqueries` union let a CTE defined only inside a
+    * subquery expression mask same-named OUTER references — for the
+    * create-time temp-view guard a false negative (the latent-bomb
+    * persistent view was accepted), for qualify/inline a
+    * silently-skipped qualification (r13 advice fix). */
+  private def transformScoped(plan: LogicalPlan, visible: Set[String])(
+      f: (UnresolvedRelation, Set[String]) => LogicalPlan): LogicalPlan =
+    plan match {
+      case w: UnresolvedWith =>
+        var vis = visible
+        val rels = w.cteRelations.map { rel =>
+          val bodyVis =
+            if (w.allowRecursion) vis + rel._1.toLowerCase else vis
+          val r = transformScoped(rel._2, bodyVis)(f)
+            .asInstanceOf[SubqueryAlias]
+          vis = vis + rel._1.toLowerCase
+          rel.copy(_2 = r)
+        }
+        w.copy(child = transformScoped(w.child, vis)(f),
+          cteRelations = rels)
+      case u: UnresolvedRelation => f(u, visible)
+      case other =>
+        // children first, then THIS node's subquery expressions (which
+        // inherit the current scope's visible names)
+        val mapped = other.mapChildren(transformScoped(_, visible)(f))
+        mapped.transformExpressions {
+          case se: SubqueryExpression =>
+            se.withNewPlan(transformScoped(se.plan, visible)(f))
+        }
+    }
 
   /** A 1-part (or global_temp 2-part) name Spark's own resolution would
     * serve BEFORE a catalog table — temp-view precedence the view tier
@@ -116,16 +145,13 @@ object GraftViews {
     * session. Fully-qualified names, CTE references and temp-view
     * names pass through. */
   private def qualify(spark: SparkSession, ctx: Seq[String],
-                      body: LogicalPlan): LogicalPlan = {
-    val ctes = cteNames(body)
-    // WithSubqueries: relations inside IN/EXISTS/scalar subquery
-    // EXPRESSIONS are part of the body too (round-13 review fix —
-    // plain transformUp never descends into expression-embedded plans)
-    body.transformUpWithSubqueries {
-      case u: UnresolvedRelation if !u.isStreaming &&
-          !(u.multipartIdentifier.length == 1 &&
-            ctes(u.multipartIdentifier.head.toLowerCase)) &&
-          !isTempName(spark, u.multipartIdentifier) =>
+                      body: LogicalPlan): LogicalPlan =
+    transformScoped(body, Set.empty) { (u, ctes) =>
+      if (u.isStreaming ||
+          (u.multipartIdentifier.length == 1 &&
+            ctes(u.multipartIdentifier.head.toLowerCase)) ||
+          isTempName(spark, u.multipartIdentifier)) u
+      else {
         val parts = u.multipartIdentifier
         val isCat =
           try { spark.sessionState.catalogManager.catalog(parts.head); true }
@@ -135,8 +161,8 @@ object GraftViews {
         else if (!isCat)
           u.copy(multipartIdentifier = ctx.head +: parts)
         else u
+      }
     }
-  }
 
   /** Replace every graft-view reference in `plan` with its parsed,
     * context-qualified, recursively-inlined body — the one
@@ -149,26 +175,23 @@ object GraftViews {
       case u: UnresolvedRelation => u
     }.nonEmpty
     if (!hasUnresolved) plan
-    else {
-    val ctes = cteNames(plan)
-    plan.transformUpWithSubqueries {
-      case u: UnresolvedRelation if !u.isStreaming &&
-          !(u.multipartIdentifier.length == 1 &&
-            ctes(u.multipartIdentifier.head.toLowerCase)) &&
-          !isTempName(spark, u.multipartIdentifier) =>
-        resolveViewPath(spark, u.multipartIdentifier,
+    else transformScoped(plan, Set.empty) { (u, ctes) =>
+      if (u.isStreaming ||
+          (u.multipartIdentifier.length == 1 &&
+            ctes(u.multipartIdentifier.head.toLowerCase)) ||
+          isTempName(spark, u.multipartIdentifier)) u
+      else resolveViewPath(spark, u.multipartIdentifier,
           mustExist = true) match {
-          case Some(p) =>
-            require(depth < MAX_DEPTH,
-              s"view nesting exceeds $MAX_DEPTH (cycle?) at " +
-                u.multipartIdentifier.mkString("."))
-            val (ctx, sqlText) = readView(p)
-            val body = PlanBridge.vanillaParsePlan(sqlText)
-            SubqueryAlias(u.multipartIdentifier.last,
-              inline(spark, qualify(spark, ctx, body), depth + 1))
-          case None => u
-        }
-    }
+        case Some(p) =>
+          require(depth < MAX_DEPTH,
+            s"view nesting exceeds $MAX_DEPTH (cycle?) at " +
+              u.multipartIdentifier.mkString("."))
+          val (ctx, sqlText) = readView(p)
+          val body = PlanBridge.vanillaParsePlan(sqlText)
+          SubqueryAlias(u.multipartIdentifier.last,
+            inline(spark, qualify(spark, ctx, body), depth + 1))
+        case None => u
+      }
     }
   }
 
@@ -193,21 +216,19 @@ object GraftViews {
     // create-time analysis succeeds against the temp, but in any later
     // session the same name either fails or context-qualifies to a
     // DIFFERENT table — vanilla Spark rejects this at CREATE, so do we
-    locally {
-      val ctes = cteNames(body)
-      // foreachWithSubqueries: a temp reference hiding inside an
-      // IN/EXISTS/scalar subquery is the same latent bomb (r13 review)
-      body.foreachWithSubqueries {
-        case u: UnresolvedRelation
-            if !(u.multipartIdentifier.length == 1 &&
-              ctes(u.multipartIdentifier.head.toLowerCase)) &&
-              isTempName(spark, u.multipartIdentifier) =>
-          throw new IllegalArgumentException(
-            s"cannot create persistent view ${parts.mkString(".")}: " +
-              s"body references temporary view " +
-              s"${u.multipartIdentifier.mkString(".")}")
-        case _ => ()
-      }
+    // scope-aware walk (r13 advice): a temp reference hiding inside an
+    // IN/EXISTS/scalar subquery is the same latent bomb, and a CTE
+    // defined ONLY inside some subquery must not mask a same-named
+    // OUTER temp-view reference
+    transformScoped(body, Set.empty) { (u, ctes) =>
+      if (!(u.multipartIdentifier.length == 1 &&
+            ctes(u.multipartIdentifier.head.toLowerCase)) &&
+          isTempName(spark, u.multipartIdentifier))
+        throw new IllegalArgumentException(
+          s"cannot create persistent view ${parts.mkString(".")}: " +
+            s"body references temporary view " +
+            s"${u.multipartIdentifier.mkString(".")}")
+      u
     }
     PlanBridge.ofRows(spark,
       inline(spark, qualify(spark, ctxCat +: ctxNs, body)))

@@ -11,6 +11,9 @@ import pystreamsspark.llm.Dedup
 object Micro {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional probe filter: `runMain ... Micro <sfDir> index_build`
+    // runs only the named probe (old no-arg behavior: run everything)
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -24,6 +27,44 @@ object Micro {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       println(f"MICRO $name best=${runs.min}%.3f s (n=${f})")
+    }
+
+    // r13-verdict #6 probe: cold `.ckindex` build (segmentize fold) on a
+    // synthetic 20k-entry anchor — pure driver CPU, no Spark jobs. Each
+    // iteration deletes the sidecar and bumps the anchor mtime so
+    // loadCkIndex re-builds from scratch.
+    if (only.contains("index_build")) {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{StructType, LongType, DoubleType}
+      val dir = Files.createTempDirectory("graft_idxprobe").toString
+      val mdir = Paths.get(dir, "_manifests"); Files.createDirectories(mdir)
+      val n = 20000
+      val schema = new StructType().add("k", LongType).add("p", DoubleType)
+      val header = Seq("op=create", "parent=0", "ts=0", s"nfiles=$n",
+        "statscols=k,p", "statsfmt=micros-v2",
+        "schema=" + schema.json).mkString("\t")
+      val lines = (0 until n).map(i =>
+        s"data/b/part-$i.parquet\tk=${i * 10L},${i * 10L + 9}" +
+          s";p=${i * 1.5},${i * 1.5 + 0.7}")
+      val mp = mdir.resolve("v00000001.manifest")
+      Files.write(mp, (header +: lines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var tick = 0L
+      time(s"index_build_${n}_entries_x20") {
+        var acc = 0L
+        (0 until 20).foreach { _ =>
+          Files.deleteIfExists(mdir.resolve("v00000001.ckindex"))
+          tick += 2000
+          Files.setLastModifiedTime(mp,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + tick))
+          acc += pystreamsspark.io.SnapshotTable.readCandidates(
+            dir, "k", "5", "5").size
+        }
+        acc
+      }
+      spark.stop()
+      return
     }
 
     val docs = Tables.documents(spark, sfDir)

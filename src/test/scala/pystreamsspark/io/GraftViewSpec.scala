@@ -204,6 +204,35 @@ class GraftViewSpec extends SparkSpec {
     } finally spark.sql("USE spark_catalog")
   }
 
+  test("r13 advice: a CTE defined only inside a subquery must not " +
+    "mask a same-named OUTER temp-view reference at CREATE time") {
+    val t = mkTable()
+    spark.range(5).toDF("id").createOrReplaceTempView("tmp_mask")
+    try {
+      val v = fresh("v_")
+      // outer FROM references the TEMP view; an IN-subquery defines a
+      // CTE named tmp_mask — the old plan-wide CTE-name union masked
+      // the outer reference and ACCEPTED this latent-bomb view
+      val bomb =
+        s"SELECT id FROM tmp_mask WHERE id IN " +
+          s"(WITH tmp_mask AS (SELECT id FROM graft.vw.$t) " +
+          s"SELECT id FROM tmp_mask)"
+      val e = intercept[Exception] {
+        SnapshotSql.sql(spark, s"CREATE VIEW graft.vw.$v AS $bomb")
+      }
+      assert(e.getMessage.contains("temporary view"),
+        s"expected the temp-view guard, got: ${e.getMessage}")
+      // a CTE at the OUTER scope legitimately shadows the temp name:
+      // still accepted, and the body reads the CTE
+      SnapshotSql.sql(spark, s"CREATE VIEW graft.vw.$v AS " +
+        s"WITH tmp_mask AS (SELECT id FROM graft.vw.$t) " +
+        s"SELECT id FROM tmp_mask WHERE id < 10")
+      assert(SnapshotSql.sql(spark,
+        s"SELECT COUNT(*) AS n FROM graft.vw.$v").head().getLong(0) === 10)
+      SnapshotSql.sql(spark, s"DROP VIEW graft.vw.$v")
+    } finally spark.catalog.dropTempView("tmp_mask")
+  }
+
   test("SHOW VIEWS lists stored views (+ temp views); non-graft " +
     "contexts delegate to vanilla") {
     val t = mkTable()

@@ -117,6 +117,71 @@ class TwoTierPruneSpec extends SparkSpec {
       .contains("asize=1\t"), "the stale sidecar must be replaced")
   }
 
+  test("a sidecar truncated at a line boundary is rejected and " +
+    "rebuilt — bounded reads never silently omit the lost segments") {
+    val dir = freshDir()
+    mkTable(dir, 20000, 200)
+    val ip = ckindex(dir, 1)
+    val lines = Files.readAllLines(ip, StandardCharsets.UTF_8)
+    assert(lines.size > 3, "fixture needs several segments")
+    // crash-mid-write shape: header (original nsegs, matching asize)
+    // plus only the FIRST segment line — every line parses, asize still
+    // matches the anchor, so only the nsegs/tiling validation can
+    // reject it (r13 advice: without it, a read above the surviving
+    // segment returned ZERO rows)
+    Files.write(ip, (lines.get(0) + "\n" + lines.get(1))
+      .getBytes(StandardCharsets.UTF_8))
+    val anchor = Paths.get(dir, "_manifests", "v00000001.manifest")
+    Files.setLastModifiedTime(anchor,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    // probe a range far ABOVE the surviving segment's coverage
+    assert(SnapshotTable.readWhere(spark, dir,
+      Map("id" -> ("19000", "19099"))).count() === 100)
+    val healed = Files.readAllLines(ip, StandardCharsets.UTF_8)
+    assert(healed.size === lines.size,
+      "the truncated sidecar must be rebuilt in full")
+  }
+
+  test("a structurally valid sidecar with shifted byte offsets heals " +
+    "and falls back to the full parse instead of failing the read") {
+    val dir = freshDir()
+    mkTable(dir, 20000, 200)
+    val ip = ckindex(dir, 1)
+    val lines = scala.jdk.CollectionConverters
+      .ListHasAsScala(Files.readAllLines(ip, StandardCharsets.UTF_8))
+      .asScala.toList
+    // move 40 bytes from segment 0 into segment 1: contiguity and the
+    // end-at-asize law still hold, so the structural validation passes —
+    // but segment 1's range now starts mid-line (the '\n' census
+    // changes, caught by the per-segment count check at read time)
+    def fields(l: String) = l.split("\t", 4)
+    val s0 = fields(lines(1)); val s1 = fields(lines(2))
+    val moved0 = Seq(s0(0), (s0(1).toLong - 40).toString, s0(2), s0(3))
+      .mkString("\t")
+    val moved1 = Seq((s1(0).toLong - 40).toString,
+      (s1(1).toLong + 40).toString, s1(2), s1(3)).mkString("\t")
+    Files.write(ip,
+      (lines.head +: moved0 +: moved1 +: lines.drop(3))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val anchor = Paths.get(dir, "_manifests", "v00000001.manifest")
+    Files.setLastModifiedTime(anchor,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    // the probe range lands in the SHIFTED segment (files 64..127 hold
+    // ids 6400..12799): its byte range starts mid-line, the read must
+    // fall back to the conservative full parse, not throw or miss rows
+    assert(SnapshotTable.readWhere(spark, dir,
+      Map("id" -> ("6500", "6599"))).count() === 100)
+    assert(!Files.exists(ip) ||
+      Files.readAllLines(ip, StandardCharsets.UTF_8).size === lines.size,
+      "the corrupt sidecar must be healed (deleted or rebuilt)")
+    // a later bounded read re-gains two-tier pruning
+    assert(SnapshotTable.readWhere(spark, dir,
+      Map("id" -> ("6500", "6599"))).count() === 100)
+    assert(SnapshotTable.lastPruneParsed.get <= 2 * SnapshotTable.SEGMENT_SIZE)
+  }
+
   test("lazy build: a table without a sidecar gains one on first " +
     "bounded read") {
     val dir = freshDir()
