@@ -1755,6 +1755,21 @@ object SnapshotTable {
   private def writeShaped(df: DataFrame, dir: String, numFiles: Int,
                           statsCols: Seq[String]): Seq[FileEntry] = {
     lazy val transforms = transformSpecsOf(dir)
+    // Range-shaping SAMPLES its input to compute partition boundaries,
+    // then the write re-executes it from scratch — so a merge/delete
+    // batch plan (touched-file read + anti-join + union) ran TWICE per
+    // commit (three times on transform tables, which also count
+    // distinct transform values). Persist the batch for the duration
+    // of the shaped write so the count, the boundary sample and the
+    // write all read ONE materialization (r14, guide §5 — reuse over
+    // recompute; MEMORY_AND_DISK spills rather than OOMs, and the
+    // cache lives only inside this one commit).
+    def cachedShapedWrite(f: DataFrame => Seq[FileEntry]): Seq[FileEntry] = {
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try f(cached)
+      finally { cached.unpersist(blocking = false); () }
+    }
     if (numFiles <= 0) writeBatch(df, dir, None, statsCols)
     else if (transforms.exists(!_.isIdentity) &&
       transforms.forall(t => df.columns.contains(t.src))) {
@@ -1767,20 +1782,24 @@ object SnapshotTable {
       // column beside days(ts) must size files by DAYS, not by its own
       // near-unique values (r12 review — the cap exists to prevent
       // exactly that tiny-file explosion)
-      val exprs = transforms.map(t => t.column(df.schema(t.src).dataType))
-      val groupExprs = transforms.filterNot(_.isIdentity)
-        .map(t => t.column(df.schema(t.src).dataType))
-      val nvals = math.min(TRANSFORM_MAX_FILES.toLong,
-        df.select(groupExprs.zipWithIndex.map { case (e, i) =>
-          e.as(s"_t$i") }: _*).distinct().count()).toInt
-      val n = math.min(TRANSFORM_MAX_FILES, math.max(numFiles, nvals))
-      val order = exprs ++ statsCols.filter(df.columns.contains).map(col)
-      writeBatch(df.repartitionByRange(math.max(1, n), order: _*)
-        .sortWithinPartitions(order: _*), dir, None, statsCols)
+      cachedShapedWrite { cached =>
+        val exprs = transforms.map(t => t.column(cached.schema(t.src).dataType))
+        val groupExprs = transforms.filterNot(_.isIdentity)
+          .map(t => t.column(cached.schema(t.src).dataType))
+        val nvals = math.min(TRANSFORM_MAX_FILES.toLong,
+          cached.select(groupExprs.zipWithIndex.map { case (e, i) =>
+            e.as(s"_t$i") }: _*).distinct().count()).toInt
+        val n = math.min(TRANSFORM_MAX_FILES, math.max(numFiles, nvals))
+        val order = exprs ++ statsCols.filter(cached.columns.contains).map(col)
+        writeBatch(cached.repartitionByRange(math.max(1, n), order: _*)
+          .sortWithinPartitions(order: _*), dir, None, statsCols)
+      }
     }
     else if (statsCols.nonEmpty && statsCols.forall(df.columns.contains))
-      writeBatch(df.repartitionByRange(numFiles, statsCols.map(col): _*)
-        .sortWithinPartitions(statsCols.map(col): _*), dir, None, statsCols)
+      cachedShapedWrite { cached =>
+        writeBatch(cached.repartitionByRange(numFiles, statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*), dir, None, statsCols)
+      }
     else writeBatch(df, dir, Some(numFiles), statsCols)
   }
 
