@@ -134,9 +134,31 @@ object Similarity {
     * Returns (cid, cvec: Array[Double]) with cid in 1..k. */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = emb.select(col(idCol).as("__id"),
+    // the Lloyd loop consumes `e` eagerly (localCheckpoint per round), so
+    // persist for the duration of the fit: one materialization instead of
+    // iters+1 full re-executions of the source plan (at 100 TB: iters
+    // extra corpus reads). Intra-operation only — unpersisted before
+    // return, nothing survives the call.
+    val e = kmeansInput(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansFitOn(e, k, iters)
+    finally { e.unpersist(blocking = false); () }
+  }
+
+  /** The (`__id`, `__v` double[]) projection every cosine Lloyd stage
+    * consumes. */
+  private def kmeansInput(emb: DataFrame, idCol: String,
+                          vecCol: String): DataFrame =
+    emb.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+
+  /** Lloyd loop body over an already-derived (and ideally persisted)
+    * `e` — shared by [[kmeansFit]] and [[kmeansAssign]] so the final
+    * assignment pass can reuse the same materialized input. Fully eager
+    * (localCheckpoint per round): `e` is completely consumed when this
+    * returns. */
+  private def kmeansFitOn(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val md5c = md5(col("__id").cast("string").cast("binary"))
     var centroids = e.orderBy(md5c, col("__id")).limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(md5c, col("__id"))))
@@ -197,9 +219,15 @@ object Similarity {
     * as [[kmeansCells]]; only the terminal agg differs. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
-    val e = emb.select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val fitted = kmeansFit(emb, idCol, vecCol, k, iters)
+    // one derived input shared by the fit (eager — reads the persisted
+    // copy every round) and the final assignment (lazy — recomputes the
+    // projection once at consumption, after the unpersist). Source scans
+    // per call: 2, independent of iters (was iters+2).
+    val e = kmeansInput(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fitted =
+      try kmeansFitOn(e, k, iters)
+      finally { e.unpersist(blocking = false); () }
     assignMin(e, fitted).select(col("__id").as("id"), col("cell"))
   }
 
@@ -445,6 +473,11 @@ object Similarity {
     * subvector NORMS carry signal, so the cosine metric of the coarse
     * quantizer would be wrong here. argmin(|v-c|²) drops the constant
     * |v|² term: the scored struct is (|c|² - 2·v·c, cid), ties by cid. */
+  // NOTE (r14 measured): an intra-fit persist here (like kmeansFit's) was
+  // tried and REVERTED — pqBuild runs m of these fits over slim slice
+  // projections of the already-on-disk cells table, and stacking m
+  // persists measured 1.34× slower on q_ivf_pq (cache churn beats the
+  // cheap columnar re-scan of a 1/m-width projection).
   private def kmeansFitL2(e: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     pystreamsspark.functions.VectorExpressions.register(e.sparkSession)
@@ -495,6 +528,11 @@ object Similarity {
               idCol: String, vecCol: String, m: Int, nbits: Int,
               iters: Int): Unit = {
     pystreamsspark.functions.VectorExpressions.register(spark)
+    // NOTE (r14 measured): persisting the cells table for the whole build
+    // was tried and REVERTED — the per-slot fits read 1/m-width slice
+    // projections a columnar scan serves nearly for free, and the cached
+    // full-width copy measured 1.34× slower on q_ivf_pq (cache churn,
+    // lost column pruning: every slot read the full vector from cache).
     val cells = pystreamsspark.io.SnapshotTable.read(spark, s"$dir/cells")
     val dim = cells.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"PQ needs m to divide the dimension: $dim % $m")
@@ -667,7 +705,18 @@ object Similarity {
     * the surviving rows of `emb`. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
-    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+    // truncate the NARROW (id, cell) assignment once so the fit-priced
+    // assignMin subtree runs exactly once — every later reference
+    // re-joins it to `emb` instead of re-running the assignment.
+    // NOTE (r14 measured): persisting the WIDE (emb ⋈ assign) frame here
+    // LOSES — the interleaved A/B showed 2.1× slower with a 100 s worst
+    // case (storage pressure: a corpus-wide vector frame cached under
+    // the CC rounds' own persist chain thrashes the memory store). At
+    // 100 TB the same logic holds: MEMORY_AND_DISK of the full corpus
+    // join is a write+read of every byte vs a cheap columnar re-scan;
+    // the 2-column assignment is the right thing to pin.
+    val assign = pystreamsspark.operators.Lineage.truncate(
+        kmeansAssign(emb, idCol, vecCol, k, iters))
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("cell", "__cell")
     val withCell = emb.join(assign, idCol)

@@ -640,8 +640,13 @@ object PipelineQueries {
     import spark.implicits._
     pystreamsspark.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
-    val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding",
-      k = 8, iters = 1)
+    // the assignment feeds BOTH the member side and the probe side of the
+    // IVF join below — truncate it once (an (id, cell) frame, 2 narrow
+    // columns) so the fit-priced assignment subtree is not re-executed
+    // per reference; per-invocation materialization, nothing cached
+    // across runs
+    val assign = pystreamsspark.operators.Lineage.truncate(
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 1))
     val probes = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("pid"), $"embedding".as("probe"))
     val gt = Similarity.knnBatch(emb, "vec_id", "embedding", probes, 10)
