@@ -340,23 +340,34 @@ object Dedup {
     val sorted = dfSortedTokenSets(docs, idCol, textCol, blockCols)
     val prefixLen = (size(col("toks"))
       - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    // SLIM candidate rows (guide §2.3 "shuffle keys and metadata instead
+    // of payloads" — r14): the prefix join decides WHICH pairs to verify
+    // from (ptok, id, |toks|) alone, so the token arrays stay out of the
+    // candidate exchange entirely (the old shape shipped each array once
+    // per prefix token and re-ran the verify per shared token — measured
+    // 126 s of task time on 0.7 MB of input at sf0.1, ~15× redundant).
     val pre = sorted.select(
-      (col("id") +: col("toks") +: blockCols.map(col)
+      (col("id") +: size(col("toks")).as("sz") +: blockCols.map(col)
         :+ explode(slice(col("toks"), lit(1), prefixLen)).as("ptok")): _*)
     val a = pre.select(
-      (col("ptok") +: col("id").as("id_a") +: col("toks").as("toks_a")
+      (col("ptok") +: col("id").as("id_a") +: col("sz").as("sz_a")
         +: blockCols.map(col)): _*)
     val b = pre.select(
-      (col("ptok") +: col("id").as("id_b") +: col("toks").as("toks_b")
+      (col("ptok") +: col("id").as("id_b") +: col("sz").as("sz_b")
         +: blockCols.map(col)): _*)
     val cand = a.join(b, blockCols :+ "ptok")
       // length filter: J >= t forces t*|x| <= |y| <= |x|/t
-      .filter(size(col("toks_b")) * lit(threshold) <= size(col("toks_a")) &&
-              size(col("toks_a")) * lit(threshold) <= size(col("toks_b")))
-    // one verify per shared prefix token, dedup after — same MEASURED
-    // tradeoff as minHashLsh (carrying the arrays through a pre-verify
-    // distinct costs more than the redundant codegen'd intersections)
-    pairStats(cand, threshold).distinct()
+      .filter(col("id_a") < col("id_b") &&
+              col("sz_b") * lit(threshold) <= col("sz_a") &&
+              col("sz_a") * lit(threshold) <= col("sz_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // attach the arrays once per SURVIVING pair (sorted is persisted by
+    // dfSortedTokenSets, so both attach joins read the cache) and verify
+    // exactly once per pair — the AllPairs paper's verify discipline
+    val withToks = cand
+      .join(sorted.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+    pairStats(withToks, threshold)
   }
 
   /** Each doc's distinct hashed token set re-sorted by the GLOBAL
@@ -454,25 +465,35 @@ object Dedup {
     * has no upper length bound — a 5-token quote inside a 5000-token
     * page is exactly the target.
     *
-    * Verified candidates deduplicate per shared prefix token with one
-    * `distinct` over the (deterministic) stats row — same measured
-    * tradeoff as [[jaccardPairsPrefix]]. */
+    * Candidates deduplicate on the slim (id_a, id_b) pair BEFORE the
+    * verify (r14; see [[jaccardPairsPrefix]]): the arrays never enter
+    * the candidate exchange and each pair is verified exactly once. */
   def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                              blockCols: Seq[String], threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sorted = dfSortedTokenSets(docs, idCol, textCol, blockCols)
     val prefixLen = (size(col("toks"))
       - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    // SLIM candidate rows (guide §2.3, r14 — see jaccardPairsPrefix):
+    // the asymmetric B side explodes its FULL token list, so the old
+    // shape shipped |B| copies of each B array through the exchange;
+    // candidates are decided from (ptok, id, |toks|) alone and the
+    // arrays are attached once per surviving pair.
     val a = sorted.select(
-      (col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)
+      (col("id").as("id_a") +: size(col("toks")).as("sz_a") +: blockCols.map(col)
         :+ explode(slice(col("toks"), lit(1), prefixLen)).as("ptok")): _*)
     val b = sorted.select(
-      (col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)
+      (col("id").as("id_b") +: size(col("toks")).as("sz_b") +: blockCols.map(col)
         :+ explode(col("toks")).as("ptok")): _*)
     val cand = a.join(b, blockCols :+ "ptok")
       // |A∩B| <= |B| and containment >= t force |B| >= t·|A|
-      .filter(size(col("toks_b")) >= lit(threshold) * size(col("toks_a")))
-    containmentStats(cand, threshold).distinct()
+      .filter(col("id_a") =!= col("id_b") &&
+              col("sz_b") >= lit(threshold) * col("sz_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val withToks = cand
+      .join(sorted.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+    containmentStats(withToks, threshold)
   }
 
   /** End-to-end near-duplicate corpus PRUNE: the output a dedup pass

@@ -141,8 +141,16 @@ object GraphQueries {
     val dir = Pregel.materializeOnce(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
+    // truncate EVERY round (r14): the round body references `dist` TWICE
+    // (the relaxation join + the self-union), so an untruncated lineage
+    // re-executes the previous round's tree 2× per reference — 2^rounds
+    // total (measured: q_bfs_hops read 376 MB of adjacency blocks for a
+    // 2 MB edge table, ~15 executions of the per-round join at
+    // maxHops=4). The distance table is ≤|V| narrow rows, so the
+    // per-round checkpoint is cheap and the loop is linear in rounds.
     val (dist, _) = Pregel.iterate(
-      seeds.select(col("id"), lit(0L).as("hop")), maxHops) { (dist, _) =>
+      seeds.select(col("id"), lit(0L).as("hop")), maxHops,
+      Pregel.Policy(truncateEvery = 1)) { (dist, _) =>
       val next = dist.join(dir, dist("id") === dir("src"))
         .select(col("dst").as("id"), (col("hop") + 1).as("hop"))
       dist.unionAll(next).groupBy(col("id")).agg(min(col("hop")).as("hop"))
@@ -590,8 +598,13 @@ object GraphQueries {
     val dir = Pregel.materializeOnce(
       edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    // truncate EVERY round (r14): same double-reference blowup as
+    // [[bfsHops]] (relaxation join + self-union → 2^rounds re-execution
+    // without it; q_sssp read 412 MB of blocks for a 13 MB input); the
+    // distance table is ≤|V| narrow rows, checkpointing it is cheap.
     val (dist, _) = Pregel.iterate(
-      seeds.select(col("id"), lit(0L).as("dist")), rounds) { (dist, _) =>
+      seeds.select(col("id"), lit(0L).as("dist")), rounds,
+      Pregel.Policy(truncateEvery = 1)) { (dist, _) =>
       val relaxed = dist.join(dir, dist("id") === dir("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist.unionAll(relaxed)
