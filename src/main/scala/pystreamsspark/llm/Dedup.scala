@@ -154,21 +154,36 @@ object Dedup {
         lshPairsFromSigs(sh.select(col("id"), col("sig")),
           numHashes, bands, threshold)
       case "exact" =>
-        val banded = sh.select(col("id"), col("sh"),
+        // SLIM band join (r14, guide §2.3 — same discipline as
+        // [[jaccardPairsPrefix]]): candidates are decided from
+        // (band, bucket, id) alone and deduped on the id pair; the gram
+        // arrays attach once per SURVIVING pair from the shared cache —
+        // the old shape shipped each doc's gram array once per band
+        // (8×) and deduped over array columns.
+        val base = SharedRelationCache(sh)
+        val banded = base.select(col("id"),
             posexplode(lshBandKeys(col("sig"), numHashes, bands)))
-          .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
-        val a = banded.select(col("band"), col("bucket"),
-          col("id").as("id_a"), col("sh").as("sh_a"))
-        val b = banded.select(col("band"), col("bucket"),
-          col("id").as("id_b"), col("sh").as("sh_b"))
+          .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+        val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
         a.join(b, Seq("band", "bucket"))
           .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+          // the deduped pair list is tiny in BYTES but each row carries
+          // an array-intersection verify — AQE coalesces it to ~1
+          // partition and the broadcast attach would run the whole
+          // verify in one task (measured: 19 s single-task). Spread by
+          // the pair key across the session's shuffle parallelism (an
+          // 16 B/row exchange).
+          .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+            col("id_a"), col("id_b"))
+          .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
           .select(col("id_a"), col("id_b"),
             when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(1.0))
               .otherwise(
                 size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
                   size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-          .distinct()
           .filter(col("jaccard") >= threshold)
       case other => throw new IllegalArgumentException(
         s"verify must be exact|signature, got $other")
@@ -361,6 +376,11 @@ object Dedup {
               col("sz_b") * lit(threshold) <= col("sz_a") &&
               col("sz_a") * lit(threshold) <= col("sz_b"))
       .select(col("id_a"), col("id_b")).distinct()
+      // spread the verify: the slim pair list is tiny in bytes, so AQE
+      // coalesces it and a broadcast attach would serialize the
+      // CPU-heavy intersections into one task — repartition on the pair
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
     // attach the arrays once per SURVIVING pair (sorted is persisted by
     // dfSortedTokenSets, so both attach joins read the cache) and verify
     // exactly once per pair — the AllPairs paper's verify discipline
@@ -490,6 +510,9 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b") &&
               col("sz_b") >= lit(threshold) * col("sz_a"))
       .select(col("id_a"), col("id_b")).distinct()
+      // spread the verify (see jaccardPairsPrefix)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
     val withToks = cand
       .join(sorted.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")

@@ -1984,13 +1984,30 @@ object LlmQueries {
     val grams = docs
       .select($"doc_id", Dedup.shinglesNative(spark, $"text", 3).as("grams"))
       .filter(size($"grams") > 0)
+    // SLIM band join (r14, guide §2.3 — same discipline as
+    // Dedup.jaccardPairsPrefix): candidates are decided from
+    // (bnd, bkey, doc_id) alone, deduped on the id pair, and the gram
+    // arrays attach once per SURVIVING pair — the old shape shipped each
+    // doc's gram array once per band (4×) and deduped over array
+    // columns. grams is truncated so the shingle pass runs once for both
+    // attach sides; md5SigsOf feeds only the banding (computed once).
+    val gramsT = pystreamsspark.operators.Lineage.truncate(grams)
     val banded = bandKeys(md5SigsOf(docs, spark, 16), 4, 4)
-      .join(grams, "doc_id")
-    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"), $"grams".as("g_a"))
-    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"), $"grams".as("g_b"))
+    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"))
+    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"))
     a.join(b, Seq("bnd", "bkey"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"g_a", $"g_b").distinct()
+      .select($"id_a", $"id_b").distinct()
+      // spread the CPU-heavy verify: the slim pair list AQE-coalesces to
+      // ~1 partition (tiny bytes) and the broadcast attach would verify
+      // everything in one task — repartition by the pair key first
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        $"id_a", $"id_b")
+      // inner attach joins also re-impose the size>0 filter the old
+      // banded⋈grams join applied (md5SigsOf already excludes gramless
+      // docs, so the candidate set is unchanged)
+      .join(gramsT.select($"doc_id".as("id_a"), $"grams".as("g_a")), "id_a")
+      .join(gramsT.select($"doc_id".as("id_b"), $"grams".as("g_b")), "id_b")
       .select($"id_a", $"id_b",
         (size(array_intersect($"g_a", $"g_b")).cast("double") /
           size(array_union($"g_a", $"g_b"))).as("jaccard"))
@@ -2059,12 +2076,25 @@ object LlmQueries {
       ($"doc_id" + 10000000L).as("doc_id"),
       expr("concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1, " +
         "greatest(size(filter(split(text, ' '), t -> t != '')) - 1, 1)))").as("text"))
-    val banded = bandKeys(md5SigsOf(docs.unionByName(mutated), spark, 16), 4, 4)
-    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"), $"sig".as("sig_a"))
-    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+    // SLIM band join (r14, see qMinhashDedup): the md5 signature table is
+    // the expensive parity artifact — truncate it (LAZY: the band join
+    // is the materializing job, no extra serial barrier) so it computes
+    // ONCE and serves the banding plus both verify attach sides, instead
+    // of riding the band exchange 4× per doc and a distinct over arrays.
+    val sigs = pystreamsspark.operators.Lineage.truncate(
+      md5SigsOf(docs.unionByName(mutated), spark, 16), eager = false)
+    val banded = bandKeys(sigs, 4, 4)
+    val a = banded.select($"bnd", $"bkey", $"doc_id".as("id_a"))
+    val b = banded.select($"bnd", $"bkey", $"doc_id".as("id_b"))
     val pairs = a.join(b, Seq("bnd", "bkey"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"sig_a", $"sig_b").distinct()
+      .select($"id_a", $"id_b").distinct()
+      // spread the verify (see qMinhashDedup): slim pairs AQE-coalesce
+      // to ~1 partition, so the sig-agreement filter would run serially
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        $"id_a", $"id_b")
+      .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
       .filter(aggregate(zip_with($"sig_a", $"sig_b",
           (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
         lit(0), (acc, v) => acc + v).cast("double") / 16 >= 0.5)
