@@ -440,6 +440,15 @@ object GraphQueries {
     // (measured: eager per-round checkpointing was 3.5x SLOWER at x10
     // because it serializes the rounds into separate jobs and
     // re-materializes the edge list).
+    // CALLER CONTRACT (r14 measured): `edges` must be cheap to re-read —
+    // the loop references it 2x per round plus the init (7x at iters=3),
+    // and ReuseExchange does NOT dedupe the copies (each consumer needs
+    // a different partitioning). Fed the raw pair pipeline, the whole
+    // jaccard verify re-executed SEVEN times (7 jobs x 17 s of verify
+    // CPU, q_labelprop); every caller now passes a Lineage-truncated
+    // edge list. An in-loop materializeOnce(und) was tried and REVERTED:
+    // it fixes the raw-plan case but its two serial checkpoint barriers
+    // cost the already-truncated callers ~1 s (q_modularity 3.30->4.30).
     val (labels, _) = Pregel.iterate(
       nodes.select($"id", $"id".as("label")), iters) { (labels, _) =>
       // superstep: each node counts its neighbors' labels (the canonical
@@ -466,7 +475,12 @@ object GraphQueries {
 
   def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    labelPropagation(neardupEdges(spark, sfDir), iters = 3).orderBy($"id")
+    // truncate the pair pipeline ONCE before the loop (the labelPropagation
+    // caller contract — the loop reads the edge list 7x at iters=3; fed
+    // raw, the block-join verify re-executed 7x: 36.7->16.3 s cold /
+    // 5.1->3.1 s warm min at sf0.1, r14)
+    labelPropagation(pystreamsspark.operators.Lineage.truncate(
+      neardupEdges(spark, sfDir)), iters = 3).orderBy($"id")
   }
 
   // oracle: 3 unrolled synchronous rounds; arg_max over the encoded
