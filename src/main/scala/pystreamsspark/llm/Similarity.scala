@@ -538,16 +538,35 @@ object Similarity {
     require(dim % m == 0, s"PQ needs m to divide the dimension: $dim % $m")
     val sub = dim / m
     val k = 1 << nbits
-    // per-slot codebooks: m independent deterministic L2 fits over the
-    // slot's subvector space
-    val codebook = (0 until m).map { j =>
-      val e = cells.select(col(idCol).as("__id"),
-        transform(slice(col(vecCol), j * sub + 1, sub),
-          x => x.cast("double")).as("__v"))
-      kmeansFitL2(e, k, iters)
-        .select(lit(j).as("slot"), (col("cid") - 1).as("code"),
-          col("cvec"))
-    }.reduce(_ unionByName _)
+    // per-slot codebooks: m INDEPENDENT deterministic L2 fits over the
+    // slot's subvector space. Each fit is a driver-sequenced chain of
+    // jobs (iters rounds x localCheckpoint), so running the m fits
+    // serially leaves the cluster idle on every fit's stragglers —
+    // guide §2.6 "overlap independent jobs": a small thread pool keeps
+    // 3 fits in flight (enough to back-fill, not enough to fight for
+    // executors). Each fit is deterministic and touches only its own
+    // slot's slice, so results are bit-identical to the serial loop;
+    // awaiting in slot order keeps the union's shape stable (the slot
+    // column, not row order, is the semantic key). Measured (r14,
+    // q_ivf_pq cold build): 201 driver-sequenced jobs dominated wall
+    // 24.5 s vs 28.8 s TOTAL task time on 32 cores.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val slotFits = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fits = (0 until m).map { j => scala.concurrent.Future {
+        val e = cells.select(col(idCol).as("__id"),
+          transform(slice(col(vecCol), j * sub + 1, sub),
+            x => x.cast("double")).as("__v"))
+        kmeansFitL2(e, k, iters)
+          .select(lit(j).as("slot"), (col("cid") - 1).as("code"),
+            col("cvec"))
+      }}
+      fits.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
+    val codebook = slotFits
       .withColumn("c2", call_function("vec_dot", col("cvec"), col("cvec")))
     pystreamsspark.io.SnapshotTable.create(spark, s"$dir/pq_codebook",
       codebook, numFiles = 1)
