@@ -142,7 +142,8 @@ object VectorExpressions {
     ShingleHash.registryEntry,
     ShingleStrings.registryEntry,
     LshBucket.registryEntry,
-    SigAgree.registryEntry)
+    SigAgree.registryEntry,
+    SortedInterCount.registryEntry)
 
   /** Idempotent session-level registration (the extensions class does the
     * same at session build time; this covers sessions built without it). */

@@ -145,9 +145,12 @@ object Dedup {
     // hashed shingles (native one-pass expression): the signature and the
     // Jaccard verify both work on the 8-byte gram hashes — the shingle
     // STRINGS are never materialized
+    // sorted ascending for the sorted_inter_count exact verify; the
+    // signature is a min-fold over the hashes, so element order cannot
+    // change it (bit-identical sig, bit-identical jaccard)
     val sh = docs.select(col(idCol).as("id"),
-        array_distinct(call_function("shingle_hash",
-          TextOps.tokens(col(textCol)), lit(k))).as("sh"))
+        array_sort(array_distinct(call_function("shingle_hash",
+          TextOps.tokens(col(textCol)), lit(k)))).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
     verify match {
       case "signature" =>
@@ -179,11 +182,17 @@ object Dedup {
             col("id_a"), col("id_b"))
           .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
           .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          // sorted_inter_count merge + derived union (sh is sorted
+          // distinct above): same integers, same one division, no
+          // per-pair hash sets
           .select(col("id_a"), col("id_b"),
-            when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(1.0))
-              .otherwise(
-                size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-                  size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+            call_function("sorted_inter_count",
+              col("sh_a"), col("sh_b")).as("__ni"),
+            (size(col("sh_a")) + size(col("sh_b"))).as("__sz"))
+          .select(col("id_a"), col("id_b"),
+            when(col("__sz") - col("__ni") === 0, lit(1.0))
+              .otherwise(col("__ni").cast("double") /
+                (col("__sz") - col("__ni"))).as("jaccard"))
           .filter(col("jaccard") >= threshold)
       case other => throw new IllegalArgumentException(
         s"verify must be exact|signature, got $other")
@@ -276,26 +285,39 @@ object Dedup {
     avgMinDfShare <= 0.05
   }
 
-  // id + distinct hashed token set + block cols: set sizes and
+  // id + SORTED distinct hashed token set + block cols: set sizes and
   // intersections are identical to the string sets (xxh64 is injective
-  // on any realistic vocabulary), and the pairwise array_intersect
-  // runs over longs instead of strings
+  // on any realistic vocabulary), and the pairwise verify runs over
+  // longs instead of strings. Sorted ascending so the verify can use the
+  // zero-allocation sorted_inter_count merge (the sort runs once per DOC
+  // in the shared substrate; every doc participates in many candidate
+  // pairs, so it is amortized ~|block|× — guide §1.2 per-task work).
   private def hashedTokenSets(docs: DataFrame, idCol: String, textCol: String,
                               blockCols: Seq[String]): DataFrame = {
     pystreamsspark.functions.VectorExpressions.register(docs.sparkSession)
     docs.select(
       (col(idCol).as("id") +:
-        array_distinct(call_function("shingle_hash",
-          TextOps.tokens(col(textCol)), lit(1))).as("toks")
+        array_sort(array_distinct(call_function("shingle_hash",
+          TextOps.tokens(col(textCol)), lit(1)))).as("toks")
         +: blockCols.map(col)): _*)
   }
 
+  /** Exact-verify kernel. CONTRACT: toks_a/toks_b are value-SORTED
+    * distinct arrays ([[hashedTokenSets]] order, or `array_sort` at the
+    * attach) — sorted_inter_count's merge then equals
+    * size(array_intersect(..)) bit-for-bit, and n_union derives as
+    * |a|+|b|−n_inter instead of a second hash-set pass (the old
+    * intersect+union form measured ~88 µs/pair; the merge is ~60
+    * primitive compares). */
   private def pairStats(joined: DataFrame, threshold: Double): DataFrame =
     joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
-        size(array_union(col("toks_a"), col("toks_b"))).as("n_union"))
+        call_function("sorted_inter_count",
+          col("toks_a"), col("toks_b")).as("n_inter"),
+        (size(col("toks_a")) + size(col("toks_b"))).as("__sz"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("__sz") - col("n_inter")).as("n_union"))
       // empty∩empty guard (ANSI 0/0 throws; two empty docs ARE dups —
       // the minHashLsh empty-document contract, DedupSigSpec)
       .withColumn("jaccard", when(col("n_union") === 0, lit(1.0))
@@ -383,10 +405,15 @@ object Dedup {
         col("id_a"), col("id_b"))
     // attach the arrays once per SURVIVING pair (sorted is persisted by
     // dfSortedTokenSets, so both attach joins read the cache) and verify
-    // exactly once per pair — the AllPairs paper's verify discipline
+    // exactly once per pair — the AllPairs paper's verify discipline.
+    // array_sort: re-order the df-ordered sets to VALUE order for the
+    // sorted_inter_count verify (once per substrate row per side, not
+    // per pair; counts are order-independent so results are identical)
     val withToks = cand
-      .join(sorted.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(sorted.select(col("id").as("id_a"),
+        array_sort(col("toks")).as("toks_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"),
+        array_sort(col("toks")).as("toks_b")), "id_b")
     pairStats(withToks, threshold)
   }
 
@@ -455,12 +482,14 @@ object Dedup {
     containmentStats(a.join(b, blockCols), threshold)
   }
 
+  /** Same sorted-substrate contract as [[pairStats]]. */
   private def containmentStats(joined: DataFrame, threshold: Double): DataFrame =
     joined
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         size(col("toks_a")).as("n_a"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"))
+        call_function("sorted_inter_count",
+          col("toks_a"), col("toks_b")).as("n_inter"))
       // the empty set is contained in everything (and ANSI 0/0 throws)
       .withColumn("containment", when(col("n_a") === 0, lit(1.0))
         .otherwise(col("n_inter").cast("double") / col("n_a")))
@@ -514,8 +543,10 @@ object Dedup {
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("id_a"), col("id_b"))
     val withToks = cand
-      .join(sorted.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(sorted.select(col("id").as("id_a"),
+        array_sort(col("toks")).as("toks_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"),
+        array_sort(col("toks")).as("toks_b")), "id_b")
     containmentStats(withToks, threshold)
   }
 
@@ -759,9 +790,14 @@ object Dedup {
     // a delta batch is small by definition relative to the corpus —
     // broadcast it so the corpus never shuffles
     e.join(broadcast(i), blockCols)
+      // sorted_inter_count + derived union (hashedTokenSets arrays are
+      // sorted distinct): identical integers, no per-pair hash sets
       .select(col("id_i"), col("id_e"),
-        size(array_intersect(col("toks_i"), col("toks_e"))).as("n_inter"),
-        size(array_union(col("toks_i"), col("toks_e"))).as("n_union"))
+        call_function("sorted_inter_count",
+          col("toks_i"), col("toks_e")).as("n_inter"),
+        (size(col("toks_i")) + size(col("toks_e"))).as("__sz"))
+      .withColumn("n_union", col("__sz") - col("n_inter"))
+      .drop("__sz")
       // empty∩empty guard — same contract as minHashLsh/pairStats
       .withColumn("jaccard", when(col("n_union") === 0, lit(1.0))
         .otherwise(col("n_inter").cast("double") / col("n_union")))

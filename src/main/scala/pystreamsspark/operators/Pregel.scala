@@ -72,7 +72,18 @@ object Pregel {
       val n = df.sparkSession.sessionState.conf.numShufflePartitions
       df.repartition(n, col(c))
     }.getOrElse(df)
-    Lineage.truncate(shaped)
+    labeled(df, "pregel:materializeOnce") { Lineage.truncate(shaped) }
+  }
+
+  /** Run `body` with a job description so the UI / Jobs probes can
+    * attribute the actions this operator itself triggers (guide §1.5);
+    * restores the caller's description after. Label-only — no behavior
+    * change. */
+  private def labeled[A](df: DataFrame, desc: String)(body: => A): A = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
   }
 
   /** The canonical superstep: join vertex `state` onto `adj`'s source
@@ -95,17 +106,20 @@ object Pregel {
   def iterate(init: DataFrame, maxRounds: Int, policy: Policy = Policy())
              (step: (DataFrame, Int) => DataFrame): (DataFrame, Int) = {
     var state = if (policy.persistRounds) init.persist() else init
-    var fp = policy.fingerprint.map(_(state))
+    var fp = policy.fingerprint.map(f =>
+      labeled(state, "pregel:round-0-fp") { f(state) })
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       var next = step(state, round)
       round += 1
       if (policy.truncateEvery > 0 && round % policy.truncateEvery == 0)
-        next = Lineage.truncate(next, policy.eagerTruncate)
+        next = labeled(next, s"pregel:round-$round-truncate") {
+          Lineage.truncate(next, policy.eagerTruncate)
+        }
       if (policy.persistRounds) next = next.persist()
       policy.fingerprint.foreach { f =>
-        val nfp = f(next)
+        val nfp = labeled(next, s"pregel:round-$round-fp") { f(next) }
         converged = fp.contains(nfp)
         fp = Some(nfp)
       }

@@ -2006,11 +2006,19 @@ object LlmQueries {
       // inner attach joins also re-impose the size>0 filter the old
       // banded⋈grams join applied (md5SigsOf already excludes gramless
       // docs, so the candidate set is unchanged)
-      .join(gramsT.select($"doc_id".as("id_a"), $"grams".as("g_a")), "id_a")
-      .join(gramsT.select($"doc_id".as("id_b"), $"grams".as("g_b")), "id_b")
+      // array_sort at the attach (once per doc row per side) lets the
+      // verify run the zero-allocation sorted_inter_count merge instead
+      // of two hash-set passes per pair; |∪| derives as |a|+|b|−|∩|
+      // (grams are distinct) — identical integers, identical division
+      .join(gramsT.select($"doc_id".as("id_a"),
+        array_sort($"grams").as("g_a")), "id_a")
+      .join(gramsT.select($"doc_id".as("id_b"),
+        array_sort($"grams").as("g_b")), "id_b")
       .select($"id_a", $"id_b",
-        (size(array_intersect($"g_a", $"g_b")).cast("double") /
-          size(array_union($"g_a", $"g_b"))).as("jaccard"))
+        call_function("sorted_inter_count", $"g_a", $"g_b").as("__ni"),
+        (size($"g_a") + size($"g_b")).as("__sz"))
+      .select($"id_a", $"id_b",
+        ($"__ni".cast("double") / ($"__sz" - $"__ni")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"id_a".asc, $"id_b".asc)
   }

@@ -30,6 +30,7 @@ object JobsDetail {
 
     case class J(var desc: String = "", var t0: Long = 0L, var t1: Long = 0L,
                  var tasks: Int = 0, var taskMs: Long = 0L,
+                 var cpuNs: Long = 0L, var gcMs: Long = 0L,
                  var input: Long = 0L, var shufR: Long = 0L, var shufW: Long = 0L)
     val byJob = TrieMap.empty[Int, J]
     val stageToJob = TrieMap.empty[Int, Int]
@@ -51,6 +52,8 @@ object JobsDetail {
         stageToJob.get(i.stageId).flatMap(byJob.get).foreach { j =>
           j.tasks += i.numTasks
           j.taskMs += i.taskMetrics.executorRunTime
+          j.cpuNs += i.taskMetrics.executorCpuTime
+          j.gcMs += i.taskMetrics.jvmGCTime
           j.input += i.taskMetrics.inputMetrics.bytesRead
           j.shufR += i.taskMetrics.shuffleReadMetrics.totalBytesRead
           j.shufW += i.taskMetrics.shuffleWriteMetrics.bytesWritten
@@ -69,7 +72,8 @@ object JobsDetail {
       println(f"KEY $name rows=$n wall=$wall%.2fs jobs=${byJob.size}")
       byJob.toSeq.sortBy(_._1).foreach { case (id, j) =>
         println(f"  job=$id%3d wall=${(j.t1 - j.t0) / 1000.0}%6.2fs tasks=${j.tasks}%4d " +
-          f"taskTime=${j.taskMs / 1000.0}%7.1fs in=${mb(j.input)}%8sMB " +
+          f"taskTime=${j.taskMs / 1000.0}%7.1fs cpu=${j.cpuNs / 1e9}%6.1fs " +
+          f"gc=${j.gcMs / 1000.0}%5.1fs in=${mb(j.input)}%8sMB " +
           f"shR=${mb(j.shufR)}%8sMB shW=${mb(j.shufW)}%8sMB  ${j.desc.take(120)}")
       }
     }
