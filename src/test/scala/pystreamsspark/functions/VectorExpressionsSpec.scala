@@ -102,6 +102,47 @@ class VectorExpressionsSpec extends SparkSpec {
     cmp.foreach { case (hof, nat) => assert(hof == nat) }
   }
 
+  test("sorted_inter_count equals size(array_intersect) on sorted distinct arrays (long + string), codegen and interpreted") {
+    VectorExpressions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // random distinct long sets of varied size, incl. empty and disjoint
+    val rows = (0 until 500).map { i =>
+      val na = rnd.nextInt(40)
+      val nb = rnd.nextInt(40)
+      val pool = (0 until 60).map(_ => rnd.nextInt(80).toLong)
+      (i.toLong, pool.take(na).distinct.sorted.toArray,
+        pool.drop(20).take(nb).distinct.sorted.toArray)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+        call_function("sorted_inter_count", col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Int, Int)].collect()
+    cmp.foreach { case (m, ref) => assert(m === ref) }
+    // string variant: array_sort order (UTF8 binary) must agree with the
+    // merge comparison
+    val sdf = Seq(
+        (Array("a", "b", "ch", "zz"), Array("b", "ch", "x")),
+        (Array.empty[String], Array("a")),
+        (Array("é", "a"), Array("é"))) // non-ASCII
+      .toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val scmp = sdf.select(
+        call_function("sorted_inter_count", col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Int, Int)].collect()
+    scmp.foreach { case (m, ref) => assert(m === ref) }
+    // interpreted eval path (no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = SortedInterCount(
+      Literal.create(Array(1L, 3L, 7L, 9L), ArrayType(LongType)),
+      Literal.create(Array(2L, 3L, 9L, 11L), ArrayType(LongType)))
+    assert(e.eval(null) === 2)
+  }
+
   test("GraftExtensions injects SQL functions at session build") {
     val ext = SparkSession.builder()
       .master("local[2]")
