@@ -53,6 +53,18 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","partitions":"$cpus","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver parses its bench JSON out of a bounded (2000-char)
+    // stdout TAIL; the full per-query line above is ~8 KB for 300 keys,
+    // so it has never parsed (VERDICT r14 "What's wrong #2": parsed:null
+    // in all 14 BENCH_r0N.json). Repo-side half of the fix: ALSO print a
+    // compact line — total + config only, guaranteed well under 2000
+    // chars — LAST, so the tail always contains one parseable JSON
+    // object. Additive: the full line still prints above and is still
+    // what lands in BENCH_LOCAL.json, so the ledger format and every
+    // cross-round comparison are unchanged.
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","partitions":"$cpus","nqueries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
     // belt-and-braces: also leave the JSON in a file next to the repo.
     // Append-by-default JSONL: the round-7 driver bench (which doesn't set
     // any env) truncated the 14-line forensic ledger to 1 line. A run can

@@ -4725,8 +4725,29 @@ object SnapshotTable {
     }
     val o = aligned(oldRows, newRows)
     val n = aligned(newRows, oldRows).select(o.columns.map(col).toSeq: _*)
-    val inserts = n.exceptAll(o).withColumn("_change_type", lit("insert"))
-    val deletes = o.exceptAll(n).withColumn("_change_type", lit("delete"))
-    inserts.unionByName(deletes)
+    // SINGLE-PASS netting (r15; guide §1.2 step 1 "don't compute things
+    // twice"): the previous `n.exceptAll(o)` + `o.exceptAll(n)` pair made
+    // Spark execute each side's changed-file scan TWICE — Catalyst
+    // rewrites EVERY exceptAll into union → count-aggregate → replicate
+    // (RewriteExceptAll), so the two calls built that whole pipeline
+    // twice just to read opposite signs of the SAME per-row net count
+    // (JobsDetail: paired 13.7+13.6 s jobs per materialized _cdc batch).
+    // Computing the signed multiset difference ONCE and deriving both
+    // change directions from its sign is semantically identical —
+    // inserts appear (count_n − count_o)⁺ times, deletes (count_o −
+    // count_n)⁺ times, the exact exceptAll multiset law (spec-asserted
+    // against brute-force exceptAll in SnapshotCdcSpec) — at half the
+    // scans and half the shuffles.
+    val dataCols = o.columns.toSeq
+    val net = o.withColumn("__w", lit(-1L))
+      .unionByName(n.withColumn("__w", lit(1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__w")).as("__d"))
+      .filter(col("__d") =!= 0L)
+    net
+      .withColumn("_change_type",
+        when(col("__d") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__r", explode(sequence(lit(1L), abs(col("__d")))))
+      .select(dataCols.map(col) :+ col("_change_type"): _*)
   }
 }

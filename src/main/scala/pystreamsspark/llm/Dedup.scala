@@ -29,7 +29,18 @@ object Dedup {
     * substrates (distinct funnels within one composed pipeline, e.g.
     * neardupPrune's pairs + CC) and evicts the oldest beyond that —
     * eviction only drops cached blocks; any straggler consumer simply
-    * recomputes, so correctness never depends on the cache. */
+    * recomputes, so correctness never depends on the cache.
+    *
+    * INVOCATION BOUND (r15, VERDICT r14 "What's wrong #3"): substrates
+    * are additionally dropped at the start of each new top-level
+    * pipeline invocation ([[newPipelineInvocation]] — the graft query
+    * entry points call it). Spark's CacheManager matches persists by
+    * CANONICALIZED plan, so without the boundary a re-run of the same
+    * funnel (e.g. Bench's min-of-5 timing loop) silently reused the
+    * previous run's warm blocks and measured warm-substrate cost as if
+    * it were the pipeline's. Within one invocation reuse is unchanged;
+    * across invocations every run now rebuilds — what a fresh pipeline
+    * actually pays. */
   private object SharedRelationCache {
     private val live = new java.util.ArrayDeque[DataFrame]()
     def apply(df: DataFrame): DataFrame = synchronized {
@@ -38,7 +49,16 @@ object Dedup {
       while (live.size > 4) live.removeFirst().unpersist(false)
       p
     }
+    def clear(): Unit = synchronized {
+      while (!live.isEmpty) live.removeFirst().unpersist(false)
+    }
   }
+
+  /** Mark the start of a new top-level pipeline invocation: substrates
+    * persisted by PREVIOUS invocations are unpersisted (cached blocks
+    * dropped; any still-referenced frame simply recomputes — correctness
+    * never depends on the cache). See [[SharedRelationCache]]. */
+  def newPipelineInvocation(): Unit = SharedRelationCache.clear()
 
   /** Normalized-text key for exact dedup. At scale, group on
     * (xxhash64(norm), norm): the 8-byte hash leads the shuffle key so

@@ -143,6 +143,48 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.eval(null) === 2)
   }
 
+  test("sorted_inter_count handles null ELEMENTS with array_intersect parity (r15, ADVICE r14 #1)") {
+    VectorExpressions.register(spark)
+    val s = spark
+    import s.implicits._
+    // user-SQL shape: schemas admitting null elements (containsNull=true),
+    // arrays pre-sorted by array_sort (nulls LAST). Previously the string
+    // path NPE'd and the long path read a null slot as 0L.
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, 3L, null), Seq[java.lang.Long](3L, null)),
+      (Seq[java.lang.Long](1L, 2L, null), Seq[java.lang.Long](3L, 4L)),
+      (Seq[java.lang.Long](null), Seq[java.lang.Long](null)),
+      (Seq[java.lang.Long](0L), Seq[java.lang.Long](null)),
+      (Seq.empty[java.lang.Long], Seq[java.lang.Long](null)))
+    val df = rows.toDF("a", "b")
+      .select(array_sort($"a").as("a"), array_sort($"b").as("b"))
+    val cmp = df.select(
+        call_function("sorted_inter_count", $"a", $"b").as("m"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .as[(Int, Int)].collect()
+    cmp.foreach { case (m, ref) => assert(m === ref) }
+    // string path (previously an NPE on the first null element)
+    val sdf = Seq(
+        (Seq[String]("a", "b", null), Seq[String]("b", null)),
+        (Seq[String](null), Seq[String]("x")))
+      .toDF("a", "b")
+      .select(array_sort($"a").as("a"), array_sort($"b").as("b"))
+    val scmp = sdf.select(
+        call_function("sorted_inter_count", $"a", $"b").as("m"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .as[(Int, Int)].collect()
+    scmp.foreach { case (m, ref) => assert(m === ref) }
+    // interpreted path with nulls
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = SortedInterCount(
+      Literal.create(Seq[java.lang.Long](1L, 3L, null),
+        ArrayType(LongType, containsNull = true)),
+      Literal.create(Seq[java.lang.Long](3L, null),
+        ArrayType(LongType, containsNull = true)))
+    assert(e.eval(null) === 2) // 3 matches, null-in-both matches
+  }
+
   test("GraftExtensions injects SQL functions at session build") {
     val ext = SparkSession.builder()
       .master("local[2]")

@@ -46,9 +46,15 @@ def _canon_type(t):
 def main(outdir: str, sfdir: str) -> int:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver fixtures are single files; tools/Amplify writes Spark
+        # directory-tables — glob those (r15, the x10 scale ledger)
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
