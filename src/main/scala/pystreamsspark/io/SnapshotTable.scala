@@ -1338,15 +1338,24 @@ object SnapshotTable {
     * the whole table) records per-file min/max of those columns into
     * the entries — the metadata that makes narrow-key MERGE discovery
     * skip non-overlapping files instead of scanning every live file. */
-  /** Footer-stat eligibility (r14): types whose parquet row-group
-    * statistics render EXACTLY like [[statAgg]]'s aggregate rendering,
-    * so the footer fast path and the scan path produce bit-identical
-    * manifest stats. Floating point stays on the scan path (NaN poisons
-    * footer min/max and parquet writers handle it inconsistently);
-    * decimals and NTZ timestamps render differently. */
+  /** Footer-stat eligibility (r14; float/decimal/NTZ added r15): types
+    * whose parquet row-group statistics render EXACTLY like
+    * [[statAgg]]'s aggregate rendering, so the footer fast path and the
+    * scan path produce bit-identical manifest stats. Floating point is
+    * eligible but VALUE-gated ([[footerValueOk]]): a NaN boundary
+    * (parquet writers handle NaN min/max inconsistently and Spark's
+    * aggregate order differs) or a ±0.0 boundary (the sign of zero is
+    * comparison-invisible, so which rendering the two paths pick is
+    * order-dependent) refuses the footer and takes the scan. Decimals
+    * reconstruct exactly from the unscaled footer value at the column's
+    * scale; NTZ micros render through the same trimmed-fraction ISO
+    * form Spark's cast produces (year-gated like DateType). Parity per
+    * type is pinned in FooterStatsSpec's bit-identity law. */
   private def footerStatSafe(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-         _: StringType | _: DateType | _: TimestampType => true
+         _: StringType | _: DateType | _: TimestampType |
+         _: FloatType | _: DoubleType | _: DecimalType |
+         _: TimestampNTZType => true
     case _ => false
   }
 
@@ -1380,6 +1389,27 @@ object SnapshotTable {
       case _: StringType =>
         pt.getPrimitiveTypeName == BINARY &&
           ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case _: FloatType  => pt.getPrimitiveTypeName == FLOAT
+      case _: DoubleType => pt.getPrimitiveTypeName == DOUBLE
+      case d: DecimalType =>
+        // Spark's non-legacy writer: INT32 (p<=9), INT64 (p<=18), else
+        // FIXED_LEN_BYTE_ARRAY — all carry the unscaled value; the
+        // annotation must agree on precision AND scale or the
+        // reconstruction below would be wrong
+        (pt.getPrimitiveTypeName == INT32 || pt.getPrimitiveTypeName == INT64 ||
+          pt.getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY ||
+          pt.getPrimitiveTypeName == BINARY) && (ann match {
+          case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            a.getPrecision == d.precision && a.getScale == d.scale
+          case _ => false
+        })
+      case _: TimestampNTZType =>
+        pt.getPrimitiveTypeName == INT64 && (ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+              !t.isAdjustedToUTC
+          case _ => false
+        })
       case _ => false
     }
   }
@@ -1399,22 +1429,65 @@ object SnapshotTable {
         i += 1
       }
       x.length - y.length
-    case _: LongType | _: TimestampType =>
+    case _: LongType | _: TimestampType | _: TimestampNTZType =>
       java.lang.Long.compare(a.asInstanceOf[java.lang.Long].longValue,
         b.asInstanceOf[java.lang.Long].longValue)
+    // NaN/±0.0 boundaries are rejected by footerValueOk BEFORE any
+    // comparison, so primitive compare here is the unambiguous IEEE
+    // order on every value that reaches it
+    case _: FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[java.lang.Float].floatValue,
+        b.asInstanceOf[java.lang.Float].floatValue)
+    case _: DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[java.lang.Double].doubleValue,
+        b.asInstanceOf[java.lang.Double].doubleValue)
+    case d: DecimalType =>
+      footerDecimal(d, a).compareTo(footerDecimal(d, b))
     case _ =>
       Integer.compare(a.asInstanceOf[java.lang.Integer].intValue,
         b.asInstanceOf[java.lang.Integer].intValue)
   }
 
+  /** Exact decimal from a footer stat value: the unscaled integer at
+    * the column's declared scale (INT32/INT64 carriers) or the
+    * big-endian two's-complement bytes (FIXED/BINARY carriers). */
+  private def footerDecimal(dt: DecimalType, v: AnyRef): java.math.BigDecimal =
+    v match {
+      case i: java.lang.Integer =>
+        java.math.BigDecimal.valueOf(i.longValue, dt.scale)
+      case l: java.lang.Long =>
+        java.math.BigDecimal.valueOf(l.longValue, dt.scale)
+      case b: org.apache.parquet.io.api.Binary =>
+        new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), dt.scale)
+      case other => throw new IllegalStateException(
+        s"unexpected decimal stat carrier ${other.getClass}")
+    }
+
   /** Rendering-parity guard: values whose string rendering below could
-    * diverge from statAgg's (only ISO dates outside year 1..9999, where
-    * LocalDate.toString and Spark's year-of-era formatter disagree)
-    * refuse the footer path. */
+    * diverge from statAgg's refuse the footer path —
+    *  - ISO dates / NTZ timestamps outside year 1..9999 (LocalDate/
+    *    LocalDateTime.toString and Spark's year-of-era formatter
+    *    disagree there);
+    *  - float/double NaN (parquet stats semantics for NaN are writer-
+    *    dependent and Spark's aggregate treats NaN as greatest — the
+    *    two paths can legitimately disagree) and ±0.0 (the zero's SIGN
+    *    is invisible to every comparison both paths use, so which
+    *    rendering — "0.0" vs "-0.0" — each picks is encounter-order
+    *    dependent). Conservative: the whole batch falls back to the
+    *    one-scan stats job, pruning strength unchanged. */
   private def footerValueOk(dt: DataType, v: AnyRef): Boolean = dt match {
     case _: DateType =>
       val d = v.asInstanceOf[java.lang.Integer].longValue
       d >= -719162L && d <= 2932896L // 0001-01-01 .. 9999-12-31
+    case _: TimestampNTZType =>
+      val us = v.asInstanceOf[java.lang.Long].longValue
+      us >= -62135596800000000L && us <= 253402300799999999L // year 1..9999
+    case _: FloatType =>
+      val f = v.asInstanceOf[java.lang.Float].floatValue
+      !java.lang.Float.isNaN(f) && f != 0.0f
+    case _: DoubleType =>
+      val d = v.asInstanceOf[java.lang.Double].doubleValue
+      !java.lang.Double.isNaN(d) && d != 0.0d
     case _ => true
   }
 
@@ -1424,7 +1497,29 @@ object SnapshotTable {
       StandardCharsets.UTF_8)
     case _: DateType => java.time.LocalDate
       .ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString
-    case _ => v.toString // Integer / Long (timestamp = epoch micros)
+    case d: DecimalType =>
+      // same (unscaled, scale) pair Spark's Decimal carries → same
+      // java.math.BigDecimal.toString rendering as cast(dec as string)
+      footerDecimal(d, v).toString
+    case _: TimestampNTZType =>
+      renderNtzMicros(v.asInstanceOf[java.lang.Long].longValue)
+    case _ => v.toString // Integer / Long / Float / Double
+  }
+
+  /** The exact string Spark's cast(ntz as string) produces for an
+    * epoch-micros value inside year 1..9999: zero-padded ISO date-time,
+    * fraction omitted when zero and trailing-zero-trimmed otherwise
+    * (parity pinned in FooterStatsSpec). */
+  private def renderNtzMicros(us: Long): String = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val micro = Math.floorMod(us, 1000000L).toInt
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      sec, micro * 1000, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (micro == 0) base
+    else base + "." + f"$micro%06d".reverse.dropWhile(_ == '0').reverse
   }
 
   /** One footer open per just-written file: exact record count plus —

@@ -42,15 +42,28 @@ class FooterStatsSpec extends SparkSpec {
       (i.toLong, i % 1000, f"s$i%05d",
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18000L + i % 400)),
         new java.sql.Timestamp(1700000000000L + i * 1000L),
-        null.asInstanceOf[String])
-    }.toDF("k", "n", "s", "d", "ts", "z")
+        null.asInstanceOf[String],
+        // r15 families: float/double (no NaN, no ±0 — value-gated),
+        // decimals on the INT32 (p<=9) and FIXED (p>18) carriers, NTZ
+        // with zero / trimmed / full microsecond fractions
+        i * 1.25f + 1.0f, i * 2.5d + 1.0d,
+        new java.math.BigDecimal(i).movePointLeft(2).add(
+          new java.math.BigDecimal("0.01")),
+        java.time.LocalDateTime.ofEpochSecond(
+          1700000000L + i, (i % 4) * 250000000, java.time.ZoneOffset.UTC))
+    }.toDF("k", "n", "s", "d", "ts", "z", "f", "dbl", "dec", "nt")
+      .withColumn("dec9", col("dec").cast("decimal(9,2)"))
+      .withColumn("dec20", col("dec").cast("decimal(20,4)"))
+      .drop("dec")
       .repartitionByRange(8, col("k"))
   }
 
-  private val clusterCols = Seq("k", "n", "s", "d", "ts", "z")
+  private val clusterCols =
+    Seq("k", "n", "s", "d", "ts", "z", "f", "dbl", "dec9", "dec20", "nt")
 
   test("footer path stats are bit-identical to a scan of the same " +
-    "files (long/int/string/date/timestamp; all-null column omitted)") {
+    "files (long/int/string/date/timestamp/float/double/decimal/ntz; " +
+    "all-null column omitted)") {
     val df = fixture()
     val d1 = freshDir()
     SnapshotTable.createClustered(spark, d1, df, clusterCols)
@@ -65,15 +78,22 @@ class FooterStatsSpec extends SparkSpec {
     val rows = base.groupBy(input_file_name().as("f"))
       .agg(
         min(col("d")).cast("string"), max(col("d")).cast("string"),
+        min(col("dbl")).cast("string"), max(col("dbl")).cast("string"),
+        min(col("dec20")).cast("string"), max(col("dec20")).cast("string"),
+        min(col("dec9")).cast("string"), max(col("dec9")).cast("string"),
+        min(col("f")).cast("string"), max(col("f")).cast("string"),
         min(col("k")).cast("string"), max(col("k")).cast("string"),
         min(col("n")).cast("string"), max(col("n")).cast("string"),
+        min(col("nt")).cast("string"), max(col("nt")).cast("string"),
         min(col("s")).cast("string"), max(col("s")).cast("string"),
         unix_micros(min(col("ts"))).cast("string"),
         unix_micros(max(col("ts"))).cast("string"),
         min(col("z")).cast("string"), max(col("z")).cast("string"))
       .collect()
+    val cols = Seq("d", "dbl", "dec20", "dec9", "f", "k", "n", "nt", "s",
+      "ts", "z")
     val expected = rows.map { r =>
-      val parts = Seq("d", "k", "n", "s", "ts", "z").zipWithIndex.flatMap {
+      val parts = cols.zipWithIndex.flatMap {
         case (c, i) =>
           val lo = r.getString(1 + 2 * i); val hi = r.getString(2 + 2 * i)
           if (lo == null || hi == null) None
@@ -86,7 +106,8 @@ class FooterStatsSpec extends SparkSpec {
       s"footer stats diverge from a scan of the same files:\n${fast
         .zip(expected).filter(p => p._1 != p._2).mkString("\n")}")
     // every footer-safe column recorded; the all-null column omitted
-    Seq("k=", "n=", "s=", "d=", "ts=").foreach(c =>
+    Seq("k=", "n=", "s=", "d=", "ts=", "f=", "dbl=", "dec9=", "dec20=",
+      "nt=").foreach(c =>
       assert(fast.forall(_.contains(c)), s"missing stats for $c"))
     assert(fast.forall(!_.contains("z=")),
       "all-null column must have no stats (conservative, like the scan)")
@@ -132,17 +153,57 @@ class FooterStatsSpec extends SparkSpec {
       Map("ts" -> (lo.toString, hi.toString))).count() === 51)
   }
 
-  test("floating-point cluster keys stay on the scan path and still " +
-    "record stats") {
+  test("clean float-clustered table takes the footer path (job-count) " +
+    "and prunes; NaN or ±0.0 boundaries fall back to the scan") {
     import spark.implicits._
-    val df = (0 until 2000).map(i => (i.toLong, i * 1.5))
+    @volatile var jobs = 0
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    def countJobs(f: => Unit): Int = {
+      jobs = 0
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1500) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(l)
+      jobs
+    }
+    // clean doubles: no NaN, no zero → footer path (r15)
+    val clean = (0 until 2000).map(i => (i.toLong, i * 1.5 + 1.0))
       .toDF("k", "p").repartitionByRange(4, col("p"))
     val d = freshDir()
-    SnapshotTable.createClustered(spark, d, df, Seq("p"))
+    val fastJobs = countJobs {
+      SnapshotTable.createClustered(spark, d, clean, Seq("p"))
+    }
     val sf = statFields(d)
     assert(sf.size === 4 && sf.forall(_.contains("p=")),
-      s"double cluster stats must still be recorded (scan fallback): $sf")
+      s"double cluster stats must be recorded: $sf")
     assert(SnapshotTable.readCandidates(d,
       Map("p" -> ("10.0", "20.0"))).size === 1)
+    // a NaN boundary poisons the footer contract → whole-batch scan
+    // fallback, stats still recorded (conservative, never weaker)
+    val withNan = (0 until 2000).map(i =>
+        (i.toLong, if (i == 1999) Double.NaN else i * 1.5 + 1.0))
+      .toDF("k", "p").repartitionByRange(4, col("k"))
+    val dn = freshDir()
+    val nanJobs = countJobs {
+      SnapshotTable.createClustered(spark, dn, withNan, Seq("p"))
+    }
+    assert(nanJobs > fastJobs,
+      s"NaN boundary must force the one-scan fallback: clean=$fastJobs " +
+        s"nan=$nanJobs")
+    val sfn = statFields(dn)
+    assert(sfn.size === 4 && sfn.forall(_.contains("p=")),
+      s"scan fallback must still record stats: $sfn")
+    // a zero boundary (sign-of-zero rendering ambiguity) also falls back
+    val withZero = (0 until 2000).map(i => (i.toLong, i * 1.5))
+      .toDF("k", "p").repartitionByRange(4, col("p"))
+    val dz = freshDir()
+    val zeroJobs = countJobs {
+      SnapshotTable.createClustered(spark, dz, withZero, Seq("p"))
+    }
+    assert(zeroJobs > fastJobs,
+      s"±0.0 boundary must force the one-scan fallback: clean=$fastJobs " +
+        s"zero=$zeroJobs")
+    assert(statFields(dz).forall(_.contains("p=")))
   }
 }
